@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** Group-by aggregation surface (SURVEY §2.2 "Aggregation").
+  *
+  * The reference has no aggregation at all (its only pipeline is
+  * source→map→sink, reference OrcSinkTest.java:32-37) — this module is the
+  * query half the reference delegates to Hive, re-expressed on Catalyst.
+  *
+  * Scale posture: every query here is a hash aggregate with map-side
+  * partial aggregation (automatic for sum/count/min/max/avg), so the
+  * shuffle carries one row per (partition, group), not per input row.
+  * Group cardinality is bounded (flags, nations, statuses), so these run
+  * unchanged at 100 TB with AQE coalescing the post-shuffle partitions.
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary: scan → pushed filter → hash agg.
+    "agg_pricing_summary" -> { (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // distinct + count-distinct (exact; shuffles on (group, distinct key)
+    // first — Spark expands this to a two-phase agg automatically).
+    "agg_count_distinct" -> { (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_orders")
+        )
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ROLLUP over a broadcast dim join: customer fact, nation dim.
+    "agg_rollup" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("n_name").asc_nulls_first)
+    },
+
+    // CUBE over two low-cardinality keys.
+    "agg_cube" -> { (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // GROUPING SETS (Spark 4 Dataset.groupingSets).
+    "agg_grouping_sets" -> { (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"),
+          col("o_orderpriority")
+        )
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // collect_set: deterministic via sort_array; one row per nation.
+    "agg_collect_set" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n_cust")
+        )
+        .orderBy(col("n_name"))
+    },
+
+    // HLL approximate distinct — approximate, so no SQL oracle (driver
+    // records the weaker rows-only check). Exercises the sketch path that
+    // at 100 TB replaces exact count-distinct's full shuffle.
+    "agg_approx_distinct" -> { (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps")
+        )
+        .orderBy(col("l_returnflag"))
+    },
+
+    // min/max/avg over a high-cardinality group (per-part stats): the
+    // shape where map-side partial aggregation matters most.
+    "agg_minmax_per_key" -> { (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_partkey"))
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("l_partkey"))
+    }
+  )
+
+  private val pricingCols =
+    s"""${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${sqlAvg("l_quantity")} AS avg_qty,
+       |  ${sqlAvg("l_extendedprice")} AS avg_price,
+       |  ${sqlAvg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $pricingCols
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT n_name, COUNT(*) AS n_cust, ${sqlSum("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(n_name)
+         |ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_collect_set" ->
+      """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments, COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_minmax_per_key" ->
+      s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+  )
+}
