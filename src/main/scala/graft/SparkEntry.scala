@@ -14,7 +14,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Aggregates.queries, Aggregates.oracles)
+      (Aggregates.queries, Aggregates.oracles),
+      (Joins.queries, Joins.oracles),
+      (Windows.queries, Windows.oracles),
+      (SortSetOps.queries, SortSetOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scalable as-of join: for each left row, attach the payload of the
+  * latest right row with the same key and `rightTime <= leftTime`
+  * (inclusive).
+  *
+  * Implementation is the union-and-window formulation, the shape that
+  * survives 100 TB: tag both inputs, union them, and run one window per
+  * key ordered by (time, side) carrying the last non-null right payload
+  * forward. Cost = exactly ONE shuffle (hash partition by key) + one sort
+  * within partitions — no range-condition join, no broadcast-nested-loop
+  * explosion, no per-row subquery. Skewed keys can be salted upstream.
+  *
+  * Right rows must be unique per (key, time) for deterministic payloads —
+  * pre-aggregate the right side if needed.
+  */
+object AsOfJoin {
+  def asOf(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val pfx = "__asof_r_"
+    val l2 = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r2 = right.select(
+      (Seq(
+        col(rightKey).as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side")
+      ) ++ rightPayload.map(p => col(p).as(pfx + p))): _*
+    )
+    // Right rows sort before left rows at equal time, so an exact
+    // timestamp match is visible to the left row (>= semantics).
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(l2.unionByName(r2, allowMissingColumns = true)) {
+      (df, p) => df.withColumn(pfx + p, last(col(pfx + p), ignoreNulls = true).over(w))
+    }
+    val out = filled.filter(col("__side") === 1).drop("__k", "__t", "__side")
+    rightPayload.foldLeft(out)((df, p) => df.withColumnRenamed(pfx + p, p))
+  }
+}

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** Join surface (SURVEY §2.2 "Joins").
+  *
+  * The reference delegates all joins to Hive over the tables its sink
+  * lands (reference README.md:13,17); here they are Catalyst joins with
+  * explicit scale posture per query:
+  * - fact⋈fact → shuffle hash / sort-merge on the join key (AQE picks);
+  * - fact⋈dim  → `broadcast()` the dim, zero shuffle on the fact;
+  * - range/theta → banded equi-join (explode bounded candidate buckets),
+  *   never a broadcast-nested-loop cross product;
+  * - as-of     → union+window single-shuffle formulation (AsOfJoin).
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q3-shaped: selective dim filter → two fact joins → agg → topN.
+    "join_inner_topn" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(spark, dir)
+      val l = Tables.lineitem(spark, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate"))
+        .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // LEFT join with never-matched rows (parts with no lineitems).
+    "join_left_nulls" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir)
+      val l = Tables.lineitem(spark, dir)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left")
+        .groupBy(p("p_partkey"))
+        .agg(
+          count(l("l_orderkey")).as("n_li"),
+          coalesce(dsum(l("l_quantity")), lit(0.0)).as("sum_qty")
+        )
+        .orderBy(col("p_partkey"))
+    },
+
+    // RIGHT join: suppliers per nation, keeping supplier-less nations.
+    "join_right" -> { (spark, dir) =>
+      val s = Tables.supplier(spark, dir)
+      val n = Tables.nation(spark, dir)
+      s.join(n, s("s_nationkey") === n("n_nationkey"), "right")
+        .groupBy(n("n_nationkey"), n("n_name"))
+        .agg(count(s("s_suppkey")).as("n_supp"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // FULL OUTER join of two aggregated sides.
+    "join_full" -> { (spark, dir) =>
+      val cc = Tables
+        .customer(spark, dir)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ss = Tables
+        .supplier(spark, dir)
+        .groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      cc.join(ss, cc("nk") === ss("nk2"), "full")
+        .select(
+          coalesce(cc("nk"), ss("nk2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp")
+        )
+        .orderBy(col("nationkey"))
+    },
+
+    // LEFT SEMI (EXISTS): customers with at least one big order.
+    "join_semi" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // LEFT ANTI (NOT EXISTS): customers with no order above 300k.
+    "join_anti" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // CROSS join of two tiny inputs (the only scale-sane cross join).
+    "join_cross" -> { (spark, dir) =>
+      val r = Tables.region(spark, dir).select(col("r_name"))
+      val s = Tables.orders(spark, dir).select(col("o_orderstatus")).distinct()
+      r.crossJoin(s).orderBy(col("r_name"), col("o_orderstatus"))
+    },
+
+    // Star join: two fact-side shuffles + broadcast dims → agg by region.
+    "join_star_broadcast" -> { (spark, dir) =>
+      val l = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"))
+        .agg(
+          dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+        .orderBy(col("r_name"))
+    },
+
+    // Range (interval) self-join, banded: per error event, how many events
+    // of the same user landed in the preceding 5 minutes. The 5-minute
+    // epoch bucket turns the range condition into an equi-join on
+    // (user, bucket) with 2 candidate buckets per probe row — shuffle
+    // volume stays linear at any scale.
+    "join_range_events" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val bucket = (t: org.apache.spark.sql.Column) =>
+        floor(t.cast("double") / lit(300.0)).cast("long")
+      val errs = ev
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+        .withColumn("__b", explode(array(bucket(col("a_ts")) - 1, bucket(col("a_ts")))))
+      val all = ev
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+        .withColumn("__b", bucket(col("b_ts")))
+      val counts = errs
+        .join(
+          all,
+          errs("__b") === all("__b") && col("a_user") === col("b_user") &&
+            col("b_ts") >= col("a_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("b_ts") < col("a_ts")
+        )
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n"))
+      Tables
+        .events(spark, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_prior"))
+        .orderBy(col("event_id"))
+    },
+
+    // Theta (band) join: |c_acctbal - s_acctbal| < 10, banded on
+    // floor(bal/10) so it plans as an equi-join, not a nested loop.
+    "join_band_theta" -> { (spark, dir) =>
+      val c = Tables
+        .customer(spark, dir)
+        .select(col("c_nationkey"), col("c_acctbal"))
+        .withColumn("__band", floor(col("c_acctbal") / lit(10.0)).cast("long"))
+        .withColumn("__b", explode(array(col("__band") - 1, col("__band"), col("__band") + 1)))
+      val s = Tables
+        .supplier(spark, dir)
+        .select(col("s_acctbal"))
+        .withColumn("__b", floor(col("s_acctbal") / lit(10.0)).cast("long"))
+      c.join(s, c("__b") === s("__b") && abs(col("c_acctbal") - col("s_acctbal")) < lit(10.0))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // As-of join: each event picks up the user's latest order at-or-before
+    // the event time (union+window, one shuffle — see AsOfJoin).
+    "join_asof" -> { (spark, dir) =>
+      val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables
+        .orders(spark, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin
+        .asOf(e, "user_id", "ts", o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_topn" ->
+      s"""SELECT o_orderkey, o_orderdate,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "join_left_nulls" ->
+      s"""SELECT p_partkey, COUNT(l_orderkey) AS n_li,
+         |  COALESCE(${sqlSum("l_quantity")}, 0.0) AS sum_qty
+         |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "join_right" ->
+      """SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_supp
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "join_full" ->
+      """WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |     ss AS (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(nk, nk2) AS nationkey,
+        |       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM cc FULL JOIN ss ON nk = nk2 ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "join_star_broadcast" ->
+      s"""SELECT r_name,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_range_events" ->
+      """SELECT a.event_id, COALESCE(cnt.n, 0) AS n_prior
+        |FROM events a LEFT JOIN (
+        |  SELECT a.event_id AS eid, COUNT(*) AS n
+        |  FROM events a JOIN events b
+        |    ON b.user_id = a.user_id
+        |   AND b.ts >= a.ts - INTERVAL '5 minutes' AND b.ts < a.ts
+        |  WHERE a.event_type = 'error'
+        |  GROUP BY 1
+        |) cnt ON cnt.eid = a.event_id
+        |WHERE a.event_type = 'error'
+        |ORDER BY a.event_id""".stripMargin,
+    "join_band_theta" ->
+      """SELECT c_nationkey, COUNT(*) AS n_pairs
+        |FROM customer JOIN supplier ON ABS(c_acctbal - s_acctbal) < 10.0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "join_asof" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |            FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, od.o_orderkey, od.o_orderdate
+        |FROM events e ASOF LEFT JOIN od
+        |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+  )
+}
