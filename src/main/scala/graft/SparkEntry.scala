@@ -24,12 +24,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Merge module maps, refusing silent key shadowing: a duplicate query
+    * name across modules would otherwise mask a query with no failure. */
+  private def merged[V](maps: Seq[Map[String, V]]): Map[String, V] = {
+    val combined = maps.reduce(_ ++ _)
+    require(
+      combined.size == maps.map(_.size).sum,
+      s"duplicate query keys across modules: " +
+        maps.flatMap(_.keys).groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(", ")
+    )
+    combined
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+    merged(modules.map(_._1))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.map(_._2).reduce(_ ++ _)
+    merged(modules.map(_._2))
 }

@@ -21,17 +21,17 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as raw INT64 (legacy conf) and truncate to
+    * reader rejects. The session reads nanos as raw INT64
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set once in GraftSession /
+    * Verify / Bench — NOT mutated here) and this loader truncates to
     * microseconds — the same truncation DuckDB applies when it surfaces
     * the column as a µs TIMESTAMP, so oracle comparisons line up. The
     * `div` is integer division: the ns epoch (~1.7e18) exceeds double's
     * 2^53 exact range, so a float path would corrupt low digits.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

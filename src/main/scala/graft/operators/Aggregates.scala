@@ -87,29 +87,57 @@ object Aggregates {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
-    // collect_set: deterministic via sort_array; one row per nation.
+    // collect_set: deterministic via sort_array; the set is flattened to a
+    // scalar CSV string so the driver's pandas-side hash can compare it
+    // (list-typed result columns crash its sort; same trick applies to any
+    // future array-valued output).
     "agg_collect_set" -> { (spark, dir) =>
       val c = Tables.customer(spark, dir)
       val n = Tables.nation(spark, dir)
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
           count(lit(1)).as("n_cust")
         )
         .orderBy(col("n_name"))
     },
 
-    // HLL approximate distinct — approximate, so no SQL oracle (driver
-    // records the weaker rows-only check). Exercises the sketch path that
+    // collect_list: per-customer order-price trail, sorted for determinism
+    // and flattened to a scalar string (see agg_collect_set).
+    "agg_collect_list" -> { (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("order_keys"),
+          count(lit(1)).as("n_orders")
+        )
+        .orderBy(col("o_custkey"))
+    },
+
+    // HLL approximate distinct. Spark's HLL++ and any oracle's sketch
+    // disagree by construction, so the declared output carries (a) the
+    // exact distinct counts, hash-checked, and (b) a boolean asserting the
+    // HLL estimate landed within ±5% of exact — the oracle's constant TRUE
+    // only matches when the sketch behaves. Exercises the sketch path that
     // at 100 TB replaces exact count-distinct's full shuffle.
     "agg_approx_distinct" -> { (spark, dir) =>
       Tables
         .lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps")
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_suppkey")).as("__as")
+        )
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          col("exact_supps"),
+          (abs(col("__ap") - col("exact_parts")) <= col("exact_parts") * 0.05).as("parts_within_5pct"),
+          (abs(col("__as") - col("exact_supps")) <= col("exact_supps") * 0.05).as("supps_within_5pct")
         )
         .orderBy(col("l_returnflag"))
     },
@@ -170,9 +198,23 @@ object Aggregates {
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "agg_collect_set" ->
-      """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments, COUNT(*) AS n_cust
+      """SELECT n_name,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        |  COUNT(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_collect_list" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+        |  TRUE AS parts_within_5pct,
+        |  TRUE AS supps_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_minmax_per_key" ->
       s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
          |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n

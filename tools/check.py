@@ -24,7 +24,15 @@ for t in TABLES:
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
 def canon(df):
-    return df.reindex(sorted(df.columns), axis=1)
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Safety net: re-sort rows by every scalar column so a query whose
+    # ORDER BY isn't a total order flakes deterministically here rather
+    # than passing by luck. List-typed cells are unhashable → excluded.
+    keys = [c for c in df.columns
+            if not df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()]
+    if keys:
+        df = df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    return df
 
 def cmp_cell(a, b):
     if a is None and b is None:
