@@ -17,7 +17,8 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracles),
       (Joins.queries, Joins.oracles),
       (Windows.queries, Windows.oracles),
-      (SortSetOps.queries, SortSetOps.oracles)
+      (SortSetOps.queries, SortSetOps.oracles),
+      (graft.sources.FileIO.queries, graft.sources.FileIO.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

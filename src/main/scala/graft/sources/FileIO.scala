@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** File source/sink surface (SURVEY §2.2 "Sources / sinks / scans").
+  *
+  * The reference's entire purpose is landing rows into partitioned,
+  * Hive-queryable ORC files (reference RowOrcBucketingSink.java:26,111;
+  * README.md:13,17). Here the batch half of that capability is Spark's
+  * `write.partitionBy(...).orc(path)` — the bucket directory layout of the
+  * reference's `Bucketer` (RowOrcBucketingSink.java:251-254) maps to
+  * Hive-style `col=value/` partition dirs, and the columnar
+  * `VectorizedRowBatch` staging (RowOrcWriter.java:38,65-119) is built
+  * into Spark's OrcFileFormat. The streaming, exactly-once half lives in
+  * graft.streaming (FileStreamSink + checkpoint manifest commit) and is
+  * exercised by OrcStreamingSinkSpec.
+  *
+  * Each query here is a full write→re-read round trip, then an aggregate
+  * whose oracle runs on the ORIGINAL parquet — so a pass proves byte-level
+  * fidelity of the sink+scan pair, not just that files appeared.
+  *
+  * Scale posture: `partitionBy` on a low-cardinality column (returnflag:
+  * 3 values) keeps file counts = partitions × tasks, bounded; the re-read
+  * filter on the partition column prunes directories at planning time
+  * (visible as PartitionFilters in explain), which at 100 TB is the
+  * difference between scanning one partition and the whole table.
+  */
+object FileIO {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic per-sf scratch root, safe for parallel suites. */
+  private def out(dir: String, name: String): String =
+    s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  val queries: Map[String, Q] = Map(
+    // Batch partitioned ORC sink (reference parity R5+R7) + ORC scan +
+    // partition pruning on the re-read.
+    "orc_sink_roundtrip" -> { (spark, dir) =>
+      val p = out(dir, "lineitem_orc")
+      Tables
+        .lineitem(spark, dir)
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("l_returnflag")
+        .orc(p)
+      spark.read
+        .orc(p)
+        .filter(col("l_returnflag") =!= "N") // prunes partition dirs
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // CSV sink + schema-driven CSV scan (reference R2 generalized: its
+    // demo pipeline parses CSV lines into typed rows,
+    // OrcSinkTest.java:32-36). Round trip covers string/long/double/
+    // timestamp lexical fidelity.
+    "csv_scan_roundtrip" -> { (spark, dir) =>
+      val p = out(dir, "orders_csv")
+      val src = Tables.orders(spark, dir)
+      src.write
+        .mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(p)
+      spark.read
+        .schema(src.schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(p)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          dsum(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderdate")).as("max_date"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // JSON-lines sink + scan: same fidelity contract as CSV.
+    "json_scan_roundtrip" -> { (spark, dir) =>
+      val p = out(dir, "customer_json")
+      val src = Tables.customer(spark, dir)
+      src.write.mode(SaveMode.Overwrite).json(p)
+      spark.read
+        .schema(src.schema)
+        .json(p)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          dsum(col("c_acctbal")).as("sum_bal"),
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Parquet batch sink (the streaming twin is graft.streaming): write
+    // partitioned parquet, re-read with a partition-pruning filter.
+    "parquet_sink_roundtrip" -> { (spark, dir) =>
+      val p = out(dir, "orders_parquet")
+      Tables
+        .orders(spark, dir)
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus")
+        .parquet(p)
+      spark.read
+        .parquet(p)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "orc_sink_roundtrip" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_extendedprice")} AS sum_price,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem WHERE l_returnflag <> 'N'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "csv_scan_roundtrip" ->
+      s"""SELECT o_orderstatus, ${sqlSum("o_totalprice")} AS sum_price,
+         |  MAX(o_orderdate) AS max_date, COUNT(*) AS n
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "json_scan_roundtrip" ->
+      s"""SELECT c_mktsegment, ${sqlSum("c_acctbal")} AS sum_bal,
+         |  COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "parquet_sink_roundtrip" ->
+      s"""SELECT o_orderpriority, ${sqlSum("o_totalprice")} AS sum_price, COUNT(*) AS n
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamSinks
+import scala.jdk.CollectionConverters._
+
+/** Pins the exactly-once contract of the streaming ORC sink — the
+  * automated version of the reference's manual protocol test
+  * (reference README.md:7-22, OrcSinkTest.java:12-43):
+  *
+  * 1. committed rows are visible to a manifest-aware reader;
+  * 2. orphan files (crash debris that never committed — the reference's
+  *    `.in-process`/`.in-pending` states) are INVISIBLE to readers even
+  *    though they sit in the output directory;
+  * 3. restart from the checkpoint resumes the stream with no duplicates
+  *    and no loss (offsets WAL + idempotent manifest commit).
+  */
+class OrcStreamingSinkSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def freshDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft_$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  case class Ev(id: Long, ts: Timestamp, etype: String, value: Double)
+  private def ev(id: Long, etype: String): Ev =
+    Ev(id, new Timestamp(1704067200000L + id * 60000L), etype, id * 1.5)
+
+  test("exactly-once partitioned ORC sink: commit visibility, orphan invisibility, restart no-dup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val out = freshDir("orc_out")
+    val ckpt = freshDir("orc_ckpt")
+    val stream = MemoryStream[Ev]
+
+    // Phase 1: two batches land and commit.
+    stream.addData((1L to 6L).map(i => ev(i, if (i % 2 == 0) "click" else "view")): _*)
+    val q1 = StreamSinks.orcSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val afterPhase1 = spark.read.orc(out)
+    assert(afterPhase1.count() === 6)
+    assert(afterPhase1.select("etype").distinct().count() === 2)
+
+    // Phase 2: plant an orphan ORC file — crash debris that never reached
+    // the manifest (the reference's in-process file, README.md:15-16).
+    val clickDir = Paths.get(out, "etype=click")
+    val committed: Path = Files
+      .list(clickDir)
+      .iterator()
+      .asScala
+      .filter(_.toString.endsWith(".orc"))
+      .toSeq
+      .head
+    val orphan = clickDir.resolve("part-99999-orphan-crash-debris.orc")
+    Files.copy(committed, orphan, StandardCopyOption.REPLACE_EXISTING)
+
+    // A manifest-aware reader must not see the orphan's rows...
+    assert(spark.read.orc(out).count() === 6, "orphan file leaked into reader")
+    // ...and the committed-file listing must exclude it.
+    val files = StreamSinks.committedFiles(spark, out)
+    assert(files.nonEmpty && !files.exists(_.contains("orphan")), s"orphan listed: $files")
+
+    // Phase 3: restart from the same checkpoint, stream more data.
+    stream.addData((7L to 10L).map(i => ev(i, "click")): _*)
+    val q2 = StreamSinks.orcSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val fin = spark.read.orc(out)
+    assert(fin.count() === 10, "restart lost or duplicated rows")
+    // Exactly once: every id appears exactly once.
+    val dups = fin.groupBy("id").count().filter(col("count") > 1).count()
+    assert(dups === 0, "duplicate rows after restart")
+    assert(fin.select(sum("id")).as[Double].head() === 55.0)
+  }
+
+  test("parquet streaming sink commits through the manifest too") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val out = freshDir("pq_out")
+    val ckpt = freshDir("pq_ckpt")
+    val stream = MemoryStream[Ev]
+    stream.addData(ev(1, "a"), ev(2, "b"), ev(3, "a"))
+    val q = StreamSinks.parquetSink(stream.toDF(), out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).count() === 3)
+    assert(Files.exists(Paths.get(out, "_spark_metadata")))
+  }
+
+  test("watermark listener surfaces event-time watermark (reference R12 gauge)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val listener = new StreamSinks.WatermarkListener
+    spark.streams.addListener(listener)
+    try {
+      val out = freshDir("wm_out")
+      val ckpt = freshDir("wm_ckpt")
+      val stream = MemoryStream[Ev]
+      stream.addData((1L to 20L).map(i => ev(i, "x")): _*)
+      val agg = stream
+        .toDF()
+        .withWatermark("ts", "5 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+      val q = agg.writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val id = q.id
+      q.stop()
+      val wm = listener.watermark(id)
+      assert(wm.isDefined && wm.get.startsWith("2024-01-01"), s"watermark not surfaced: $wm")
+    } finally spark.streams.removeListener(listener)
+  }
+}
