@@ -18,7 +18,10 @@ object SparkEntry {
       (Joins.queries, Joins.oracles),
       (Windows.queries, Windows.oracles),
       (SortSetOps.queries, SortSetOps.oracles),
-      (graft.sources.FileIO.queries, graft.sources.FileIO.oracles)
+      (graft.sources.FileIO.queries, graft.sources.FileIO.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -142,6 +142,28 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Custom typed Aggregator[IN,BUF,OUT] (SURVEY §2.2 row "custom typed
+    // agg"): exact quantity-weighted average price via integer-quantized
+    // partial sums (order-independent, hence oracle-exact). Registered as
+    // a udaf so it rides the normal partial/final hash-agg path.
+    "agg_weighted_avg" -> { (spark, dir) =>
+      val wavg = udaf(
+        new graft.functions.VecAgg.WeightedAvg,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble
+        )
+      )
+      Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("l_returnflag"))
+    },
+
     // min/max/avg over a high-cardinality group (per-part stats): the
     // shape where map-side partial aggregation matters most.
     "agg_minmax_per_key" -> { (spark, dir) =>
@@ -214,6 +236,12 @@ object Aggregates {
         |  COUNT(DISTINCT l_suppkey) AS exact_supps,
         |  TRUE AS parts_within_5pct,
         |  TRUE AS supps_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  SUM(FLOOR(l_extendedprice * l_quantity * 10000.0 + 0.5))
+        |    / SUM(FLOOR(l_quantity * 10000.0 + 0.5)) AS wavg_price,
+        |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_minmax_per_key" ->
       s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,

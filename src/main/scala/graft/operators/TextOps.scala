@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + document-dedup operators over `documents` (the
+  * LLM-data-pipeline surface, SURVEY §2.2 "LLM-data-pipeline operators").
+  *
+  * The reference has no text processing at all — its pipeline parses CSV
+  * lines into typed rows and lands them (reference OrcSinkTest.java:32-36)
+  * — so this module is pure extension, driven by the north-star brief:
+  * the operators a 100 TB training-data pipeline runs between "raw crawl"
+  * and "training shards".
+  *
+  * Scale posture, per operator:
+  * - exact dedup: hash → groupBy — one shuffle on the hash, map-side
+  *   partial agg; the canonical first stage of any dedup cascade.
+  * - n-gram Jaccard: inverted-index self-join (explode distinct shingles,
+  *   equi-join on shingle, count per pair). Never all-pairs: only pairs
+  *   sharing ≥1 shingle materialize. At 100 TB, hot shingles (stop-grams)
+  *   need a document-frequency cap before the join; the MinHash-LSH
+  *   variant in Dedup.scala is the sub-linear path.
+  * - winnowing fingerprints: same inverted-index shape over 8-token
+  *   window hashes.
+  * - text stats / quality / lang-ID: plain scans + hash aggs; lang-ID is
+  *   one broadcast join of a 31×5 profile table against exploded tokens.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenize the space-separated word-bag text. */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct word k-gram shingles of the token array (positional —
+    * FIXTURES.md documents share a ~31-word vocabulary, so unigram sets
+    * are near-identical across unrelated docs; only k≥2 positional grams
+    * separate real near-duplicates).
+    */
+  private[operators] def shingles(ws: Column, k: Int): Column = {
+    val idx = sequence(lit(0), size(ws) - k)
+    array_distinct(transform(idx, i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o + 1)): _*)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: md5 of normalized text → keep lowest doc_id per group.
+    // (sf0.1 has true exact duplicates; smaller SFs degenerate to
+    // n_copies=1 everywhere, which the oracle still checks.)
+    "dedup_exact" -> { (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("text_hash"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // Exact n-gram Jaccard near-dup via inverted-index join (no LSH —
+    // that's dedup_minhash_lsh): 3-gram shingle sets, J ≥ 0.5.
+    "dedup_ngram_jaccard" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val sh = d
+        .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("s"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh
+        .as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(
+          col("d1"),
+          col("d2"),
+          (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard")
+        )
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Winnowing-style fingerprinting: md5 of each 8-token rolling window;
+    // pairs sharing ≥3 window fingerprints are clones/partial clones.
+    "dedup_fingerprint" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val fp = d.select(
+        col("doc_id"),
+        explode(array_distinct(transform(shingles(toks(col("text")), 8), s => md5(s)))).as("fp")
+      )
+      fp.as("a")
+        .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Corpus profile per (lang, source): doc counts + exact char/token
+    // statistics (sums of ints → no float drift).
+    "text_stats" -> { (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select(col("lang"), col("source"), col("n_chars"), size(toks(col("text"))).as("nt"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          sum(col("nt")).cast("long").as("sum_tokens"),
+          max(col("nt")).cast("long").as("max_tokens")
+        )
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // Per-document quality scoring: token counts, type-token ratio,
+    // stopword ratio against a fixed stopword list, composite score —
+    // the length/stopword heuristics of a pretraining quality filter.
+    "text_quality" -> { (spark, dir) =>
+      val stop = Seq("the", "a", "data", "query", "table")
+      val ws = toks(col("text"))
+      val nTok = size(ws).cast("long")
+      val nStop = size(filter(ws, w => w.isInCollection(stop))).cast("long")
+      val ttr = size(array_distinct(ws)).cast("double") / size(ws)
+      val stopR = nStop.cast("double") / nTok
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          size(array_distinct(ws)).cast("long").as("n_distinct"),
+          ttr.as("ttr"),
+          stopR.as("stop_ratio"),
+          (ttr * 0.5 + (lit(1.0) - stopR) * 0.5).as("quality"),
+          (nTok >= 20 && stopR < 0.4).as("keep")
+        )
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID by token profile: score(doc, lang) = Σ_tokens
+    // corpus-frequency of token in that lang (integer arithmetic, so the
+    // argmax is exactly reproducible). Profile is trained on the corpus
+    // itself and broadcast — at 100 TB the profile stays tiny (vocab ×
+    // langs) while docs stream through one equi-join.
+    "text_lang_id" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val tok = d.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+      val profile = tok.groupBy(col("lang").as("plang"), col("w").as("pw")).agg(count(lit(1)).as("cnt"))
+      val scores = tok
+        .join(broadcast(profile), col("w") === col("pw"))
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(sum(col("cnt")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("plang").asc)
+      scores
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("doc_id"),
+          col("lang").as("actual"),
+          col("plang").as("predicted"),
+          (col("lang") === col("plang")).as("correct")
+        )
+        .orderBy(col("doc_id"))
+    },
+
+    // Opaque-binary payload handling (multimodal posture): text → utf-8
+    // bytes as a BinaryType column with typed metadata; readers see
+    // byte length + content hash without decoding. The same schema shape
+    // carries image/audio blobs at scale.
+    "bin_payload" -> { (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          encode(col("text"), "utf-8").as("payload"),
+          col("n_chars")
+        )
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("content_hash"),
+          (length(col("payload")) === col("n_chars")).as("is_ascii")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** DuckDB twins. Shingle spelling: DuckDB lists are 1-based, `range` is
+    * end-exclusive; `list_transform(range(1, len-k+2), i -> ...)`.
+    */
+  private def duckShingles(k: Int): String = {
+    val parts = (0 until k).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(ws)-${k - 1}+1), i -> $parts))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, md5(lower(trim(text))) AS text_hash, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(c AS DOUBLE)/(s1.n + s2.n - c) AS jaccard
+         |FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_fingerprint" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(${duckShingles(8)}, s -> md5(s)))) AS fp
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY d1, d2""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(MAX(len(string_split(text,' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) AS ttr,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','data','query','table'))) AS DOUBLE)
+        |    / len(ws) AS stop_ratio
+        |FROM t)
+        |SELECT doc_id, n_tokens, n_distinct, ttr, stop_ratio,
+        |  ttr*0.5 + (1.0 - stop_ratio)*0.5 AS quality,
+        |  (n_tokens >= 20 AND stop_ratio < 0.4) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents),
+        |profile AS (SELECT lang AS plang, w AS pw, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT doc_id, lang, plang, SUM(cnt) AS score
+        |  FROM tok JOIN profile ON w = pw GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT doc_id, lang, plang, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, lang AS actual, plang AS predicted, (lang = plang) AS correct
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "bin_payload" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  (octet_length(encode(text)) = n_chars) AS is_ascii
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
