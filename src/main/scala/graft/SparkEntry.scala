@@ -20,6 +20,7 @@ object SparkEntry {
       (SortSetOps.queries, SortSetOps.oracles),
       (graft.sources.FileIO.queries, graft.sources.FileIO.oracles),
       (TextOps.queries, TextOps.oracles),
+      (ScalarFuncs.queries, ScalarFuncs.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles)
     )
