@@ -21,6 +21,7 @@ object SparkEntry {
       (graft.sources.FileIO.queries, graft.sources.FileIO.oracles),
       (TextOps.queries, TextOps.oracles),
       (ScalarFuncs.queries, ScalarFuncs.oracles),
+      (TimeWindows.queries, TimeWindows.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles)
     )

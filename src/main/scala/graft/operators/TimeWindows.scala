@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** Event-time window aggregation (SURVEY §2.2 "Streaming" rows 37-41) —
+  * batch twins of the streaming operators, oracle-checked on `events`.
+  *
+  * The same `window()`/`session_window()` expressions run unchanged under
+  * `readStream` (StreamingSemanticsSpec exercises that path with
+  * watermarks, late data, and state eviction); batch execution gives the
+  * DuckDB-comparable ground truth for the window assignment itself —
+  * Spark's time buckets vs `time_bucket`, session merge semantics vs a
+  * gaps-and-islands rewrite.
+  *
+  * Scale posture: tumbling/sliding windows are plain hash aggs on
+  * (bucket, key) — map-side partials, bounded shuffle (sliding emits
+  * size/slide rows per event, here 2×). Session windows shuffle by user
+  * then sort-merge within partitions — same cost class as any
+  * per-key window.
+  */
+object TimeWindows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows per event type.
+    "win_tumbling" -> { (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
+    // Sliding windows: 1 hour size, 30 minute slide (each event lands in
+    // exactly 2 windows).
+    "win_sliding" -> { (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("ws"), col("n"), col("n_users"))
+        .orderBy(col("ws"))
+    },
+
+    // Session windows per user, 5-minute gap: an event at exactly
+    // prev_ts + gap starts a NEW session (Spark sessions are
+    // [start, last_event + gap) half-open).
+    "win_session" -> { (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("w.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Keyed dedup (batch twin of streaming dropDuplicates): deterministic
+    // representative via min, not "first seen".
+    "dedup_keyed" -> { (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
+        .orderBy(col("user_id"), col("event_type"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "win_sliding" ->
+      """WITH assigned AS (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+        |         user_id
+        |  FROM events)
+        |SELECT ws, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM assigned GROUP BY ws ORDER BY ws""".stripMargin,
+    "win_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL '5 minutes'
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '5 minutes' AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM islands GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "dedup_keyed" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}
