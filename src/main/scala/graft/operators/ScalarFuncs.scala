@@ -187,6 +187,24 @@ object ScalarFuncs {
         .orderBy(col("event_type"))
     },
 
+    // UDF + UDTF surface (SURVEY §2.3): a registered scalar Scala UDF
+    // (the udf()/spark.udf.register path — deliberately; the SAME logic
+    // as a codegen CASE lives in fn_conditional for the perf-minded) and
+    // a generator (UDTF) via posexplode over a UDF-built array. UDFs
+    // break whole-stage codegen, so production queries prefer built-ins;
+    // this pins that the extension surface works and oracle-matches.
+    "fn_udf_udtf" -> { (spark, dir) =>
+      val tier = udf((bal: Double) => if (bal < 0) "neg" else if (bal < 5000) "mid" else "high")
+      spark.udf.register("graft_tier", tier)
+      val repeat = udf((s: String, n: Int) => Seq.fill(n)(s"$s#$n"))
+      Tables
+        .customer(spark, dir)
+        .withColumn("tier", call_function("graft_tier", col("c_acctbal")))
+        .select(col("c_custkey"), col("tier"), posexplode(repeat(col("tier"), lit(2))))
+        .select(col("c_custkey"), col("tier"), col("pos"), col("col").as("gen"))
+        .orderBy(col("c_custkey"), col("pos"))
+    },
+
     // from_csv line parsing (reference R2): serialize three columns to a
     // CSV line, parse back with a schema, verify the round trip by
     // aggregating parsed values.
@@ -295,6 +313,16 @@ object ScalarFuncs {
         |  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_big,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fn_udf_udtf" ->
+      """WITH tiers AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg'
+        |         WHEN c_acctbal < 5000 THEN 'mid'
+        |         ELSE 'high' END AS tier
+        |  FROM customer)
+        |SELECT c_custkey, tier, pos, tier || '#2' AS gen
+        |FROM tiers, (SELECT unnest([0, 1]) AS pos)
+        |ORDER BY c_custkey, pos""".stripMargin,
     "fn_csv_parse" ->
       s"""SELECT event_type,
          |  CAST(SUM(event_id) AS BIGINT) AS sum_id,

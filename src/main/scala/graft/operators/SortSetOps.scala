@@ -76,6 +76,28 @@ object SortSetOps {
       a.except(b).orderBy(col("c_custkey"))
     },
 
+    // INTERSECT ALL: bag semantics — duplicates survive min(multiplicity).
+    "set_intersect_all" -> { (spark, dir) =>
+      val l = Tables.lineitem(spark, dir)
+      val a = l.filter(col("l_quantity") > 40.0).select(col("l_orderkey"), col("l_returnflag"))
+      val b = l.filter(col("l_discount") > 0.02).select(col("l_orderkey"), col("l_returnflag"))
+      a.intersectAll(b)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // EXCEPT ALL: bag difference.
+    "set_except_all" -> { (spark, dir) =>
+      val l = Tables.lineitem(spark, dir)
+      val a = l.filter(col("l_quantity") > 40.0).select(col("l_orderkey"), col("l_returnflag"))
+      val b = l.filter(col("l_discount") > 0.02).select(col("l_orderkey"), col("l_returnflag"))
+      a.exceptAll(b)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // unionByName with reordered/extra columns (allowMissingColumns).
     "set_union_by_name" -> { (spark, dir) =>
       val s = Tables
@@ -119,6 +141,18 @@ object SortSetOps {
     "set_except" ->
       s"""WITH $ab
          |SELECT * FROM a EXCEPT SELECT * FROM b ORDER BY c_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 40.0),
+        |     b AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_discount > 0.02)
+        |SELECT l_returnflag, COUNT(*) AS n
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "set_except_all" ->
+      """WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 40.0),
+        |     b AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_discount > 0.02)
+        |SELECT l_returnflag, COUNT(*) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "set_union_by_name" ->
       """SELECT name, nk, bal FROM (
         |  SELECT s_name AS name, s_nationkey AS nk, s_acctbal AS bal FROM supplier

@@ -83,12 +83,20 @@ object Windows {
         .orderBy(col("o_orderkey"))
     },
 
-    // ntile quartiles — global window; see scaladoc for the scale caveat.
+    // ntile quartiles — DISTRIBUTED two-pass plan (DistributedRank): the
+    // naive Window.orderBy-with-no-partition formulation funnels the
+    // whole table through one task; this one range-partitions, ranks
+    // locally, and reassembles global rank from metadata-scale offsets.
+    // Oracle stays plain NTILE(4): the closed form matches SQL exactly.
     "win_ntile" -> { (spark, dir) =>
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      Tables
-        .customer(spark, dir)
-        .select(col("c_custkey"), ntile(4).over(w).cast("long").as("quartile"))
+      DistributedRank
+        .withGlobalNtile(
+          Tables.customer(spark, dir),
+          buckets = 4,
+          sortExprs = Seq(col("c_acctbal").asc, col("c_custkey").asc),
+          ntileCol = "quartile"
+        )
+        .select(col("c_custkey"), col("quartile"))
         .orderBy(col("c_custkey"))
     },
 
