@@ -40,16 +40,29 @@ object Dedup {
       transform(TextOps.shingles(split(col("text"), " "), 3), s => xxhash64(s)).as("hs")
     )
 
-  /** MinHash signature: hᵢ(x) = xxhash64(i, x) — an indexed re-hash family
-    * (overflow-free, unlike an affine a·x+b family under ANSI arithmetic);
-    * sigᵢ = min over the doc's shingle hashes. Computed entirely inside
-    * one row (no explode).
+  /** (doc_id, h) exploded shingle hashes — the input to both signature
+    * computations. Everything downstream of the explode is plain codegen
+    * columns + hash aggregation: higher-order functions stay OUT of the
+    * per-shingle hot path (HOF lambdas evaluate interpreted, row-at-a-
+    * time — the round-2 bench measured the nested-HOF formulation of the
+    * signature at ~450 s on sf0.1 vs <2 s for this shape).
     */
-  private def signature(hs: Column): Column =
-    transform(
-      sequence(lit(0L), lit(NumHashes - 1L)),
-      i => array_min(transform(hs, x => xxhash64(i, x)))
-    )
+  private def explodedHashes(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** Indexed hash family hᵢ(x) = rotl(x, rᵢ) ⊕ cᵢ — bijective cheap bit
+    * mixing over the already-xxhash64'd shingle (overflow-free under ANSI
+    * arithmetic, whole-stage-codegen'd). Family quality is pinned
+    * empirically: the oracle gate requires zero false negatives vs exact
+    * all-pairs Jaccard. */
+  private val mixConsts = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)(rnd.nextLong())
+  }
+  private def mix(h: Column, i: Int): Column = {
+    val r = (i * 7) % 63 + 1
+    (shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))).bitwiseXOR(lit(mixConsts(i)))
+  }
 
   /** Exact Jaccard verification on candidate pairs: join back the distinct
     * shingle-hash arrays, intersect in-row. */
@@ -68,25 +81,19 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
 
   val queries: Map[String, Q] = Map(
-    // MinHash-LSH near-dup, J ≥ 0.6: signature → 16 band keys → bucket
-    // join → exact verify.
+    // MinHash-LSH near-dup, J ≥ 0.6: explode shingle hashes → 64 codegen
+    // min-aggregates (map-side partial agg: the shuffle carries one
+    // 64-long row per doc) → 16 band keys → bucket join → exact verify.
     "dedup_minhash_lsh" -> { (spark, dir) =>
       val sh = hashedShingles(Tables.documents(spark, dir))
-      val sig = sh.select(col("doc_id"), signature(col("hs")).as("sig"))
+      val minCols = (0 until NumHashes).map(i => min(mix(col("h"), i)).as(s"m$i"))
+      val sig = explodedHashes(sh).groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until Bands).map { b =>
+        xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+      }
       val bands = sig.select(
         col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(Bands - 1)),
-            b =>
-              // overflow-free band key: chained xxhash64 over the slice
-              aggregate(
-                slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
-                lit(0L),
-                (acc, v) => xxhash64(acc, v)
-              )
-          )
-        ).as(Seq("band_idx", "band_key"))
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key"))
       )
       val cands = bands
         .as("x")
@@ -109,33 +116,31 @@ object Dedup {
     // positives.
     "dedup_simhash" -> { (spark, dir) =>
       val sh = hashedShingles(Tables.documents(spark, dir))
-      // bit_j = majority sign of bit j across shingle hashes (pure map).
-      val bits = sh.select(
+      // bit_j = majority of bit j across shingle hashes — 64 codegen'd
+      // sum-aggregates over the exploded hashes (same shape rationale as
+      // dedup_minhash_lsh: no HOFs in the per-shingle path).
+      val bitSums = (0 until 64).map(j =>
+        sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+      val tallies = explodedHashes(sh)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("cnt"), bitSums: _*)
+      // Pack the 64 majority bits into ONE long: hamming becomes
+      // bit_count(x ⊕ y) — a codegen'd intrinsic per candidate pair, not
+      // an interpreted 64-element array walk (that walk was ~70 s of the
+      // round-2 bench at sf0.1; this form is <2 s).
+      val packed = tallies.select(
         col("doc_id"),
-        transform(
-          sequence(lit(0), lit(63)),
-          j =>
-            when(
-              size(filter(col("hs"), h => expr("1L").bitwiseAND(call_function("shiftrightunsigned", h, j)) === 1L)) * 2
-                > size(col("hs")),
-              1L
-            ).otherwise(0L)
-        ).as("bits")
+        (0 until 64)
+          .map(j => when(col(s"s$j") * 2 > col("cnt"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b))
+          .as("sim")
       )
-      val blocks = bits.select(
+      val blocks = packed.select(
         col("doc_id"),
-        col("bits"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(12)),
-            b => aggregate(slice(col("bits"), b * 5 + 1, lit(5)), lit(0L), (acc, v) => acc * 2 + v)
-          )
-        ).as(Seq("blk_idx", "blk_key"))
-      )
-      val hamming = aggregate(
-        zip_with(col("x.bits"), col("y.bits"), (p, q) => abs(p - q)),
-        lit(0L),
-        (acc, v) => acc + v
+        col("sim"),
+        posexplode(array((0 until 13).map(b =>
+          shiftrightunsigned(col("sim"), b * 5).bitwiseAND(lit(31L))): _*))
+          .as(Seq("blk_idx", "blk_key"))
       )
       val cands = blocks
         .as("x")
@@ -144,7 +149,7 @@ object Dedup {
           col("x.blk_idx") === col("y.blk_idx") && col("x.blk_key") === col("y.blk_key") &&
             col("x.doc_id") < col("y.doc_id")
         )
-        .filter(hamming <= 12)
+        .filter(bit_count(col("x.sim").bitwiseXOR(col("y.sim"))) <= 12)
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
       verified(cands, sh, 0.9)

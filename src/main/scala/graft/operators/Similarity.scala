@@ -46,21 +46,25 @@ object Similarity {
     ) / lit(1000000.0)
 
   val queries: Map[String, Q] = Map(
-    // Brute-force exact cosine top-5 for probe vectors vec_id < 5.
+    // Brute-force exact cosine top-5 for probe vectors vec_id < 5, scored
+    // by the NATIVE codegen expression (graft.functions.CosineSimilarity,
+    // one fused loop — no intermediate arrays); its quantized arithmetic
+    // is bit-identical to the HOF qdot formulation, which the DuckDB
+    // oracle and CosineSimilaritySpec both pin.
     "sim_topk_cosine" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
       val e = Tables
         .embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("n2", qdot(col("v"), col("v")))
       val probes = e
         .filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
       e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
         .select(
           col("q_id"),
           col("vec_id"),
-          (qdot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos")
+          graft.functions.CosineSimilarity.column(col("qv"), col("v")).as("cos")
         )
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
