@@ -33,22 +33,19 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
 
-  /** doc_id + distinct 3-gram shingle xxhash64 array (pure map stage). */
-  private def hashedShingles(d: DataFrame): DataFrame =
-    d.select(
-      col("doc_id"),
-      transform(TextOps.shingles(split(col("text"), " "), 3), s => xxhash64(s)).as("hs")
-    )
-
-  /** (doc_id, h) exploded shingle hashes — the input to both signature
-    * computations. Everything downstream of the explode is plain codegen
-    * columns + hash aggregation: higher-order functions stay OUT of the
-    * per-shingle hot path (HOF lambdas evaluate interpreted, row-at-a-
-    * time — the round-2 bench measured the nested-HOF formulation of the
-    * signature at ~450 s on sf0.1 vs <2 s for this shape).
+  /** (doc_id, h) distinct shingle-hash rows — whole-stage codegen via
+    * TextOps.shingleRows + a top-level xxhash64. Input to both signature
+    * computations; higher-order functions stay OUT of the per-shingle
+    * hot path (the round-2 bench measured the nested-HOF formulation of
+    * the signature at ~450 s on sf0.1 vs seconds for this shape).
     */
-  private def explodedHashes(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), explode(col("hs")).as("h"))
+  private def hashRows(d: DataFrame): DataFrame =
+    TextOps.shingleRows(d, 3).select(col("doc_id"), xxhash64(col("s")).as("h"))
+
+  /** Per-doc shingle-hash arrays (for exact-Jaccard verification of the
+    * few candidate pairs only). */
+  private def hashArrays(hr: DataFrame): DataFrame =
+    hr.groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
 
   /** Indexed hash family hᵢ(x) = rotl(x, rᵢ) ⊕ cᵢ — bijective cheap bit
     * mixing over the already-xxhash64'd shingle (overflow-free under ANSI
@@ -85,9 +82,9 @@ object Dedup {
     // min-aggregates (map-side partial agg: the shuffle carries one
     // 64-long row per doc) → 16 band keys → bucket join → exact verify.
     "dedup_minhash_lsh" -> { (spark, dir) =>
-      val sh = hashedShingles(Tables.documents(spark, dir))
+      val hr = hashRows(Tables.documents(spark, dir))
       val minCols = (0 until NumHashes).map(i => min(mix(col("h"), i)).as(s"m$i"))
-      val sig = explodedHashes(sh).groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val sig = hr.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       val bandCols = (0 until Bands).map { b =>
         xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
       }
@@ -104,7 +101,7 @@ object Dedup {
         )
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      verified(cands, sh, 0.6)
+      verified(cands, hashArrays(hr), 0.6)
     },
 
     // SimHash near-dup: 64-bit sign-tally fingerprint over shingle
@@ -115,13 +112,13 @@ object Dedup {
     // exact-Jaccard verify at 0.9 removes block-collision false
     // positives.
     "dedup_simhash" -> { (spark, dir) =>
-      val sh = hashedShingles(Tables.documents(spark, dir))
+      val hr = hashRows(Tables.documents(spark, dir))
       // bit_j = majority of bit j across shingle hashes — 64 codegen'd
-      // sum-aggregates over the exploded hashes (same shape rationale as
+      // sum-aggregates over the hash rows (same shape rationale as
       // dedup_minhash_lsh: no HOFs in the per-shingle path).
       val bitSums = (0 until 64).map(j =>
         sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
-      val tallies = explodedHashes(sh)
+      val tallies = hr
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("cnt"), bitSums: _*)
       // Pack the 64 majority bits into ONE long: hamming becomes
@@ -152,7 +149,7 @@ object Dedup {
         .filter(bit_count(col("x.sim").bitwiseXOR(col("y.sim"))) <= 12)
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      verified(cands, sh, 0.9)
+      verified(cands, hashArrays(hr), 0.9)
     }
   )
 
