@@ -20,6 +20,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
   }
 
+  test("every query has an oracle, except the declared approximate set") {
+    // Operators approximate by construction get the driver's weaker
+    // rows-only check; keep that set explicit so new queries can't
+    // silently ship unchecked.
+    val approximateByDesign = Set("sim_ann_ivf")
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked === approximateByDesign, s"queries with no oracle: $unchecked")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
