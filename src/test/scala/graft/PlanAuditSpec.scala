@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale claims in the operator scaladocs,
+  * pinned as assertions so a regression (lost pushdown, broadcast
+  * downgraded to shuffle, a global window reappearing on the data path)
+  * fails CI instead of surfacing at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  /** Collect across AQE boundaries: AdaptiveSparkPlanExec.executedPlan and
+    * materialized QueryStageExec subplans are not children in the normal
+    * tree traversal, so recurse into them explicitly. */
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val here = p.collect(pf)
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q: QueryStageExec        => q.plan
+    }
+    here ++ nested.flatMap(collectAll(_)(pf))
+  }
+
+  test("filters reach the parquet scan (PushedFilters) for filtered scans") {
+    for (q <- Seq("agg_pricing_summary", "pred_filters")) {
+      val scans = collectAll(executed(q)) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "[]")
+      }
+      assert(scans.exists(s => s != "[]" && s.nonEmpty), s"$q: no pushed filters in any scan")
+    }
+  }
+
+  test("star join broadcasts its dimension tables") {
+    val bc = collectAll(executed("join_star_broadcast")) { case b: BroadcastExchangeExec => b }
+    assert(bc.size >= 2, s"expected >=2 broadcast exchanges, got ${bc.size}")
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val plan = executed("dedup_keyed") // projects user_id, event_type, event_id from events
+    val schemas = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSet
+    }
+    assert(schemas.nonEmpty && schemas.forall(_.subsetOf(Set("user_id", "event_type", "event_id", "ts"))),
+      s"events scan reads more than needed: $schemas")
+  }
+
+  test("win_ntile keeps all data-path windows partitioned (no global-window funnel)") {
+    val wins = collectAll(executed("win_ntile")) { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty), "no partitioned window found — rewrite regressed")
+    // the only empty-partition windows allowed are the metadata-scale
+    // cumulative offsets (input = one row per partition)
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.size <= 2, s"unexpected global windows: ${global.size}")
+    global.foreach { w =>
+      val aggBelow = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("__pid")) => a
+      }
+      assert(aggBelow.isDefined, "global window not over per-partition counts")
+    }
+  }
+
+  test("whole-stage codegen spans cover the hot aggregation path") {
+    // Under AQE the plan-tree API surfaces the unwrapped stage plans, so
+    // audit codegen on a non-adaptive clone of the session (same query,
+    // same physical operators, statically collapsed).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries("agg_pricing_summary")(s2, sf)
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, "no WholeStageCodegen stage in the pricing-summary plan")
+  }
+}
