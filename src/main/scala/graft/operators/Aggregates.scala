@@ -164,6 +164,74 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Exact percentiles (linear interpolation — same rank formula as the
+    // oracle's quantile_cont). At 100 TB you'd use approx_percentile's
+    // one-pass sketch; exact percentile is the oracle-checkable twin.
+    "agg_percentiles" -> { (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Statistical moments (stddev / correlation) via quantized moment
+    // sums: built-in stddev/corr use Welford-style accumulation whose
+    // float error differs per engine and per partitioning, so the
+    // oracle-exact formulation computes Σx, Σx², Σxy with the integral-
+    // double scheme and applies the closed forms once at the end.
+    "agg_moments" -> { (spark, dir) =>
+      val n = count(lit(1)).cast("double")
+      val sx = dsum(col("l_quantity"))
+      val sxx = dsum(col("l_quantity") * col("l_quantity"))
+      val sy = dsum(col("l_discount"))
+      val syy = dsum(col("l_discount") * col("l_discount"))
+      val sxy = dsum(col("l_quantity") * col("l_discount"))
+      Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sqrt((sxx - sx * sx / n) / (n - 1)).as("sd_qty"),
+          ((sxy - sx * sy / n) /
+            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_disc"),
+          n.cast("long").as("n")
+        )
+        .orderBy(col("l_returnflag"))
+    },
+
+    // PIVOT: order counts + quantized revenue per priority, statuses as
+    // columns (the planner compiles this to one hash agg with
+    // conditional aggregates — exactly the oracle's FILTER spelling).
+    "agg_pivot" -> { (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // The SQL entry point: the same engine surface via spark.sql over
+    // registered temp views (proves a SQL-first user can drive it).
+    "sql_surface" -> { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+      Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+      spark.sql(
+        """SELECT c_mktsegment,
+          |  COUNT(*) AS n_orders,
+          |  (SUM(FLOOR(o_totalprice * 10000.0 + 0.5)) / 10000.0) AS sum_price
+          |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+          |WHERE o_orderstatus = 'O'
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin
+      )
+    },
+
     // min/max/avg over a high-cardinality group (per-part stats): the
     // shape where map-side partial aggregation matters most.
     "agg_minmax_per_key" -> { (spark, dir) =>
@@ -237,6 +305,38 @@ object Aggregates {
         |  TRUE AS parts_within_5pct,
         |  TRUE AS supps_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+        |  CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+        |  CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_moments" -> {
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val sx = sqlSum("l_quantity")
+      val sxx = sqlSum("l_quantity * l_quantity")
+      val sy = sqlSum("l_discount")
+      val syy = sqlSum("l_discount * l_discount")
+      val sxy = sqlSum("l_quantity * l_discount")
+      s"""SELECT l_returnflag,
+         |  sqrt(($sxx - $sx * $sx / $n) / ($n - 1)) AS sd_qty,
+         |  (($sxy - $sx * $sy / $n) /
+         |    sqrt(($sxx - $sx * $sx / $n) * ($syy - $sy * $sy / $n))) AS corr_qty_disc,
+         |  CAST($n AS BIGINT) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sql_surface" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  (SUM(FLOOR(o_totalprice * 10000.0 + 0.5)) / 10000.0) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "agg_weighted_avg" ->
       """SELECT l_returnflag,
         |  SUM(FLOOR(l_extendedprice * l_quantity * 10000.0 + 0.5))
