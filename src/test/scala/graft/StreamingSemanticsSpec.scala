@@ -129,6 +129,88 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(last === Map(7L -> 3L, 8L -> 1L), s"stateful counts wrong: $last")
   }
 
+  test("flatMapGroupsWithState emits zero-or-many rows per group per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = MemoryStream[Ev]
+    val sink = nextSink()
+    // emit one row per NEW id seen for the user (stateful dedup-report)
+    val dedupReport = stream
+      .toDS()
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[Set[Long], (Long, Long)](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { case (user, evs, state: GroupState[Set[Long]]) =>
+        val seen = state.getOption.getOrElse(Set.empty[Long])
+        val fresh = evs.map(_.id).filterNot(seen).toSeq.distinct
+        state.update(seen ++ fresh)
+        fresh.iterator.map(id => (user, id))
+      }
+      .toDF("user", "first_seen_id")
+    val q = dedupReport.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Append())
+      .start()
+    stream.addData(ev(1, 1, user = 5), ev(1, 2, user = 5), ev(2, 3, user = 5))
+    q.processAllAvailable()
+    stream.addData(ev(2, 4, user = 5), ev(3, 5, user = 5)) // 2 already seen
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).select("first_seen_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(1L, 2L, 3L), s"flatMap state emitted: $got")
+  }
+
+  test("complete output mode re-emits the full aggregate each batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = stream
+      .toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .start()
+    stream.addData(ev(1, 1, kind = "a"), ev(2, 2, kind = "b"))
+    q.processAllAvailable()
+    stream.addData(ev(3, 3, kind = "a"))
+    q.processAllAvailable()
+    q.stop()
+    val m = spark.table(sink).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("a" -> 2L, "b" -> 1L), s"complete mode snapshot: $m")
+  }
+
+  test("foreachBatch lands each micro-batch exactly once with its batchId") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val stream = MemoryStream[Ev]
+    val q = stream
+      .toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_feb_ck").toString)
+      .start()
+    stream.addData(ev(1, 1), ev(2, 2))
+    q.processAllAvailable()
+    stream.addData(ev(3, 3))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 3)
+    assert(got.select(countDistinct(col("batch_id"))).head().getLong(0) === 2)
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val s = spark
     import s.implicits._
