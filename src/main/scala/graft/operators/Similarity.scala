@@ -72,6 +72,28 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // Embedding-cosine near-duplicate pairs: vectors closer than the
+    // threshold are duplicate candidates. Exact all-pairs here (the
+    // oracle-checkable form, scored by the native codegen expression —
+    // upper-triangle only); at 100 TB the same verify runs on LSH/IVF
+    // bucket candidates instead of the cross product (sim_ann_ivf is the
+    // probe-side machinery).
+    "dedup_embed_cosine" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val e = Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("v1"),
+          col("b.vec_id").as("v2"),
+          graft.functions.CosineSimilarity.column(col("a.v"), col("b.v")).as("cos")
+        )
+        .filter(col("cos") >= 0.4)
+        .orderBy(col("v1"), col("v2"))
+    },
+
     // Multimodal array-column aggregation: per label, exact counts +
     // quantized norm / leading-dimension means (proves ARRAY<FLOAT>
     // columns flow through scan → transform → agg → scalar outputs).
@@ -154,6 +176,17 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
+         |)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
+         |ORDER BY v1, v2""".stripMargin,
     "embed_stats" ->
       s"""WITH e AS (
          |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
