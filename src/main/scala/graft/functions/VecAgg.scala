@@ -33,7 +33,10 @@ object VecAgg {
       x
     }
     override def finish(b: Array[Double]): Seq[Double] = b.toSeq
-    override def bufferEncoder: Encoder[Array[Double]] = Encoders.javaSerialization[Array[Double]]
+    // native primitive-array encoder: the buffer crosses the shuffle once
+    // per (group, partition); Java serialization there is pure overhead
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
     override def outputEncoder: Encoder[Seq[Double]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
