@@ -44,6 +44,7 @@ object FileIO {
         .lineitem(spark, dir)
         .write
         .mode(SaveMode.Overwrite)
+        .option("compression", "zlib") // the reference's ORC default codec (orc-core CompressionKind.ZLIB)
         .partitionBy("l_returnflag")
         .orc(p)
       spark.read

@@ -74,6 +74,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no declared query plans a cartesian product (except the intentional cross join)") {
+    // A CartesianProduct appearing in any other query means a join
+    // condition was lost (or planned as nested-loop-over-everything) —
+    // the classic silent 100 TB killer. BroadcastNestedLoopJoin with a
+    // broadcast probe side (sim queries) is fine and not matched here.
+    val allowed = Set("join_cross")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = executed(name)
+      val cart = collectAll(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      if (cart.nonEmpty && !allowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("whole-stage codegen spans cover the hot aggregation path") {
     // Under AQE the plan-tree API surfaces the unwrapped stage plans, so
     // audit codegen on a non-adaptive clone of the session (same query,
