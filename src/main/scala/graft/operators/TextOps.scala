@@ -154,6 +154,24 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Token counting, whitespace AND BPE-ish regex (north-star "token
+    // counting (whitespace + a BPE-ish regex)"): the regex splits into
+    // letter runs / digit runs / single non-alphanumeric marks — the
+    // pre-tokenization shape BPE vocabularies are trained over.
+    "text_tokens" -> { (spark, dir) =>
+      val bpeish = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(expr(s"regexp_extract_all(text, '$bpeish', 0)")).cast("long").as("bpe_tokens"),
+          (col("n_chars").cast("double") /
+            size(expr(s"regexp_extract_all(text, '$bpeish', 0)"))).as("chars_per_token")
+        )
+        .orderBy(col("doc_id"))
+    },
+
     // Language ID by token profile: score(doc, lang) = Σ_tokens
     // corpus-frequency of token in that lang (integer arithmetic, so the
     // argmax is exactly reproducible). Profile is trained on the corpus
@@ -258,6 +276,13 @@ object TextOps {
         |  ttr*0.5 + (1.0 - stop_ratio)*0.5 AS quality,
         |  (n_tokens >= 20 AND stop_ratio < 0.4) AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(n_chars AS DOUBLE)
+        |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents),
         |profile AS (SELECT lang AS plang, w AS pw, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),

@@ -100,6 +100,27 @@ object Windows {
         .orderBy(col("c_custkey"))
     },
 
+    // RANGE-based frame (value-range, not row-count): per customer, how
+    // many of their orders fall within 10k price below the current one,
+    // and the quantized sum over that value window. Completes the frame
+    // family next to win_running's ROWS frames.
+    "win_range_frame" -> { (spark, dir) =>
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-10000L, Window.currentRow)
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_band"),
+          wsum(col("o_totalprice"), w).as("sum_in_band")
+        )
+        .orderBy(col("o_orderkey"))
+    },
+
     // first/last over the full partition frame.
     "win_first_last" -> { (spark, dir) =>
       val w = Window
@@ -147,6 +168,14 @@ object Windows {
       """SELECT c_custkey,
         |  CAST(NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_in_band,
+        |  (SUM(FLOOR(o_totalprice * 10000.0 + 0.5)) OVER w / 10000.0) AS sum_in_band
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "win_first_last" ->
       s"""SELECT DISTINCT o_custkey,
          |  FIRST_VALUE(o_orderkey) OVER ($over
