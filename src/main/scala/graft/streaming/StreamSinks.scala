@@ -73,6 +73,19 @@ object StreamSinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Time-bucketed layout columns (the reference's pluggable
+    * `Bucketer<Row>`/DateTimeBucketer generalized, reference
+    * RowOrcBucketingSink.java:251-254): derive `dt`/`hr` partition
+    * columns from an event-time column so `partitionBy("dt","hr")`
+    * reproduces the date-bucketed warehouse directory layout readers
+    * prune on.
+    */
+  def withTimeBuckets(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col(tsCol), "HH"))
+  }
+
   /** The files a committed-only reader actually sees — resolved through
     * the `_spark_metadata` manifest, NOT a raw directory listing. This is
     * the observable half of the exactly-once contract (the reference's
