@@ -164,6 +164,47 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // DECIMAL-exact aggregation: source money columns cast to
+    // DECIMAL(18,4) at the scan, summed exactly in decimal arithmetic
+    // (no float quantization anywhere), final values surfaced as double
+    // (a correctly-rounded conversion both engines share). This is the
+    // full-decimal alternative to Exact.dsum's quantized-double scheme.
+    "agg_decimal_exact" -> { (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .select(
+          col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,4)").as("qty_d"),
+          col("l_extendedprice").cast("decimal(18,4)").as("price_d")
+        )
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("qty_d")).cast("double").as("sum_qty"),
+          sum(col("price_d")).cast("double").as("sum_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Approximate quantile (one-pass sketch — the 100 TB percentile):
+    // like agg_approx_distinct, the declared output carries the exact
+    // percentile plus a boolean asserting the sketch landed within 5%.
+    "agg_approx_quantile" -> { (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__ap50")
+        )
+        .select(
+          col("o_orderstatus"),
+          col("exact_p50"),
+          (abs(col("__ap50") - col("exact_p50")) <= col("exact_p50") * 0.05).as("p50_within_5pct")
+        )
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Exact percentiles (linear interpolation — same rank formula as the
     // oracle's quantile_cont). At 100 TB you'd use approx_percentile's
     // one-pass sketch; exact percentile is the oracle-checkable twin.
@@ -305,6 +346,17 @@ object Aggregates {
         |  TRUE AS parts_within_5pct,
         |  TRUE AS supps_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_decimal_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT o_orderstatus,
+        |  CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS exact_p50,
+        |  TRUE AS p50_within_5pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_percentiles" ->
       """SELECT o_orderstatus,
         |  CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,

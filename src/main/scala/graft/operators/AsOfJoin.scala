@@ -52,4 +52,45 @@ object AsOfJoin {
     val out = filled.filter(col("__side") === 1).drop("__k", "__t", "__side")
     rightPayload.foldLeft(out)((df, p) => df.withColumnRenamed(pfx + p, p))
   }
+
+  /** Forward as-of: attach the payload of the EARLIEST right row with the
+    * same key and `rightTime >= leftTime`. Same single-shuffle
+    * union-and-window shape, with the window scanning forward (first
+    * non-null right payload at-or-after the left row; right rows sort
+    * after left rows at equal time is wrong for >= — right sorts FIRST so
+    * equal timestamps match, mirroring asOf's tie rule).
+    */
+  def asOfForward(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val pfx = "__asof_r_"
+    val l2 = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+    val r2 = right.select(
+      (Seq(
+        col(rightKey).as("__k"),
+        col(rightTime).as("__t"),
+        lit(1).as("__side")
+      ) ++ rightPayload.map(p => col(p).as(pfx + p))): _*
+    )
+    // Left rows sort before right rows at equal time, and the frame looks
+    // FORWARD: first right payload at-or-after the left row.
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = rightPayload.foldLeft(l2.unionByName(r2, allowMissingColumns = true)) {
+      (df, p) => df.withColumn(pfx + p, first(col(pfx + p), ignoreNulls = true).over(w))
+    }
+    val out = filled.filter(col("__side") === 0).drop("__k", "__t", "__side")
+    rightPayload.foldLeft(out)((df, p) => df.withColumnRenamed(pfx + p, p))
+  }
 }

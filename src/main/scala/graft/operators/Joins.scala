@@ -171,6 +171,21 @@ object Joins {
         .orderBy(col("c_nationkey"))
     },
 
+    // Forward as-of join: each event picks up the user's EARLIEST order
+    // at-or-after the event time (same single-shuffle union+window shape,
+    // scanning forward — see AsOfJoin.asOfForward).
+    "join_asof_forward" -> { (spark, dir) =>
+      val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables
+        .orders(spark, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin
+        .asOfForward(e, "user_id", "ts", o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("event_id"))
+    },
+
     // As-of join: each event picks up the user's latest order at-or-before
     // the event time (union+window, one shuffle — see AsOfJoin).
     "join_asof" -> { (spark, dir) =>
@@ -250,6 +265,17 @@ object Joins {
       """SELECT c_nationkey, COUNT(*) AS n_pairs
         |FROM customer JOIN supplier ON ABS(c_acctbal - s_acctbal) < 10.0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "join_asof_forward" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |            FROM orders GROUP BY 1, 2),
+        |nxt AS (
+        |  SELECT e.event_id, e.user_id,
+        |    (SELECT MIN(od.o_orderdate) FROM od
+        |     WHERE od.o_custkey = e.user_id AND od.o_orderdate >= e.ts) AS nd
+        |  FROM events e)
+        |SELECT n.event_id, od.o_orderkey, n.nd AS o_orderdate
+        |FROM nxt n LEFT JOIN od ON od.o_custkey = n.user_id AND od.o_orderdate = n.nd
+        |ORDER BY n.event_id""".stripMargin,
     "join_asof" ->
       """WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
         |            FROM orders GROUP BY 1, 2)

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -16,32 +15,42 @@ import graft.operators.SkewTools
   *    with a hot key, with the hot key fanned out over N tasks.
   */
 class ScaleToolsSpec extends AnyFunSuite {
+  private lazy val base: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  /** Cloned session: the base may be shared with other suites, and the
+    * bucketed-join audit needs the STATIC planner's view (no AQE
+    * re-planning, no broadcast fallback hiding the shuffle question). */
   private lazy val spark: SparkSession = {
-    val wh = Files.createTempDirectory("graft_wh").toString
-    GraftSession
-      .builder(master = "local[4]", shufflePartitions = 4)
-      .config("spark.sql.warehouse.dir", wh)
-      // bucketed-join audit needs the static planner's view
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .getOrCreate()
+    val s = base.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val sf = "/root/testdata/sf0.001"
+    // unique names: the session (and its warehouse dir) may be shared
+    // with other suites, and a stale managed-table location from a prior
+    // JVM would fail saveAsTable with LOCATION_ALREADY_EXISTS
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val liT = s"li_bucketed_$tag"
+    val ordT = s"ord_bucketed_$tag"
     Tables
       .lineitem(spark, sf)
       .select("l_orderkey", "l_extendedprice")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("li_bucketed")
+      .saveAsTable(liT)
     Tables
       .orders(spark, sf)
       .select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("ord_bucketed")
+      .saveAsTable(ordT)
 
     val joined = spark
-      .table("li_bucketed")
-      .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .table(liT)
+      .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
     val shuffles = joined.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
