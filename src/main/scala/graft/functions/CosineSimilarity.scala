@@ -46,15 +46,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   private val Scale = 1000000.0
 
+  // Dimension mismatch or a null element → null result (not a silently
+  // truncated/garbage similarity): cosine over ragged or hole-y vectors
+  // has no defined value, and null propagates visibly to the caller.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += math.floor(xi * yi * Scale + 0.5)
@@ -76,10 +81,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |boolean $bad = ($n != $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |  double $xi = $x.getDouble($i);
          |  double $yi = $y.getDouble($i);
          |  $dot += java.lang.Math.floor($xi * $yi * $Scale + 0.5);
@@ -87,7 +95,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $ny  += java.lang.Math.floor($yi * $yi * $Scale + 0.5);
          |}
          |double $denom = java.lang.Math.sqrt(($nx / $Scale) * ($ny / $Scale));
-         |if ($denom == 0.0) { ${ev.isNull} = true; } else {
+         |if ($bad || $denom == 0.0) { ${ev.isNull} = true; } else {
          |  ${ev.value} = ($dot / $Scale) / $denom;
          |}
        """.stripMargin

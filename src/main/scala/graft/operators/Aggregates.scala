@@ -259,13 +259,17 @@ object Aggregates {
 
     // The SQL entry point: the same engine surface via spark.sql over
     // registered temp views (proves a SQL-first user can drive it).
+    // Literals are spelled 1e4/0.5e0 (doubles): in Spark SQL TEXT a bare
+    // decimal literal like 10000.0 parses as DECIMAL(6,1), which would
+    // plan a decimal division (decimal128 result) instead of the DOUBLE
+    // the DataFrame-API twin and the DuckDB oracle produce.
     "sql_surface" -> { (spark, dir) =>
       Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
       Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
       spark.sql(
         """SELECT c_mktsegment,
           |  COUNT(*) AS n_orders,
-          |  (SUM(FLOOR(o_totalprice * 10000.0 + 0.5)) / 10000.0) AS sum_price
+          |  (SUM(FLOOR(o_totalprice * 1e4 + 0.5e0)) / 1e4) AS sum_price
           |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
           |WHERE o_orderstatus = 'O'
           |GROUP BY c_mktsegment

@@ -56,9 +56,11 @@ object AsOfJoin {
   /** Forward as-of: attach the payload of the EARLIEST right row with the
     * same key and `rightTime >= leftTime`. Same single-shuffle
     * union-and-window shape, with the window scanning forward (first
-    * non-null right payload at-or-after the left row; right rows sort
-    * after left rows at equal time is wrong for >= — right sorts FIRST so
-    * equal timestamps match, mirroring asOf's tie rule).
+    * non-null right payload at-or-after the left row). LEFT rows sort
+    * before right rows at equal time (__side: left=0 < right=1), so the
+    * forward frame (currentRow..unboundedFollowing) still CONTAINS the
+    * equal-timestamp right row — that is how the >= tie rule holds,
+    * mirroring asOf's inclusive semantics from the other direction.
     */
   def asOfForward(
       left: DataFrame,

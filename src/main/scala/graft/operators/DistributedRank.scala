@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *      METADATA-scale (one row per partition), so the tiny cumulative
   *      window over it is free;
   *   4. global_rank = partition_offset + local_rank, broadcast-joined
-  *      back; NTILE falls out of the closed form
-  *      bucket(i) = ⌊(i−1)·n/N⌋ + 1, which reproduces SQL NTILE's
-  *      first-buckets-get-the-remainder sizing exactly.
+  *      back; NTILE uses the piecewise formula with q = N div b and
+  *      r = N mod b — the first r buckets hold q+1 rows, the rest q —
+  *      which reproduces SQL NTILE's front-loaded remainder sizing
+  *      exactly for every N (the simpler ⌊(i−1)·b/N⌋+1 closed form
+  *      spreads the remainder evenly and diverges whenever N mod b ≠ 0).
   *
   * Two distributed shuffles (range + pid-hash), zero single-partition
   * data movement; partition boundaries affect nothing observable, so
@@ -53,13 +55,26 @@ object DistributedRank {
       .select(col("__pid"), col("__off"), col("__total"))
 
     val wLocal = Window.partitionBy(col("__pid")).orderBy(sortExprs: _*)
+    // SQL NTILE sizing: with q = N div b and r = N mod b, the first r
+    // buckets get q+1 rows and the remaining b−r buckets get q rows
+    // (remainder front-loaded). Piecewise on whether the rank falls in
+    // the big-bucket prefix; integer `div` keeps it exact at any N, and
+    // CASE short-circuits so the q=0 division in the ELSE branch is
+    // never evaluated when N < b.
     ranged
       .withColumn("__lrn", row_number().over(wLocal))
       .join(broadcast(offsets), "__pid")
       .withColumn(rankCol, col("__off") + col("__lrn"))
       .withColumn(
         ntileCol,
-        (floor((col(rankCol) - 1) * buckets / col("__total")) + 1).cast("long")
+        expr(
+          s"""CASE WHEN `$rankCol` <= (`__total` % $buckets) * ((`__total` div $buckets) + 1)
+             |  THEN (`$rankCol` - 1) div ((`__total` div $buckets) + 1) + 1
+             |  ELSE (`__total` % $buckets)
+             |       + (`$rankCol` - 1 - (`__total` % $buckets) * ((`__total` div $buckets) + 1))
+             |         div (`__total` div $buckets) + 1
+             |END""".stripMargin
+        ).cast("long")
       )
       .drop("__pid", "__lrn", "__off", "__total")
   }

@@ -84,7 +84,7 @@ object TimeWindows {
         |FROM assigned GROUP BY ws ORDER BY ws""".stripMargin,
     "win_session" ->
       """WITH marked AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              >= INTERVAL '5 minutes'
         |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -92,7 +92,7 @@ object TimeWindows {
         |  FROM events),
         |islands AS (
         |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
         |SELECT user_id, MIN(ts) AS session_start,

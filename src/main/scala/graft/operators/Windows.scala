@@ -87,7 +87,8 @@ object Windows {
     // naive Window.orderBy-with-no-partition formulation funnels the
     // whole table through one task; this one range-partitions, ranks
     // locally, and reassembles global rank from metadata-scale offsets.
-    // Oracle stays plain NTILE(4): the closed form matches SQL exactly.
+    // Oracle stays plain NTILE(4): the piecewise front-loaded-remainder
+    // formula matches SQL NTILE for every N, divisible by 4 or not.
     "win_ntile" -> { (spark, dir) =>
       DistributedRank
         .withGlobalNtile(

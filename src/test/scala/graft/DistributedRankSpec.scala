@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DistributedRank
+
+/** Pins DistributedRank.withGlobalNtile ≡ SQL NTILE for every bucket
+  * remainder case — especially N % buckets ≠ 0, where SQL front-loads the
+  * remainder (first N mod b buckets get the extra row) and the naive
+  * ⌊(i−1)·b/N⌋+1 closed form would spread it evenly and diverge
+  * (e.g. N=150, b=4: rank 76 is bucket 3 under the closed form but
+  * bucket 2 under NTILE).
+  */
+class DistributedRankSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def check(n: Int, buckets: Int): Unit = {
+    val s = spark
+    import s.implicits._
+    // shuffled insertion order so range partitioning actually reorders
+    val df = scala.util.Random
+      .shuffle((1 to n).toList)
+      .map(i => (i.toLong, s"row_$i"))
+      .toDF("k", "payload")
+    val got = DistributedRank
+      .withGlobalNtile(df, buckets, Seq(col("k").asc), rankCol = "grank", ntileCol = "nt", numPartitions = 4)
+      .select(col("k"), col("grank"), col("nt"))
+    val expected = df
+      .select(
+        col("k"),
+        row_number().over(Window.orderBy(col("k"))).cast("long").as("grank"),
+        ntile(buckets).over(Window.orderBy(col("k"))).cast("long").as("nt")
+      )
+    val g = got.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e = expected.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.length === n)
+    val diffs = g.zip(e).filter { case (a, b) => a != b }
+    assert(diffs.isEmpty, s"N=$n b=$buckets diverges from SQL NTILE at: ${diffs.take(5).mkString(", ")}")
+  }
+
+  test("matches SQL NTILE when N divisible by buckets (N=100, b=4)") { check(100, 4) }
+  test("matches SQL NTILE with remainder (N=150, b=4 — the ADVICE counterexample)") { check(150, 4) }
+  test("matches SQL NTILE with remainder (N=7, b=3)") { check(7, 3) }
+  test("matches SQL NTILE with remainder (N=103, b=8)") { check(103, 8) }
+  test("matches SQL NTILE when N < buckets (N=3, b=5)") { check(3, 5) }
+}
