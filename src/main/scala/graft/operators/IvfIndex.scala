@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.CosineSimilarity
+
+/** IVF (inverted-file) approximate-nearest-neighbor index: a trained
+  * k-means codebook partitions the corpus into clusters; a query probes
+  * only the `nProbe` nearest clusters and runs exact cosine inside them.
+  *
+  * Training is classic sampled Lloyd (the same scheme Spark MLlib KMeans
+  * uses): a deterministic hash-sample of the corpus, k deterministic
+  * seeds, a few assign→mean iterations. The per-iteration collect is
+  * k×dim doubles — O(KB) METADATA, not data (MLlib collects exactly the
+  * same thing every iteration); the assignment step itself is a single
+  * codegen'd expression over the distributed sample, no join, no shuffle.
+  *
+  * Determinism (required for the driver's hash gate to cover the recall
+  * bound): seeds come from xxhash64 order, distances from the quantized
+  * native cosine (order-independent integral-double sums), centroid means
+  * are floor-quantized at 1e-6 after each iteration, and all argmin ties
+  * break on cluster id — so the trained codebook is a pure function of
+  * the data.
+  *
+  * Scale posture:
+  * - assignment = `least()` over k codegen'd cosine structs against
+  *   LITERAL centroids — zero shuffle, zero row expansion, stays inside
+  *   whole-stage codegen. At 100 TB the assignment runs once at ingest
+  *   and the corpus is written partitioned by `cl`, so a probe reads
+  *   nProbe partitions instead of the full table.
+  * - search broadcasts the (query × nProbe) probe set; the corpus never
+  *   shuffles. Per-query top-K via window over the probed subset only.
+  */
+object IvfIndex {
+
+  /** Trained codebook: centroid i = cluster id i. */
+  final case class Model(centroids: Array[Seq[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Quantize to the same 1e-6 lattice the cosine arithmetic uses, so
+    * ulp-level nondeterminism in the distributed mean sum can never flip
+    * a downstream argmin (the sum's error is ~1e-13, the lattice 1e-6). */
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Nearest-centroid cluster id for the vector column `v`, as one
+    * codegen'd expression (k fused cosine loops + a `least` over structs;
+    * CASE-free, shuffle-free). Ties break on the lower cluster id via the
+    * struct's second field. */
+  def assignExpr(model: Model, v: Column): Column =
+    least(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-CosineSimilarity.column(v, typedLit(c))).as("d"), lit(i).as("cl"))
+    }: _*).getField("cl")
+
+  /** Train a k-means codebook on a deterministic hash-sample of `corpus`
+    * (expects columns `vec_id`, `v: array<double>`).
+    *
+    * @param samplePct  percent of rows in the training sample (hash-gated,
+    *                   deterministic — not Bernoulli RNG sampling)
+    */
+  def train(corpus: DataFrame, k: Int, iters: Int, samplePct: Int = 40): Model = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+
+    val sample = corpus
+      .filter(pmod(xxhash64(col("vec_id"), lit(42)), lit(100)) < samplePct)
+      .select(col("vec_id"), col("v"))
+    sample.cache()
+    try {
+      // Deterministic seeds: the k sample vectors with the smallest
+      // independent hash — a uniform draw without RNG state.
+      var cents: Array[Seq[Double]] = sample
+        .withColumn("h", xxhash64(col("vec_id"), lit(7)))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(k)
+        .select(col("v"))
+        .collect()
+        .map(_.getSeq[Double](0).map(q6))
+
+      val vecSum = udaf(
+        new graft.functions.VecAgg.VecSum(cents.head.length),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+      )
+      for (_ <- 1 to iters) {
+        val stats = sample
+          .withColumn("cl", assignExpr(Model(cents), col("v")))
+          .groupBy(col("cl"))
+          .agg(vecSum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.clone() // empty clusters keep their old centroid
+        stats.foreach { r =>
+          val cl = r.getInt(0)
+          val s = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          next(cl) = s.map(x => q6(x / n))
+        }
+        cents = next
+      }
+      Model(cents)
+    } finally sample.unpersist()
+  }
+
+  /** Exact top-K cosine search restricted to the `nProbe` clusters whose
+    * centroids are nearest each query. `corpus` = (vec_id, v),
+    * `probes` = (q_id, qv). Returns (q_id, rnk, vec_id, cos). */
+  def search(
+      corpus: DataFrame,
+      probes: DataFrame,
+      model: Model,
+      nProbe: Int,
+      topK: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+
+    val centDf = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toSeq
+      .toDF("cl", "cv")
+    // Q × k rows — driver-scale; nearest nProbe centroids per query.
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cl").asc)
+    val probed = probes
+      .crossJoin(broadcast(centDf))
+      .withColumn("d", -CosineSimilarity.column(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cl"))
+
+    val assigned = corpus.withColumn("cl", assignExpr(model, col("v")))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(probed), Seq("cl"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", CosineSimilarity.column(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+}

@@ -45,6 +45,101 @@ object Similarity {
       (acc, v) => acc + v
     ) / lit(1000000.0)
 
+  /** Corpus as (vec_id, v: array<double>). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Exact brute-force cosine top-K for probe vectors vec_id < 5, scored
+    * by the NATIVE codegen expression: probes broadcast, corpus streams,
+    * per-query top-K via window. Shared by sim_topk_cosine and the
+    * recall denominator of sim_ann_ivf. */
+  private def bruteForceTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    val e = corpus(spark, dir)
+    val probes = e
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        graft.functions.CosineSimilarity.column(col("qv"), col("v")).as("cos")
+      )
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  // --- sign-LSH (random hyperplane) candidate generation ----------------
+  // 256 deterministic Gaussian hyperplanes (seeded — same family every
+  // run, so candidates are a pure function of the data and the all-pairs
+  // DuckDB oracle can require zero false negatives, the same contract
+  // dedup_minhash_lsh meets). A signature bit is the sign of v·h, read
+  // off the NATIVE codegen cosine against the literal hyperplane (sign of
+  // cosine == sign of dot; norms are positive); bits pack into per-band
+  // long keys, candidates come from an equi-join on (band, key) — the
+  // shuffle-bounded shape, never a broadcast nested loop.
+  private val lshPlanes: Array[Seq[Double]] = {
+    val rnd = new scala.util.Random(9001)
+    Array.fill(256)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Per-band packed sign-bit keys for vector column `v`. */
+  private def lshBandKeys(v: Column, bitsPerBand: Int, bands: Int): Seq[Column] = {
+    require(bitsPerBand * bands <= lshPlanes.length)
+    (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        when(
+          graft.functions.CosineSimilarity.column(v, typedLit(lshPlanes(b * bitsPerBand + i))) > 0,
+          lit(1L << i)
+        ).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  /** LSH candidate pairs (v1 < v2) for `e` = (vec_id, v). */
+  def lshCandidates(e: DataFrame, bitsPerBand: Int, bands: Int): DataFrame = {
+    val keyed = e.select(
+      col("vec_id"),
+      posexplode(array(lshBandKeys(col("v"), bitsPerBand, bands): _*))
+        .as(Seq("band_idx", "band_key"))
+    )
+    keyed
+      .as("x")
+      .join(
+        keyed.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id")
+      )
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+  }
+
+  /** Embedding near-dup via sign-LSH banding + exact cosine verification
+    * of candidates only: signature (pure map) → band keys → equi-join →
+    * verify. False positives cost compute, never correctness; false
+    * negatives are driven out by the band parameters and pinned by the
+    * all-pairs oracle. Returns (v1, v2, cos ≥ threshold).
+    */
+  def embedNearDupLsh(
+      e: DataFrame,
+      threshold: Double,
+      bitsPerBand: Int,
+      bands: Int
+  ): DataFrame =
+    lshCandidates(e, bitsPerBand, bands)
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
+      .select(
+        col("v1"),
+        col("v2"),
+        graft.functions.CosineSimilarity.column(col("va"), col("vb")).as("cos")
+      )
+      .filter(col("cos") >= threshold)
+
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-5 for probe vectors vec_id < 5, scored
     // by the NATIVE codegen expression (graft.functions.CosineSimilarity,
@@ -52,45 +147,25 @@ object Similarity {
     // is bit-identical to the HOF qdot formulation, which the DuckDB
     // oracle and CosineSimilaritySpec both pin.
     "sim_topk_cosine" -> { (spark, dir) =>
-      graft.functions.GraftExtensions.register(spark)
-      val e = Tables
-        .embeddings(spark, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val probes = e
-        .filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-      e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-        .select(
-          col("q_id"),
-          col("vec_id"),
-          graft.functions.CosineSimilarity.column(col("qv"), col("v")).as("cos")
-        )
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
-        .orderBy(col("q_id"), col("rnk"))
+      bruteForceTopK(spark, dir, 5).orderBy(col("q_id"), col("rnk"))
     },
 
-    // Embedding-cosine near-duplicate pairs: vectors closer than the
-    // threshold are duplicate candidates. Exact all-pairs here (the
-    // oracle-checkable form, scored by the native codegen expression —
-    // upper-triangle only); at 100 TB the same verify runs on LSH/IVF
-    // bucket candidates instead of the cross product (sim_ann_ivf is the
-    // probe-side machinery).
+    // Embedding-cosine near-duplicate pairs via the sign-LSH banded plan
+    // (equi-join on band keys + exact verify — NOT the all-pairs
+    // broadcast-nested-loop join; the DuckDB oracle stays all-pairs, so a
+    // green hash proves zero false negatives on this corpus).
+    //
+    // Parameter note (measured, tools + SimilaritySpec): the fixture's
+    // 0.4 threshold sits INSIDE the background cosine continuum (pairs at
+    // 0.40–0.51, max non-pair 0.3994), the worst case for any candidate
+    // scheme — r=4 bits × 64 bands is the zero-FN setting there and
+    // prunes little. On corpora with real duplicate structure (near-
+    // identical docs, cos ≥ 0.9 — the production dedup regime) the same
+    // operator with r=10 × 25 bands keeps <3% of pairs as candidates;
+    // SimilaritySpec pins both regimes.
     "dedup_embed_cosine" -> { (spark, dir) =>
       graft.functions.GraftExtensions.register(spark)
-      val e = Tables
-        .embeddings(spark, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      e.as("a")
-        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("v1"),
-          col("b.vec_id").as("v2"),
-          graft.functions.CosineSimilarity.column(col("a.v"), col("b.v")).as("cos")
-        )
-        .filter(col("cos") >= 0.4)
+      embedNearDupLsh(corpus(spark, dir), threshold = 0.4, bitsPerBand = 4, bands = 64)
         .orderBy(col("v1"), col("v2"))
     },
 
@@ -114,45 +189,45 @@ object Similarity {
         .orderBy(col("label"))
     },
 
-    // IVF approximate nearest neighbor: coarse-quantize the corpus into
-    // per-label clusters (centroid = elementwise mean via the VecSum
-    // Aggregator), probe the 3 nearest centroids per query, exact cosine
-    // inside probed clusters. Approximate by construction → no SQL
-    // oracle; recall vs the brute-force baseline is pinned by
-    // SimilaritySpec (driver records the rows-only check).
+    // IVF approximate nearest neighbor over a TRAINED codebook: sampled
+    // k-means (IvfIndex.train — deterministic seeds + quantized Lloyd),
+    // probe the 3 nearest of 10 centroids per query, exact cosine inside
+    // probed clusters only. Approximate by construction, so the
+    // hash-checkable output is the QUALITY BOUND, not the neighbor list:
+    // per query, recall@5 vs the in-engine brute-force top-5 as a
+    // boolean whose oracle is constant TRUE (same scheme as
+    // agg_approx_distinct's ±5% bound). The fixture embeddings are
+    // near-uniform random — ANN's worst case, where expected recall is
+    // the scanned fraction (~nProbe/k = 0.3) plus the constructed
+    // near-duplicate pairs that k-means co-clusters — so the pinned bound
+    // is mean-recall ≥ 0.2 over the probe set (graft.tools.RecallProbe
+    // measures 0.64 / 0.32 / 0.68 at sf0.001/0.01/0.1; margin absorbs
+    // the binomial noise a different fixture draw would add). The
+    // neighbor-list mechanism itself (exact top-5 within the probed
+    // clusters) is pinned by SimilaritySpec.
     "sim_ann_ivf" -> { (spark, dir) =>
-      val vecSum = udaf(
-        new graft.functions.VecAgg.VecSum(Dim),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
-      )
-      val e = Tables
-        .embeddings(spark, dir)
-        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-        .withColumn("n2", qdot(col("v"), col("v")))
-      // Coarse codebook: one centroid per label (k-means-style assignment
-      // seeded by the label clusters the fixture encodes).
-      val centroids = e
-        .groupBy(col("label").as("cl"))
-        .agg(vecSum(col("v")).as("sumv"), count(lit(1)).as("cn"))
-        .select(col("cl"), transform(col("sumv"), s => s / col("cn")).as("cv"))
-      val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-      // nProbe=3 nearest centroids per probe (tiny cross: Q × k).
-      val wq = Window.partitionBy(col("q_id")).orderBy(col("cdist").asc, col("cl").asc)
-      val probedClusters = probes
-        .crossJoin(broadcast(centroids))
-        .withColumn("cdist", -qdot(col("qv"), col("cv")) / sqrt(col("qn2") * qdot(col("cv"), col("cv"))))
-        .withColumn("crn", row_number().over(wq))
-        .filter(col("crn") <= 3)
-        .select(col("q_id"), col("qv"), col("qn2"), col("cl"))
-      // Exact search inside probed clusters only.
-      val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-      probedClusters
-        .join(e, probedClusters("cl") === e("label") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), (qdot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
-        .withColumn("rnk", row_number().over(wr).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
-        .orderBy(col("q_id"), col("rnk"))
+      val e = corpus(spark, dir)
+      val model = IvfIndex.train(e, k = 10, iters = 3)
+      val probes = e
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val ann = IvfIndex.search(e, probes, model, nProbe = 3, topK = 5)
+      val bf = bruteForceTopK(spark, dir, 5).select(col("q_id"), col("vec_id"))
+      val hits = ann
+        .join(bf, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      probes
+        .select(col("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          // mean recall@5 = Σ n_hits / (5·Q) — all-integer numerator, so
+          // the comparison is exact (no float-sum order dependence)
+          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.2).as("recall_ok")
+        )
+        .select(col("n_queries"), col("recall_ok"))
     }
   )
 
@@ -187,6 +262,12 @@ object Similarity {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
          |ORDER BY v1, v2""".stripMargin,
+    // Approximate operator → the oracle checks the declared QUALITY BOUND
+    // (recall_ok must be TRUE), not the neighbor list; n_queries pins the
+    // probe-set size exactly.
+    "sim_ann_ivf" ->
+      """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "embed_stats" ->
       s"""WITH e AS (
          |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GraftSession, Tables}
+import graft.operators.IvfIndex
+
+/** Diagnostic CLI: measured mean recall@5 of the IVF index vs exact
+  * brute force, per SF dir — the evidence behind sim_ann_ivf's declared
+  * ≥ 0.2 bound. Run: `runMain graft.tools.RecallProbe <sfDir>...` */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder().getOrCreate()
+    graft.functions.GraftExtensions.register(spark)
+    for (dir <- args) {
+      val e = Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val model = IvfIndex.train(e, k = 10, iters = 3)
+      val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val ann = IvfIndex.search(e, probes, model, nProbe = 3, topK = 5)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      val bf = e
+        .join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.CosineSimilarity.column(col("qv"), col("v")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val hits = ann.join(bf, Seq("q_id", "vec_id")).count()
+      val q = probes.count()
+      println(s"RECALL $dir: mean recall@5 = ${hits.toDouble / (5.0 * q)} ($hits/${5 * q} hits)")
+
+      // LSH near-dup false negatives vs exact all-pairs at 0.4 (must be 0)
+      val lsh = graft.operators.Similarity
+        .embedNearDupLsh(e, threshold = 0.4, bitsPerBand = 4, bands = 64)
+        .select(col("v1"), col("v2"))
+      val exact = e
+        .as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          graft.functions.CosineSimilarity.column(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("v1"), col("v2"))
+      val fn = exact.exceptAll(lsh).count()
+      val nc = graft.operators.Similarity.lshCandidates(e, 4, 64).count()
+      println(s"LSH $dir: pairs=${exact.count()} FN=$fn candidates=$nc")
+    }
+    spark.stop()
+  }
+}

@@ -17,53 +17,148 @@ class SimilaritySpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** The fixture embeddings are uniformly random (measured: same-label
-    * and cross-label mean cosine both ≈ 0), which is the worst case for
-    * ANY partition-based ANN — expected recall equals the scanned
-    * fraction (nProbe/k). So the spec pins what the implementation
-    * actually owns: (a) the probed clusters are exactly the nProbe
-    * nearest centroids, and (b) the result is the EXACT top-5 within
-    * those probed clusters — via an independent driver-side
-    * reimplementation over the collected fixture (500×64, test-only).
+  /** The fixture embeddings are near-uniform random — the worst case for
+    * ANY partition-based ANN (expected recall ≈ the scanned fraction,
+    * nProbe/k) — so the spec pins what the implementation owns, using
+    * the engine's OWN trained codebook (no reimplementation of k-means):
+    * given the trained centroids, the search result must be the EXACT
+    * top-5 within the 3 nearest-centroid clusters, reproduced by an
+    * independent driver-side evaluation over the collected fixture
+    * (500×64, test-only).
     */
   test("IVF ANN returns the exact top-5 within the 3 nearest-centroid clusters") {
-    val rows = Tables
+    import org.apache.spark.sql.functions.col
+    val e = Tables
       .embeddings(spark, sf)
-      .collect()
-      .map(r =>
-        (r.getLong(0), r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .select(
+        col("vec_id"),
+        org.apache.spark.sql.functions
+          .transform(col("embedding"), x => x.cast("double"))
+          .as("v")
+      )
+    val model = operators.IvfIndex.train(e, k = 10, iters = 3)
+    assert(model.k === 10)
+
     def qdot(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => math.floor(x * y * 1e6 + 0.5) }.sum / 1e6
-    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double =
-      qdot(a, b) / math.sqrt(na * nb)
-    val n2 = rows.map { case (id, _, v) => id -> qdot(v, v) }.toMap
-    val byLabel = rows.groupBy(_._2)
-    val centroids = byLabel.map { case (l, vs) =>
-      val c = Array.tabulate(64)(i => vs.map(_._3(i)).sum / vs.length)
-      (l, c, qdot(c, c))
-    }.toSeq
-    val expected = rows.filter(_._1 < 5).flatMap { case (qid, _, qv) =>
-      val probed = centroids
-        .map { case (l, c, cn2) => (l, -cos(qv, n2(qid), c, cn2)) }
-        .sortBy { case (l, d) => (d, l) }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      qdot(a, b) / math.sqrt(qdot(a, a) * qdot(b, b))
+
+    val rows = e
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = model.centroids.map(_.toArray)
+    // driver-side re-evaluation of assignment (same argmin + tie rule)
+    val assign = rows.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, i) => (-cos(v, c), i) }.min._2
+    }.toMap
+    val expected = rows.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val probed = cents.zipWithIndex
+        .map { case (c, i) => (-cos(qv, c), i) }
+        .sorted
         .take(3)
-        .map(_._1)
+        .map(_._2)
         .toSet
       rows
-        .filter { case (id, l, _) => id != qid && probed.contains(l) }
-        .map { case (id, _, v) => (id, cos(qv, n2(qid), v, n2(id))) }
+        .filter { case (id, _) => id != qid && probed.contains(assign(id)) }
+        .map { case (id, v) => (id, cos(qv, v)) }
         .sortBy { case (id, c) => (-c, id) }
         .take(5)
         .zipWithIndex
-        .map { case ((id, c), i) => (qid, (i + 1).toLong, id) }
+        .map { case ((id, _), i) => (qid, (i + 1).toLong, id) }
     }.toSet
-    val got = SparkEntry
-      .queries("sim_ann_ivf")(spark, sf)
+
+    val probes = e
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val got = operators.IvfIndex
+      .search(e, probes, model, nProbe = 3, topK = 5)
       .select("q_id", "rnk", "vec_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(got === expected)
+  }
+
+  test("sim_ann_ivf declares its recall bound: one row, recall_ok TRUE") {
+    val out = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 5L)
+    assert(out(0).getBoolean(1), "mean recall@5 fell below the declared 0.2 bound")
+  }
+
+  /** The LSH-banded embedding near-dup must equal the exact all-pairs
+    * result on the fixture (zero false negatives at the 0.4 threshold —
+    * the same contract the driver's DuckDB oracle enforces). */
+  test("embed near-dup LSH(4,64) ≡ exact all-pairs at threshold 0.4") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftExtensions.register(spark)
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val lsh = operators.Similarity
+      .embedNearDupLsh(e, threshold = 0.4, bitsPerBand = 4, bands = 64)
+      .select("v1", "v2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val exact = e
+      .as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("v1"),
+        col("b.vec_id").as("v2"),
+        graft.functions.CosineSimilarity.column(col("a.v"), col("b.v")).as("cos")
+      )
+      .filter(col("cos") >= 0.4)
+      .select("v1", "v2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(lsh === exact, s"missing=${exact -- lsh} extra=${lsh -- exact}")
+    assert(exact.nonEmpty, "fixture has constructed embedding near-duplicates; exact found none")
+  }
+
+  /** On a corpus with REAL duplicate structure (near-identical vectors at
+    * cos ≥ 0.99, the production dedup regime) the same operator prunes
+    * hard: r=10 bits × 25 bands finds every true pair while keeping under
+    * 10% of all pairs as candidates. This is the scale contract — the
+    * fixture's 0.4-threshold regime (no gap in the cosine continuum)
+    * cannot prune by geometry, structured corpora do. */
+  test("embed near-dup LSH(10,25) prunes structured corpora: zero FN, <10% candidates") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // 200 unrelated vectors + 20 near-identical pairs (tiny perturbation)
+    val base = (0 until 200).map(i => (i.toLong, unit().toSeq))
+    val dups = (0 until 20).flatMap { i =>
+      val b = base(i)._2.toArray
+      val noisy = b.map(_ + 0.02 * rnd.nextGaussian())
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      Seq((1000L + i, noisy.map(_ / n).toSeq))
+    }
+    val e = (base ++ dups).toDF("vec_id", "v")
+    val nTotal = base.size + dups.size
+    val allPairs = nTotal.toLong * (nTotal - 1) / 2
+
+    val cands = operators.Similarity.lshCandidates(e, bitsPerBand = 10, bands = 25)
+    val nCands = cands.count()
+    assert(nCands < allPairs / 10, s"LSH kept $nCands of $allPairs pairs — no pruning")
+
+    val found = operators.Similarity
+      .embedNearDupLsh(e, threshold = 0.9, bitsPerBand = 10, bands = 25)
+      .select("v1", "v2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expected = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    assert(expected.subsetOf(found), s"missed true near-dups: ${expected -- found}")
   }
 
   test("near-dup operators agree: minhash(0.6) ⊇ simhash(0.9) pairs") {
