@@ -22,9 +22,13 @@ import graft.Tables
   * the same candidates, so the DuckDB oracle (exact all-pairs Jaccard,
   * feasible at verification SF) checks the full output exactly.
   *
-  * At 100 TB the one extra guard needed is a bucket-size cap (a crawl's
-  * boilerplate text creates mega-buckets; cap + sample inside the bucket,
-  * or pre-dedup exactly). Noted here, not needed at fixture scale.
+  * At 100 TB the one extra guard is the bucket-size cap
+  * (SkewTools.dropHotKeys, applied before every band/block self-join
+  * here): a crawl's boilerplate text creates mega-buckets, and one
+  * uncapped bucket is a quadratic blowup. Fixture caps sit above the
+  * measured bucket maxima, so the oracle gates prove the guard is a
+  * no-op on honest data; DedupSkewSpec proves it bounds the join on a
+  * boilerplate-heavy corpus.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -32,6 +36,7 @@ object Dedup {
   private val NumHashes = 64
   private val Bands = 16
   private val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
+  private val BucketCap = 500 // >> max fixture bucket; the 100 TB guard
 
   /** (doc_id, h) distinct shingle-hash rows — whole-stage codegen via
     * TextOps.shingleRows + a top-level xxhash64. Input to both signature
@@ -88,9 +93,13 @@ object Dedup {
       val bandCols = (0 until Bands).map { b =>
         xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
       }
-      val bands = sig.select(
-        col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key"))
+      val bands = SkewTools.dropHotKeys(
+        sig.select(
+          col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key"))
+        ),
+        Seq("band_idx", "band_key"),
+        BucketCap
       )
       val cands = bands
         .as("x")
@@ -132,12 +141,16 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b))
           .as("sim")
       )
-      val blocks = packed.select(
-        col("doc_id"),
-        col("sim"),
-        posexplode(array((0 until 13).map(b =>
-          shiftrightunsigned(col("sim"), b * 5).bitwiseAND(lit(31L))): _*))
-          .as(Seq("blk_idx", "blk_key"))
+      val blocks = SkewTools.dropHotKeys(
+        packed.select(
+          col("doc_id"),
+          col("sim"),
+          posexplode(array((0 until 13).map(b =>
+            shiftrightunsigned(col("sim"), b * 5).bitwiseAND(lit(31L))): _*))
+            .as(Seq("blk_idx", "blk_key"))
+        ),
+        Seq("blk_idx", "blk_key"),
+        BucketCap * 4 // 5-bit blocks: only 32 key values per block index
       )
       val cands = blocks
         .as("x")

@@ -100,12 +100,20 @@ object Similarity {
     }
   }
 
-  /** LSH candidate pairs (v1 < v2) for `e` = (vec_id, v). */
-  def lshCandidates(e: DataFrame, bitsPerBand: Int, bands: Int): DataFrame = {
-    val keyed = e.select(
-      col("vec_id"),
-      posexplode(array(lshBandKeys(col("v"), bitsPerBand, bands): _*))
-        .as(Seq("band_idx", "band_key"))
+  /** LSH candidate pairs (v1 < v2) for `e` = (vec_id, v). Band buckets
+    * hotter than `cap` are dropped before the self-join
+    * (SkewTools.dropHotKeys — the quadratic-bucket guard; the default sits
+    * above every fixture bucket, DedupSkewSpec proves the bound). */
+  def lshCandidates(e: DataFrame, bitsPerBand: Int, bands: Int, cap: Int = 1000): DataFrame = {
+    graft.functions.GraftExtensions.register(e.sparkSession)
+    val keyed = SkewTools.dropHotKeys(
+      e.select(
+        col("vec_id"),
+        posexplode(array(lshBandKeys(col("v"), bitsPerBand, bands): _*))
+          .as(Seq("band_idx", "band_key"))
+      ),
+      Seq("band_idx", "band_key"),
+      cap
     )
     keyed
       .as("x")

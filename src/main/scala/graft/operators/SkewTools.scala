@@ -26,6 +26,33 @@ object SkewTools {
   def explodeSmall(df: DataFrame, buckets: Int): DataFrame =
     df.withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
 
+  /** Hot-bucket guard for candidate-generating self-joins (LSH bands,
+    * SimHash blocks, shingle/fingerprint inverted indexes): drop keys
+    * whose row frequency exceeds `cap` BEFORE the self-join, bounding any
+    * bucket's contribution to cap² pairs. A key shared by thousands of
+    * rows is boilerplate — it carries ~no discriminating signal, and at
+    * crawl scale one such mega-bucket alone is a quadratic blowup (the
+    * exact-dedup stage upstream of any near-dup cascade removes the
+    * identical-copy mass that creates most of them).
+    *
+    * Scale shape: one map-side-combined count per key, then a LEFT ANTI
+    * join against the hot set — which is broadcastable by construction
+    * (≤ N/cap keys can exceed cap). True near-dup pairs keep surfacing
+    * through their other, colder keys; the residual false-negative risk
+    * of a pair sharing ONLY hot keys is the documented trade every
+    * production LSH join makes. Fixture caps are set above the measured
+    * maxima (sf0.1: shingle doc-freq ≤ 25, band buckets ≤ ~300), so the
+    * oracle gates prove the guard is a no-op on honest data.
+    */
+  def dropHotKeys(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val hot = keyed
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__kfreq"))
+      .filter(col("__kfreq") > cap)
+      .select(keyCols.map(col): _*)
+    keyed.join(broadcast(hot), keyCols, "left_anti")
+  }
+
   /** Salted inner equi-join on `key` — semantically identical to the
     * unsalted join, with the hot key spread across `buckets` tasks. */
   def saltedJoin(

@@ -18,9 +18,10 @@ import graft.Tables
   *   partial agg; the canonical first stage of any dedup cascade.
   * - n-gram Jaccard: inverted-index self-join (explode distinct shingles,
   *   equi-join on shingle, count per pair). Never all-pairs: only pairs
-  *   sharing ≥1 shingle materialize. At 100 TB, hot shingles (stop-grams)
-  *   need a document-frequency cap before the join; the MinHash-LSH
-  *   variant in Dedup.scala is the sub-linear path.
+  *   sharing ≥1 shingle materialize, and stop-grams hotter than the
+  *   document-frequency cap are dropped before the join
+  *   (SkewTools.dropHotKeys — the 100 TB quadratic-bucket guard); the
+  *   MinHash-LSH variant in Dedup.scala is the sub-linear path.
   * - winnowing fingerprints: same inverted-index shape over 8-token
   *   window hashes.
   * - text stats / quality / lang-ID: plain scans + hash aggs; lang-ID is
@@ -77,13 +78,19 @@ object TextOps {
     },
 
     // Exact n-gram Jaccard near-dup via inverted-index join (no LSH —
-    // that's dedup_minhash_lsh): 3-gram shingle sets, J ≥ 0.5.
+    // that's dedup_minhash_lsh): 3-gram shingle sets, J ≥ 0.5. The
+    // inverted index drops stop-grams hotter than the cap before the
+    // self-join (sf0.1 max shingle doc-freq is 25, so the guard is a
+    // fixture no-op; at crawl scale it is what keeps the join linear in
+    // honest co-occurrence). Set sizes `n` come from the UNCAPPED
+    // shingle sets, so Jaccard denominators stay exact.
     "dedup_ngram_jaccard" -> { (spark, dir) =>
       val sh = shingleRows(Tables.documents(spark, dir), 3)
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh
+      val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
+      val pairs = idx
         .as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("c"))
       pairs
@@ -105,8 +112,12 @@ object TextOps {
     // and to shuffle-join than a 32-char digest; the oracle joins the raw
     // window strings, which is the same equivalence relation.
     "dedup_fingerprint" -> { (spark, dir) =>
-      val fp = shingleRows(Tables.documents(spark, dir), 8)
-        .select(col("doc_id"), xxhash64(col("s")).as("fp"))
+      val fp = SkewTools.dropHotKeys(
+        shingleRows(Tables.documents(spark, dir), 8)
+          .select(col("doc_id"), xxhash64(col("s")).as("fp")),
+        Seq("fp"),
+        500
+      )
       fp.as("a")
         .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
