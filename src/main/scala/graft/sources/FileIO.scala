@@ -59,6 +59,65 @@ object FileIO {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // NESTED-type ORC round trip — the declared extension over the
+    // reference's flat-only writer (RowOrcWriter.java:107-108 throws on
+    // non-scalar types; SURVEY §1.4 "we ADD: ArrayType, MapType, nested
+    // StructType"): write array<float>, map<string,string>, and a
+    // doubly-nested struct (struct containing a struct AND the array)
+    // through the partitioned zlib ORC sink, re-read with a
+    // partition-pruning filter, and aggregate every nested field back to
+    // scalars the DuckDB oracle reproduces from the ORIGINAL parquet — a
+    // pass proves byte-level fidelity of each nested encoder/decoder pair.
+    "orc_nested_roundtrip" -> { (spark, dir) =>
+      val p = out(dir, "embeddings_nested_orc")
+      Tables
+        .embeddings(spark, dir)
+        .select(
+          col("vec_id"),
+          col("label"),
+          col("embedding"),
+          map(
+            lit("lbl"), col("label").cast("string"),
+            lit("id"), col("vec_id").cast("string")
+          ).as("props"),
+          struct(
+            col("vec_id").as("id"),
+            struct(col("label").as("l"), size(col("embedding")).as("dim")).as("meta"),
+            col("embedding").as("vec")
+          ).as("rec")
+        )
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("compression", "zlib")
+        .partitionBy("label")
+        .orc(p)
+      spark.read
+        .orc(p)
+        .filter(col("label") <= 7) // prunes partition dirs
+        .select(
+          col("label"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          element_at(col("rec.vec"), 2).cast("double").as("e2"),
+          col("rec.id").as("rid"),
+          col("rec.meta.dim").as("dim"),
+          when(
+            element_at(col("props"), "id") === col("vec_id").cast("string") &&
+              element_at(col("props"), "lbl") === col("rec.meta.l").cast("string"),
+            1L
+          ).otherwise(0L).as("map_ok")
+        )
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          davg(col("e1")).as("avg_e1"),   // array<float> through ORC
+          davg(col("e2")).as("avg_e2"),   // array nested INSIDE the struct
+          sum(col("rid")).as("sum_id"),   // struct field
+          max(col("dim")).as("dim"),      // struct-in-struct field
+          sum(col("map_ok")).as("n_map_ok") // map<string,string> lookups
+        )
+        .orderBy(col("label"))
+    },
+
     // CSV sink + schema-driven CSV scan (reference R2 generalized: its
     // demo pipeline parses CSV lines into typed rows,
     // OrcSinkTest.java:32-36). Round trip covers string/long/double/
@@ -130,6 +189,15 @@ object FileIO {
          |FROM lineitem WHERE l_returnflag <> 'N'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "orc_nested_roundtrip" ->
+      s"""SELECT label, COUNT(*) AS n,
+         |  (${sqlSum("embedding[1]::DOUBLE")} / COUNT(*)) AS avg_e1,
+         |  (${sqlSum("embedding[2]::DOUBLE")} / COUNT(*)) AS avg_e2,
+         |  CAST(SUM(vec_id) AS BIGINT) AS sum_id,
+         |  CAST(MAX(len(embedding)) AS INT) AS dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n_map_ok
+         |FROM embeddings WHERE label <= 7
+         |GROUP BY label ORDER BY label""".stripMargin,
     "csv_scan_roundtrip" ->
       s"""SELECT o_orderstatus, ${sqlSum("o_totalprice")} AS sum_price,
          |  MAX(o_orderdate) AS max_date, COUNT(*) AS n

@@ -20,13 +20,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
   }
 
-  test("every query has an oracle, except the declared approximate set") {
-    // Operators approximate by construction get the driver's weaker
-    // rows-only check; keep that set explicit so new queries can't
-    // silently ship unchecked.
-    val approximateByDesign = Set("sim_ann_ivf")
+  test("every query has an oracle — no unchecked queries") {
+    // Approximate operators are hash-checked through declared bounds
+    // (constant-TRUE oracles: sim_ann_ivf's recall bound,
+    // agg_approx_distinct's ±5% bound), so EVERY query must carry one;
+    // a new query can't silently ship with only the rows-only check.
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unchecked === approximateByDesign, s"queries with no oracle: $unchecked")
+    assert(unchecked.isEmpty, s"queries with no oracle: $unchecked")
   }
 
   test("entry returns rows") {
