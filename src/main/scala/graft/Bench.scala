@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main. One warmup pass absorbs JVM/codegen warmup, then the
-  * timed pass is reported (round-1 numbers were dominated by whichever
-  * queries ran first). The JSON line goes to stdout AND to a file
+/** Benchmark main. One warmup pass absorbs JVM/codegen warmup, then each
+  * query is timed MEDIAN-OF-3 (three consecutive runs — the round-2
+  * verdict flagged sub-2s run-to-run swings as unresolved; the median
+  * settles scheduling/GC noise, and per-query spread is reported so
+  * variance stays visible). The JSON line goes to stdout AND to a file
   * (`SPARK_GRAFT_BENCH_OUT`, default tmp/bench_out.json) so the driver can
   * parse it even when sbt log noise pollutes stdout. Failures print to
   * stderr and report -1 for that query instead of being swallowed.
@@ -32,11 +34,16 @@ object Bench {
       }
     }
     names.foreach(once) // warmup pass (JIT + codegen + FS cache)
-    val results = names.map(n => n -> once(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val runs = names.map(n => n -> Seq.fill(3)(once(n)))
+    val results = runs.map { case (k, ts) =>
+      val ok = ts.filter(_ >= 0)
+      (k, if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2), if (ok.isEmpty) 0.0 else ok.max - ok.min)
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":3,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/tmp/bench_out.json")
     try {
       val p = Paths.get(out)

@@ -116,11 +116,15 @@ object CosineSimilarity {
   * `GraftExtensions.register(spark)` for an existing session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.signBandKeysDescriptor)
+  }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
   private val cosineDescriptor = (
     FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -130,8 +134,30 @@ object GraftExtensions {
     }
   )
 
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"graft_sign_band_keys: $what must be an int literal, got $other")
+  }
+
+  private val signBandKeysDescriptor = (
+    FunctionIdentifier("graft_sign_band_keys"),
+    new ExpressionInfo(classOf[SignBandKeys].getName, "graft_sign_band_keys"),
+    (children: Seq[Expression]) => {
+      require(children.length == 4, "graft_sign_band_keys expects (vector, bitsPerBand, bands, seed)")
+      val seed = children(3) match {
+        case Literal(v: Long, _) => v
+        case Literal(v: Int, _)  => v.toLong
+        case other => throw new IllegalArgumentException(s"graft_sign_band_keys: seed must be a literal, got $other")
+      }
+      SignBandKeys(children.head, intArg(children(1), "bitsPerBand"), intArg(children(2), "bands"), seed)
+    }
+  )
+
   /** Late registration on a live session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      signBandKeysDescriptor._1, signBandKeysDescriptor._2, signBandKeysDescriptor._3)
+  }
 }

@@ -74,47 +74,40 @@ object Similarity {
   }
 
   // --- sign-LSH (random hyperplane) candidate generation ----------------
-  // 256 deterministic Gaussian hyperplanes (seeded — same family every
+  // Deterministic Gaussian hyperplanes (fixed seed — same family every
   // run, so candidates are a pure function of the data and the all-pairs
   // DuckDB oracle can require zero false negatives, the same contract
-  // dedup_minhash_lsh meets). A signature bit is the sign of v·h, read
-  // off the NATIVE codegen cosine against the literal hyperplane (sign of
-  // cosine == sign of dot; norms are positive); bits pack into per-band
-  // long keys, candidates come from an equi-join on (band, key) — the
-  // shuffle-bounded shape, never a broadcast nested loop.
-  private val lshPlanes: Array[Seq[Double]] = {
-    val rnd = new scala.util.Random(9001)
-    Array.fill(256)(Seq.fill(Dim)(rnd.nextGaussian()))
-  }
+  // dedup_minhash_lsh meets). The whole signature — every band's packed
+  // sign-bit key — comes from ONE native expression
+  // (graft.functions.SignBandKeys): a small codegen'd triple loop over a
+  // referenced plane matrix, instead of bands×bits composed cosine calls
+  // whose generated code dominated janino compile time (measured: the
+  // composed form spent ~4 s per plan branch compiling at sf0.1).
+  private val LshSeed = 9001L
 
-  /** Per-band packed sign-bit keys for vector column `v`. */
-  private def lshBandKeys(v: Column, bitsPerBand: Int, bands: Int): Seq[Column] = {
-    require(bitsPerBand * bands <= lshPlanes.length)
-    (0 until bands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        when(
-          graft.functions.CosineSimilarity.column(v, typedLit(lshPlanes(b * bitsPerBand + i))) > 0,
-          lit(1L << i)
-        ).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    }
-  }
-
-  /** LSH candidate pairs (v1 < v2) for `e` = (vec_id, v). Band buckets
-    * hotter than `cap` are dropped before the self-join
-    * (SkewTools.dropHotKeys — the quadratic-bucket guard; the default sits
-    * above every fixture bucket, DedupSkewSpec proves the bound). */
-  def lshCandidates(e: DataFrame, bitsPerBand: Int, bands: Int, cap: Int = 1000): DataFrame = {
+  /** Exploded (vec_id, band_idx, band_key) rows with buckets hotter than
+    * `cap` dropped (SkewTools.dropHotKeys — the quadratic-bucket guard;
+    * defaults sit above every fixture bucket, DedupSkewSpec proves the
+    * bound). */
+  private def lshKeyed(e: DataFrame, bitsPerBand: Int, bands: Int, cap: Int): DataFrame = {
     graft.functions.GraftExtensions.register(e.sparkSession)
-    val keyed = SkewTools.dropHotKeys(
+    SkewTools.dropHotKeys(
       e.select(
         col("vec_id"),
-        posexplode(array(lshBandKeys(col("v"), bitsPerBand, bands): _*))
+        posexplode(graft.functions.SignBandKeys.keysColumn(col("v"), bitsPerBand, bands, LshSeed))
           .as(Seq("band_idx", "band_key"))
       ),
       Seq("band_idx", "band_key"),
       cap
     )
+  }
+
+  /** LSH candidate pairs (v1 < v2) for `e` = (vec_id, v): equi-join on
+    * (band, key) — the shuffle-bounded shape, never a broadcast nested
+    * loop — then distinct over the id pairs (ids only: ~24 bytes per row
+    * through the shuffle; vectors stay out of the band join entirely). */
+  def lshCandidates(e: DataFrame, bitsPerBand: Int, bands: Int, cap: Int = 1000): DataFrame = {
+    val keyed = lshKeyed(e, bitsPerBand, bands, cap)
     keyed
       .as("x")
       .join(
@@ -127,18 +120,23 @@ object Similarity {
   }
 
   /** Embedding near-dup via sign-LSH banding + exact cosine verification
-    * of candidates only: signature (pure map) → band keys → equi-join →
-    * verify. False positives cost compute, never correctness; false
-    * negatives are driven out by the band parameters and pinned by the
-    * all-pairs oracle. Returns (v1, v2, cos ≥ threshold).
+    * of candidates only: signature (pure map) → band-key equi-join over
+    * id-only rows → distinct candidate pairs → vectors joined back onto
+    * the deduped candidates (planner picks broadcast when the corpus
+    * fits; at 100 TB this is the id-pairs-then-bucketed-fetch shape) →
+    * exact cosine ≥ threshold. False positives cost compute, never
+    * correctness; false negatives are driven out by the band parameters
+    * and pinned by the all-pairs oracle. Returns (v1, v2, cos).
     */
   def embedNearDupLsh(
       e: DataFrame,
       threshold: Double,
       bitsPerBand: Int,
-      bands: Int
-  ): DataFrame =
-    lshCandidates(e, bitsPerBand, bands)
+      bands: Int,
+      cap: Int = 1000
+  ): DataFrame = {
+    graft.functions.GraftExtensions.register(e.sparkSession)
+    lshCandidates(e, bitsPerBand, bands, cap)
       .join(e.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
       .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
       .select(
@@ -147,6 +145,7 @@ object Similarity {
         graft.functions.CosineSimilarity.column(col("va"), col("vb")).as("cos")
       )
       .filter(col("cos") >= threshold)
+  }
 
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-5 for probe vectors vec_id < 5, scored
