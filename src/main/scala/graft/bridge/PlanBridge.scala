@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Wrap a constructed LogicalPlan (e.g. a graft.plans.SimilarityJoin
+  * node) in a DataFrame — the one internal seam a custom logical operator
+  * needs (Spark's own `Dataset.ofRows` is `private[sql]`, so this bridge
+  * lives under the org.apache.spark.sql namespace; extension libraries
+  * that add logical nodes — Delta, Iceberg, Sedona — cross the same seam
+  * the same way). */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan
+    )
+}

@@ -119,6 +119,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.signBandKeysDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
 
@@ -153,11 +154,17 @@ object GraftExtensions {
     }
   )
 
-  /** Late registration on a live session (tests, REPL). */
+  /** Late registration on a live session (tests, REPL): functions into
+    * the registry, the SimilarityJoin lowering into the public
+    * `experimental.extraOptimizations` hook (idempotent — analyzer rules
+    * can't be added to a built session, optimizer rules can). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       signBandKeysDescriptor._1, signBandKeysDescriptor._2, signBandKeysDescriptor._3)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ExpandSimilarityJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ExpandSimilarityJoin
   }
 }

@@ -99,6 +99,11 @@ case class SignBandKeys(child: Expression, bitsPerBand: Int, bands: Int, seed: L
 object SignBandKeys {
   private val Dim = 64
 
+  /** The engine-wide hyperplane family seed (shared by the Similarity
+    * operators and the SimilarityJoin logical node, so their candidates
+    * agree). */
+  val DefaultSeed = 9001L
+
   /** Deterministic Gaussian hyperplanes (seeded java.util.Random — the
     * nextGaussian algorithm is specified, so the family is identical on
     * every JVM). */

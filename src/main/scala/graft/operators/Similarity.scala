@@ -196,6 +196,23 @@ object Similarity {
         .orderBy(col("label"))
     },
 
+    // The SIMILARITY JOIN engine feature (graft.plans.SimilarityJoin):
+    // the same near-dup semantics as dedup_embed_cosine, but expressed
+    // through the first-class logical node that the optimizer lowers to
+    // the banded plan — proving a user can write `similarityJoin(l, r,
+    // t)` and get the scale-safe shape without hand-building it. Same
+    // all-pairs oracle ⇒ same zero-false-negative contract.
+    "sim_join_node" -> { (spark, dir) =>
+      val e = corpus(spark, dir)
+      val l = e.select(col("vec_id").as("v1"), col("v").as("lv"))
+      val r = e.select(col("vec_id").as("v2"), col("v").as("rv"))
+      graft.plans.SimilarityJoinOps
+        .similarityJoin(l, "lv", r, "rv", threshold = 0.4, bitsPerBand = 4, bands = 64)
+        .filter(col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), col("cos"))
+        .orderBy(col("v1"), col("v2"))
+    },
+
     // IVF approximate nearest neighbor over a TRAINED codebook: sampled
     // k-means (IvfIndex.train — deterministic seeds + quantized Lloyd),
     // probe the 3 nearest of 10 centroids per query, exact cosine inside
@@ -259,6 +276,17 @@ object Similarity {
          |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
     "dedup_embed_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
+         |)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
+         |ORDER BY v1, v2""".stripMargin,
+    "sim_join_node" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |), n AS (
