@@ -102,6 +102,68 @@ object IvfIndex {
     } finally sample.unpersist()
   }
 
+  /** Materialize the index: the corpus written PARTITIONED BY cluster id
+    * (Hive-style `cl=<k>/` dirs). This is the 100 TB layout the codebook
+    * exists for — a probe touches `nProbe` partition directories instead
+    * of the full table; everything else (ingest-time assignment cost,
+    * file counts bounded by k × tasks) is the standard partitioned-write
+    * trade. */
+  def writeIndexed(corpus: DataFrame, model: Model, path: String): Unit =
+    corpus
+      .withColumn("cl", assignExpr(model, col("v")))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cl")
+      .parquet(path)
+
+  /** Search a materialized index: the probed cluster ids (a metadata-
+    * scale driver-side set, like the centroids themselves) become an
+    * `IN` filter on the partition column, so the scan PRUNES to nProbe
+    * directories at planning time — visible as PartitionFilters in
+    * explain, and the property IvfIndexLayoutSpec pins. Returns
+    * (q_id, rnk, vec_id, cos), identical to [[search]] on the same
+    * corpus+model. */
+  def searchIndexed(
+      indexPath: String,
+      probes: DataFrame,
+      model: Model,
+      nProbe: Int,
+      topK: Int
+  ): DataFrame = {
+    val spark = probes.sparkSession
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+
+    val centDf = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toSeq
+      .toDF("cl", "cv")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cl").asc)
+    val probed = probes
+      .crossJoin(broadcast(centDf))
+      .withColumn("d", -CosineSimilarity.column(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cl"))
+
+    // Q × nProbe cluster ids — metadata-scale, safe to collect for the
+    // planning-time partition filter (same class of driver-side state as
+    // the k×dim codebook).
+    val probedClusters = probed.select(col("cl")).distinct().as[Int].collect().toSeq
+
+    val assigned = spark.read
+      .parquet(indexPath)
+      .filter(col("cl").isin(probedClusters: _*))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(probed), Seq("cl"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", CosineSimilarity.column(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
   /** Exact top-K cosine search restricted to the `nProbe` clusters whose
     * centroids are nearest each query. `corpus` = (vec_id, v),
     * `probes` = (q_id, qv). Returns (q_id, rnk, vec_id, cos). */

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IvfIndex
+
+/** The materialized IVF layout: corpus written partitioned by cluster id,
+  * probes read back through a planning-time partition filter. Pins the
+  * two properties that make IVF an index rather than a scan:
+  * (1) searchIndexed ≡ in-memory search on the same corpus+model, and
+  * (2) the parquet scan PRUNES to the probed partitions (nProbe dirs of
+  * k — at 100 TB, the difference between reading 30% and 100% of the
+  * table).
+  */
+class IvfIndexLayoutSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("indexed search ≡ in-memory search, and the scan prunes to the probed partitions") {
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val model = IvfIndex.train(e, k = 10, iters = 3)
+    val path = s"/root/repo/tmp/graft_io/ivf_index_spec"
+    IvfIndex.writeIndexed(e, model, path)
+
+    val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val indexed = IvfIndex.searchIndexed(path, probes, model, nProbe = 3, topK = 5)
+    val inMem = IvfIndex.search(e, probes, model, nProbe = 3, topK = 5)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rnk", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(key(indexed) === key(inMem))
+
+    // the scan must carry a partition filter on cl and read < k partitions
+    def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = p.collect(pf)
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case q: QueryStageExec        => q.plan
+      }
+      here ++ nested.flatMap(collectAll(_)(pf))
+    }
+    val scans = collectAll(indexed.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("ivf_index_spec")) => s
+    }
+    assert(scans.nonEmpty, "no parquet scan found for the index read")
+    val s = scans.head
+    assert(s.partitionFilters.nonEmpty, "index scan has no planning-time partition filter")
+    val selected = s.selectedPartitions.partitionCount
+    // 5 probes × 3 clusters can touch at most 15 distinct ids, but k=10;
+    // the pruning contract is: strictly fewer than all populated dirs
+    // unless every cluster is genuinely probed
+    val populated = new java.io.File(path).listFiles().count(_.getName.startsWith("cl="))
+    assert(selected < populated || populated <= 3,
+      s"scan read all $populated partitions — no pruning (selected=$selected)")
+  }
+}
