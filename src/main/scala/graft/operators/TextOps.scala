@@ -213,6 +213,92 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic train/holdout split — the reproducible-sampling
+    // primitive every training pipeline needs: membership is a pure
+    // function of the KEY (first md5 byte < 0x0d ⇒ holdout, ~5.1%), so
+    // the split is stable across runs, engines, and repartitioning;
+    // no RNG state, no sample() nondeterminism. Pure map + hash agg.
+    "split_train_holdout" -> { (spark, dir) =>
+      val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("lang"),
+          when(bucket < "0d", "holdout").otherwise("train").as("split"),
+          size(toks(col("text"))).cast("long").as("nt")
+        )
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("sum_tokens"))
+        .orderBy(col("lang"), col("split"))
+    },
+
+    // Token-budget selection: per language, keep the longest documents
+    // until a token budget is exhausted (greedy by n_chars desc, doc_id
+    // tiebreak) — the "fill the training mix to N tokens per language"
+    // operation. The running sum is a per-lang window (partitioned —
+    // never a global single-partition window), budget check INCLUSIVE of
+    // the document that crosses the line.
+    "select_token_budget" -> { (spark, dir) =>
+      val budget = 10000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), size(toks(col("text"))).cast("long").as("nt"))
+        .withColumn("cum_tokens", sum(col("nt")).over(w))
+        .filter(col("cum_tokens") - col("nt") < budget) // doc crossing the budget is kept
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_selected"),
+          sum(col("nt")).cast("long").as("tokens_selected"),
+          min(col("n_chars")).as("min_chars_kept")
+        )
+        .orderBy(col("lang"))
+    },
+
+    // The dedup CASCADE a real pipeline runs (cheap → expensive): exact
+    // dedup keeps the lowest doc_id per normalized text, then n-gram
+    // Jaccard near-dup (J ≥ 0.5, capped inverted index) removes the
+    // higher doc_id of each surviving near-dup pair. Per-lang survivor
+    // counts at each stage make the whole cascade one hash-checkable row
+    // set.
+    "dedup_cascade" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val exactSurvivors = d
+        .withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(lower(trim(col("text")))))
+            .orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val sh = shingleRows(exactSurvivors, 3)
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
+      val nearDupLosers = idx
+        .as("a")
+        .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+        .filter(col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c")) >= 0.5)
+        .select(col("d2").as("loser"))
+        .distinct()
+      val finalSurvivors = exactSurvivors
+        .join(nearDupLosers, col("doc_id") === col("loser"), "left_anti")
+      d.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+        .join(
+          exactSurvivors.groupBy(col("lang")).agg(count(lit(1)).as("n_after_exact")),
+          "lang")
+        .join(
+          finalSurvivors.groupBy(col("lang")).agg(count(lit(1)).as("n_after_near")),
+          "lang")
+        .orderBy(col("lang"))
+    },
+
     // Opaque-binary payload handling (multimodal posture): text → utf-8
     // bytes as a BinaryType column with typed metadata; readers see
     // byte length + content hash without decoding. The same schema shape
@@ -269,6 +355,48 @@ object TextOps {
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY d1, d2""".stripMargin,
+    "split_train_holdout" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR),1,2) < '0d' THEN 'holdout' ELSE 'train' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "select_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars, len(string_split(text,' ')) AS nt,
+        |    SUM(len(string_split(text,' '))) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_selected,
+        |  CAST(SUM(nt) AS BIGINT) AS tokens_selected,
+        |  MIN(n_chars) AS min_chars_kept
+        |FROM t WHERE cum - nt < 10000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_cascade" ->
+      s"""WITH ex AS (
+         |  SELECT * FROM (
+         |    SELECT d.*, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+         |    FROM documents d) WHERE rn = 1
+         |), sh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM ex)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (
+         |  SELECT DISTINCT d2 AS loser FROM pairs
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+         |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT loser FROM losers))
+         |SELECT r.lang, r.n_raw, e.n_after_exact, f.n_after_near
+         |FROM (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang) r
+         |JOIN (SELECT lang, COUNT(*) AS n_after_exact FROM ex GROUP BY lang) e USING (lang)
+         |JOIN (SELECT lang, COUNT(*) AS n_after_near FROM fin GROUP BY lang) f USING (lang)
+         |ORDER BY lang""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
