@@ -207,7 +207,7 @@ object Similarity {
       val l = e.select(col("vec_id").as("v1"), col("v").as("lv"))
       val r = e.select(col("vec_id").as("v2"), col("v").as("rv"))
       graft.plans.SimilarityJoinOps
-        .similarityJoin(l, "lv", r, "rv", threshold = 0.4, bitsPerBand = 4, bands = 64)
+        .similarityJoin(l, "v1", "lv", r, "v2", "rv", threshold = 0.4, bitsPerBand = 4, bands = 64)
         .filter(col("v1") < col("v2"))
         .select(col("v1"), col("v2"), col("cos"))
         .orderBy(col("v1"), col("v2"))

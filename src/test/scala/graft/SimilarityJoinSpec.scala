@@ -27,7 +27,7 @@ class SimilarityJoinSpec extends AnyFunSuite {
     val l = corpus.select(col("vec_id").as("lid"), col("v").as("lv"))
     val r = corpus.select(col("vec_id").as("rid"), col("v").as("rv"))
     val sj = SimilarityJoinOps
-      .similarityJoin(l, "lv", r, "rv", threshold = 0.4, bitsPerBand = 4, bands = 64)
+      .similarityJoin(l, "lid", "lv", r, "rid", "rv", threshold = 0.4, bitsPerBand = 4, bands = 64)
       .filter(col("lid") < col("rid"))
       .select(col("lid"), col("rid"))
     val got = sj.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
@@ -53,7 +53,7 @@ class SimilarityJoinSpec extends AnyFunSuite {
   test("the lowered plan is a banded equi-join: no nested-loop or cartesian, generators present") {
     val l = corpus.select(col("vec_id").as("lid"), col("v").as("lv"))
     val r = corpus.select(col("vec_id").as("rid"), col("v").as("rv"))
-    val df = SimilarityJoinOps.similarityJoin(l, "lv", r, "rv", threshold = 0.9)
+    val df = SimilarityJoinOps.similarityJoin(l, "lid", "lv", r, "rid", "rv", threshold = 0.9)
     val plan = df.queryExecution.executedPlan
     def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
         pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
@@ -80,7 +80,7 @@ class SimilarityJoinSpec extends AnyFunSuite {
   test("self-join on shared lineage resolves (right side re-aliased)") {
     val e = corpus
     val out = SimilarityJoinOps
-      .similarityJoin(e, "v", e, "v", threshold = 0.4, bitsPerBand = 4, bands = 64)
+      .similarityJoin(e, "vec_id", "v", e, "vec_id", "v", threshold = 0.4, bitsPerBand = 4, bands = 64)
     // 2 columns per side (vec_id, v) + cos
     assert(out.columns.length === 5)
     // every vector matches itself at cos 1.0 → at least N rows
@@ -90,10 +90,10 @@ class SimilarityJoinSpec extends AnyFunSuite {
   test("vector-column validation rejects wrong names and types") {
     val e = corpus
     intercept[IllegalArgumentException] {
-      SimilarityJoinOps.similarityJoin(e, "nope", e, "v", 0.5)
+      SimilarityJoinOps.similarityJoin(e, "vec_id", "nope", e, "vec_id", "v", 0.5)
     }
     intercept[IllegalArgumentException] {
-      SimilarityJoinOps.similarityJoin(e, "vec_id", e, "v", 0.5)
+      SimilarityJoinOps.similarityJoin(e, "vec_id", "vec_id", e, "vec_id", "v", 0.5)
     }
   }
 }
