@@ -90,6 +90,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("no declared query plans an unpartitioned data-path window") {
+    // Window.orderBy with no partition key funnels the whole table into
+    // one task — the round-1 scale-killer, pinned fleet-wide: the only
+    // allowed empty-partition windows are DistributedRank's cumulative
+    // offsets over per-partition counts (metadata-scale by construction).
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val globals = collectAll(executed(name)) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      val bad = globals.filterNot { w =>
+        w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+              if a.groupingExpressions.exists(_.toString.contains("__pid")) => a
+        }.isDefined
+      }
+      if (bad.nonEmpty) Some(s"$name(${bad.size})") else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned data-path windows in: $offenders")
+  }
+
   test("whole-stage codegen spans cover the hot aggregation path") {
     // Under AQE the plan-tree API surfaces the unwrapped stage plans, so
     // audit codegen on a non-adaptive clone of the session (same query,
