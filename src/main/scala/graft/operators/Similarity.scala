@@ -196,6 +196,32 @@ object Similarity {
         .orderBy(col("label"))
     },
 
+    // Cross-modal join: the text table and its embedding table meet on
+    // the shared id — the shape every multimodal pipeline runs (captions
+    // ⋈ image embeddings, docs ⋈ text embeddings). Per (lang, label):
+    // counts, quantized embedding-norm mass, token mass. At 100 TB both
+    // sides are large → a plain sort-merge on the id (both tables would
+    // be bucketed by id in the lakehouse layout); AQE picks broadcast
+    // when one side is small, as at fixture scale.
+    "mm_doc_embed_join" -> { (spark, dir) =>
+      import graft.util.Exact._
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      val e = Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("norm", sqrt(qdot(col("v"), col("v"))))
+      d.join(e, col("doc_id") === col("vec_id"))
+        .groupBy(col("lang"), col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("norm")).as("sum_norm"),
+          sum(col("nt")).cast("long").as("sum_tokens")
+        )
+        .orderBy(col("lang"), col("label"))
+    },
+
     // The SIMILARITY JOIN engine feature (graft.plans.SimilarityJoin):
     // the same near-dup semantics as dedup_embed_cosine, but expressed
     // through the first-class logical node that the optimizer lowers to
@@ -286,6 +312,17 @@ object Similarity {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
          |ORDER BY v1, v2""".stripMargin,
+    "mm_doc_embed_join" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, sqrt(${duckQdot("v", "v")}) AS norm FROM e
+         |)
+         |SELECT d.lang, n.label, COUNT(*) AS n,
+         |  (SUM(FLOOR(n.norm * 10000.0 + 0.5)) / 10000.0) AS sum_norm,
+         |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS sum_tokens
+         |FROM documents d JOIN n ON d.doc_id = n.vec_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sim_join_node" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -40,6 +40,41 @@ class StreamSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains all pending input then stops on its own") {
+    // The batch-drain trigger a scheduled ingest job uses: process
+    // everything present (respecting maxFilesPerTrigger batching), commit
+    // the checkpoint, terminate — no manual stop, no long-lived query.
+    val dir = Files.createTempDirectory("graft_availnow").toString
+    val ckpt = Files.createTempDirectory("graft_availnow_ckpt").toString
+    val out = Files.createTempDirectory("graft_availnow_out").toString
+    val d = spark.range(0, 60).withColumn("tag", lit("x"))
+    d.coalesce(2).write.mode("append").parquet(dir)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 60)
+    // a second AvailableNow run from the same checkpoint sees nothing new
+    drain()
+    assert(spark.read.parquet(out).count() === 60, "restart from checkpoint re-processed input")
+    // new input lands → a third run picks up exactly the delta
+    spark.range(100, 120).withColumn("tag", lit("y")).coalesce(1).write.mode("append").parquet(dir)
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 80)
+    assert(got.select(countDistinct(col("id"))).head().getLong(0) === 80)
+  }
+
   test("file stream source tails a directory of parquet files exactly once") {
     val dir = Files.createTempDirectory("graft_filesrc").toString
     val sink = "filesrc_sink"
