@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate PAIRS — the collapse step a
+  * dedup pipeline runs after candidate verification: pairwise matches
+  * (a,b),(b,c) must become ONE cluster {a,b,c} with one kept
+  * representative, or transitive duplicates survive pairwise removal.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with itself; each round every node takes the min of its own
+  * label and its neighbors' labels; converged when a round changes
+  * nothing. Each round is two shuffles (join + agg) over the EDGE list
+  * — never an all-pairs structure — and the driver only coordinates the
+  * loop on a metadata-scale changed-count, exactly how GraphX/MLlib
+  * drive iterative algorithms. `localCheckpoint` truncates lineage per
+  * round so plans stay flat.
+  *
+  * Scale posture: rounds needed = graph diameter. Near-dup clusters are
+  * quasi-cliques (every member pairs with most others), so diameter is
+  * 1-3 in practice; the pathological long-chain case is what the
+  * large-star/small-star rewrite (Kiveris et al.) optimizes, and this
+  * implementation is the plain-propagation base it would drop into. The
+  * iteration cap turns a pathological input into an explicit error, not
+  * a hung job.
+  */
+object DedupClusters {
+
+  /** Cluster assignment for every node appearing in `pairs` (d1, d2):
+    * returns (doc_id, rep) where rep = min doc_id of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val candidates = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"))
+        .agg(min(col("lbl")).as("cand"))
+      val next = labels
+        .join(candidates, labels("node") === candidates("dst"), "left")
+        .select(
+          col("node"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
+          (col("cand").isNotNull && col("cand") < col("lbl")).as("moved")
+        )
+        .localCheckpoint()
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("lbl").as("rep"))
+  }
+
+  /** Per-cluster summary: (rep, n_members), members ≥ 2 by construction
+    * (only nodes that appear in a pair are clustered). */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponents(pairs, maxIter)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"))
+}

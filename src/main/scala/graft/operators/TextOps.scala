@@ -64,6 +64,28 @@ object TextOps {
       .dropDuplicates("doc_id", "s")
   }
 
+  /** Exact n-gram Jaccard pairs (d1 < d2, jaccard ≥ threshold) over any
+    * (doc_id, text) frame via the capped inverted-index join — shared by
+    * dedup_ngram_jaccard, dedup_cascade, and dedup_clusters. */
+  private[operators] def ngramJaccardPairs(d: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(d, k)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
+    idx
+      .as("a")
+      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(
+        col("d1"),
+        col("d2"),
+        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: md5 of normalized text → keep lowest doc_id per group.
     // (sf0.1 has true exact duplicates; smaller SFs degenerate to
@@ -85,24 +107,19 @@ object TextOps {
     // honest co-occurrence). Set sizes `n` come from the UNCAPPED
     // shingle sets, so Jaccard denominators stay exact.
     "dedup_ngram_jaccard" -> { (spark, dir) =>
-      val sh = shingleRows(Tables.documents(spark, dir), 3)
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
-      val pairs = idx
-        .as("a")
-        .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("c"))
-      pairs
-        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(
-          col("d1"),
-          col("d2"),
-          (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard")
-        )
-        .filter(col("jaccard") >= 0.5)
+      ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5)
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // Connected components over the near-dup pairs — the collapse step
+    // after pairwise verification: (a,b),(b,c) become one cluster with
+    // one representative, or transitive duplicates survive pairwise
+    // removal. Iterative min-label propagation (DedupClusters); the
+    // oracle recomputes components with a recursive CTE.
+    "dedup_clusters" -> { (spark, dir) =>
+      DedupClusters
+        .clusters(ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5).select(col("d1"), col("d2")))
+        .orderBy(col("rep"))
     },
 
     // Winnowing-style fingerprinting: hash of each 8-token rolling
@@ -274,17 +291,7 @@ object TextOps {
             .orderBy(col("doc_id"))))
         .filter(col("rn") === 1)
         .drop("rn")
-      val sh = shingleRows(exactSurvivors, 3)
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
-      val nearDupLosers = idx
-        .as("a")
-        .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("c"))
-        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-        .filter(col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c")) >= 0.5)
+      val nearDupLosers = ngramJaccardPairs(exactSurvivors, 3, 0.5)
         .select(col("d2").as("loser"))
         .distinct()
       val finalSurvivors = exactSurvivors
@@ -346,6 +353,31 @@ object TextOps {
          |FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
          |WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+    // Components via recursive reachability (min over reachable nodes =
+    // the component representative) — an independent formulation of what
+    // the engine computes iteratively.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs0 AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM pairs0
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(n, m) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)
+         |SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
     "dedup_fingerprint" ->
       s"""WITH fp AS (
          |  SELECT doc_id, unnest(${duckShingles(8)}) AS fp

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DedupClusters
+
+/** Min-label propagation connected components: transitive chains
+  * collapse to one cluster, disjoint families stay apart, and a long
+  * path (worst-case diameter) still converges.
+  */
+class DedupClustersSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    DedupClusters
+      .connectedComponents(pairs.toDF("d1", "d2"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("transitive chain collapses to one cluster; disjoint family stays apart") {
+    val got = comps(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(10L) === 10L && got(11L) === 10L)
+  }
+
+  test("two clusters bridged by one pair merge") {
+    val got = comps(Seq((1L, 2L), (3L, 4L), (2L, 3L)))
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("long path (diameter 19) converges under the iteration cap") {
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val got = comps(chain)
+    assert(got.values.toSet === Set(1L))
+    assert(got.size === 20)
+  }
+
+  test("clusters summary counts members per representative") {
+    val s = spark
+    import s.implicits._
+    val out = DedupClusters
+      .clusters(Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out === Map(1L -> 3L, 10L -> 2L))
+  }
+}
