@@ -37,7 +37,10 @@ object Bench {
     val runs = names.map(n => n -> Seq.fill(3)(once(n)))
     val results = runs.map { case (k, ts) =>
       val ok = ts.filter(_ >= 0)
-      (k, if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2), if (ok.isEmpty) 0.0 else ok.max - ok.min)
+      // lower-middle median: with one failed run (2 survivors) this takes
+      // the FASTER one, not the max — a transient failure must not bias
+      // the reported time toward the slowest surviving run
+      (k, if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2), if (ok.isEmpty) 0.0 else ok.max - ok.min)
     }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }.mkString("{", ",", "}")
     val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }.mkString("{", ",", "}")

@@ -144,13 +144,16 @@ object GraftExtensions {
     FunctionIdentifier("graft_sign_band_keys"),
     new ExpressionInfo(classOf[SignBandKeys].getName, "graft_sign_band_keys"),
     (children: Seq[Expression]) => {
-      require(children.length == 4, "graft_sign_band_keys expects (vector, bitsPerBand, bands, seed)")
+      require(
+        children.length == 4 || children.length == 5,
+        "graft_sign_band_keys expects (vector, bitsPerBand, bands, seed[, dim])")
       val seed = children(3) match {
         case Literal(v: Long, _) => v
         case Literal(v: Int, _)  => v.toLong
         case other => throw new IllegalArgumentException(s"graft_sign_band_keys: seed must be a literal, got $other")
       }
-      SignBandKeys(children.head, intArg(children(1), "bitsPerBand"), intArg(children(2), "bands"), seed)
+      val dim = if (children.length == 5) intArg(children(4), "dim") else SignBandKeys.DefaultDim
+      SignBandKeys(children.head, intArg(children(1), "bitsPerBand"), intArg(children(2), "bands"), seed, dim)
     }
   )
 

@@ -88,7 +88,14 @@ object Similarity {
   /** Exploded (vec_id, band_idx, band_key) rows with buckets hotter than
     * `cap` dropped (SkewTools.dropHotKeys — the quadratic-bucket guard;
     * defaults sit above every fixture bucket, DedupSkewSpec proves the
-    * bound). */
+    * bound).
+    *
+    * Deliberately NOT cached: the hot-key count, anti-join, and the two
+    * self-join branches each re-derive this frame, re-running the
+    * signature — but the signature is one small codegen'd expression
+    * (~1 s over sf0.1), while persisting would materialize the ×bands
+    * exploded table (64× the corpus) to memory/disk. Recompute is the
+    * right side of that trade at every scale. */
   private def lshKeyed(e: DataFrame, bitsPerBand: Int, bands: Int, cap: Int): DataFrame = {
     graft.functions.GraftExtensions.register(e.sparkSession)
     SkewTools.dropHotKeys(
@@ -285,6 +292,21 @@ object Similarity {
   private def duckQdot(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> floor(z[1]*z[2]*1000000.0 + 0.5)))::DOUBLE / 1000000.0)"
 
+  /** Exact all-pairs cosine ≥ 0.4 — the shared oracle for both
+    * formulations of embedding near-dup (the function-level operator and
+    * the SimilarityJoin node). */
+  private val allPairsCosineOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
+       |)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
+       |ORDER BY v1, v2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine" ->
       s"""WITH e AS (
@@ -301,17 +323,7 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
-    "dedup_embed_cosine" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
-         |)
-         |SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |  ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
-         |ORDER BY v1, v2""".stripMargin,
+    "dedup_embed_cosine" -> allPairsCosineOracle,
     "mm_doc_embed_join" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -323,17 +335,10 @@ object Similarity {
          |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS sum_tokens
          |FROM documents d JOIN n ON d.doc_id = n.vec_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "sim_join_node" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
-         |)
-         |SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |  ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
-         |ORDER BY v1, v2""".stripMargin,
+    // sim_join_node shares dedup_embed_cosine's oracle BY REFERENCE: the
+    // node and the function-level operator declare the same all-pairs
+    // contract, and a shared val makes divergence impossible.
+    "sim_join_node" -> allPairsCosineOracle,
     // Approximate operator → the oracle checks the declared QUALITY BOUND
     // (recall_ok must be TRUE), not the neighbor list; n_queries pins the
     // probe-set size exactly.

@@ -28,27 +28,46 @@ object SkewTools {
 
   /** Hot-bucket guard for candidate-generating self-joins (LSH bands,
     * SimHash blocks, shingle/fingerprint inverted indexes): drop keys
-    * whose row frequency exceeds `cap` BEFORE the self-join, bounding any
-    * bucket's contribution to cap² pairs. A key shared by thousands of
-    * rows is boilerplate — it carries ~no discriminating signal, and at
-    * crawl scale one such mega-bucket alone is a quadratic blowup (the
-    * exact-dedup stage upstream of any near-dup cascade removes the
-    * identical-copy mass that creates most of them).
+    * whose row frequency exceeds the hot threshold BEFORE the self-join,
+    * bounding any bucket's contribution to threshold² pairs. A key shared
+    * by vastly more rows than its peers is boilerplate — it carries ~no
+    * discriminating signal, and at crawl scale one such mega-bucket alone
+    * is a quadratic blowup (the exact-dedup stage upstream of any
+    * near-dup cascade removes the identical-copy mass that creates most
+    * of them).
     *
-    * Scale shape: one map-side-combined count per key, then a LEFT ANTI
-    * join against the hot set — which is broadcastable by construction
-    * (≤ N/cap keys can exceed cap). True near-dup pairs keep surfacing
-    * through their other, colder keys; the residual false-negative risk
-    * of a pair sharing ONLY hot keys is the documented trade every
-    * production LSH join makes. Fixture caps are set above the measured
-    * maxima (sf0.1: shingle doc-freq ≤ 25, band buckets ≤ ~300), so the
-    * oracle gates prove the guard is a no-op on honest data.
+    * Hot means ANOMALOUS, not merely large: the threshold is
+    * `max(cap, skewMultiple × mean bucket size)`, so a LOW-ENTROPY key
+    * space whose buckets are uniformly big (a 4-bit LSH band key has 16
+    * possible values — every bucket holds ~N/16 rows once N exceeds
+    * 16×cap) is treated as load, not skew. An absolute-only cap would
+    * cross that line and silently drop EVERY bucket, collapsing the
+    * dedup output to empty at exactly the scale the guard exists for.
+    * Set `skewMultiple = 1` to recover pure absolute-cap behavior.
+    *
+    * Scale shape: one map-side-combined count per key, a one-row mean
+    * aggregate, then a LEFT ANTI join against the hot set — which is
+    * broadcastable by construction (≤ N/threshold keys can exceed the
+    * threshold). True near-dup pairs keep surfacing through their other,
+    * colder keys; the residual false-negative risk of a pair sharing
+    * ONLY hot keys is the documented trade every production LSH join
+    * makes. Fixture caps sit above the measured maxima (sf0.1: shingle
+    * doc-freq ≤ 25, band buckets ≤ ~300), so the oracle gates prove the
+    * guard is a no-op on honest data.
     */
-  def dropHotKeys(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
-    val hot = keyed
+  def dropHotKeys(
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      cap: Int,
+      skewMultiple: Int = 8
+  ): DataFrame = {
+    val counts = keyed
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__kfreq"))
-      .filter(col("__kfreq") > cap)
+    val meanFreq = counts.agg(avg(col("__kfreq")).as("__kmean"))
+    val hot = counts
+      .crossJoin(broadcast(meanFreq))
+      .filter(col("__kfreq") > greatest(lit(cap.toDouble), lit(skewMultiple.toDouble) * col("__kmean")))
       .select(keyCols.map(col): _*)
     keyed.join(broadcast(hot), keyCols, "left_anti")
   }

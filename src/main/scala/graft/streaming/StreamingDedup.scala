@@ -92,8 +92,14 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // Docs too short to produce a 3-gram shingle have NO content
+    // fingerprint (an all-zero tally would give every such doc the same
+    // sim = 0 and pair them all as hamming-0 "duplicates") — they are
+    // excluded here, exactly as the batch operator excludes them by
+    // producing no shingle rows.
     val sims = docs
       .select(col("doc_id").cast("long"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
       .map { r => (r.getLong(0), simhash64(r.getString(1))) }
       .toDF("doc_id", "sim")
     val blocked = sims

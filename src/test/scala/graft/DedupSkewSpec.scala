@@ -35,12 +35,25 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(pairs(capped) === 50L, "cap must drop only the mega-bucket, keeping honest pairs")
   }
 
-  test("dropHotKeys keeps buckets at exactly the cap") {
+  test("dropHotKeys keeps buckets at exactly the cap (absolute mode, skewMultiple = 1)") {
     val s = spark
     import s.implicits._
     val keyed = ((1L to 100L).map(i => (i, "at_cap")) ++ Seq((200L, "cold"))).toDF("doc_id", "s")
-    assert(SkewTools.dropHotKeys(keyed, Seq("s"), cap = 100).count() === 101L)
-    assert(SkewTools.dropHotKeys(keyed, Seq("s"), cap = 99).count() === 1L)
+    assert(SkewTools.dropHotKeys(keyed, Seq("s"), cap = 100, skewMultiple = 1).count() === 101L)
+    assert(SkewTools.dropHotKeys(keyed, Seq("s"), cap = 99, skewMultiple = 1).count() === 1L)
+  }
+
+  test("uniformly loaded low-entropy key space is load, not skew: nothing dropped") {
+    val s = spark
+    import s.implicits._
+    // 16 keys × 1000 rows each — every bucket far above cap=100, but all
+    // identical: an absolute-only cap would drop EVERYTHING here
+    val keyed = (1L to 16000L).map(i => (i, s"k${i % 16}")).toDF("doc_id", "s")
+    assert(SkewTools.dropHotKeys(keyed, Seq("s"), cap = 100).count() === 16000L)
+    // one genuinely anomalous bucket on top of the uniform load IS dropped
+    val skewed = keyed.union((20000L to 60000L).map(i => (i, "boiler")).toDF("doc_id", "s"))
+    val kept = SkewTools.dropHotKeys(skewed, Seq("s"), cap = 100).count()
+    assert(kept === 16000L, s"expected the 40k-row boiler bucket dropped and uniform load kept, got $kept")
   }
 
   test("capped LSH candidate join stays bounded on a cloned-vector corpus") {

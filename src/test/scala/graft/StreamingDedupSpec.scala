@@ -71,6 +71,16 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a <= 3 && b >= 10 }, s"families cross-paired: $pairs")
   }
 
+  test("docs too short for a shingle never pair (no zero-fingerprint collisions)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "hello world"), (2L, "foo bar"), (3L, ""), (4L, base)
+    ).toDF("doc_id", "text")
+    assert(StreamingDedup.nearDupPairs(docs).count() === 0,
+      "sub-shingle docs produced pairs — the zero-fingerprint guard regressed")
+  }
+
   test("bucket cap bounds emissions under a boilerplate flood") {
     val s = spark
     import s.implicits._
