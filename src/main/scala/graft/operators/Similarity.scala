@@ -30,8 +30,6 @@ import graft.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  private val Dim = 64
-
   /** Float array → double array (promote BEFORE multiplying: float*float
     * would round differently than DuckDB's double path). */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
