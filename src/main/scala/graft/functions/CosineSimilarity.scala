@@ -119,6 +119,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.signBandKeysDescriptor)
+    ext.injectTableFunction(GraftExtensions.similarityJoinTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -157,6 +158,17 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for the SIMILARITY JOIN engine node: a table function
+    * over table NAMES (the reference's whole point is SQL-queryable
+    * output — reference README.md:13,17), lowering to the same banded
+    * plan as the Scala API. */
+  private[graft] val similarityJoinTvf = (
+    FunctionIdentifier("graft_similarity_join"),
+    new ExpressionInfo(
+      graft.plans.SimilarityJoinOps.getClass.getName, "graft_similarity_join"),
+    (children: Seq[Expression]) => graft.plans.SimilarityJoinOps.sqlTableFunction(children)
+  )
+
   /** Late registration on a live session (tests, REPL): functions into
     * the registry, the SimilarityJoin lowering into the public
     * `experimental.extraOptimizations` hook (idempotent — analyzer rules
@@ -166,6 +178,8 @@ object GraftExtensions {
       cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       signBandKeysDescriptor._1, signBandKeysDescriptor._2, signBandKeysDescriptor._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      similarityJoinTvf._1, similarityJoinTvf._2, similarityJoinTvf._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ExpandSimilarityJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ExpandSimilarityJoin

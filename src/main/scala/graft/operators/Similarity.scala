@@ -244,6 +244,23 @@ object Similarity {
         .orderBy(col("v1"), col("v2"))
     },
 
+    // The SQL spelling of the SIMILARITY JOIN engine feature: the
+    // graft_similarity_join TABLE FUNCTION (GraftExtensions) resolves
+    // table names, builds the same SimilarityJoin node, and lowers to the
+    // same banded plan — proving a spark.sql-only user reaches the
+    // scale-safe shape. Same all-pairs oracle as sim_join_node /
+    // dedup_embed_cosine ⇒ same zero-false-negative contract.
+    "sql_similarity_join" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      corpus(spark, dir).createOrReplaceTempView("graft_emb")
+      spark.sql(
+        """SELECT vec_id AS v1, vec_id_r AS v2, cos
+          |FROM graft_similarity_join('graft_emb', 'vec_id', 'v',
+          |                           'graft_emb', 'vec_id', 'v', 0.4, 4, 64)
+          |WHERE vec_id < vec_id_r
+          |ORDER BY v1, v2""".stripMargin)
+    },
+
     // IVF approximate nearest neighbor over a TRAINED codebook: sampled
     // k-means (IvfIndex.train — deterministic seeds + quantized Lloyd),
     // probe the 3 nearest of 10 centroids per query, exact cosine inside
@@ -337,6 +354,7 @@ object Similarity {
     // node and the function-level operator declare the same all-pairs
     // contract, and a shared val makes divergence impossible.
     "sim_join_node" -> allPairsCosineOracle,
+    "sql_similarity_join" -> allPairsCosineOracle,
     // Approximate operator → the oracle checks the declared QUALITY BOUND
     // (recall_ok must be TRUE), not the neighbor list; n_queries pins the
     // probe-set size exactly.

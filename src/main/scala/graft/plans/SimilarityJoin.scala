@@ -1,12 +1,15 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.functions.{col, posexplode}
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.functions.{CosineSimilarity, SignBandKeys}
+import graft.operators.SkewTools
 
 /** SIMILARITY JOIN as an ENGINE FEATURE (SURVEY §4.2's "optional custom
   * SparkStrategy only if we later add a SIMILARITY JOIN logical node"):
@@ -15,14 +18,14 @@ import graft.functions.{CosineSimilarity, SignBandKeys}
   *   `SimilarityJoin(left, right, leftKey, leftVec, rightKey, rightVec, t)`
   *
   * that the planner lowers into the banded sign-LSH physical shape —
-  * per-side (key, vec) signature generate → equi-join on (band, key) over
-  * KEY-ONLY rows → distinct candidate key pairs → vectors fetched back by
-  * key → exact cosine ≥ t. The key columns (unique per row, the caller's
-  * contract) are what keep the band join narrow: ~24 bytes per exploded
-  * row through the shuffle instead of the full row with its 64-double
-  * vector — the same candidates-then-fetch shape the function-level
-  * operator (`Similarity.embedNearDupLsh`) measures 4× faster than
-  * vectors-through-the-join at sf0.1.
+  * per-side (key, vec) signature generate → hot-bucket cap → equi-join on
+  * (band, key) over KEY-ONLY rows → distinct candidate key pairs →
+  * vectors fetched back by key → exact cosine ≥ t. The key columns
+  * (unique per row, the caller's contract) are what keep the band join
+  * narrow: ~24 bytes per exploded row through the shuffle instead of the
+  * full row with its 64-double vector — the same candidates-then-fetch
+  * shape the function-level operator (`Similarity.embedNearDupLsh`)
+  * measures 4× faster than vectors-through-the-join at sf0.1.
   *
   * Planner integration is a LOGICAL lowering rule rather than a custom
   * `SparkPlan`, deliberately: the expansion emits stock Generate / Join /
@@ -36,9 +39,18 @@ import graft.functions.{CosineSimilarity, SignBandKeys}
   *
   * Semantics: one row per DISTINCT (leftKey, rightKey) pair whose
   * quantized cosine ≥ threshold AND that collides in ≥1 of the `bands`
-  * sign-LSH bands (same zero-false-negative band-parameter contract as
-  * `Similarity.embedNearDupLsh`, pinned by SimilarityJoinSpec against the
-  * all-pairs reference). Output = left.output ++ right.output :+ cos.
+  * sign-LSH bands whose bucket survives the hot-bucket cap (same
+  * zero-false-negative band-parameter contract AND the same quadratic-
+  * bucket guard as `Similarity.embedNearDupLsh`, both pinned by
+  * SimilarityJoinSpec against the all-pairs reference). Output =
+  * left.output ++ right.output :+ cos.
+  *
+  * `selfJoin = true` records that both children compute the SAME relation
+  * (detected by the builder via `sameResult`): the lowering then derives
+  * every branch from the left child so the banded-signature subtree is
+  * literally shared — the two band-join exchanges canonicalize equal and
+  * the planner computes the signature ONCE (ReuseExchange / AQE stage
+  * reuse), likewise the two fetch-side exchanges.
   */
 case class SimilarityJoin(
     left: LogicalPlan,
@@ -50,6 +62,8 @@ case class SimilarityJoin(
     threshold: Double,
     bitsPerBand: Int,
     bands: Int,
+    cap: Int = 1000,
+    selfJoin: Boolean = false,
     cosAttr: AttributeReference = AttributeReference("cos", DoubleType)()
 ) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output :+ cosAttr
@@ -69,12 +83,13 @@ case class SimilarityJoin(
   * builds it from analyzed children — and the expansion emits only
   * resolved nodes, so the rule is placement-independent.
   *
-  * Each child subtree is referenced twice (band branch + fetch branch);
-  * the fetch branch re-aliases every output attribute with fresh exprIds
-  * so references stay unambiguous, and a final Project restores the
-  * node's declared output exprIds. Re-computing the child twice is the
-  * same trade the function-level operator makes (scans are cheap; wide
-  * rows through the band shuffle are not).
+  * The banded candidate subtree is built with the SAME DataFrame-level
+  * pieces the function-level operator uses (SignBandKeys explode +
+  * `SkewTools.dropHotKeys`), analyzed standalone, and embedded — one
+  * hot-bucket-guard implementation for both spellings, and the emitted
+  * nodes are stock operators so outer-plan optimization and AQE still
+  * apply. Every branch is wrapped in a fresh-alias Project so references
+  * never collide; a final Project restores the node's declared exprIds.
   */
 object ExpandSimilarityJoin extends Rule[LogicalPlan] {
 
@@ -82,64 +97,97 @@ object ExpandSimilarityJoin extends Rule[LogicalPlan] {
     case sj: SimilarityJoin => expand(sj)
   }
 
-  /** Key-only banded rows: Project(key, vec) → Generate(band keys) →
-    * Project(key, band_idx, band_key). */
-  private def banded(
+  /** Capped banded rows for one (key, vec) side: (key, __band_idx,
+    * __band_key) with buckets hotter than `max(cap, 8× mean)` dropped —
+    * the quadratic-bucket guard. On a boilerplate-heavy corpus one
+    * mega-bucket would make the band join quadratic; the anomalous-bucket
+    * anti-join bounds it, and true near-dup pairs keep surfacing through
+    * their other, colder bands (the documented LSH trade, DedupSkewSpec).
+    */
+  private def cappedBanded(
+      spark: SparkSession,
       child: LogicalPlan,
       key: Attribute,
       vec: Attribute,
-      bitsPerBand: Int,
-      bands: Int
-  ): (LogicalPlan, Attribute, Attribute) = {
-    val bandIdx = AttributeReference("__band_idx", IntegerType, nullable = false)()
-    val bandKey = AttributeReference("__band_key", LongType, nullable = false)()
-    val gen = Generate(
-      PosExplode(SignBandKeys(vec, bitsPerBand, bands, SignBandKeys.DefaultSeed)),
-      unrequiredChildIndex = Nil,
-      outer = false,
-      qualifier = None,
-      generatorOutput = Seq(bandIdx, bandKey),
-      child = Project(Seq(key, vec), child)
+      sj: SimilarityJoin
+  ): LogicalPlan = {
+    val side = PlanBridge.ofRows(spark, Project(Seq(key, vec), child))
+    val keyed = side.select(
+      col(key.name),
+      posexplode(
+        SignBandKeys.keysColumn(col(vec.name), sj.bitsPerBand, sj.bands, SignBandKeys.DefaultSeed))
+        .as(Seq("__band_idx", "__band_key"))
     )
-    (Project(Seq(key, bandIdx, bandKey), gen), bandIdx, bandKey)
+    SkewTools
+      .dropHotKeys(keyed, Seq("__band_idx", "__band_key"), sj.cap)
+      .queryExecution
+      .optimizedPlan
+  }
+
+  /** Fresh-alias copy of a plan: every branch of the expansion references
+    * its inputs through one of these, so attribute bindings stay
+    * unambiguous even when branches share the same underlying subtree. */
+  private def aliasedCopy(p: LogicalPlan): (LogicalPlan, Map[ExprId, Attribute]) = {
+    val aliases = p.output.map(a => Alias(a, a.name)())
+    val byId = p.output.zip(aliases).map { case (o, al) => o.exprId -> al.toAttribute }.toMap
+    (Project(aliases, p), byId)
   }
 
   private def expand(sj: SimilarityJoin): LogicalPlan = {
-    // 1. candidate key pairs from the narrow band join
-    val (lBands, lIdx, lKey) = banded(sj.left, sj.leftKey, sj.leftVec, sj.bitsPerBand, sj.bands)
-    val (rBands, rIdx, rKey) = banded(sj.right, sj.rightKey, sj.rightVec, sj.bitsPerBand, sj.bands)
+    val spark = SparkSession.active
+
+    // Self-join: derive the right side from the LEFT child, mapping the
+    // declared right attributes positionally (sameResult guarantees the
+    // outputs correspond column-for-column).
+    val rightPos: Map[ExprId, Attribute] =
+      if (sj.selfJoin) sj.right.output.zip(sj.left.output).map { case (r, l) => r.exprId -> l }.toMap
+      else sj.right.output.map(a => a.exprId -> a).toMap
+    val rightBase: LogicalPlan = if (sj.selfJoin) sj.left else sj.right
+    val rKeyBase = rightPos(sj.rightKey.exprId)
+    val rVecBase = rightPos(sj.rightVec.exprId)
+
+    // 1. candidate key pairs from the narrow, capped band join. On a
+    // self-join the SAME capped subtree instance backs both sides: the
+    // two band exchanges canonicalize equal → signature computed once.
+    val lCapped = cappedBanded(spark, sj.left, sj.leftKey, sj.leftVec, sj)
+    val rCapped = if (sj.selfJoin) lCapped else cappedBanded(spark, rightBase, rKeyBase, rVecBase, sj)
+    def bandAttr(p: LogicalPlan, m: Map[ExprId, Attribute], n: String): Attribute =
+      m(p.output.find(_.name == n).get.exprId)
+    val (lB, lbId) = aliasedCopy(lCapped)
+    val (rB, rbId) = aliasedCopy(rCapped)
     val bandJoin = Join(
-      lBands,
-      rBands,
+      lB,
+      rB,
       Inner,
-      Some(And(EqualTo(lIdx, rIdx), EqualTo(lKey, rKey))),
+      Some(And(
+        EqualTo(bandAttr(lCapped, lbId, "__band_idx"), bandAttr(rCapped, rbId, "__band_idx")),
+        EqualTo(bandAttr(lCapped, lbId, "__band_key"), bandAttr(rCapped, rbId, "__band_key")))),
       JoinHint.NONE
     )
-    val candKeys: Seq[NamedExpression] = Seq(sj.leftKey, sj.rightKey)
+    val lCk = lbId(sj.leftKey.exprId)
+    val rCk = rbId(rKeyBase.exprId)
+    val candKeys: Seq[NamedExpression] = Seq(lCk, rCk)
     val cands = Aggregate(candKeys, candKeys, Project(candKeys, bandJoin))
 
-    // 2. fetch full rows back by key — fresh exprIds per fetch branch so
-    // references never collide with the band branch
-    def fetch(child: LogicalPlan): (LogicalPlan, Map[ExprId, Attribute]) = {
-      val aliases = child.output.map(a => Alias(a, a.name)())
-      val mapping = child.output.zip(aliases).map { case (o, al) => o.exprId -> al.toAttribute }.toMap
-      (Project(aliases, child), mapping)
-    }
-    val (fetchL, lMap) = fetch(sj.left)
-    val (fetchR, rMap) = fetch(sj.right)
-    val withLeft = Join(
-      cands, fetchL, Inner, Some(EqualTo(sj.leftKey, lMap(sj.leftKey.exprId))), JoinHint.NONE)
-    val withRight = Join(
-      withLeft, fetchR, Inner, Some(EqualTo(sj.rightKey, rMap(sj.rightKey.exprId))), JoinHint.NONE)
+    // 2. fetch full rows back by key. Self-join: both fetch branches wrap
+    // the same left subtree → their exchanges canonicalize equal → the
+    // fetch-side scan/shuffle is computed once too.
+    val (fetchL, flId) = aliasedCopy(sj.left)
+    val (fetchR, frId) = aliasedCopy(rightBase)
+    val withLeft =
+      Join(cands, fetchL, Inner, Some(EqualTo(lCk, flId(sj.leftKey.exprId))), JoinHint.NONE)
+    val withRight =
+      Join(withLeft, fetchR, Inner, Some(EqualTo(rCk, frId(rKeyBase.exprId))), JoinHint.NONE)
 
     // 3. score, restore the declared output exprIds, apply the threshold
     val cosAlias = Alias(
-      CosineSimilarity(lMap(sj.leftVec.exprId), rMap(sj.rightVec.exprId)),
+      CosineSimilarity(flId(sj.leftVec.exprId), frId(rVecBase.exprId)),
       sj.cosAttr.name
     )(exprId = sj.cosAttr.exprId)
     val restored: Seq[NamedExpression] =
-      sj.left.output.map(o => Alias(lMap(o.exprId), o.name)(exprId = o.exprId)) ++
-        sj.right.output.map(o => Alias(rMap(o.exprId), o.name)(exprId = o.exprId)) :+
+      sj.left.output.map(o => Alias(flId(o.exprId), o.name)(exprId = o.exprId)) ++
+        sj.right.output.map(o =>
+          Alias(frId(rightPos(o.exprId).exprId), o.name)(exprId = o.exprId)) :+
         cosAlias
     Filter(
       GreaterThanOrEqual(sj.cosAttr, Literal(sj.threshold, DoubleType)),
@@ -150,6 +198,48 @@ object ExpandSimilarityJoin extends Rule[LogicalPlan] {
 
 /** Column-free builder API for the [[SimilarityJoin]] node. */
 object SimilarityJoinOps {
+
+  private def attr(p: LogicalPlan, name: String): Attribute =
+    p.output.find(_.name == name).getOrElse {
+      throw new IllegalArgumentException(
+        s"similarityJoin: no column '$name' in ${p.output.map(_.name).mkString(", ")}")
+    }
+  private def vecAttr(p: LogicalPlan, name: String): Attribute = attr(p, name) match {
+    case a if a.dataType == ArrayType(DoubleType, true) ||
+        a.dataType == ArrayType(DoubleType, false) => a
+    case a =>
+      throw new IllegalArgumentException(
+        s"similarityJoin: column '$name' must be array<double>, got ${a.dataType.simpleString}")
+  }
+
+  /** Build the node from two ANALYZED child plans. Shared-lineage right
+    * sides are re-aliased (the analyzer's DeduplicateRelations does this
+    * for stock joins; custom nodes provide their own); `sameResult`
+    * children set the selfJoin flag so the lowering shares one banded
+    * subtree across both sides (exchange reuse — computed once). */
+  private[graft] def buildNode(
+      lp: LogicalPlan,
+      rp0: LogicalPlan,
+      leftKey: String,
+      leftVec: String,
+      rightKey: String,
+      rightVec: String,
+      threshold: Double,
+      bitsPerBand: Int,
+      bands: Int,
+      cap: Int
+  ): SimilarityJoin = {
+    val shared = lp.outputSet.intersect(rp0.outputSet).nonEmpty
+    val self = lp.sameResult(rp0)
+    val rp =
+      if (shared) Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+      else rp0
+    SimilarityJoin(
+      lp, rp,
+      attr(lp, leftKey), vecAttr(lp, leftVec),
+      attr(rp, rightKey), vecAttr(rp, rightVec),
+      threshold, bitsPerBand, bands, cap, self)
+  }
 
   /** similarity_join(left, right): DISTINCT key pairs with
     * cos(leftVec, rightVec) ≥ threshold, via the banded LSH
@@ -168,39 +258,83 @@ object SimilarityJoinOps {
       rightVec: String,
       threshold: Double,
       bitsPerBand: Int = 10,
-      bands: Int = 25
+      bands: Int = 25,
+      cap: Int = 1000
   ): DataFrame = {
     val spark = left.sparkSession
     graft.functions.GraftExtensions.register(spark)
-    val lp = left.queryExecution.analyzed
-    val rp0 = right.queryExecution.analyzed
-    // Self-join lineage: mint fresh exprIds for the right side's visible
-    // attributes so vec/condition references bind unambiguously (the
-    // analyzer's DeduplicateRelations does this for stock joins; custom
-    // nodes provide their own).
-    val rp =
-      if (lp.outputSet.intersect(rp0.outputSet).nonEmpty)
-        Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
-      else rp0
+    val node = buildNode(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      leftKey, leftVec, rightKey, rightVec, threshold, bitsPerBand, bands, cap)
+    PlanBridge.ofRows(spark, node)
+  }
 
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse {
+  /** SQL table-function builder (`graft_similarity_join`), registered by
+    * GraftExtensions: takes TABLE NAMES (any relation `spark.table` can
+    * resolve — temp views included) plus column names and parameters, and
+    * returns the [[SimilarityJoin]] node wrapped in a rename that
+    * suffixes right-side columns colliding with left-side names with
+    * `_r`, so `SELECT` can address both sides of a self-join:
+    *
+    * {{{
+    * SELECT vec_id AS v1, vec_id_r AS v2, cos
+    * FROM graft_similarity_join('emb', 'vec_id', 'v', 'emb', 'vec_id', 'v', 0.9, 10, 25)
+    * }}}
+    *
+    * Arguments: (leftTable, leftKey, leftVec, rightTable, rightKey,
+    * rightVec, threshold [, bitsPerBand, bands [, cap]]) — all literals.
+    */
+  private[graft] def sqlTableFunction(args: Seq[Expression]): LogicalPlan = {
+    require(
+      args.length == 7 || args.length == 9 || args.length == 10,
+      "graft_similarity_join expects (leftTable, leftKey, leftVec, rightTable, rightKey, " +
+        s"rightVec, threshold[, bitsPerBand, bands[, cap]]), got ${args.length} arguments")
+    def lit(e: Expression, what: String): Any = e match {
+      case f if f.foldable => f.eval()
+      case other =>
         throw new IllegalArgumentException(
-          s"similarityJoin: no column '$name' in ${p.output.map(_.name).mkString(", ")}")
-      }
-    def vecAttr(p: LogicalPlan, name: String): Attribute = attr(p, name) match {
-      case a if a.dataType == ArrayType(DoubleType, true) ||
-          a.dataType == ArrayType(DoubleType, false) => a
-      case a =>
-        throw new IllegalArgumentException(
-          s"similarityJoin: column '$name' must be array<double>, got ${a.dataType.simpleString}")
+          s"graft_similarity_join: $what must be a literal, got $other")
     }
-
-    val node = SimilarityJoin(
-      lp, rp,
-      attr(lp, leftKey), vecAttr(lp, leftVec),
-      attr(rp, rightKey), vecAttr(rp, rightVec),
-      threshold, bitsPerBand, bands)
-    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node)
+    def str(i: Int, what: String): String = lit(args(i), what) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_similarity_join: $what must be a string literal, got $other")
+    }
+    def dbl(i: Int, what: String): Double = lit(args(i), what) match {
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_similarity_join: $what must be numeric, got $other")
+    }
+    def int(i: Int, what: String): Int = lit(args(i), what) match {
+      case n: java.lang.Number => n.intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_similarity_join: $what must be an int literal, got $other")
+    }
+    val spark = SparkSession.active
+    val lp = spark.table(str(0, "leftTable")).queryExecution.analyzed
+    val rp0 = spark.table(str(3, "rightTable")).queryExecution.analyzed
+    val node = buildNode(
+      lp, rp0,
+      str(1, "leftKey"), str(2, "leftVec"), str(4, "rightKey"), str(5, "rightVec"),
+      dbl(6, "threshold"),
+      if (args.length >= 9) int(7, "bitsPerBand") else 10,
+      if (args.length >= 9) int(8, "bands") else 25,
+      if (args.length == 10) int(9, "cap") else 1000)
+    // SQL-addressable output: right-side names colliding with left-side
+    // ones get a `_r` suffix (a self-join would otherwise produce
+    // duplicate column names SELECT cannot reference).
+    val leftNames = node.left.output.map(_.name).toSet
+    val renamed = node.left.output.map(a => Alias(a, a.name)()) ++
+      node.right.output.map { a =>
+        val n = if (leftNames.contains(a.name)) a.name + "_r" else a.name
+        Alias(a, n)()
+      } :+ Alias(node.cosAttr, node.cosAttr.name)()
+    Project(renamed, node)
   }
 }
