@@ -3,18 +3,34 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main. One warmup pass absorbs JVM/codegen warmup, then each
-  * query is timed MEDIAN-OF-3 (three consecutive runs — the round-2
-  * verdict flagged sub-2s run-to-run swings as unresolved; the median
-  * settles scheduling/GC noise, and per-query spread is reported so
-  * variance stays visible). The JSON line goes to stdout AND to a file
-  * (`SPARK_GRAFT_BENCH_OUT`, default tmp/bench_out.json) so the driver can
-  * parse it even when sbt log noise pollutes stdout. Failures print to
-  * stderr and report -1 for that query instead of being swallowed.
+  * query is timed over `SPARK_GRAFT_BENCH_RUNS` (default 5) consecutive
+  * runs, reporting the median. The harness is CONTENTION-AWARE (the
+  * round-3 driver recording was ~2.5× a clean run on identical code
+  * because end-of-round work shared the box):
+  *
+  * - before the measured passes it waits (up to 90 s) for the 1-minute
+  *   system load average to drop below half the allotted cores, so a
+  *   competing burst finishes instead of polluting every sample;
+  * - a query whose spread (max−min) exceeds its median is re-run up to
+  *   two extra times — transient interference shrinks the spread, a
+  *   genuinely bimodal query keeps it and stays flagged;
+  * - the JSON reports per-query spread, the worst spread/median ratio,
+  *   the load averages observed at start and end, and a `contended`
+  *   flag (true when any final spread still exceeds its median and that
+  *   query's median is non-trivial) — the fail-loud signal that the
+  *   recorded numbers should be distrusted and re-run on a quiet box.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY=a,b,c` restricts to named queries (local
+  * iteration); the JSON line goes to stdout AND `SPARK_GRAFT_BENCH_OUT`
+  * (default tmp/bench_out.json) so the driver can parse it even when sbt
+  * log noise pollutes stdout. Failures print to stderr and report -1 for
+  * that query instead of being swallowed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +39,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    // Serialize against competing load: a box already saturated by
+    // another job would inflate every sample; give it up to 90 s to
+    // drain. Our own JVM is mostly idle here, so loadavg reflects the
+    // OTHER tenants (plus sbt's compile tail, which the first samples of
+    // the warmup pass absorb anyway).
+    val loadStart = loadAvg()
+    val quietBar = math.max(2.0, cpus.toDouble / 2)
+    var waited = 0
+    while (loadAvg() > quietBar && waited < 90) { Thread.sleep(5000); waited += 5 }
+
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -34,19 +65,47 @@ object Bench {
       }
     }
     names.foreach(once) // warmup pass (JIT + codegen + FS cache)
-    val runs = names.map(n => n -> Seq.fill(3)(once(n)))
-    val results = runs.map { case (k, ts) =>
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+    for (_ <- 1 to nRuns; n <- names)
+      samples(n) = samples.getOrElse(n, Vector.empty) :+ once(n)
+
+    // lower-middle median: with an even survivor count this takes the
+    // FASTER middle sample — a transient failure or interference burst
+    // must not bias the reported time toward the slowest survivors
+    def medianOf(ts: Seq[Double]): Double = {
       val ok = ts.filter(_ >= 0)
-      // lower-middle median: with one failed run (2 survivors) this takes
-      // the FASTER one, not the max — a transient failure must not bias
-      // the reported time toward the slowest surviving run
-      (k, if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2), if (ok.isEmpty) 0.0 else ok.max - ok.min)
+      if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2)
     }
+    def spreadOf(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) 0.0 else ok.max - ok.min
+    }
+
+    // contention retry: spread > median means the samples disagree by
+    // more than the value being reported — re-measure up to twice
+    for (n <- names) {
+      var extra = 0
+      while (extra < 2 && {
+          val ts = samples(n); val m = medianOf(ts)
+          m > 0.05 && spreadOf(ts) > m
+        }) {
+        samples(n) = samples(n) :+ once(n)
+        extra += 1
+      }
+    }
+
+    val results = names.map { n => (n, medianOf(samples(n)), spreadOf(samples(n))) }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }.mkString("{", ",", "}")
     val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val ratios = results.collect { case (_, med, sp) if med > 0.05 => sp / med }
+    val maxRatio = if (ratios.isEmpty) 0.0 else ratios.max
+    val contended = results.exists { case (_, med, sp) => med > 0.05 && sp > med }
+    val loadEnd = loadAvg()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":3,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,""" +
+        s""""runs":$nRuns,"max_spread_ratio":$maxRatio,"contended":$contended,""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_wait_sec":$waited,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/tmp/bench_out.json")
     try {
       val p = Paths.get(out)

@@ -155,6 +155,20 @@ object ExpandSimilarityJoin extends Rule[LogicalPlan] {
       m(p.output.find(_.name == n).get.exprId)
     val (lB, lbId) = aliasedCopy(lCapped)
     val (rB, rbId) = aliasedCopy(rCapped)
+    // Self-join band sides are identical-sized by construction, so a
+    // broadcast plan is never right (at scale it would broadcast the
+    // whole exploded corpus — the static planner's post-aggregate size
+    // estimate underestimates it). Forcing SHUFFLE_MERGE also makes both
+    // sides shuffle on the band keys, and since they wrap the SAME
+    // subtree those two exchanges canonicalize equal → the banded
+    // signature is computed once (AQE stage reuse / ReuseExchange).
+    // Asymmetric (non-self) joins keep JoinHint.NONE: a genuinely tiny
+    // probe side SHOULD broadcast, and the planner sees real estimates.
+    val bandHint =
+      if (sj.selfJoin) {
+        val h = Some(HintInfo(strategy = Some(SHUFFLE_MERGE)))
+        JoinHint(h, h)
+      } else JoinHint.NONE
     val bandJoin = Join(
       lB,
       rB,
@@ -162,7 +176,7 @@ object ExpandSimilarityJoin extends Rule[LogicalPlan] {
       Some(And(
         EqualTo(bandAttr(lCapped, lbId, "__band_idx"), bandAttr(rCapped, rbId, "__band_idx")),
         EqualTo(bandAttr(lCapped, lbId, "__band_key"), bandAttr(rCapped, rbId, "__band_key")))),
-      JoinHint.NONE
+      bandHint
     )
     val lCk = lbId(sj.leftKey.exprId)
     val rCk = rbId(rKeyBase.exprId)
