@@ -39,6 +39,29 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
+  /** Corpus-size-derived IVF parameters — the classical sizing instead
+    * of hand-tuned constants: k ≈ √N coarse clusters (cluster size ≈ √N
+    * balances the centroid scan k against the probed-cluster scan
+    * nProbe·N/k), and nProbe = ceil(targetScanFrac·k) so the EXPECTED
+    * SCANNED FRACTION of the corpus stays constant as N grows — recall
+    * is governed by that fraction (plus whatever structure k-means
+    * finds), so quality is scale-stable by construction.
+    *
+    * k is capped at 256: the assignment expression embeds k centroid
+    * literals in one codegen'd `least()` (zero shuffle — the whole point
+    * of the literal design), and the generated source grows linearly in
+    * k. Past a few hundred centroids the right shape is a broadcast-join
+    * assignment against a centroid table, which trades a per-row join
+    * probe for unbounded k; at √N = 256 that switchover sits at N ≈ 65k
+    * rows PER TRAINING DOMAIN, and a 100 TB corpus would shard training
+    * (per language/source bucket) before reaching it.
+    */
+  def autoParams(n: Long, targetScanFrac: Double = 0.3): (Int, Int) = {
+    val k = math.max(4, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
+    val nProbe = math.max(1, math.min(k, math.ceil(k * targetScanFrac).toInt))
+    (k, nProbe)
+  }
+
   /** Quantize to the same 1e-6 lattice the cosine arithmetic uses, so
     * ulp-level nondeterminism in the distributed mean sum can never flip
     * a downstream argmin (the sum's error is ~1e-13, the lattice 1e-6). */
@@ -56,17 +79,44 @@ object IvfIndex {
   /** Train a k-means codebook on a deterministic hash-sample of `corpus`
     * (expects columns `vec_id`, `v: array<double>`).
     *
-    * @param samplePct  percent of rows in the training sample (hash-gated,
-    *                   deterministic — not Bernoulli RNG sampling)
+    * @param samplePct      percent of rows in the training sample
+    *                       (hash-gated, deterministic — not Bernoulli RNG
+    *                       sampling)
+    * @param maxSampleRows  hard ROW cap on the sample: a percentage alone
+    *                       scales with the corpus (40% of 100 TB is 40 TB
+    *                       cached on executors); when the pct-sample
+    *                       exceeds the cap, the hash threshold is
+    *                       tightened rows-proportionally on the SAME hash
+    *                       lattice, so the refined sample is a
+    *                       deterministic subset of the coarse one and the
+    *                       cached/iterated volume is bounded regardless
+    *                       of corpus size. Lower samplePct too at real
+    *                       scale — the cap is the guarantee, not the tool.
     */
-  def train(corpus: DataFrame, k: Int, iters: Int, samplePct: Int = 40): Model = {
+  def train(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      samplePct: Int = 40,
+      maxSampleRows: Long = 100000L
+  ): Model = {
     val spark = corpus.sparkSession
     graft.functions.GraftExtensions.register(spark)
     import spark.implicits._
 
-    val sample = corpus
-      .filter(pmod(xxhash64(col("vec_id"), lit(42)), lit(100)) < samplePct)
-      .select(col("vec_id"), col("v"))
+    // 1e6-point lattice (not pmod 100) so the row-cap refinement below
+    // has resolution to express maxSampleRows/n as a nested threshold
+    val lat = 1000000L
+    val h = pmod(xxhash64(col("vec_id"), lit(42)), lit(lat))
+    val coarseThresh = samplePct * (lat / 100)
+    val coarse = corpus.filter(h < lit(coarseThresh)).select(col("vec_id"), col("v"))
+    val nCoarse = coarse.count()
+    val sample =
+      if (nCoarse <= maxSampleRows) coarse
+      else {
+        val thresh = math.max(1L, coarseThresh * maxSampleRows / nCoarse)
+        corpus.filter(h < lit(thresh)).select(col("vec_id"), col("v"))
+      }
     sample.cache()
     try {
       // Deterministic seeds: the k sample vectors with the smallest

@@ -263,27 +263,31 @@ object Similarity {
 
     // IVF approximate nearest neighbor over a TRAINED codebook: sampled
     // k-means (IvfIndex.train — deterministic seeds + quantized Lloyd),
-    // probe the 3 nearest of 10 centroids per query, exact cosine inside
-    // probed clusters only. Approximate by construction, so the
-    // hash-checkable output is the QUALITY BOUND, not the neighbor list:
-    // per query, recall@5 vs the in-engine brute-force top-5 as a
-    // boolean whose oracle is constant TRUE (same scheme as
-    // agg_approx_distinct's ±5% bound). The fixture embeddings are
-    // near-uniform random — ANN's worst case, where expected recall is
-    // the scanned fraction (~nProbe/k = 0.3) plus the constructed
-    // near-duplicate pairs that k-means co-clusters — so the pinned bound
-    // is mean-recall ≥ 0.2 over the probe set (graft.tools.RecallProbe
-    // measures 0.64 / 0.32 / 0.68 at sf0.001/0.01/0.1; margin absorbs
-    // the binomial noise a different fixture draw would add). The
-    // neighbor-list mechanism itself (exact top-5 within the probed
-    // clusters) is pinned by SimilaritySpec.
+    // with k and nProbe DERIVED FROM THE CORPUS SIZE
+    // (IvfIndex.autoParams: k ≈ √N, nProbe = ⌈0.3·k⌉ — constant expected
+    // scanned fraction, so the operator needs no hand-tuning at any
+    // other corpus size), exact cosine inside probed clusters only.
+    // Approximate by construction, so the hash-checkable output is the
+    // QUALITY BOUND, not the neighbor list: per query, recall@5 vs the
+    // in-engine brute-force top-5 as a boolean whose oracle is constant
+    // TRUE (same scheme as agg_approx_distinct's ±5% bound). The fixture
+    // embeddings are near-uniform random — ANN's worst case, where
+    // expected recall is the scanned fraction (~0.3) plus the
+    // constructed near-duplicate pairs that k-means co-clusters — so the
+    // pinned bound is mean-recall ≥ 0.3 over the probe set
+    // (graft.tools.RecallProbe measures 0.72 / 0.68 / 0.76 at
+    // sf0.001/0.01/0.1 with autoParams k=22/22/45, nProbe=7/7/14 —
+    // ≥2.2× headroom absorbs the binomial noise a different fixture
+    // draw would add). The neighbor-list mechanism itself (exact top-5
+    // within the probed clusters) is pinned by SimilaritySpec.
     "sim_ann_ivf" -> { (spark, dir) =>
       val e = corpus(spark, dir)
-      val model = IvfIndex.train(e, k = 10, iters = 3)
+      val (k, nProbe) = IvfIndex.autoParams(e.count())
+      val model = IvfIndex.train(e, k = k, iters = 3)
       val probes = e
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val ann = IvfIndex.search(e, probes, model, nProbe = 3, topK = 5)
+      val ann = IvfIndex.search(e, probes, model, nProbe = nProbe, topK = 5)
       val bf = bruteForceTopK(spark, dir, 5).select(col("q_id"), col("vec_id"))
       val hits = ann
         .join(bf, Seq("q_id", "vec_id"))
@@ -297,7 +301,7 @@ object Similarity {
           count(lit(1)).as("n_queries"),
           // mean recall@5 = Σ n_hits / (5·Q) — all-integer numerator, so
           // the comparison is exact (no float-sum order dependence)
-          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.2).as("recall_ok")
+          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.3).as("recall_ok")
         )
         .select(col("n_queries"), col("recall_ok"))
     }

@@ -16,9 +16,13 @@ object RecallProbe {
       val e = Tables
         .embeddings(spark, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      val model = IvfIndex.train(e, k = 10, iters = 3)
+      val n = e.count()
+      val (k, nProbe) = IvfIndex.autoParams(n)
+      val t0 = System.nanoTime()
+      val model = IvfIndex.train(e, k = k, iters = 3)
+      println(s"PARAMS $dir: n=$n k=$k nProbe=$nProbe train=${(System.nanoTime() - t0) / 1e9}s")
       val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val ann = IvfIndex.search(e, probes, model, nProbe = 3, topK = 5)
+      val ann = IvfIndex.search(e, probes, model, nProbe = nProbe, topK = 5)
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
       val bf = e
         .join(broadcast(probes), col("vec_id") =!= col("q_id"))
