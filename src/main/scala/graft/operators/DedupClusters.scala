@@ -28,18 +28,35 @@ import org.apache.spark.sql.functions._
 object DedupClusters {
 
   /** Cluster assignment for every node appearing in `pairs` (d1, d2):
-    * returns (doc_id, rep) where rep = min doc_id of the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    * returns (doc_id, rep) where rep = min doc_id of the component.
+    *
+    * @param reliableCheckpoint  lineage-truncation mode. `false` (default)
+    *   uses `localCheckpoint` — executor-local blocks, no extra I/O, the
+    *   right trade on a single node or short job, but an executor lost
+    *   mid-loop loses its blocks and KILLS THE JOB (lineage is gone).
+    *   `true` uses reliable `checkpoint()` to the SparkContext's
+    *   checkpoint directory (caller must `setCheckpointDir` to a
+    *   fault-tolerant FS — HDFS/S3 on a cluster): each round persists
+    *   ~|V| labels, and the iteration survives executor loss — the
+    *   setting a 100 TB multi-hour dedup run should use.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      reliableCheckpoint: Boolean = false
+  ): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val edges = ckpt(
+      pairs
+        .select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .distinct())
+    var labels = ckpt(
+      edges
+        .select(col("src").as("node"))
+        .distinct()
+        .withColumn("lbl", col("node")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -47,14 +64,14 @@ object DedupClusters {
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst"))
         .agg(min(col("lbl")).as("cand"))
-      val next = labels
-        .join(candidates, labels("node") === candidates("dst"), "left")
-        .select(
-          col("node"),
-          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
-          (col("cand").isNotNull && col("cand") < col("lbl")).as("moved")
-        )
-        .localCheckpoint()
+      val next = ckpt(
+        labels
+          .join(candidates, labels("node") === candidates("dst"), "left")
+          .select(
+            col("node"),
+            least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
+            (col("cand").isNotNull && col("cand") < col("lbl")).as("moved")
+          ))
       changed = next.filter(col("moved")).count()
       labels = next.drop("moved")
       iter += 1
@@ -65,8 +82,8 @@ object DedupClusters {
 
   /** Per-cluster summary: (rep, n_members), members ≥ 2 by construction
     * (only nodes that appear in a pair are clustered). */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    connectedComponents(pairs, maxIter)
+  def clusters(pairs: DataFrame, maxIter: Int = 20, reliableCheckpoint: Boolean = false): DataFrame =
+    connectedComponents(pairs, maxIter, reliableCheckpoint)
       .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_members"))
 }

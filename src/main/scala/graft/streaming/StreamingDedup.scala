@@ -144,4 +144,35 @@ object StreamingDedup {
         }
       }
   }
+
+  /** VERIFIED near-dup pairs: the full operator a caller actually wants —
+    * candidate generation (pigeonhole blocks + capped bucket state)
+    * composed with the collapse of per-shared-block multiplicity, so each
+    * (d1, d2) pair is emitted EXACTLY ONCE across blocks AND micro-
+    * batches. The hamming distance itself is already exact (both full
+    * 64-bit simhashes live in bucket state — pigeonholing only decides
+    * WHO gets compared, never the distance), so dedup of the emissions is
+    * the whole remaining verify step, matching the batch operator's
+    * distinct-pairs contract.
+    *
+    * The collapse is a stateful `dropDuplicates` on the pair key: its
+    * state grows with the number of DISTINCT near-dup pairs — the
+    * operator's own output volume, the floor any exactly-once emitter
+    * must hold. On an unbounded stream where old pairs stop mattering,
+    * bound it with a watermark on an event-time column added upstream
+    * (`dropDuplicatesWithinWatermark` semantics); the fixture contract
+    * here is global exactness.
+    */
+  def nearDupPairsVerified(
+      docs: DataFrame,
+      maxHamming: Int = 12,
+      bucketCap: Int = 64,
+      idleTimeout: Option[String] = None
+  ): Dataset[Pair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    nearDupPairs(docs, maxHamming, bucketCap, idleTimeout)
+      .dropDuplicates("d1", "d2")
+      .as[Pair]
+  }
 }

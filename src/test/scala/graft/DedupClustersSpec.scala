@@ -41,6 +41,30 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got.size === 20)
   }
 
+  test("reliable checkpoint mode: same clusters, RDD checkpoint files written") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val reliable = DedupClusters
+      .connectedComponents(pairs, reliableCheckpoint = true)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val local = DedupClusters
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(reliable === local)
+    assert(reliable.values.toSet === Set(1L, 10L))
+    // reliable mode must actually persist to the checkpoint dir (the
+    // fault-tolerance property localCheckpoint lacks)
+    val persisted = new java.io.File(dir).listFiles()
+    assert(persisted != null && persisted.nonEmpty, "no checkpoint data written to the reliable dir")
+  }
+
   test("clusters summary counts members per representative") {
     val s = spark
     import s.implicits._

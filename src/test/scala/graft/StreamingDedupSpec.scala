@@ -71,6 +71,38 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a <= 3 && b >= 10 }, s"families cross-paired: $pairs")
   }
 
+  test("verified pairs: exactly one emission per pair across blocks and batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val verified = StreamingDedup.nearDupPairsVerified(docs)
+    val q = verified.writeStream.format("memory").queryName("sdedup_v").outputMode("append").start()
+    try {
+      in.addData((1L, base))
+      q.processAllAvailable()
+      in.addData((2L, mutate(2)), (3L, mutate(3)))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // near-identical docs share MANY pigeonhole blocks — the raw
+      // candidate stream emits the pair once per shared block; verified
+      // output must collapse that to exactly one row per pair
+      assert(rows.length === rows.distinct.length, s"duplicate emissions survived: ${rows.toSeq}")
+      assert(rows.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"wrong verified pairs: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("verified pairs in batch mode = raw candidates distinct (and raw has multiplicity)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, base), (2L, mutate(2)), (10L, unrelated)).toDF("doc_id", "text")
+    val raw = StreamingDedup.nearDupPairs(docs).collect().map(p => (p.d1, p.d2))
+    val verified = StreamingDedup.nearDupPairsVerified(docs).collect().map(p => (p.d1, p.d2))
+    assert(raw.length > raw.distinct.length, "fixture should exercise per-block multiplicity")
+    assert(verified.sorted.toSeq === raw.distinct.sorted.toSeq)
+  }
+
   test("docs too short for a shingle never pair (no zero-fingerprint collisions)") {
     val s = spark
     import s.implicits._
