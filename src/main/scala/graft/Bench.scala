@@ -43,6 +43,17 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+    // (total, steal) jiffies from /proc/stat — steal measures HOST-level
+    // contention (a noisy co-tenant VM) that guest loadavg cannot see;
+    // a non-trivial steal fraction over the run is the evidence that an
+    // inflated recording reflects the box, not the engine.
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+        (cols.sum, if (cols.length > 7) cols(7) else 0L)
+      } catch { case _: Throwable => (0L, 0L) }
+
     // Serialize against competing load: a box already saturated by
     // another job would inflate every sample; give it up to 90 s to
     // drain. Our own JVM is mostly idle here, so loadavg reflects the
@@ -53,6 +64,7 @@ object Bench {
     var waited = 0
     while (loadAvg() > quietBar && waited < 90) { Thread.sleep(5000); waited += 5 }
 
+    val (jifT0, jifS0) = cpuJiffies()
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     def once(name: String): Double = {
@@ -102,10 +114,14 @@ object Bench {
     val maxRatio = if (ratios.isEmpty) 0.0 else ratios.max
     val contended = results.exists { case (_, med, sp) => med > 0.05 && sp > med }
     val loadEnd = loadAvg()
+    val (jifT1, jifS1) = cpuJiffies()
+    val stealFrac =
+      if (jifT1 > jifT0) (jifS1 - jifS0).toDouble / (jifT1 - jifT0) else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,""" +
         s""""runs":$nRuns,"max_spread_ratio":$maxRatio,"contended":$contended,""" +
-        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_wait_sec":$waited,"sf":"$sfDir"}"""
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_wait_sec":$waited,""" +
+        s""""cpu_steal_frac":$stealFrac,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/tmp/bench_out.json")
     try {
       val p = Paths.get(out)
