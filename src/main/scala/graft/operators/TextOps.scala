@@ -306,6 +306,66 @@ object TextOps {
         .orderBy(col("lang"))
     },
 
+    // Benchmark DECONTAMINATION — the eval-leakage scrub every training
+    // pipeline runs before training: corpus docs sharing too much
+    // content with a held-out benchmark set must be dropped, or the
+    // model trains on its own eval. Here docs 0-19 play the benchmark;
+    // a corpus doc is flagged when ≥ half of its distinct 3-gram
+    // shingles appear anywhere in the benchmark set (the fixture's
+    // constructed near-dup families guarantee real hits). Scale shape:
+    // the benchmark shingle set is small and DISTINCT → broadcast to
+    // the streaming corpus-shingle side — the corpus never shuffles for
+    // the membership probe; per-doc counts are one partial-aggregated
+    // groupBy.
+    "decontaminate_ngram" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val bench = shingleRows(d.filter(col("doc_id") < 20), 3).select(col("s")).distinct()
+      val corpus = shingleRows(d.filter(col("doc_id") >= 20), 3)
+      val sz = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))
+      corpus
+        .join(broadcast(bench), "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sz, "doc_id")
+        .select(
+          col("doc_id"),
+          col("n_shared"),
+          col("n_own"),
+          (col("n_shared").cast("double") / col("n_own")).as("overlap")
+        )
+        .filter(col("overlap") >= 0.5)
+        .orderBy(col("doc_id"))
+    },
+
+    // Domain-mix REBALANCING: every language contributes the same number
+    // of documents (the minimum per-lang count), members chosen by
+    // deterministic hash order — md5 of the doc id, engine-portable and
+    // stable under repartitioning, so the selected mix is reproducible
+    // with no RNG state (same contract as split_train_holdout). The
+    // rank windows are per-lang PARTITIONED (never a global funnel);
+    // the min count joins in as a one-row broadcast.
+    "select_balanced_mix" -> { (spark, dir) =>
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      val nMin = counts.agg(min(col("n_before")).as("n_min"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc, col("doc_id").asc)
+      val kept = d
+        .withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(nMin))
+        .filter(col("rn") <= col("n_min"))
+      counts
+        .join(
+          kept
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_after"), sum(col("n_chars")).cast("long").as("chars_after")),
+          "lang")
+        .orderBy(col("lang"))
+    },
+
     // Opaque-binary payload handling (multimodal posture): text → utf-8
     // bytes as a BinaryType column with typed metadata; readers see
     // byte length + content hash without decoding. The same schema shape
@@ -429,6 +489,35 @@ object TextOps {
          |JOIN (SELECT lang, COUNT(*) AS n_after_exact FROM ex GROUP BY lang) e USING (lang)
          |JOIN (SELECT lang, COUNT(*) AS n_after_near FROM fin GROUP BY lang) f USING (lang)
          |ORDER BY lang""".stripMargin,
+    "decontaminate_ngram" ->
+      s"""WITH bsh AS (
+         |  SELECT DISTINCT unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE doc_id < 20)
+         |), csh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE doc_id >= 20)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n_own FROM csh GROUP BY doc_id),
+         |ov AS (
+         |  SELECT c.doc_id, COUNT(*) AS n_shared
+         |  FROM csh c JOIN bsh b ON c.s = b.s GROUP BY c.doc_id)
+         |SELECT o.doc_id, CAST(o.n_shared AS BIGINT) AS n_shared,
+         |  CAST(z.n_own AS BIGINT) AS n_own,
+         |  CAST(o.n_shared AS DOUBLE) / z.n_own AS overlap
+         |FROM ov o JOIN sz z USING (doc_id)
+         |WHERE CAST(o.n_shared AS DOUBLE) / z.n_own >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+    "select_balanced_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n_before) AS n_min FROM c),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, COUNT(*) AS n_after, CAST(SUM(n_chars) AS BIGINT) AS chars_after
+        |  FROM r, m WHERE rn <= n_min GROUP BY lang)
+        |SELECT c.lang, c.n_before, k.n_after, k.chars_after
+        |FROM c JOIN k USING (lang) ORDER BY lang""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

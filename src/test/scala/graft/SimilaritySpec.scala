@@ -198,6 +198,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected.subsetOf(found), s"missed true near-dups: ${expected -- found}")
   }
 
+  test("lshAutoParams: S-curve capture ≥ target at the threshold, bands within cap") {
+    def capture(t: Double, r: Int, b: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, r), b)
+    }
+    assert(operators.Similarity.lshAutoParams(0.9) === ((14, 57)))
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9, 0.95, 0.99)) {
+      val (r, b) = operators.Similarity.lshAutoParams(t)
+      assert(b <= 64, s"t=$t bands $b exceed cap")
+      assert(capture(t, r, b) >= 0.999, s"t=$t ($r,$b) capture ${capture(t, r, b)} < target")
+      // background rejection is only physical in the high-threshold
+      // regime (the scaladoc's contract — at low thresholds no band
+      // scheme separates a 0.35 cosine gap): check it where it holds
+      if (t >= 0.9) {
+        val bg = capture(math.max(0.05, t - 0.35), r, b)
+        assert(bg < 0.5, s"t=$t ($r,$b) background capture $bg — no rejection")
+      }
+    }
+  }
+
+  test("auto-derived params prune a structured corpus with zero false negatives") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0 until 200).map(i => (i.toLong, unit().toSeq))
+    val dups = (0 until 20).flatMap { i =>
+      val b = base(i)._2.toArray
+      val noisy = b.map(_ + 0.02 * rnd.nextGaussian())
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      Seq((1000L + i, noisy.map(_ / n).toSeq))
+    }
+    val e = (base ++ dups).toDF("vec_id", "v")
+    val (r, b) = operators.Similarity.lshAutoParams(0.9)
+    val nTotal = base.size + dups.size
+    val allPairs = nTotal.toLong * (nTotal - 1) / 2
+    val nCands = operators.Similarity.lshCandidates(e, bitsPerBand = r, bands = b).count()
+    assert(nCands < allPairs / 10, s"auto params kept $nCands of $allPairs pairs — no pruning")
+    val found = operators.Similarity
+      .embedNearDupLsh(e, threshold = 0.9, bitsPerBand = r, bands = b)
+      .select("v1", "v2")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    val expected = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    assert(expected.subsetOf(found), s"auto params missed true near-dups: ${expected -- found}")
+  }
+
   test("near-dup operators agree: minhash(0.6) ⊇ simhash(0.9) pairs") {
     def pairs(name: String) = SparkEntry
       .queries(name)(spark, sf)
