@@ -230,6 +230,75 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition quality signals (the Gopher-style filters): per doc,
+    // type-token stats, bigram duplication ratio, and the top-token
+    // mass fraction; docs above the bigram-repetition threshold are
+    // flagged. All ratios are single divisions of exact integer counts
+    // → bit-reproducible across engines. Scale shape: one posexplode,
+    // one per-doc window for bigrams, two partial-aggregated groupBys —
+    // everything partitions on doc_id, nothing global.
+    "text_repetition" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val tok = d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("pos"))
+      val grams = tok
+        .select(col("doc_id"), col("w"), lead(col("w"), 1).over(win).as("w2"))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("g"))
+      val gs = grams
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct_grams"))
+      val ts = tok
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_distinct_tokens"),
+          max(col("c")).as("top_token_count"))
+      ts.join(gs, "doc_id")
+        .withColumn(
+          "bigram_rep",
+          lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+        .withColumn("top_token_frac", col("top_token_count").cast("double") / col("n_tokens"))
+        .withColumn("repetitive", col("bigram_rep") >= 0.05)
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct_tokens"), col("n_grams"),
+          col("n_distinct_grams"), col("bigram_rep"), col("top_token_frac"), col("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-language TF-IDF top terms — the corpus-analysis staple for
+    // spotting domain drift / boilerplate vocab. Score = tf · ln(N/df),
+    // quantized to a 1e-6 grid BEFORE ranking so the order (and the
+    // emitted score) never depends on last-ulp libm differences between
+    // engines. Rank windows are per-lang partitioned; the per-lang doc
+    // counts join in as a broadcast.
+    "text_tfidf_top" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val tok = d.select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dw = tok.groupBy(col("lang"), col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val st = dw
+        .groupBy(col("lang"), col("w"))
+        .agg(sum(col("c")).cast("long").as("tf"), count(lit(1)).as("df"))
+      val nd = d.groupBy(col("lang")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("score_q").desc, col("w").asc)
+      st.join(broadcast(nd), "lang")
+        .withColumn(
+          "score_q",
+          floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 5)
+        .select(
+          col("lang"), col("rn").cast("long").as("rn"), col("w").as("term"),
+          col("tf"), col("df"), col("score_q"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
     // Deterministic train/holdout split — the reproducible-sampling
     // primitive every training pipeline needs: membership is a pure
     // function of the KEY (first md5 byte < 0x0d ⇒ holdout, ~5.1%), so
@@ -557,6 +626,37 @@ object TextOps {
         |  FROM scores)
         |SELECT doc_id, lang AS actual, plang AS predicted, (lang = plang) AS correct
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+        |ts AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_distinct_tokens, CAST(MAX(c) AS BIGINT) AS top_token_count
+        |  FROM tc GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM t),
+        |gs AS (SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct_grams
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct_tokens, n_grams, n_distinct_grams,
+        |  1 - CAST(n_distinct_grams AS DOUBLE)/n_grams AS bigram_rep,
+        |  CAST(top_token_count AS DOUBLE)/n_tokens AS top_token_frac,
+        |  (1 - CAST(n_distinct_grams AS DOUBLE)/n_grams >= 0.05) AS repetitive
+        |FROM ts JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top" ->
+      """WITH tok AS (SELECT lang, doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |dw AS (SELECT lang, w, doc_id, COUNT(*) AS c FROM tok GROUP BY lang, w, doc_id),
+        |st AS (SELECT lang, w, CAST(SUM(c) AS BIGINT) AS tf, COUNT(*) AS df FROM dw GROUP BY lang, w),
+        |nd AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY lang),
+        |sc AS (
+        |  SELECT lang, w, tf, df,
+        |    CAST(FLOOR(tf * ln(CAST(n_docs AS DOUBLE)/df) * 1e6 + 0.5) AS BIGINT) AS score_q
+        |  FROM st JOIN nd USING (lang)),
+        |r AS (SELECT lang, w, tf, df, score_q,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_q DESC, w ASC) AS rn FROM sc)
+        |SELECT lang, rn, w AS term, tf, df, score_q
+        |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "bin_payload" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -262,6 +262,12 @@ object SimilarityJoinOps {
     * join); `leftVec`/`rightVec` name ARRAY<DOUBLE> columns. On a
     * self-join (shared lineage) the right side is re-aliased first so
     * attribute resolution stays unambiguous.
+    *
+    * Band parameters left at their `0` sentinel are derived from the
+    * threshold via [[graft.operators.Similarity.lshAutoParams]] (S-curve
+    * sizing for 99.9% capture at the threshold) — pass both explicitly
+    * to pin a regime instead (e.g. the empirically zero-FN (4, 64) the
+    * fixture queries use at the 0.4 continuum threshold).
     */
   def similarityJoin(
       left: DataFrame,
@@ -271,16 +277,30 @@ object SimilarityJoinOps {
       rightKey: String,
       rightVec: String,
       threshold: Double,
-      bitsPerBand: Int = 10,
-      bands: Int = 25,
+      bitsPerBand: Int = 0,
+      bands: Int = 0,
       cap: Int = 1000
   ): DataFrame = {
     val spark = left.sparkSession
     graft.functions.GraftExtensions.register(spark)
+    val (r, b) = resolveBands(threshold, bitsPerBand, bands)
     val node = buildNode(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      leftKey, leftVec, rightKey, rightVec, threshold, bitsPerBand, bands, cap)
+      leftKey, leftVec, rightKey, rightVec, threshold, r, b, cap)
     PlanBridge.ofRows(spark, node)
+  }
+
+  /** `(bitsPerBand, bands)` with `0` sentinels resolved: auto-derived
+    * from the S-curve when the threshold is in the derivable open (0,1)
+    * range, else the legacy (10, 25) default. Explicit non-zero values
+    * pass through untouched (both must be given together). */
+  private[graft] def resolveBands(threshold: Double, bitsPerBand: Int, bands: Int): (Int, Int) = {
+    require(
+      (bitsPerBand == 0) == (bands == 0),
+      s"pass bitsPerBand and bands together or neither, got ($bitsPerBand, $bands)")
+    if (bitsPerBand != 0) (bitsPerBand, bands)
+    else if (threshold > 0 && threshold < 1) graft.operators.Similarity.lshAutoParams(threshold)
+    else (10, 25)
   }
 
   /** SQL table-function builder (`graft_similarity_join`), registered by
@@ -297,6 +317,8 @@ object SimilarityJoinOps {
     *
     * Arguments: (leftTable, leftKey, leftVec, rightTable, rightKey,
     * rightVec, threshold [, bitsPerBand, bands [, cap]]) — all literals.
+    * Omitted band parameters are S-curve-derived from the threshold
+    * (see [[resolveBands]]).
     */
   private[graft] def sqlTableFunction(args: Seq[Expression]): LogicalPlan = {
     require(
@@ -333,12 +355,15 @@ object SimilarityJoinOps {
     val spark = SparkSession.active
     val lp = spark.table(str(0, "leftTable")).queryExecution.analyzed
     val rp0 = spark.table(str(3, "rightTable")).queryExecution.analyzed
+    val threshold = dbl(6, "threshold")
+    val (bpb, nb) = resolveBands(
+      threshold,
+      if (args.length >= 9) int(7, "bitsPerBand") else 0,
+      if (args.length >= 9) int(8, "bands") else 0)
     val node = buildNode(
       lp, rp0,
       str(1, "leftKey"), str(2, "leftVec"), str(4, "rightKey"), str(5, "rightVec"),
-      dbl(6, "threshold"),
-      if (args.length >= 9) int(7, "bitsPerBand") else 10,
-      if (args.length >= 9) int(8, "bands") else 25,
+      threshold, bpb, nb,
       if (args.length == 10) int(9, "cap") else 1000)
     // SQL-addressable output: right-side names colliding with left-side
     // ones get a `_r` suffix (a self-join would otherwise produce
