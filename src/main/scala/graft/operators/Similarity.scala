@@ -182,6 +182,58 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** LSH-bucketed approximate nearest neighbors — the index-free ANN
+    * scale path (the sibling of [[IvfIndex.search]]'s trained-codebook
+    * path): candidates are corpus vectors sharing ≥1 sign-LSH band with
+    * the probe, scored by exact cosine, top-K per probe. No training
+    * step and no index layout — the corpus streams through one band-key
+    * equi-join per run, so this wins over IVF when the corpus is read
+    * once (ad-hoc joins) while IVF wins when the layout is reused
+    * across many probe batches.
+    *
+    * Scale shape: the probe side (q_id, band keys — never vectors into
+    * the join) is broadcast; corpus band rows are hot-bucket-capped
+    * ([[SkewTools.dropHotKeys]] inside lshKeyed); candidate (q_id,
+    * vec_id) pairs are distinct BEFORE vectors are fetched; the final
+    * top-K window partitions on q_id. Self-matches (vec_id == q_id on a
+    * shared id space) are excluded, matching brute-force top-K.
+    *
+    * @param corpus (vec_id, v: array<double>)
+    * @param probes (q_id, qv: array<double>)
+    * @return (q_id, rnk, vec_id, cos), rnk 1..topK by cos desc
+    */
+  def lshSearch(
+      corpus: DataFrame,
+      probes: DataFrame,
+      bitsPerBand: Int,
+      bands: Int,
+      topK: Int,
+      cap: Int = 1000
+  ): DataFrame = {
+    graft.functions.GraftExtensions.register(corpus.sparkSession)
+    val ck = lshKeyed(corpus, bitsPerBand, bands, cap)
+    val pk = probes.select(
+      col("q_id"),
+      posexplode(graft.functions.SignBandKeys.keysColumn(col("qv"), bitsPerBand, bands, LshSeed))
+        .as(Seq("band_idx", "band_key")))
+    val cand = ck
+      .join(broadcast(pk), Seq("band_idx", "band_key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(corpus, "vec_id")
+      .join(broadcast(probes), "q_id")
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        graft.functions.CosineSimilarity.column(col("qv"), col("v")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-5 for probe vectors vec_id < 5, scored
     // by the NATIVE codegen expression (graft.functions.CosineSimilarity,
@@ -334,6 +386,36 @@ object Similarity {
           (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.3).as("recall_ok")
         )
         .select(col("n_queries"), col("recall_ok"))
+    },
+
+    // LSH-bucketed ANN (Similarity.lshSearch) — the index-free sibling
+    // of sim_ann_ivf: same probe set, same recall-bound oracle scheme
+    // (the hash-checkable output is the QUALITY BOUND; the mechanism is
+    // pinned by SimilaritySpec). Band params (6, 16) measured by
+    // tools/RecallProbe on the near-uniform fixture (ANN's worst case):
+    // mean recall@5 = 0.36 / 0.44 / 0.64 at sf0.001/0.01/0.1 — ≥1.8×
+    // headroom over the pinned 0.2 bound at every SF, with a ~22%
+    // expected candidate fraction on random vectors (16 bands × 2^-6).
+    "sim_ann_lsh" -> { (spark, dir) =>
+      val e = corpus(spark, dir)
+      val probes = e
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val ann = lshSearch(e, probes, bitsPerBand = 6, bands = 16, topK = 5)
+      val bf = bruteForceTopK(spark, dir, 5).select(col("q_id"), col("vec_id"))
+      val hits = ann
+        .join(bf, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      probes
+        .select(col("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.2).as("recall_ok")
+        )
+        .select(col("n_queries"), col("recall_ok"))
     }
   )
 
@@ -393,6 +475,9 @@ object Similarity {
     // (recall_ok must be TRUE), not the neighbor list; n_queries pins the
     // probe-set size exactly.
     "sim_ann_ivf" ->
+      """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "sim_ann_lsh" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "embed_stats" ->

@@ -35,6 +35,13 @@ object RecallProbe {
       val q = probes.count()
       println(s"RECALL $dir: mean recall@5 = ${hits.toDouble / (5.0 * q)} ($hits/${5 * q} hits)")
 
+      // LSH-bucketed ANN recall vs the same brute force, per band params
+      for ((r, b) <- Seq((4, 8), (5, 8), (6, 8), (6, 16), (8, 16), (8, 32))) {
+        val ann2 = graft.operators.Similarity.lshSearch(e, probes, r, b, topK = 5)
+        val hits2 = ann2.join(bf, Seq("q_id", "vec_id")).count()
+        println(s"LSHANN $dir r=$r b=$b mean recall@5 = ${hits2.toDouble / (5.0 * q)}")
+      }
+
       // LSH near-dup false negatives vs exact all-pairs at 0.4 (must be 0)
       val lsh = graft.operators.Similarity
         .embedNearDupLsh(e, threshold = 0.4, bitsPerBand = 4, bands = 64)

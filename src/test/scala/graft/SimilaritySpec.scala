@@ -251,6 +251,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected.subsetOf(found), s"auto params missed true near-dups: ${expected -- found}")
   }
 
+  test("lshSearch: planted near-identical vector found at rank 1; ranking is exact cosine") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0 until 300).map(i => (i.toLong, unit().toSeq))
+    // vec 900 ≈ vec 0 (cos ≈ 0.999): every band collides with
+    // probability ~0.94^16 ≈ 1 − 1e−20 — it MUST surface at rank 1
+    val twin = {
+      val b = base(0)._2.toArray
+      val noisy = b.map(_ + 0.005 * rnd.nextGaussian())
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (900L, noisy.map(_ / n).toSeq)
+    }
+    val corpus = (base :+ twin).toDF("vec_id", "v")
+    val probes = corpus.filter(col("vec_id") === 0L).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val got = operators.Similarity
+      .lshSearch(corpus, probes, bitsPerBand = 6, bands = 16, topK = 5)
+      .orderBy(col("rnk"))
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.head.getLong(2) === 900L, s"twin not at rank 1: ${got.toSeq}")
+    assert(got.head.getLong(0) === 0L)
+    // self excluded, ranks contiguous from 1, cosines non-increasing
+    assert(!got.exists(_.getLong(2) == 0L), "self-match not excluded")
+    assert(got.map(_.getLong(1)).toSeq === (1L to got.length))
+    val cosines = got.map(_.getDouble(3)).toSeq
+    assert(cosines === cosines.sorted.reverse, s"ranking not by cosine: $cosines")
+  }
+
   test("near-dup operators agree: minhash(0.6) ⊇ simhash(0.9) pairs") {
     def pairs(name: String) = SparkEntry
       .queries(name)(spark, sf)
