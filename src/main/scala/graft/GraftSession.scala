@@ -29,6 +29,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalescing floor: the default 1 MB minPartitionSize folds
+      // byte-small but compute-AMPLIFYING shuffles (LSH band rows: ~3 MB
+      // that fan out into millions of candidate-pair probes on the
+      // reduce side) into one task. 64 KB keeps such stages at
+      // ~min(parallelism, bytes/64K) tasks while genuinely tiny shuffles
+      // still coalesce; plain data-proportional stages are governed by
+      // advisoryPartitionSizeInBytes as before.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", (64L * 1024).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -126,8 +126,18 @@ object Similarity {
     * right side of that trade at every scale. */
   private def lshKeyed(e: DataFrame, bitsPerBand: Int, bands: Int, cap: Int): DataFrame = {
     graft.functions.GraftExtensions.register(e.sparkSession)
+    // Repartition by key BEFORE the ×bands explode: a small parquet input
+    // is one indivisible row group, so without this the signature, the
+    // explode, and the map side of the band join it feeds all run in ONE
+    // task (measured 6-7 s single-task stages at sf0.1 — the whole query
+    // cost). One extra corpus-sized shuffle (~1.5% of the exploded
+    // volume) buys full parallelism regardless of input layout. The
+    // partition count is EXPLICIT: a bare repartition(col) is a
+    // coalescable shuffle origin, and AQE would fold these byte-small
+    // but compute-amplifying partitions straight back into one task.
+    val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     SkewTools.dropHotKeys(
-      e.select(
+      e.repartition(parts, col("vec_id")).select(
         col("vec_id"),
         posexplode(graft.functions.SignBandKeys.keysColumn(col("v"), bitsPerBand, bands, LshSeed))
           .as(Seq("band_idx", "band_key"))

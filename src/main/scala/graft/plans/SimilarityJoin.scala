@@ -112,7 +112,13 @@ object ExpandSimilarityJoin extends Rule[LogicalPlan] {
       sj: SimilarityJoin
   ): LogicalPlan = {
     val side = PlanBridge.ofRows(spark, Project(Seq(key, vec), child))
-    val keyed = side.select(
+    // Repartition by key before the ×bands explode — same single-row-
+    // group parallelism-collapse guard as Similarity.lshKeyed: without
+    // it the signature and the band-join map side run at input-split
+    // parallelism (one task for a sub-row-group-sized table). Explicit
+    // count so AQE cannot coalesce it back to one task.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = side.repartition(parts, col(key.name)).select(
       col(key.name),
       posexplode(
         SignBandKeys.keysColumn(col(vec.name), sj.bitsPerBand, sj.bands, SignBandKeys.DefaultSeed))
@@ -158,15 +164,17 @@ object ExpandSimilarityJoin extends Rule[LogicalPlan] {
     // Self-join band sides are identical-sized by construction, so a
     // broadcast plan is never right (at scale it would broadcast the
     // whole exploded corpus — the static planner's post-aggregate size
-    // estimate underestimates it). Forcing SHUFFLE_MERGE also makes both
-    // sides shuffle on the band keys, and since they wrap the SAME
-    // subtree those two exchanges canonicalize equal → the banded
-    // signature is computed once (AQE stage reuse / ReuseExchange).
+    // estimate underestimates it). Forcing a shuffle join makes both
+    // sides shuffle on the band keys; SHUFFLE_HASH rather than
+    // SHUFFLE_MERGE because band keys are few-valued (2^bitsPerBand per
+    // band) and massively duplicated — sort-merge degenerates to a
+    // per-key-group nested loop PLUS two sorts, while hash build+probe
+    // skips the sorts entirely (measured ~2× reduce-stage CPU at sf0.1).
     // Asymmetric (non-self) joins keep JoinHint.NONE: a genuinely tiny
     // probe side SHOULD broadcast, and the planner sees real estimates.
     val bandHint =
       if (sj.selfJoin) {
-        val h = Some(HintInfo(strategy = Some(SHUFFLE_MERGE)))
+        val h = Some(HintInfo(strategy = Some(SHUFFLE_HASH)))
         JoinHint(h, h)
       } else JoinHint.NONE
     val bandJoin = Join(
