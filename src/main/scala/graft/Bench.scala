@@ -2,9 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main. One warmup pass absorbs JVM/codegen warmup, then each
-  * query is timed over `SPARK_GRAFT_BENCH_RUNS` (default 5) consecutive
-  * runs, reporting the median. The harness is CONTENTION-AWARE (the
+/** Benchmark main. One warmup pass absorbs JVM/codegen warmup, then
+  * `SPARK_GRAFT_BENCH_RUNS` (default 5) INTERLEAVED passes over the whole
+  * suite time every query once per pass, reporting the per-query median.
+  * Samples of one query are therefore separated by a full sweep of the
+  * others — deliberate: every sample sees the same suite-ambient heap/GC
+  * /page-cache state instead of query-private back-to-back warmth, so
+  * the median reflects how the suite actually runs end-to-end.
+  * The harness is CONTENTION-AWARE (the
   * round-3 driver recording was ~2.5× a clean run on identical code
   * because end-of-round work shared the box):
   *
@@ -91,14 +96,21 @@ object Bench {
     }
 
     // contention retry: spread > median means the samples disagree by
-    // more than the value being reported — re-measure up to twice
+    // more than the value being reported — re-measure up to twice. Each
+    // retry REPLACES the worst sample (one suspected-interference
+    // victim) rather than appending: max−min over a grow-only sample set
+    // can never shrink, so appending would make recovery impossible. A
+    // genuinely bimodal query keeps producing slow samples, re-fills the
+    // top, and stays flagged; one interfered sample is displaced by a
+    // clean re-measurement and the flag clears.
     for (n <- names) {
       var extra = 0
       while (extra < 2 && {
           val ts = samples(n); val m = medianOf(ts)
           m > 0.05 && spreadOf(ts) > m
         }) {
-        samples(n) = samples(n) :+ once(n)
+        val ts = samples(n)
+        samples(n) = ts.patch(ts.indexOf(ts.max), Nil, 1) :+ once(n)
         extra += 1
       }
     }

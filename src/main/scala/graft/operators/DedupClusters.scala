@@ -47,6 +47,22 @@ object DedupClusters {
   ): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    // Reliable mode writes ~|V| labels to the checkpoint FS every round
+    // and Spark never deletes superseded generations on its own
+    // (cleaner.referenceTracking.cleanCheckpoints is off by default and
+    // GC-timing-dependent when on) — a 20-round run would hold 20 dead
+    // label sets until someone wipes the directory. Each round therefore
+    // deletes the PREVIOUS round's label checkpoint once the new one has
+    // materialized; `edges` and the final labels are never deleted.
+    def ckptPath(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+      df.queryExecution.analyzed
+        .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+        .flatMap(r => r.getCheckpointFile)
+        .map(new org.apache.hadoop.fs.Path(_))
+    def deleteCkpt(df: DataFrame): Unit =
+      if (reliableCheckpoint) ckptPath(df).foreach { p =>
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     val edges = ckpt(
       pairs
         .select(col("d1").as("src"), col("d2").as("dst"))
@@ -73,6 +89,7 @@ object DedupClusters {
             (col("cand").isNotNull && col("cand") < col("lbl")).as("moved")
           ))
       changed = next.filter(col("moved")).count()
+      deleteCkpt(labels) // superseded generation; `next` is materialized
       labels = next.drop("moved")
       iter += 1
     }

@@ -272,10 +272,14 @@ object TextOps {
 
     // Per-language TF-IDF top terms — the corpus-analysis staple for
     // spotting domain drift / boilerplate vocab. Score = tf · ln(N/df),
-    // quantized to a 1e-6 grid BEFORE ranking so the order (and the
-    // emitted score) never depends on last-ulp libm differences between
-    // engines. Rank windows are per-lang partitioned; the per-lang doc
-    // counts join in as a broadcast.
+    // quantized to a 1e-6 grid BEFORE ranking: ln() is transcendental
+    // (engines agree only to ~1 ulp), so quantizing pushes a cross-
+    // engine flip down to the ~1e-10 probability of a score landing
+    // within an ulp of a grid boundary — not a proof, but verified
+    // stable on the deterministic fixtures at every SF, and ties on the
+    // grid resolve exactly (ORDER BY score_q, term). Rank windows are
+    // per-lang partitioned; the per-lang doc counts join in as a
+    // broadcast.
     "text_tfidf_top" -> { (spark, dir) =>
       val d = Tables.documents(spark, dir)
       val tok = d.select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -373,15 +373,20 @@ object SimilarityJoinOps {
       str(1, "leftKey"), str(2, "leftVec"), str(4, "rightKey"), str(5, "rightVec"),
       threshold, bpb, nb,
       if (args.length == 10) int(9, "cap") else 1000)
-    // SQL-addressable output: right-side names colliding with left-side
-    // ones get a `_r` suffix (a self-join would otherwise produce
-    // duplicate column names SELECT cannot reference).
-    val leftNames = node.left.output.map(_.name).toSet
-    val renamed = node.left.output.map(a => Alias(a, a.name)()) ++
-      node.right.output.map { a =>
-        val n = if (leftNames.contains(a.name)) a.name + "_r" else a.name
-        Alias(a, n)()
-      } :+ Alias(node.cosAttr, node.cosAttr.name)()
+    // SQL-addressable output: right-side names colliding with any name
+    // already emitted get `_r` suffixes, repeated until unique — a single
+    // pass would still collide when the left side itself has an `x_r`
+    // column, or when a data column is named `cos` (the score's name,
+    // which is reserved first below for the same reason).
+    val taken = scala.collection.mutable.Set(node.cosAttr.name)
+    def unique(n: String): String = {
+      var out = n
+      while (!taken.add(out)) out += "_r"
+      out
+    }
+    val renamed = node.left.output.map(a => Alias(a, unique(a.name))()) ++
+      node.right.output.map(a => Alias(a, unique(a.name))()) :+
+      Alias(node.cosAttr, node.cosAttr.name)()
     Project(renamed, node)
   }
 }

@@ -10,13 +10,17 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   *   runMain graft.tools.PlanProbe <queryName> [sfDir]
   */
 object PlanProbe {
+  /** collect() that also descends into AQE wrappers and every node's
+    * subqueries — the one shared plan traversal (PlanAuditSpec /
+    * SimilarityJoinSpec delegate here rather than re-implementing). */
   def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)
     val nested = p.collect {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case q: QueryStageExec        => q.plan
     }
-    here ++ nested.flatMap(collectAll(_)(pf))
+    val subs = p.collect { case n if n.subqueries.nonEmpty => n.subqueries }.flatten
+    here ++ (nested ++ subs).flatMap(collectAll(_)(pf))
   }
 
   def main(args: Array[String]): Unit = {

@@ -63,6 +63,20 @@ class DedupClustersSpec extends AnyFunSuite {
     // fault-tolerance property localCheckpoint lacks)
     val persisted = new java.io.File(dir).listFiles()
     assert(persisted != null && persisted.nonEmpty, "no checkpoint data written to the reliable dir")
+    // ... and must GC superseded per-iteration label generations: only
+    // the edges checkpoint and the FINAL labels checkpoint survive, not
+    // one generation per iteration (a multi-hour run would otherwise
+    // fill the checkpoint FS with dead label sets)
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap {
+        case d if d.isDirectory && d.getName.startsWith("rdd-") => Seq(d)
+        case d if d.isDirectory                                 => rddDirs(d)
+        case _                                                  => Nil
+      }
+    val survivors = rddDirs(new java.io.File(dir))
+    assert(
+      survivors.size == 2,
+      s"expected 2 surviving checkpoints (edges + final labels), got ${survivors.map(_.getName)}")
   }
 
   test("clusters summary counts members per representative") {

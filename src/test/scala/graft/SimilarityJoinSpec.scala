@@ -25,31 +25,35 @@ class SimilarityJoinSpec extends AnyFunSuite {
     .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
   private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
-      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val sub = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    val here = sub.collect(pf)
-    val nested = sub.collect {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case q: QueryStageExec        => q.plan
-    }
-    (here ++ nested.flatMap(collectAll(_)(pf))) ++ sub.subqueries.flatMap(collectAll(_)(pf))
-  }
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+    graft.tools.PlanProbe.collectAll(p)(pf)
 
-  /** A BroadcastNestedLoopJoin is tolerable ONLY when one side is a
-    * global (one-row) aggregate — the hot-bucket guard's mean-bucket-size
-    * broadcast. Anything else nested-loops over data. */
+  /** A BroadcastNestedLoopJoin is tolerable ONLY when its BROADCAST side
+    * IS a global (one-row) aggregate — the hot-bucket guard's
+    * mean-bucket-size broadcast — after unwrapping stage/exchange/codegen
+    * wrappers. Requiring the agg on the build side itself (not merely
+    * somewhere in a subtree) keeps the guard strict: a data-path BNL
+    * whose lineage happens to CONTAIN the one-row agg still fails. */
   private def isOneRowAggBnl(
-      b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec): Boolean =
-    Seq(b.left, b.right).exists { side =>
-      collectAll(side) {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-            if a.groupingExpressions.isEmpty => a
-      }.nonEmpty
+      b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val side = b.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+      case _                                                 => b.right
     }
+    def oneRowAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => oneRowAgg(a.executedPlan)
+      case q: QueryStageExec        => oneRowAgg(q.plan)
+      // a reused exchange is a leaf pointer; its origin exchange is
+      // audited wherever it appears in full
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case u: org.apache.spark.sql.execution.UnaryExecNode => oneRowAgg(u.child)
+      case _                                               => false
+    }
+    oneRowAgg(side)
+  }
 
   test("self similarity join ≡ exact all-pairs at threshold 0.4 (fixture zero-FN params)") {
     graft.functions.GraftExtensions.register(spark)
@@ -176,6 +180,25 @@ class SimilarityJoinSpec extends AnyFunSuite {
       .toSet
     assert(got === expected, s"missing=${expected -- got} extra=${got -- expected}")
     // cos column is addressable and ≥ threshold
+    assert(df.filter(col("cos") < 0.4).count() === 0L)
+  }
+
+  test("TVF output names stay unique when data columns collide with cos and _r names") {
+    graft.functions.GraftExtensions.register(spark)
+    // a data column literally named `cos` and one named `vec_id_r` — the
+    // worst case for the single-pass suffix scheme the TVF used to have
+    corpus
+      .withColumn("cos", lit(1.0))
+      .withColumn("vec_id_r", col("vec_id"))
+      .createOrReplaceTempView("sjs_clash_emb")
+    val df = spark.sql(
+      """SELECT * FROM graft_similarity_join('sjs_clash_emb', 'vec_id', 'v',
+        |                                    'sjs_clash_emb', 'vec_id', 'v', 0.4, 4, 64)""".stripMargin)
+    val names = df.columns.toSeq
+    assert(names.distinct.size === names.size, s"duplicate output names: $names")
+    // the similarity score owns the name `cos`; colliding data columns
+    // are the ones renamed
+    assert(names.count(_ == "cos") === 1)
     assert(df.filter(col("cos") < 0.4).count() === 0L)
   }
 
