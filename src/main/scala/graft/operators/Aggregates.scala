@@ -164,6 +164,32 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Misra-Gries heavy hitters (functions.FreqItems): a fixed-size
+    // MERGEABLE sketch — O(c) state per partition regardless of stream
+    // length — whose guarantee (every value with true count > n/(c+1)
+    // is present) is the hash-checkable output, same scheme as the
+    // other approximate operators. c=2 over the lang column: threshold
+    // n/3, and the fixture's dominant language (~44%) must be found.
+    // The sketch CONTENT is order-dependent (legit for MG) so it is
+    // never emitted — only the exact heavy-hitter count and the
+    // all-found boolean, both deterministic.
+    "agg_heavy_hitters" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir).select(col("lang"))
+      val sketch = udaf(new graft.functions.FreqItems(2), org.apache.spark.sql.Encoders.STRING)
+      val sk = d.agg(sketch(col("lang")).as("sketch"))
+      val total = d.agg(count(lit(1)).as("n_total"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(total))
+        .filter(col("c") * 3 > col("n_total"))
+        .crossJoin(broadcast(sk))
+        .select(col("lang"), map_contains_key(col("sketch"), col("lang")).as("in_sketch"))
+        .agg(
+          count(lit(1)).as("n_heavy"),
+          coalesce(bool_and(col("in_sketch")), lit(true)).as("found_ok"))
+        .select(col("n_heavy"), col("found_ok"))
+    },
+
     // DECIMAL-exact aggregation: source money columns cast to
     // DECIMAL(18,4) at the scan, summed exactly in decimal arithmetic
     // (no float quantization anywhere), final values surfaced as double
@@ -399,6 +425,10 @@ object Aggregates {
         |    / SUM(FLOOR(l_quantity * 10000.0 + 0.5)) AS wavg_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_heavy_hitters" ->
+      """SELECT COUNT(*) AS n_heavy, TRUE AS found_ok
+        |FROM (SELECT lang FROM documents GROUP BY lang
+        |      HAVING 3 * COUNT(*) > (SELECT COUNT(*) FROM documents))""".stripMargin,
     "agg_minmax_per_key" ->
       s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
          |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.FreqItems
+
+/** Misra-Gries sketch contract: bounded state, undercount-only
+  * estimates within n/(c+1), zero false negatives above the threshold —
+  * on a SKEWED stream across multiple partitions (the merge path), which
+  * the near-uniform fixture cannot exercise.
+  */
+class FreqSketchSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  /** Zipf-ish stream: value v_i appears ~N/i times — a realistic
+    * heavy-hitter profile with a long uniform-ish tail. */
+  private def zipfStream: Seq[String] =
+    (1 to 40).flatMap(i => Seq.fill(4000 / i)(s"v$i"))
+
+  test("sketch state stays bounded, estimates undercount within n/(c+1)") {
+    val s = spark
+    import s.implicits._
+    val c = 8
+    val data = zipfStream
+    val trueCounts = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = data.size.toLong
+    // 7 partitions exercises reduce AND multi-way merge
+    val sk = s
+      .createDataset(data)
+      .repartition(7)
+      .select(udaf(new FreqItems(c), org.apache.spark.sql.Encoders.STRING)(col("value")).as("m"))
+      .as[Map[String, Long]]
+      .head()
+    assert(sk.size <= c, s"state exceeded $c counters: ${sk.size}")
+    val bound = n / (c + 1)
+    sk.foreach { case (k, est) =>
+      val t = trueCounts(k)
+      assert(est <= t, s"$k overcounted: est $est > true $t")
+      assert(t - est <= bound, s"$k undercount ${t - est} exceeds bound $bound")
+    }
+    // zero false negatives above the threshold
+    val mustFind = trueCounts.collect { case (k, t) if t > bound => k }.toSet
+    assert(mustFind.nonEmpty, "fixture produced no heavy hitters — test is vacuous")
+    val missed = mustFind -- sk.keySet
+    assert(missed.isEmpty, s"heavy hitters missing from sketch: $missed")
+  }
+
+  test("c=1 degenerates to the majority-candidate (Boyer-Moore) guarantee") {
+    val s = spark
+    import s.implicits._
+    // strict majority element across partitions
+    val data = Seq.fill(600)("maj") ++ (1 to 400).map(i => s"x$i")
+    val sk = s
+      .createDataset(new scala.util.Random(11).shuffle(data))
+      .repartition(5)
+      .select(udaf(new FreqItems(1), org.apache.spark.sql.Encoders.STRING)(col("value")).as("m"))
+      .as[Map[String, Long]]
+      .head()
+    assert(sk.keySet === Set("maj"), s"majority element not the surviving counter: $sk")
+  }
+
+  test("agg_heavy_hitters query: dominant language found, exact heavy count") {
+    val row = SparkEntry
+      .queries("agg_heavy_hitters")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(row.getLong(0) >= 1L, "fixture should have at least one >1/3 language")
+    assert(row.getBoolean(1), "guaranteed heavy hitter missing from sketch")
+  }
+}
