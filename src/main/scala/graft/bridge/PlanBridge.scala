@@ -15,4 +15,15 @@ object PlanBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan
     )
+
+  /** Wrap a catalyst Expression in a user-facing Column — needed for
+    * expressions carrying runtime objects (e.g. a built BloomFilter)
+    * that cannot travel through the string-keyed function registry. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[column]]: the catalyst Expression behind a Column
+    * (Spark 4 removed the public `.expr` accessor). */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -84,6 +84,25 @@ object Joins {
         .orderBy(col("c_custkey"))
     },
 
+    // Bloom-PRUNED semi join (SkewTools.bloomSemiJoin): lineitems of
+    // finished orders, but the big side is first filtered by a codegen'd
+    // Bloom probe over the finished-order keys so its non-matching mass
+    // never reaches the shuffle — exact semantics (the oracle is the
+    // plain IN-subquery), approximate only in how much work is skipped.
+    "join_bloom_semi" -> { (spark, dir) =>
+      val dim = Tables
+        .orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      SkewTools
+        .bloomSemiJoin(
+          Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey",
+          expectedKeys = dim.count())
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).cast("long").as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // LEFT ANTI (NOT EXISTS): customers with no order above 300k.
     "join_anti" -> { (spark, dir) =>
       val c = Tables.customer(spark, dir)
@@ -236,6 +255,11 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "join_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_cross" ->
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)

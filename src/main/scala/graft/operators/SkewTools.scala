@@ -72,6 +72,52 @@ object SkewTools {
     keyed.join(broadcast(hot), keyCols, "left_anti")
   }
 
+  /** Bloom-pruned LEFT SEMI join — exact semi-join semantics at a
+    * fraction of the shuffle. A Bloom filter over the small side's keys
+    * (one pass, ~1.2 MB per million keys at 1% fpp) is probed INSIDE
+    * whole-stage codegen on the big side (functions.BloomMightContain),
+    * so only the ~match-fraction + fpp survivors reach the exact semi
+    * join. False positives are removed by that join; Bloom false
+    * negatives cannot occur — the pruning is invisible to semantics.
+    *
+    * 100 TB shape: the big side never shuffles its non-matching mass —
+    * the dominant cost of a semi join against a selective dimension —
+    * and the filter rides the task binary (broadcast) rather than a
+    * join. This is the manual spelling of Spark's runtime row-level
+    * filtering, usable where the injected version doesn't fire (no
+    * selective creation-side predicate, DataFrame-built plans, probes
+    * smaller than the injection thresholds).
+    *
+    * Integral keys are cast to long on BOTH sides (build and probe must
+    * hash identically); string keys pass through.
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      bigKey: String,
+      small: DataFrame,
+      smallKey: String,
+      expectedKeys: Long,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    def keyed(df: DataFrame, k: String): Column =
+      df.schema(k).dataType match {
+        case StringType => col(k)
+        case LongType   => col(k)
+        case _          => col(k).cast("long")
+      }
+    val bloom = small.select(keyed(small, smallKey).as(smallKey)).stat
+      .bloomFilter(smallKey, math.max(1L, expectedKeys), fpp)
+    val bridge = org.apache.spark.sql.graftbridge.PlanBridge
+    val pruned = big.filter(
+      bridge.column(
+        graft.functions.BloomMightContain(bridge.expression(keyed(big, bigKey)), bloom)))
+    pruned.join(
+      small.select(keyed(small, smallKey).as("__bsk")).distinct(),
+      keyed(pruned, bigKey) === col("__bsk"),
+      "left_semi")
+  }
+
   /** Salted inner equi-join on `key` — semantically identical to the
     * unsalted join, with the hot key spread across `buckets` tasks. */
   def saltedJoin(

@@ -58,6 +58,47 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(joined.count() === Tables.lineitem(spark, sf).count())
   }
 
+  test("bloom-pruned semi join ≡ plain semi join; the probe actually prunes") {
+    val s = base
+    import s.implicits._
+    // 10k big rows, 100 dim keys, ~1% match fraction — the shape where
+    // pruning matters
+    val big = (0L until 10000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val dim = (0L until 10000L by 100L).map(i => (i, "d")).toDF("dk", "tag").select(col("dk"))
+    val got = SkewTools
+      .bloomSemiJoin(big, "k", dim, "dk", expectedKeys = 100)
+      .select(col("k"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val expected = big
+      .join(dim, col("k") === col("dk"), "left_semi")
+      .select(col("k"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(got === expected, s"bloom semi join diverged: missing=${expected -- got} extra=${got -- expected}")
+    assert(got.size === 100)
+    // the Bloom probe alone (before the exact join) must reject the
+    // overwhelming majority of non-matching rows: ≤ match + fpp slack
+    val bloom = dim.stat.bloomFilter("dk", 100, 0.01)
+    val kept = big.filter(
+      org.apache.spark.sql.graftbridge.PlanBridge.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.graftbridge.PlanBridge.expression(col("k")), bloom))).count()
+    assert(kept < 400, s"bloom probe kept $kept of 10000 — no pruning")
+    assert(kept >= 100, "bloom probe dropped true matches (false negatives are impossible)")
+    // string keys go through the putString/mightContainBinary path
+    val bigS = (0L until 1000L).map(i => s"key$i").toDF("k")
+    val dimS = (0L until 1000L by 50L).map(i => s"key$i").toDF("dk")
+    val gotS = SkewTools
+      .bloomSemiJoin(bigS, "k", dimS, "dk", expectedKeys = 20)
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(gotS === (0L until 1000L by 50L).map(i => s"key$i").toSet)
+  }
+
   test("salted join ≡ plain join on skewed data") {
     val s = spark
     import s.implicits._
