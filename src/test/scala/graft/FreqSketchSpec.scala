@@ -62,6 +62,37 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(sk.keySet === Set("maj"), s"majority element not the surviving counter: $sk")
   }
 
+  test("sketch works as a STREAMING stateful aggregation across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val c = 4
+    val q = stream
+      .toDF()
+      .select(udaf(new FreqItems(c), org.apache.spark.sql.Encoders.STRING)(col("value")).as("m"))
+      .writeStream
+      .format("memory")
+      .queryName("freq_stream_sink")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    // three micro-batches: the MG buffer must carry across batches via
+    // the streaming state store (reduce within batch, merge on restore)
+    stream.addData(Seq.fill(50)("hot") ++ (1 to 30).map(i => s"a$i"): _*)
+    q.processAllAvailable()
+    stream.addData(Seq.fill(40)("hot") ++ (1 to 30).map(i => s"b$i"): _*)
+    q.processAllAvailable()
+    stream.addData(Seq.fill(30)("hot") ++ (1 to 30).map(i => s"c$i"): _*)
+    q.processAllAvailable()
+    val sk = s.table("freq_stream_sink").as[Map[String, Long]].head()
+    q.stop()
+    val n = 50 + 40 + 30 + 90L
+    assert(sk.size <= c, s"streaming state exceeded $c counters: $sk")
+    // hot: true 120 > n/(c+1) = 42 → guaranteed present, undercount-only
+    assert(sk.contains("hot"), s"cross-batch heavy hitter lost: $sk")
+    assert(sk("hot") <= 120L && 120L - sk("hot") <= n / (c + 1), s"estimate out of bounds: ${sk("hot")}")
+  }
+
   test("agg_heavy_hitters query: dominant language found, exact heavy count") {
     val row = SparkEntry
       .queries("agg_heavy_hitters")(spark, "/root/testdata/sf0.001")
