@@ -120,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.signBandKeysDescriptor)
     ext.injectTableFunction(GraftExtensions.similarityJoinTvf)
+    ext.injectTableFunction(GraftExtensions.minhashPairsTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -169,6 +170,48 @@ object GraftExtensions {
     (children: Seq[Expression]) => graft.plans.SimilarityJoinOps.sqlTableFunction(children)
   )
 
+  /** SQL surface for MinHash-LSH near-dup pairs:
+    * graft_minhash_pairs(table, docIdCol, textCol, threshold) →
+    * (d1, d2, jaccard), same capped banded plan as the Scala operator. */
+  private[graft] val minhashPairsTvf = (
+    FunctionIdentifier("graft_minhash_pairs"),
+    new ExpressionInfo(
+      graft.operators.Dedup.getClass.getName, "graft_minhash_pairs"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 4,
+        s"graft_minhash_pairs expects (table, docIdCol, textCol, threshold), got ${children.length}")
+      def str(i: Int, what: String): String = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other =>
+              throw new IllegalArgumentException(s"graft_minhash_pairs: $what must be a string literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_minhash_pairs: $what must be a literal, got $other")
+      }
+      val threshold = children(3) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case n: java.lang.Number                      => n.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal    => d.toDouble
+            case other =>
+              throw new IllegalArgumentException(s"graft_minhash_pairs: threshold must be numeric, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_minhash_pairs: threshold must be a literal, got $other")
+      }
+      val spark = SparkSession.active
+      val d = spark
+        .table(str(0, "table"))
+        .select(
+          org.apache.spark.sql.functions.col(str(1, "docIdCol")).as("doc_id"),
+          org.apache.spark.sql.functions.col(str(2, "textCol")).as("text"))
+      graft.operators.Dedup.minhashPairs(d, threshold).queryExecution.analyzed
+    }
+  )
+
   /** Late registration on a live session (tests, REPL): functions into
     * the registry, the SimilarityJoin lowering into the public
     * `experimental.extraOptimizations` hook (idempotent — analyzer rules
@@ -180,6 +223,8 @@ object GraftExtensions {
       signBandKeysDescriptor._1, signBandKeysDescriptor._2, signBandKeysDescriptor._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       similarityJoinTvf._1, similarityJoinTvf._2, similarityJoinTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      minhashPairsTvf._1, minhashPairsTvf._2, minhashPairsTvf._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ExpandSimilarityJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ExpandSimilarityJoin

@@ -82,35 +82,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
 
-  val queries: Map[String, Q] = Map(
-    // MinHash-LSH near-dup, J ≥ 0.6: explode shingle hashes → 64 codegen
-    // min-aggregates (map-side partial agg: the shuffle carries one
-    // 64-long row per doc) → 16 band keys → bucket join → exact verify.
-    "dedup_minhash_lsh" -> { (spark, dir) =>
-      val hr = hashRows(Tables.documents(spark, dir))
-      val minCols = (0 until NumHashes).map(i => min(mix(col("h"), i)).as(s"m$i"))
-      val sig = hr.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      val bandCols = (0 until Bands).map { b =>
-        xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
-      }
-      val bands = SkewTools.dropHotKeys(
-        sig.select(
-          col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key"))
-        ),
-        Seq("band_idx", "band_key"),
-        BucketCap
+  /** MinHash-LSH near-duplicate pairs (d1 < d2, exact jaccard ≥
+    * threshold) over any (doc_id, text) frame: explode shingle hashes →
+    * 64 codegen min-aggregates (map-side partial agg: the shuffle
+    * carries one 64-long row per doc) → 16 band keys → capped bucket
+    * join → exact-Jaccard verify of candidates only. Shared by the
+    * dedup_minhash_lsh query and the `graft_minhash_pairs` SQL table
+    * function. */
+  def minhashPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val hr = hashRows(d)
+    val minCols = (0 until NumHashes).map(i => min(mix(col("h"), i)).as(s"m$i"))
+    val sig = hr.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+    }
+    val bands = SkewTools.dropHotKeys(
+      sig.select(
+        col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key"))
+      ),
+      Seq("band_idx", "band_key"),
+      BucketCap
+    )
+    val cands = bands
+      .as("x")
+      .join(
+        bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id")
       )
-      val cands = bands
-        .as("x")
-        .join(
-          bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id")
-        )
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      verified(cands, hashArrays(hr), 0.6)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    verified(cands, hashArrays(hr), threshold)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // MinHash-LSH near-dup, J ≥ 0.6 — see minhashPairs above.
+    "dedup_minhash_lsh" -> { (spark, dir) =>
+      minhashPairs(Tables.documents(spark, dir), 0.6)
+    },
+
+    // The SQL spelling: same operator reached through the
+    // graft_minhash_pairs TABLE FUNCTION (GraftExtensions), same
+    // exact-all-pairs oracle — a SQL-only user gets the engine's
+    // near-dup join without touching the Scala API.
+    "sql_minhash_pairs" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables.documents(spark, dir).createOrReplaceTempView("graft_docs")
+      spark.sql(
+        "SELECT d1, d2, jaccard FROM graft_minhash_pairs('graft_docs', 'doc_id', 'text', 0.6)")
     },
 
     // SimHash near-dup: 64-bit sign-tally fingerprint over shingle
@@ -189,6 +209,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> exactPairsSql("0.6"),
+    "sql_minhash_pairs" -> exactPairsSql("0.6"),
     "dedup_simhash" -> exactPairsSql("0.9")
   )
 }
