@@ -69,6 +69,45 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(!rows.contains(ts(50)) || rows(ts(50)) == 1L) // [50,60) may emit on stop-flush or not
   }
 
+  test("streaming session_window: gap-merged sessions close and emit on watermark passage") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = stream
+      .toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("w.start").as("ws"), col("w.end").as("we"), col("n"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // u1: events at 1 and 4 (gap 5 → ONE session [1, 9)); u2 at 2.
+    // Nothing can emit yet (watermark is still behind the session ends).
+    stream.addData(ev(1, 1), ev(2, 4), ev(3, 2, user = 2L))
+    q.processAllAvailable()
+    // advance event time to 30 → watermark 20 > every session end → all
+    // sessions close and emit exactly once, gap-merged
+    stream.addData(ev(4, 30))
+    q.processAllAvailable()
+    val rows = s
+      .table(sink)
+      .select(col("user"), col("n"),
+        ((col("we").cast("long") - col("ws").cast("long")) / 60).as("mins"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    q.stop()
+    // u1's two events merged into one 8-minute session (1 → 4+5); u2's
+    // lone event a 5-minute session
+    assert(rows === Set((1L, 2L, 8.0), (2L, 1L, 5.0)), s"got $rows")
+  }
+
   test("streaming dropDuplicates and dropDuplicatesWithinWatermark") {
     val s = spark
     import s.implicits._
