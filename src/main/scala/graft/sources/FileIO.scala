@@ -35,6 +35,37 @@ object FileIO {
   private def out(dir: String, name: String): String =
     s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
+  /** Range-clustered sorted write — the data-SKIPPING layout for scan-
+    * heavy range predicates (the single-column little sibling of
+    * Z-ordering): `repartitionByRange` gives each output FILE a disjoint
+    * value range of `sortCols`, and the within-partition sort gives each
+    * ROW GROUP a tight min/max — so a later range filter prunes whole
+    * files via parquet/ORC statistics instead of decoding them. At
+    * 100 TB this turns "scan the table" into "scan the few files whose
+    * stats overlap the predicate"; `files` sizes the layout (one range
+    * per file). The write itself costs one range-exchange of the data —
+    * amortized over every subsequent selective scan.
+    *
+    * Sort-key type matters (measured, SortedLayoutSpec): DATE and
+    * integral keys skip row groups via stats; TIMESTAMP keys do not
+    * (the session's default INT96 encoding carries no usable stats, and
+    * even INT64-micros timestamp predicates were not converted to
+    * parquet filters in this Spark build) — cast event-time keys to
+    * date (the natural clustering grain anyway) before sorting. */
+  def writeSorted(
+      df: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      files: Int,
+      format: String = "parquet"
+  ): Unit =
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .format(format)
+      .save(path)
+
   val queries: Map[String, Q] = Map(
     // Batch partitioned ORC sink (reference parity R5+R7) + ORC scan +
     // partition pruning on the re-read.
