@@ -458,8 +458,51 @@ object TextOps {
           (length(col("payload")) === col("n_chars")).as("is_ascii")
         )
         .orderBy(col("doc_id"))
+    },
+
+    // PII redaction (pipeline hygiene): scrub emails / URLs / IPv4
+    // addresses from free text before training. The fixture corpus has
+    // no PII, so each doc gets a deterministic synthetic tail derived
+    // from doc_id — the SAME expression on both engines — and the
+    // redaction regexes must then agree match-for-match. Pure per-row
+    // map: no shuffle, trivially parallel at 100 TB.
+    "text_redact" -> { (spark, dir) =>
+      val p = Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1 see https://docs.example.com/p/"), col("doc_id").cast("string"),
+            lit(" end")
+          ).as("t")
+        )
+      p.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(ReEmail), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("t"), lit(ReUrl), lit(0))).cast("long").as("n_url"),
+        size(regexp_extract_all(col("t"), lit(ReIp), lit(0))).cast("long").as("n_ip"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), ReEmail, "<EMAIL>"),
+              ReUrl, "<URL>"),
+            ReIp, "<IP>")
+        ).as("redacted_hash")
+      ).orderBy(col("doc_id"))
     }
   )
+
+  /** Redaction regexes — restricted to syntax Java regex and DuckDB's RE2
+    * interpret identically (character classes, bounded repeats, `\b`; no
+    * lookaround, no backrefs). Order of application matters and is fixed:
+    * email → URL → IPv4 (the synthetic tail keeps the three disjoint).
+    */
+  private val ReEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ReUrl   = "https?://[^ ]+"
+  private val ReIp    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** DuckDB twins. Shingle spelling: DuckDB lists are 1-based, `range` is
     * end-exclusive; `list_transform(range(1, len-k+2), i -> ...)`.
@@ -666,6 +709,23 @@ object TextOps {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash,
         |  (octet_length(encode(text)) = n_chars) AS is_ascii
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.1 see https://docs.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || ' end' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_hash
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }
