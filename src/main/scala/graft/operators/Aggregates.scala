@@ -231,6 +231,44 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Our own mergeable quantile sketch (deterministic MRL/KLL compactor
+    // hierarchy, graft.functions.QuantileSketch): fixed-size state with a
+    // self-carried worst-case rank-error certificate. Sketch CONTENT is
+    // merge-order-dependent, so — exactly like agg_heavy_hitters — the
+    // declared output is the GUARANTEE, verified against exact ranks
+    // recomputed from the data: for each q, the estimate's exact rank
+    // interval [count(<est), count(<=est)] must overlap ceil(q·n) ± err,
+    // and the certificate itself must be tighter than 10% of n.
+    "agg_quantile_sketch" -> { (spark, dir) =>
+      val base = Tables.lineitem(spark, dir).select(col("l_extendedprice").cast("double").as("x"))
+      val sk = udaf(new graft.functions.QuantileSketch(256), org.apache.spark.sql.Encoders.scalaDouble)
+      val estimateUdf = udf((vs: Seq[Double], ws: Seq[Long], n: Long, q: Double) =>
+        graft.functions.QSummary.estimate(vs, ws, n, q))
+      val est = base
+        .agg(sk(col("x")).as("s"))
+        .select(explode(array(Seq(0.25, 0.5, 0.75, 0.95).map(lit): _*)).as("q"), col("s"))
+        .select(
+          col("q"),
+          col("s.n").as("n"),
+          col("s.err").as("err"),
+          estimateUdf(col("s.values"), col("s.weights"), col("s.n"), col("q")).as("est")
+        )
+      base
+        .crossJoin(broadcast(est))
+        .groupBy(col("q"), col("n"), col("err"), col("est"))
+        .agg(
+          sum(when(col("x") < col("est"), 1L).otherwise(0L)).as("lo"),
+          sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("hi")
+        )
+        .select(
+          col("q"),
+          (col("hi") >= ceil(col("q") * col("n")) - col("err") &&
+            col("lo") <= ceil(col("q") * col("n")) + col("err") &&
+            col("err") * 10L <= col("n")).as("ok")
+        )
+        .orderBy(col("q"))
+    },
+
     // Exact percentiles (linear interpolation — same rank formula as the
     // oracle's quantile_cont). At 100 TB you'd use approx_percentile's
     // one-pass sketch; exact percentile is the oracle-checkable twin.
@@ -429,6 +467,9 @@ object Aggregates {
       """SELECT COUNT(*) AS n_heavy, TRUE AS found_ok
         |FROM (SELECT lang FROM documents GROUP BY lang
         |      HAVING 3 * COUNT(*) > (SELECT COUNT(*) FROM documents))""".stripMargin,
+    "agg_quantile_sketch" ->
+      """SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok
+        |FROM (VALUES (0.25), (0.50), (0.75), (0.95)) t(q) ORDER BY q""".stripMargin,
     "agg_minmax_per_key" ->
       s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
          |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
