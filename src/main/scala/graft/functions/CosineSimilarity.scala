@@ -121,6 +121,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.signBandKeysDescriptor)
     ext.injectTableFunction(GraftExtensions.similarityJoinTvf)
     ext.injectTableFunction(GraftExtensions.minhashPairsTvf)
+    ext.injectTableFunction(GraftExtensions.cosineTopkTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -212,6 +213,54 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for exact cosine top-K similarity search:
+    * graft_cosine_topk(table, idCol, vecCol, probeIdBelow, k) →
+    * (q_id, rnk, vec_id, cos). Probes are the table's rows with
+    * id < probeIdBelow (self-matches excluded); scoring and planning are
+    * the Scala `Similarity.cosineTopK` operator's, so SQL users get the
+    * same broadcast-probes / streaming-corpus shape. */
+  private[graft] val cosineTopkTvf = (
+    FunctionIdentifier("graft_cosine_topk"),
+    new ExpressionInfo(
+      graft.operators.Similarity.getClass.getName, "graft_cosine_topk"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 5,
+        s"graft_cosine_topk expects (table, idCol, vecCol, probeIdBelow, k), got ${children.length}")
+      def str(i: Int, what: String): String = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other =>
+              throw new IllegalArgumentException(s"graft_cosine_topk: $what must be a string literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_cosine_topk: $what must be a literal, got $other")
+      }
+      def num(i: Int, what: String): Int = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other =>
+              throw new IllegalArgumentException(s"graft_cosine_topk: $what must be an integer literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_cosine_topk: $what must be a literal, got $other")
+      }
+      import org.apache.spark.sql.functions.{col, lit}
+      val spark = SparkSession.active
+      val t = spark
+        .table(str(0, "table"))
+        .select(
+          col(str(1, "idCol")).as("vec_id"),
+          col(str(2, "vecCol")).cast("array<double>").as("v"))
+      val probes = t
+        .filter(col("vec_id") < lit(num(3, "probeIdBelow")))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.operators.Similarity.cosineTopK(t, probes, num(4, "k")).queryExecution.analyzed
+    }
+  )
+
   /** Late registration on a live session (tests, REPL): functions into
     * the registry, the SimilarityJoin lowering into the public
     * `experimental.extraOptimizations` hook (idempotent — analyzer rules
@@ -225,6 +274,8 @@ object GraftExtensions {
       similarityJoinTvf._1, similarityJoinTvf._2, similarityJoinTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       minhashPairsTvf._1, minhashPairsTvf._2, minhashPairsTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      cosineTopkTvf._1, cosineTopkTvf._2, cosineTopkTvf._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ExpandSimilarityJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ExpandSimilarityJoin

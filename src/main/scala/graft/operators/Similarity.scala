@@ -54,13 +54,28 @@ object Similarity {
     * per-query top-K via window. Shared by sim_topk_cosine and the
     * recall denominator of sim_ann_ivf. */
   private def bruteForceTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    graft.functions.GraftExtensions.register(spark)
     val e = corpus(spark, dir)
     val probes = e
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    cosineTopK(e, probes, k)
+  }
+
+  /** Exact brute-force cosine top-K as a reusable operator (also the SQL
+    * `graft_cosine_topk` table function's engine): probes broadcast,
+    * corpus streams, per-query top-K via a q_id-partitioned window —
+    * O(|corpus|·|probes|) score evaluations but ONE corpus scan and no
+    * shuffle of vectors, the right baseline when probes are few.
+    *
+    * @param corpusDf (vec_id, v: array<double>)
+    * @param probes   (q_id, qv: array<double>)
+    * @return (q_id, rnk, vec_id, cos), rnk 1..k by cos desc
+    */
+  def cosineTopK(corpusDf: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftExtensions.register(corpusDf.sparkSession)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+    corpusDf
+      .join(broadcast(probes), col("vec_id") =!= col("q_id"))
       .select(
         col("q_id"),
         col("vec_id"),
@@ -252,6 +267,17 @@ object Similarity {
     // oracle and CosineSimilaritySpec both pin.
     "sim_topk_cosine" -> { (spark, dir) =>
       bruteForceTopK(spark, dir, 5).orderBy(col("q_id"), col("rnk"))
+    },
+
+    // The SQL spelling: same exact top-K reached through the
+    // graft_cosine_topk TABLE FUNCTION (GraftExtensions), same oracle BY
+    // REFERENCE — a SQL-only user gets similarity search without the
+    // Scala API.
+    "sql_cosine_topk" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+      spark.sql(
+        "SELECT q_id, rnk, vec_id, cos FROM graft_cosine_topk('graft_embeddings', 'vec_id', 'embedding', 5, 5) ORDER BY q_id, rnk")
     },
 
     // Embedding-cosine near-duplicate pairs via the sign-LSH banded plan
@@ -448,22 +474,27 @@ object Similarity {
        |WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
        |ORDER BY v1, v2""".stripMargin
 
+  /** Shared by sim_topk_cosine and its TVF spelling sql_cosine_topk —
+    * one contract, divergence impossible. */
+  private val topkCosineOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, a.vec_id AS vec_id,
+       |    ${duckQdot("q.v", "a.v")} / sqrt(q.n2 * a.n2) AS cos
+       |  FROM n q JOIN n a ON q.vec_id < 5 AND a.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT q_id, vec_id, cos, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "sim_topk_cosine" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
-         |), scored AS (
-         |  SELECT q.vec_id AS q_id, a.vec_id AS vec_id,
-         |    ${duckQdot("q.v", "a.v")} / sqrt(q.n2 * a.n2) AS cos
-         |  FROM n q JOIN n a ON q.vec_id < 5 AND a.vec_id <> q.vec_id
-         |), ranked AS (
-         |  SELECT q_id, vec_id, cos, CAST(ROW_NUMBER() OVER (
-         |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
-         |  FROM scored)
-         |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin,
+    "sim_topk_cosine" -> topkCosineOracle,
+    "sql_cosine_topk" -> topkCosineOracle,
     "dedup_embed_cosine" -> allPairsCosineOracle,
     "mm_doc_embed_join" ->
       s"""WITH e AS (

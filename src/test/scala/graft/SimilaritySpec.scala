@@ -286,6 +286,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cosines === cosines.sorted.reverse, s"ranking not by cosine: $cosines")
   }
 
+  test("graft_cosine_topk TVF ≡ Scala cosineTopK (same plan, same rows)") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("sim_tvf_emb")
+    val viaSql = spark
+      .sql("SELECT q_id, rnk, vec_id, cos FROM graft_cosine_topk('sim_tvf_emb', 'vec_id', 'embedding', 3, 4)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val viaScala = operators.Similarity
+      .cosineTopK(e, probes, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(viaSql === viaScala)
+    assert(viaSql.size === 3 * 4, s"expected 3 probes × top-4, got ${viaSql.size}")
+  }
+
   test("near-dup operators agree: minhash(0.6) ⊇ simhash(0.9) pairs") {
     def pairs(name: String) = SparkEntry
       .queries(name)(spark, sf)
