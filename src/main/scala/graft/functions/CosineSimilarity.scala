@@ -122,6 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.similarityJoinTvf)
     ext.injectTableFunction(GraftExtensions.minhashPairsTvf)
     ext.injectTableFunction(GraftExtensions.cosineTopkTvf)
+    ext.injectTableFunction(GraftExtensions.asofJoinTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -213,6 +214,17 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for the as-of join — graft_asof_join(leftTable, leftKey,
+    * leftTime, rightTable, rightKey, rightTime, payloadCols, direction);
+    * arg parsing and lowering live with the operator
+    * (AsOfJoin.sqlTableFunction). */
+  private[graft] val asofJoinTvf = (
+    FunctionIdentifier("graft_asof_join"),
+    new ExpressionInfo(
+      graft.operators.AsOfJoin.getClass.getName, "graft_asof_join"),
+    (children: Seq[Expression]) => graft.operators.AsOfJoin.sqlTableFunction(children)
+  )
+
   /** SQL surface for exact cosine top-K similarity search:
     * graft_cosine_topk(table, idCol, vecCol, probeIdBelow, k) →
     * (q_id, rnk, vec_id, cos). Probes are the table's rows with
@@ -276,6 +288,8 @@ object GraftExtensions {
       minhashPairsTvf._1, minhashPairsTvf._2, minhashPairsTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       cosineTopkTvf._1, cosineTopkTvf._2, cosineTopkTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      asofJoinTvf._1, asofJoinTvf._2, asofJoinTvf._3)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ExpandSimilarityJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ExpandSimilarityJoin

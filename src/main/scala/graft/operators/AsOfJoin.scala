@@ -95,4 +95,47 @@ object AsOfJoin {
     val out = filled.filter(col("__side") === 0).drop("__k", "__t", "__side")
     rightPayload.foldLeft(out)((df, p) => df.withColumnRenamed(pfx + p, p))
   }
+
+  /** SQL surface:
+    * graft_asof_join(leftTable, leftKey, leftTime, rightTable, rightKey,
+    * rightTime, payloadCols, direction) — payloadCols is a
+    * comma-separated list of right-side columns to attach; direction is
+    * 'backward' (latest right at-or-before, the default ASOF semantics)
+    * or 'forward' (earliest right at-or-after). Lowers to the exact same
+    * single-shuffle union-and-window plan as the Scala API. */
+  private[graft] def sqlTableFunction(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(
+      args.length == 8,
+      "graft_asof_join expects (leftTable, leftKey, leftTime, rightTable, rightKey, " +
+        s"rightTime, payloadCols, direction), got ${args.length} arguments")
+    def str(i: Int, what: String): String = args(i) match {
+      case e if e.foldable =>
+        e.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other =>
+            throw new IllegalArgumentException(s"graft_asof_join: $what must be a string literal, got $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"graft_asof_join: $what must be a literal, got $other")
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val left = spark.table(str(0, "leftTable"))
+    val right = spark.table(str(3, "rightTable"))
+    val payload = str(6, "payloadCols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(payload.nonEmpty, "graft_asof_join: payloadCols must name at least one right column")
+    payload.foreach { p =>
+      require(
+        !left.columns.contains(p),
+        s"graft_asof_join: payload column '$p' collides with a left-side column — alias it on the right table first")
+    }
+    val joined = str(7, "direction") match {
+      case "backward" => asOf(left, str(1, "leftKey"), str(2, "leftTime"), right, str(4, "rightKey"), str(5, "rightTime"), payload)
+      case "forward"  => asOfForward(left, str(1, "leftKey"), str(2, "leftTime"), right, str(4, "rightKey"), str(5, "rightTime"), payload)
+      case other =>
+        throw new IllegalArgumentException(s"graft_asof_join: direction must be 'backward' or 'forward', got '$other'")
+    }
+    joined.queryExecution.analyzed
+  }
 }

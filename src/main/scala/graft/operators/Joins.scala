@@ -217,6 +217,30 @@ object Joins {
         .asOf(e, "user_id", "ts", o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
         .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
         .orderBy(col("event_id"))
+    },
+
+    // The SQL spelling: same as-of semantics reached through the
+    // graft_asof_join TABLE FUNCTION (GraftExtensions), same ASOF-join
+    // oracle BY REFERENCE — a SQL-only user gets the single-shuffle
+    // union-and-window plan without the Scala API. The payload column
+    // names collide with nothing on the left (enforced by the TVF).
+    "sql_asof_join" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables
+        .events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_events")
+      Tables
+        .orders(spark, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .createOrReplaceTempView("graft_orders_daily")
+      spark.sql(
+        """SELECT event_id, o_orderkey, o_orderdate
+          |FROM graft_asof_join('graft_events', 'user_id', 'ts',
+          |                     'graft_orders_daily', 'o_custkey', 'o_orderdate',
+          |                     'o_orderkey,o_orderdate', 'backward')
+          |ORDER BY event_id""".stripMargin)
     }
   )
 
@@ -300,12 +324,17 @@ object Joins {
         |SELECT n.event_id, od.o_orderkey, n.nd AS o_orderdate
         |FROM nxt n LEFT JOIN od ON od.o_custkey = n.user_id AND od.o_orderdate = n.nd
         |ORDER BY n.event_id""".stripMargin,
-    "join_asof" ->
-      """WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-        |            FROM orders GROUP BY 1, 2)
-        |SELECT e.event_id, od.o_orderkey, od.o_orderdate
-        |FROM events e ASOF LEFT JOIN od
-        |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+    "join_asof" -> asofBackwardOracle,
+    "sql_asof_join" -> asofBackwardOracle
   )
+
+  /** Shared by join_asof and its TVF spelling sql_asof_join — one
+    * contract, divergence impossible. */
+  private lazy val asofBackwardOracle: String =
+    """WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |            FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, od.o_orderkey, od.o_orderdate
+      |FROM events e ASOF LEFT JOIN od
+      |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
 }

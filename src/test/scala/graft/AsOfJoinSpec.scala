@@ -66,4 +66,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> None
     ))
   }
+
+  test("graft_asof_join TVF ≡ Scala API in both directions; collision rejected") {
+    val (left, right) = fixtures
+    graft.functions.GraftExtensions.register(spark)
+    left.createOrReplaceTempView("asof_tvf_left")
+    right.createOrReplaceTempView("asof_tvf_right")
+    for (dir <- Seq("backward", "forward")) {
+      val viaSql = spark
+        .sql(s"""SELECT id, payload FROM graft_asof_join('asof_tvf_left', 'k', 't',
+                |  'asof_tvf_right', 'rk', 'rt', 'payload', '$dir')""".stripMargin)
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)))
+        .toMap
+      val fn = if (dir == "backward") AsOfJoin.asOf _ else AsOfJoin.asOfForward _
+      val viaScala = fn(left, "k", "t", right, "rk", "rt", Seq("payload"))
+        .select("id", "payload")
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)))
+        .toMap
+      assert(viaSql === viaScala, s"direction=$dir")
+    }
+    // a payload name already on the left must be rejected, not shadowed
+    val e = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_asof_join('asof_tvf_left', 'k', 't',
+                  |  'asof_tvf_right', 'rk', 'rt', 't', 'backward')""".stripMargin)
+    }
+    assert(e.getMessage.contains("collides"), s"wrong error: ${e.getMessage}")
+  }
 }
