@@ -290,6 +290,18 @@ object GraftExtensions {
       cosineTopkTvf._1, cosineTopkTvf._2, cosineTopkTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       asofJoinTvf._1, asofJoinTvf._2, asofJoinTvf._3)
+    // SQL names for the typed sketch Aggregators (UDAFs can't ride
+    // SparkSessionExtensions — no Expression builder for ScalaAggregator
+    // — so they register per-session here; idempotent overwrite). The
+    // fixed parameters are documented guarantees: graft_freq_items
+    // undercounts within n/17, graft_quantile_summary is the k=256
+    // compactor whose state carries its own rank-error certificate.
+    spark.udf.register(
+      "graft_freq_items",
+      org.apache.spark.sql.functions.udaf(new FreqItems(16), org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register(
+      "graft_quantile_summary",
+      org.apache.spark.sql.functions.udaf(new QuantileSketch(256), org.apache.spark.sql.Encoders.scalaDouble))
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ExpandSimilarityJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ExpandSimilarityJoin

@@ -190,6 +190,27 @@ object Aggregates {
         .select(col("n_heavy"), col("found_ok"))
     },
 
+    // The SQL spelling of both sketches: graft_freq_items /
+    // graft_quantile_summary are registered SQL aggregate functions
+    // (GraftExtensions.register), so a SQL-only user composes the same
+    // guarantee checks in query text — heavy-hitter zero-FN above n/3
+    // (c=16 ⇒ bound n/17) and the quantile certificate's 10% gate.
+    "sql_sketch_agg" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_sk")
+      spark.sql(
+        """WITH sk AS (SELECT graft_freq_items(lang) AS fsk,
+          |                   graft_quantile_summary(CAST(n_chars AS DOUBLE)) AS qsk
+          |            FROM graft_docs_sk),
+          |heavy AS (SELECT lang FROM graft_docs_sk GROUP BY lang
+          |          HAVING 3 * COUNT(*) > (SELECT COUNT(*) FROM graft_docs_sk))
+          |SELECT
+          |  (SELECT COUNT(*) FROM heavy) AS n_heavy,
+          |  (SELECT coalesce(bool_and(map_contains_key(sk.fsk, h.lang)), true)
+          |   FROM heavy h CROSS JOIN sk) AS found_ok,
+          |  (SELECT qsk.err * 10 <= qsk.n FROM sk) AS q_bound_ok""".stripMargin)
+    },
+
     // DECIMAL-exact aggregation: source money columns cast to
     // DECIMAL(18,4) at the scan, summed exactly in decimal arithmetic
     // (no float quantization anywhere), final values surfaced as double
@@ -470,6 +491,12 @@ object Aggregates {
     "agg_quantile_sketch" ->
       """SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok
         |FROM (VALUES (0.25), (0.50), (0.75), (0.95)) t(q) ORDER BY q""".stripMargin,
+    "sql_sketch_agg" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (SELECT lang FROM documents GROUP BY lang
+        |     HAVING 3 * COUNT(*) > (SELECT COUNT(*) FROM documents)) h) AS n_heavy,
+        |  TRUE AS found_ok,
+        |  TRUE AS q_bound_ok""".stripMargin,
     "agg_minmax_per_key" ->
       s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
          |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n

@@ -46,6 +46,31 @@ object ScalarFuncs {
         .orderBy(col("p_partkey"))
     },
 
+    // Edit distance (classic Levenshtein DP — identical integer
+    // semantics in every engine, so values hash-match exactly) over a
+    // BOUNDED pair set: part names for partkey ≤ 20, each unordered pair
+    // once. The pair source is a broadcast nested-loop over two 20-row
+    // sides — bounded by construction, never the full table (the fuzzy
+    // string-match primitive is meant for candidate pairs emitted by a
+    // banding stage, exactly like the near-dup verifies).
+    "fn_edit_distance" -> { (spark, dir) =>
+      val p = Tables
+        .part(spark, dir)
+        .filter(col("p_partkey") <= 20)
+        .select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"))
+      a.crossJoin(broadcast(b))
+        .filter(col("k1") < col("k2"))
+        .select(
+          col("k1"),
+          col("k2"),
+          levenshtein(col("n1"), col("n2")).cast("long").as("dist"),
+          (levenshtein(col("n1"), col("n2")) === 0).as("identical")
+        )
+        .orderBy(col("k1"), col("k2"))
+    },
+
     // Date/time family over orders (ms-precision timestamps).
     "fn_datetime" -> { (spark, dir) =>
       Tables
@@ -246,6 +271,13 @@ object ScalarFuncs {
         |  reverse(p_brand) AS brand_rev,
         |  CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_edit_distance" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 20)
+        |SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  (levenshtein(a.p_name, b.p_name) = 0) AS identical
+        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |ORDER BY k1, k2""".stripMargin,
     "fn_datetime" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INT) AS y,

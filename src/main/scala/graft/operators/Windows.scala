@@ -66,6 +66,25 @@ object Windows {
     },
 
     // frame aggregates: running sum + 3-row moving average.
+    // Distribution functions: percent_rank = (rank−1)/(n−1) and
+    // cume_dist = |rows ≤ current|/n — both engines divide the same small
+    // integers in IEEE double, so values are bit-exact; the ORDER BY is a
+    // total order (acctbal, custkey) so ranks are unambiguous.
+    "win_dist" -> { (spark, dir) =>
+      val w = Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables
+        .customer(spark, dir)
+        .select(
+          col("c_nationkey"),
+          col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd")
+        )
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+
     "win_running" -> { (spark, dir) =>
       val w = Window
         .partitionBy(col("o_custkey"))
@@ -157,6 +176,13 @@ object Windows {
          |  LAG(o_totalprice, 1) OVER ($over) AS prev_price,
          |  LEAD(o_totalprice, 1) OVER ($over) AS next_price
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_dist" ->
+      """SELECT c_nationkey, c_custkey,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "win_running" ->
       s"""SELECT o_orderkey, o_custkey,
          |  (SUM(FLOOR(o_totalprice * 10000.0 + 0.5))

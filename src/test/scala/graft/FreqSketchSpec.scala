@@ -93,6 +93,43 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(sk("hot") <= 120L && 120L - sk("hot") <= n / (c + 1), s"estimate out of bounds: ${sk("hot")}")
   }
 
+  test("per-key streaming heavy hitters: isolated bounded state per key, Update mode") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val c = 4
+    val q = graft.streaming.StreamingSketch
+      .heavyHittersByKey(stream.toDS(), c)
+      .writeStream
+      .format("memory")
+      .queryName("keyed_freq_sink")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .start()
+    // key A: stable heavy hitter; key B: pure flood of distinct values —
+    // B's churn must not touch A's counters (state-store isolation)
+    stream.addData(Seq.fill(60)(("A", "hot")) ++ (1 to 30).map(i => ("A", s"a$i")): _*)
+    q.processAllAvailable()
+    stream.addData((1 to 200).map(i => ("B", s"flood$i")) ++ Seq.fill(40)(("A", "hot")): _*)
+    q.processAllAvailable()
+    val rows = s
+      .table("keyed_freq_sink")
+      .as[graft.streaming.KeyedFreqSketch]
+      .collect()
+    q.stop()
+    // Update mode emits one row per key per batch it changed in; the
+    // LAST row per key is the live state
+    val latest = rows.groupBy(_.key).map { case (k, v) => k -> v.maxBy(_.n) }
+    val a = latest("A")
+    assert(a.n === 130L, s"key A stream length wrong: ${a.n}")
+    assert(a.counters.size <= c && a.counters.contains("hot"),
+      s"key A lost its heavy hitter to key B's flood: ${a.counters}")
+    assert(a.counters("hot") <= 100L && 100L - a.counters("hot") <= a.n / (c + 1))
+    val b = latest("B")
+    assert(b.n === 200L && b.counters.size <= c,
+      s"key B state not bounded: n=${b.n} size=${b.counters.size}")
+  }
+
   test("agg_heavy_hitters query: dominant language found, exact heavy count") {
     val row = SparkEntry
       .queries("agg_heavy_hitters")(spark, "/root/testdata/sf0.001")
