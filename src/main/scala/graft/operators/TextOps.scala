@@ -48,27 +48,61 @@ object TextOps {
     array_distinct(transform(idx, i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o + 1)): _*)))
   }
 
-  /** Exploded DISTINCT (doc_id, s) k-gram shingle rows built with
-    * lead() windows — whole-stage-codegen end-to-end (posexplode →
-    * window lead → concat), one shuffle on doc_id. The scale-safe
-    * formulation for every shingle-consuming operator: tokens stream
-    * through codegen instead of per-element interpreted lambdas.
+  /** Exploded DISTINCT (doc_id, s) k-gram shingle rows via a typed
+    * flatMap — imperative per-doc shingling with an in-row HashSet for
+    * the per-doc distinct. This is the deliberate `mapPartitions`-class
+    * exception the build rules allow: shingling is genuinely per-row
+    * imperative work, and the two declarative forms both lose — HOF
+    * lambdas evaluate interpreted per element (round-2 measurement, see
+    * [[shingles]]), and the round-3 lead()-window form shuffled one row
+    * per TOKEN (posexplode before the window) plus a second
+    * dropDuplicates shuffle per side. Here the only pre-join shuffle
+    * carries one row per DOC (explicit-count repartition — the fixture
+    * parquet is one row group, so without it the whole corpus shingles
+    * on one task), and emitted shingles flow straight into the
+    * inverted-index join. Round-4 measurement: dedup_cascade total CPU
+    * dropped ~2× vs the window form at sf0.1.
     */
   private[operators] def shingleRows(d: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = (0 until k).map(o => if (o == 0) col("w") else lead(col("w"), o).over(w))
-    d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("s"), lead(col("w"), k - 1).over(w).as("__last"))
-      .filter(col("__last").isNotNull) // concat_ws silently skips nulls → drop short tail grams
-      .select(col("doc_id"), col("s"))
-      .dropDuplicates("doc_id", "s")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .repartition(parts, col("doc_id"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.split(' ')
+          if (ws.length < k) Iterator.empty
+          else {
+            val seen = new scala.collection.mutable.HashSet[String]
+            Iterator.range(0, ws.length - k + 1).flatMap { i =>
+              val sb = new java.lang.StringBuilder(ws(i))
+              var j = 1
+              while (j < k) { sb.append(' ').append(ws(i + j)); j += 1 }
+              val s = sb.toString
+              if (seen.add(s)) Iterator.single((id, s)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "s")
   }
 
   /** Exact n-gram Jaccard pairs (d1 < d2, jaccard ≥ threshold) over any
     * (doc_id, text) frame via the capped inverted-index join — shared by
-    * dedup_ngram_jaccard, dedup_cascade, and dedup_clusters. */
+    * dedup_ngram_jaccard, dedup_cascade, and dedup_clusters.
+    *
+    * The inverted index carries xxhash64(shingle), not the shingle text
+    * (same representation argument as dedup_fingerprint: the join only
+    * COUNTS shared keys, so any injective-in-practice recoding is the
+    * same equivalence relation — 64-bit collisions at ~1M distinct
+    * shingles are ~3e-8; the string form never needs to shuffle). Set
+    * sizes `n` come from the UNCAPPED per-doc shingle counts, so Jaccard
+    * denominators stay exact. */
   private[operators] def ngramJaccardPairs(d: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(d, k)
+    val sh = shingleRows(d, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
     idx

@@ -92,6 +92,46 @@ class QuantileSketchSpec extends AnyFunSuite {
       s"streaming median $est off by more than certificate ${sum.err}")
   }
 
+  test("PROPERTY: certificate holds under random data and random merge trees") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Pure-Scala check (no Spark): random values, random partition split,
+    // random binary merge order — the exact degrees of freedom Spark's
+    // scheduler owns. The certificate must survive all of them.
+    val gen = for {
+      n <- Gen.chooseNum(1, 4000)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
+      nParts <- Gen.chooseNum(1, 12)
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (vals, nParts, seed)
+    val prop = Prop.forAll(gen) { case (vals, nParts, seed) =>
+      val agg = new QuantileSketch(32)
+      val rnd = new scala.util.Random(seed)
+      val parts = vals.grouped(math.max(1, vals.size / nParts)).toVector
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+      // random merge tree: repeatedly merge two random partials
+      var pool = rnd.shuffle(parts)
+      while (pool.size > 1) {
+        val i = rnd.nextInt(pool.size)
+        val a = pool(i); pool = pool.patch(i, Nil, 1)
+        val j = rnd.nextInt(pool.size)
+        val b = pool(j); pool = pool.patch(j, Nil, 1)
+        pool = pool :+ agg.merge(a, b)
+      }
+      val sum = agg.finish(pool.head)
+      val sorted = vals.sorted
+      sum.n == vals.size.toLong && sum.weights.sum == sum.n &&
+      Seq(0.1, 0.5, 0.9).forall { q =>
+        val est = QSummary.estimate(sum.values, sum.weights, sum.n, q)
+        val target = math.max(1L, math.ceil(q * sum.n).toLong)
+        val lo = sorted.count(_ < est).toLong
+        val hi = sorted.count(_ <= est).toLong
+        hi >= target - sum.err && lo <= target + sum.err
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("agg_quantile_sketch query: every quantile gated true") {
     val rows = SparkEntry
       .queries("agg_quantile_sketch")(spark, "/root/testdata/sf0.001")
