@@ -120,6 +120,56 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Deterministic stratified sample: keep a row iff the first four hex
+    * chars of md5(key) fall below the stratum's threshold — membership is
+    * a pure function of the key (engine-portable, stable under
+    * repartitioning, no RNG state; the per-stratum generalization of
+    * split_train_holdout's global hash split). Rates quantize to 1/65536
+    * granularity. A missing stratum falls back to `defaultRate`; rate
+    * ≥ 1.0 keeps everything (threshold "g" — above every hex string).
+    * Pure per-row map: no shuffle, the sample happens AT THE SCAN at any
+    * scale. */
+  def stratifiedSample(
+      d: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0
+  ): DataFrame = {
+    def thresh(rate: Double): String =
+      if (rate >= 1.0) "g" else f"${math.max(0, (rate * 65536).toInt)}%04x"
+    val t = rates.foldLeft(when(lit(false), lit(""))) { case (acc, (stratum, rate)) =>
+      acc.when(col(strataCol) === stratum, lit(thresh(rate)))
+    }.otherwise(lit(thresh(defaultRate)))
+    d.filter(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 4) < t)
+  }
+
+  /** Incremental exact dedup of a new batch against an existing
+    * fingerprint store — the shape every continuously-ingesting pipeline
+    * runs: the corpus already landed is represented ONLY by its
+    * normalized-text hashes (the store never re-reads full documents),
+    * and a new batch drops (a) in-batch duplicates (keep lowest doc_id
+    * per hash) then (b) anything whose hash is already stored. Returns
+    * the surviving batch rows with their `__hash` column attached (the
+    * caller appends those hashes to the store — the incremental loop).
+    *
+    * Scale shape: one window per hash partition for (a); (b) is a
+    * LEFT ANTI join on the 16-byte hash — at 100 TB both sides shuffle
+    * on the hash (or the store side bucket-joins if the store is laid
+    * out bucketed by hash; [[SkewTools.bloomSemiJoin]]'s filter is the
+    * complementary pre-prune when the batch ≪ store). */
+  def incrementalDedup(batch: DataFrame, storeHashes: DataFrame): DataFrame = {
+    val hashed = batch.withColumn("__hash", md5(lower(trim(col("text")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__hash"))
+      .orderBy(col("doc_id"))
+    hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(storeHashes.select(col("h").as("__hash")).distinct(), Seq("__hash"), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: md5 of normalized text → keep lowest doc_id per group.
     // (sf0.1 has true exact duplicates; smaller SFs degenerate to
@@ -473,6 +523,86 @@ object TextOps {
         .orderBy(col("lang"))
     },
 
+    // Deterministic STRATIFIED sampling — downsample over-represented
+    // strata to target rates (the domain-rebalance sibling of
+    // select_balanced_mix, rate-based instead of count-based): en keeps
+    // 25%, zh 50%, every other language 100%. Membership is a pure
+    // hash function of doc_id (stratifiedSample), so the mix is
+    // reproducible across runs/engines/partitionings with no RNG.
+    "sample_stratified" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      val kept = stratifiedSample(d, "doc_id", "lang", Map("en" -> 0.25, "zh" -> 0.5))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
+        .select(col("lang"), col("n_before"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+
+    // INCREMENTAL dedup against a fingerprint store — the continuous-
+    // ingest shape: docs with doc_id % 5 = 0 play the already-landed
+    // corpus (present only as normalized-text hashes, never re-read),
+    // the rest arrive as the new batch. The batch first collapses its
+    // own exact duplicates (lowest doc_id wins), then anti-joins the
+    // store hashes. Per-lang admission counts make the whole incremental
+    // step one hash-checkable row set.
+    "dedup_incremental" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val store = d
+        .filter(col("doc_id") % 5 === 0)
+        .select(md5(lower(trim(col("text")))).as("h"))
+      val batch = d.filter(col("doc_id") % 5 =!= 0)
+      val admitted = incrementalDedup(batch, store)
+      batch
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_batch"))
+        .join(
+          admitted.groupBy(col("lang")).agg(count(lit(1)).as("n_admitted")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_batch"), coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+        .orderBy(col("lang"))
+    },
+
+    // Unigram LM quality score (the CCNet-style LM filter, with the
+    // corpus itself as the model): per language, token probabilities
+    // from corpus counts; per document, the mean token log-probability.
+    // Documents far below the per-lang norm (boilerplate, wrong-lang,
+    // token soup) rank lowest — the classic perplexity-ish quality
+    // signal. Exactness: each distinct (lang, token) log-prob is floor-
+    // quantized to the 1e-6 grid ONCE in the model (same libm-ulp
+    // discipline as text_tfidf_top), per-doc mass is then an exact
+    // integer sum, and the final mean is one correctly-rounded double
+    // division — bit-identical on both engines.
+    // Scale shape: token counts are two hash aggs (map-side partial);
+    // the per-lang totals broadcast; the doc⋈model join shuffles on
+    // (lang, token) — at 100 TB the model side would be pruned to a
+    // top-V vocabulary and broadcast instead, same semantics.
+    "text_lm_score" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val dw = d
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("lang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val totals = dw.groupBy(col("lang")).agg(sum(col("c")).as("total"))
+      val model = dw
+        .groupBy(col("lang"), col("w"))
+        .agg(sum(col("c")).as("cw"))
+        .join(broadcast(totals), "lang")
+        .select(
+          col("lang"), col("w"),
+          floor(log(col("cw").cast("double") / col("total").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long").as("lp_q"))
+      dw.join(model, Seq("lang", "w"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(
+          sum(col("c")).cast("long").as("n_tokens"),
+          sum(col("c") * col("lp_q")).cast("long").as("sum_lp_q"))
+        .withColumn(
+          "avg_lp",
+          col("sum_lp_q").cast("double") / (col("n_tokens").cast("double") * lit(1e6)))
+        .orderBy(col("doc_id"))
+    },
+
     // Opaque-binary payload handling (multimodal posture): text → utf-8
     // bytes as a BinaryType column with typed metadata; readers see
     // byte length + content hash without decoding. The same schema shape
@@ -668,6 +798,47 @@ object TextOps {
         |  FROM r, m WHERE rn <= n_min GROUP BY lang)
         |SELECT c.lang, c.n_before, k.n_after, k.chars_after
         |FROM c JOIN k USING (lang) ORDER BY lang""".stripMargin,
+    "sample_stratified" ->
+      """WITH k AS (
+        |  SELECT lang FROM documents
+        |  WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+        |    CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000' ELSE 'g' END),
+        |c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
+        |s AS (SELECT lang, COUNT(*) AS n_kept FROM k GROUP BY lang)
+        |SELECT c.lang, c.n_before, COALESCE(s.n_kept, 0) AS n_kept
+        |FROM c LEFT JOIN s USING (lang) ORDER BY lang""".stripMargin,
+    "dedup_incremental" ->
+      """WITH store AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents WHERE doc_id % 5 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, md5(lower(trim(text))) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |first_in_batch AS (
+        |  SELECT doc_id, lang, h, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM batch),
+        |admitted AS (
+        |  SELECT lang, COUNT(*) AS n_admitted FROM first_in_batch
+        |  WHERE rn = 1 AND h NOT IN (SELECT h FROM store) GROUP BY lang),
+        |b AS (SELECT lang, COUNT(*) AS n_batch FROM batch GROUP BY lang)
+        |SELECT b.lang, b.n_batch, COALESCE(admitted.n_admitted, 0) AS n_admitted
+        |FROM b LEFT JOIN admitted USING (lang) ORDER BY lang""".stripMargin,
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dw AS (SELECT doc_id, lang, w, COUNT(*) AS c FROM tok GROUP BY doc_id, lang, w),
+        |tot AS (SELECT lang, SUM(c) AS total FROM dw GROUP BY lang),
+        |m AS (
+        |  SELECT dw.lang, w,
+        |    CAST(FLOOR(ln(CAST(SUM(c) AS DOUBLE) / CAST(ANY_VALUE(total) AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lp_q
+        |  FROM dw JOIN tot ON dw.lang = tot.lang GROUP BY dw.lang, w),
+        |doc AS (
+        |  SELECT doc_id, dw.lang,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c * lp_q) AS BIGINT) AS sum_lp_q
+        |  FROM dw JOIN m ON dw.lang = m.lang AND dw.w = m.w
+        |  GROUP BY doc_id, dw.lang)
+        |SELECT doc_id, lang, n_tokens, sum_lp_q,
+        |  CAST(sum_lp_q AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS avg_lp
+        |FROM doc ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

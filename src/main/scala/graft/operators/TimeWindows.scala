@@ -66,6 +66,53 @@ object TimeWindows {
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Ordered FUNNEL analysis (view → click → purchase): a user advances
+    // a stage only with an event AT OR AFTER their previous stage's
+    // first event — sequence matters, not mere presence. Three chained
+    // per-user window minima over the SAME partitioning: one shuffle on
+    // user_id, the sequential dependency rides chained selects (each
+    // window may reference the previous stage's timestamp), then a
+    // single global count row. No joins, no per-user collect.
+    "evt_funnel" -> { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      Tables
+        .events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("v_ts", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn(
+          "c_ts",
+          min(when(col("event_type") === "click" && col("ts") >= col("v_ts"), col("ts"))).over(w))
+        .withColumn(
+          "p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("v_ts")).as("v"), min(col("c_ts")).as("c"), min(col("p_ts")).as("p"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("v")).as("n_view"),
+          count(col("c")).as("n_view_click"),
+          count(col("p")).as("n_full_funnel"))
+    },
+
+    // Cohort RETENTION: users grouped by the date of their first event
+    // (the cohort); for each (cohort, day-offset) cell, how many of that
+    // cohort's users were active. Per-user first-date is one window over
+    // the user partitioning; the (cohort, offset, user) distinct and the
+    // count are hash aggs — the standard two-shuffle retention shape at
+    // any scale.
+    "evt_retention" -> { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      Tables
+        .events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .withColumn("cohort", min(col("d")).over(w))
+        .select(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("offset_days"), col("user_id"))
+        .distinct()
+        .groupBy(col("cohort"), col("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort"), col("offset_days"))
     }
   )
 
@@ -103,6 +150,38 @@ object TimeWindows {
     "dedup_keyed" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n_dups
         |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    "evt_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS v_ts
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= v_ts THEN ts END)
+        |    OVER (PARTITION BY user_id) AS c_ts
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= c_ts THEN ts END)
+        |    OVER (PARTITION BY user_id) AS p_ts
+        |  FROM s2),
+        |per_user AS (
+        |  SELECT user_id, MIN(v_ts) AS v, MIN(c_ts) AS c, MIN(p_ts) AS p
+        |  FROM s3 GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users, COUNT(v) AS n_view,
+        |  COUNT(c) AS n_view_click, COUNT(p) AS n_full_funnel
+        |FROM per_user""".stripMargin,
+    "evt_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort
+        |  FROM events),
+        |cells AS (
+        |  SELECT DISTINCT cohort, CAST(date_diff('day', cohort, d) AS BIGINT) AS offset_days,
+        |    user_id
+        |  FROM d)
+        |SELECT cohort, offset_days, COUNT(DISTINCT user_id) AS n_active
+        |FROM cells GROUP BY cohort, offset_days
+        |ORDER BY cohort, offset_days""".stripMargin
   )
 }
