@@ -23,7 +23,8 @@ object SparkEntry {
       (ScalarFuncs.queries, ScalarFuncs.oracles),
       (TimeWindows.queries, TimeWindows.oracles),
       (Dedup.queries, Dedup.oracles),
-      (Similarity.queries, Similarity.oracles)
+      (Similarity.queries, Similarity.oracles),
+      (GraphOps.queries, GraphOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
