@@ -123,6 +123,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.minhashPairsTvf)
     ext.injectTableFunction(GraftExtensions.cosineTopkTvf)
     ext.injectTableFunction(GraftExtensions.asofJoinTvf)
+    ext.injectTableFunction(GraftExtensions.lshTopkTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -273,6 +274,57 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for the index-free LSH-bucketed ANN search:
+    * graft_lsh_topk(table, idCol, vecCol, probeIdBelow, k, bitsPerBand,
+    * bands) → (q_id, rnk, vec_id, cos). Same engine as
+    * `Similarity.lshSearch` (probe band keys broadcast, hot-bucket-capped
+    * corpus band join, distinct candidates before the vector fetch), so a
+    * SQL-only user reaches the sub-linear search path — and can compose
+    * it with graft_cosine_topk in pure SQL to measure its own recall. */
+  private[graft] val lshTopkTvf = (
+    FunctionIdentifier("graft_lsh_topk"),
+    new ExpressionInfo(
+      graft.operators.Similarity.getClass.getName, "graft_lsh_topk"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 7,
+        s"graft_lsh_topk expects (table, idCol, vecCol, probeIdBelow, k, bitsPerBand, bands), got ${children.length}")
+      def str(i: Int, what: String): String = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other =>
+              throw new IllegalArgumentException(s"graft_lsh_topk: $what must be a string literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_lsh_topk: $what must be a literal, got $other")
+      }
+      def num(i: Int, what: String): Int = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other =>
+              throw new IllegalArgumentException(s"graft_lsh_topk: $what must be an integer literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_lsh_topk: $what must be a literal, got $other")
+      }
+      import org.apache.spark.sql.functions.{col, lit}
+      val spark = SparkSession.active
+      val t = spark
+        .table(str(0, "table"))
+        .select(
+          col(str(1, "idCol")).as("vec_id"),
+          col(str(2, "vecCol")).cast("array<double>").as("v"))
+      val probes = t
+        .filter(col("vec_id") < lit(num(3, "probeIdBelow")))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      graft.operators.Similarity
+        .lshSearch(t, probes, num(5, "bitsPerBand"), num(6, "bands"), num(4, "k"))
+        .queryExecution.analyzed
+    }
+  )
+
   /** Late registration on a live session (tests, REPL): functions into
     * the registry, the SimilarityJoin lowering into the public
     * `experimental.extraOptimizations` hook (idempotent — analyzer rules
@@ -290,6 +342,8 @@ object GraftExtensions {
       cosineTopkTvf._1, cosineTopkTvf._2, cosineTopkTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       asofJoinTvf._1, asofJoinTvf._2, asofJoinTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      lshTopkTvf._1, lshTopkTvf._2, lshTopkTvf._3)
     // SQL names for the typed sketch Aggregators (UDAFs can't ride
     // SparkSessionExtensions — no Expression builder for ScalaAggregator
     // — so they register per-session here; idempotent overwrite). The

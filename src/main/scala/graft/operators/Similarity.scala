@@ -452,6 +452,31 @@ object Similarity {
           (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.2).as("recall_ok")
         )
         .select(col("n_queries"), col("recall_ok"))
+    },
+
+    // The all-SQL spelling of approximate search QUALITY MEASUREMENT:
+    // graft_lsh_topk (the sub-linear ANN path) composed with
+    // graft_cosine_topk (the exact baseline) in one spark.sql text —
+    // recall computed by the user, in SQL, with no Scala at all. Same
+    // band params and recall bound as sim_ann_lsh.
+    "sql_ann_lsh" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+      spark.sql(
+        """WITH ann AS (
+          |  SELECT q_id, vec_id
+          |  FROM graft_lsh_topk('graft_embeddings', 'vec_id', 'embedding', 5, 5, 6, 16)),
+          |bf AS (
+          |  SELECT q_id, vec_id
+          |  FROM graft_cosine_topk('graft_embeddings', 'vec_id', 'embedding', 5, 5)),
+          |hits AS (
+          |  SELECT ann.q_id, COUNT(*) AS n_hits
+          |  FROM ann JOIN bf ON ann.q_id = bf.q_id AND ann.vec_id = bf.vec_id
+          |  GROUP BY ann.q_id),
+          |probes AS (SELECT DISTINCT q_id FROM bf)
+          |SELECT COUNT(*) AS n_queries,
+          |  (SUM(COALESCE(n_hits, 0)) / (COUNT(*) * 5.0) >= 0.2) AS recall_ok
+          |FROM probes LEFT JOIN hits USING (q_id)""".stripMargin)
     }
   )
 
@@ -519,6 +544,9 @@ object Similarity {
       """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "sim_ann_lsh" ->
+      """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "sql_ann_lsh" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "embed_stats" ->
