@@ -24,7 +24,9 @@ object SparkEntry {
       (TimeWindows.queries, TimeWindows.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
-      (GraphOps.queries, GraphOps.oracles)
+      (GraphOps.queries, GraphOps.oracles),
+      (Profiling.queries, Profiling.oracles),
+      (Chunking.queries, Chunking.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

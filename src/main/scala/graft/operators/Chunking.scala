@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-sequence construction: the two layout operators an LLM data
+  * pipeline runs AFTER filtering/dedup and BEFORE shard writing.
+  *
+  * The reference stops at "land typed rows in columnar files"
+  * (RowOrcBucketingSink.java:26-342); these operators are the
+  * brief-mandated extension for the 100 TB training-data use case.
+  *
+  * - `pack_chunks` — concatenate-and-chunk packing: documents are laid
+  *   end-to-end in one deterministic global order and the token stream is
+  *   cut every `ctx` tokens (docs may span cut points — the standard
+  *   "packed" pretraining layout). The only global state is a running
+  *   token offset, computed with [[DistributedRank.withGlobalCumSum]]'s
+  *   two-pass plan: range-partition by doc_id, local cumulative windows,
+  *   one metadata-scale offset window. No single-partition data movement
+  *   — the op scales exactly as far as a distributed sort does.
+  * - `chunk_docs` — within-doc sliding-window chunking (size 64 tokens,
+  *   stride 48): long docs become overlapping chunks, each identified by
+  *   an md5 of its joined text. Pure per-row explode — linear, no
+  *   shuffle until the final order. Chunk starts advance by stride while
+  *   start < n_tokens, so every token lands in ≥1 chunk and no chunk is
+  *   empty.
+  */
+object Chunking {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens per training sequence for pack_chunks (GPT-2-ish context). */
+  private val Ctx = 2048
+
+  /** chunk_docs window geometry: 64-token chunks every 48 tokens. */
+  private val ChunkLen = 64
+  private val Stride   = 48
+
+  val queries: Map[String, Q] = Map(
+    // Packed-sequence layout: per doc, its half-open token span
+    // [start_off, start_off + n_tokens) in the concatenated stream and
+    // the chunk ids that span touches. Integer-exact end to end.
+    "pack_chunks" -> { (spark, dir) =>
+      val docs = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      DistributedRank
+        .withGlobalCumSum(docs, "n_tokens", Seq(col("doc_id")), cumCol = "cum")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_off"),
+          // `div` (integer), not `/` (double) — offsets near 2^53 would
+          // round; chunk ids must stay exact at any stream length.
+          expr(s"(cum - n_tokens) div $Ctx").as("chunk_first"),
+          expr(s"(cum - 1) div $Ctx").as("chunk_last")
+        )
+        .withColumn("n_chunks_spanned", col("chunk_last") - col("chunk_first") + 1)
+        .orderBy(col("doc_id"))
+    },
+
+    // Sliding-window chunks with overlap; md5 of the chunk text makes
+    // the cut positions (not just the counts) hash-checkable.
+    "chunk_docs" -> { (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .select(
+          col("doc_id"),
+          col("ws"),
+          col("n"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(Stride)))
+            .as(Seq("chunk_idx", "start"))
+        )
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(ChunkLen), col("n") - col("start")).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("ws"), col("start") + 1, lit(ChunkLen)))).as("chunk_hash")
+        )
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pack_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_off,
+         |  CAST((cum - n_tokens) // $Ctx AS BIGINT) AS chunk_first,
+         |  CAST((cum - 1) // $Ctx AS BIGINT) AS chunk_last,
+         |  CAST((cum - 1) // $Ctx - (cum - n_tokens) // $Ctx + 1 AS BIGINT) AS n_chunks_spanned
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, ws, n, unnest(range(0, n, $Stride)) AS start
+         |  FROM t)
+         |SELECT doc_id, CAST(start // $Stride AS BIGINT) AS chunk_idx,
+         |  CAST(least($ChunkLen, n - start) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(list_slice(ws, start + 1, start + $ChunkLen), ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

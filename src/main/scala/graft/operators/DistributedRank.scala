@@ -78,4 +78,44 @@ object DistributedRank {
       )
       .drop("__pid", "__lrn", "__off", "__total")
   }
+
+  /** Append `cumCol` — the INCLUSIVE global running sum of `valueCol`
+    * (must be integral-typed; summed as long) under the total order of
+    * `sortExprs` — with the same two-pass shape as [[withGlobalNtile]]:
+    * range-partition on the sort key, local cumulative window inside each
+    * sorted range, per-partition totals → broadcast offsets. The only
+    * unpartitioned window runs over one row per partition (metadata
+    * scale), so the operator holds at any input size where a global
+    * `orderBy` would — which is exactly the contract of a distributed
+    * sampled sort.
+    */
+  def withGlobalCumSum(
+      df: DataFrame,
+      valueCol: String,
+      sortExprs: Seq[Column],
+      cumCol: String = "__cum",
+      numPartitions: Int = 32
+  ): DataFrame = {
+    val ranged = df
+      .repartitionByRange(numPartitions, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+
+    // Metadata-scale: one row per partition.
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col(valueCol).cast("long")).as("__psum"))
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__off", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+
+    val wLocal = Window
+      .partitionBy(col("__pid"))
+      .orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__lcum", sum(col(valueCol).cast("long")).over(wLocal))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(cumCol, col("__off") + col("__lcum"))
+      .drop("__pid", "__lcum", "__off")
+  }
 }

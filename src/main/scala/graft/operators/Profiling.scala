@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse-side table maintenance queries: column statistics profiling
+  * (the input to any cost-based optimizer), declarative data-quality
+  * constraint checks, equal-width histograms, and an SCD2 dimension
+  * merge. The reference's engine feeds a Hive-queryable warehouse
+  * (reference README.md:13-22); these are the operations a warehouse
+  * operator runs ON those landed tables.
+  *
+  * Scale posture:
+  * - `stats_profile`: ONE scan; the multi-column exact-ndv agg plans as
+  *   Catalyst's Expand (rows × #columns before the partial agg) — the
+  *   standard exact plan. At 100 TB swap `countDistinct` for
+  *   `approx_count_distinct` (same shape, no Expand) — the query shape
+  *   and the output contract don't change, which is why ndv is a column
+  *   here and not a constant.
+  * - `dq_checks`: each check is an independent scan+agg (pruned to the
+  *   checked columns); the referential check is a broadcast anti join.
+  *   Constant-width output regardless of input size.
+  * - `agg_histogram`: two passes (global min/max, then the bucketing
+  *   agg) — the first pass is metadata-scale output and broadcast back.
+  *   Bucket math is integer cents end to end: both engines compute
+  *   identical bucket ids, no float-boundary flake.
+  * - `scd2_merge`: the classic slowly-changing-dimension type-2 merge as
+  *   semi/anti joins + union — every join broadcast-able when the update
+  *   batch is small (the common case), shuffle-join otherwise; never a
+  *   full-table rewrite of unchanged rows.
+  */
+object Profiling {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One profile row per column: nulls, exact ndv, min/max rendered
+    * deterministically (integers verbatim; doubles as integer cents;
+    * timestamps as ISO seconds — never raw double→string, which is
+    * shortest-repr in Spark but round-trip in some engines). */
+  private def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame = {
+    val aggs = cols.flatMap { case (c, fmt) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"),
+        fmt(min(col(c))).as(s"__min_$c"),
+        fmt(max(col(c))).as(s"__max_$c")
+      )
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackExpr = cols
+      .map { case (c, _) => s"'$c', __null_$c, __ndv_$c, __min_$c, __max_$c" }
+      .mkString(", ")
+    wide.selectExpr(
+      "__rows",
+      s"stack(${cols.size}, $stackExpr) AS (col_name, n_null, n_distinct, min_s, max_s)"
+    ).select(
+      col("col_name"),
+      col("__rows").as("n_rows"),
+      col("n_null"),
+      col("n_distinct"),
+      col("min_s"),
+      col("max_s")
+    ).orderBy(col("col_name"))
+  }
+
+  private val asLong: Column => Column = c => c.cast("string")
+  private val asCents: Column => Column = c => round(c * 100).cast("long").cast("string")
+  private val asIso: Column => Column = c => date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private val asIs: Column => Column = identity
+
+  val queries: Map[String, Q] = Map(
+    // ANALYZE-style per-column stats over the fact table.
+    "stats_profile" -> { (spark, dir) =>
+      profile(
+        Tables.lineitem(spark, dir),
+        Seq(
+          ("l_orderkey", asLong),
+          ("l_linenumber", asLong),
+          ("l_quantity", asCents),
+          ("l_extendedprice", asCents),
+          ("l_returnflag", asIs),
+          ("l_linestatus", asIs),
+          ("l_shipdate", asIso)
+        )
+      )
+    },
+
+    // Declarative constraint suite: name, violation count, pass flag.
+    "dq_checks" -> { (spark, dir) =>
+      val cust = Tables.customer(spark, dir)
+      val ord  = Tables.orders(spark, dir)
+      val li   = Tables.lineitem(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      val ev   = Tables.events(spark, dir)
+
+      def check(name: String, violations: DataFrame): DataFrame =
+        violations.agg(count(lit(1)).as("n_violations"))
+          .select(
+            lit(name).as("check_name"),
+            col("n_violations"),
+            (col("n_violations") === 0L).as("pass"))
+
+      val fk = check(
+        "orders_custkey_fk",
+        ord.select(col("o_custkey"))
+          .join(broadcast(cust.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti"))
+      val pk = check(
+        "lineitem_pk_unique",
+        li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+      val rng = check(
+        "customer_acctbal_range",
+        cust.filter(col("c_acctbal") < -1000.0 || col("c_acctbal") > 100000.0))
+      val txt = check(
+        "documents_chars_consistent",
+        docs.filter(col("text").isNull || length(col("text")) =!= col("n_chars")))
+      val vnn = check(
+        "events_value_nonneg",
+        ev.filter(col("value") < 0.0))
+
+      fk.unionAll(pk).unionAll(rng).unionAll(txt).unionAll(vnn)
+        .orderBy(col("check_name"))
+    },
+
+    // Equal-width 10-bucket histogram of l_extendedprice, all math in
+    // integer cents: bucket = (cents - min)*10 div (max - min + 1), so
+    // every value (max included) lands in 0..9 with no float boundary.
+    "agg_histogram" -> { (spark, dir) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val li = Tables.lineitem(spark, dir).select(cents.as("c"))
+      val bounds = li.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr("(c - lo) * 10 div (hi - lo + 1)"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("c")).as("min_cents"),
+          max(col("c")).as("max_cents"))
+        .orderBy(col("bucket"))
+    },
+
+    // SCD2 merge: the update batch (derived deterministically from the
+    // dim itself — customers with custkey % 10 = 0 get a new balance and
+    // segment) closes the old version and opens version 2; untouched
+    // customers keep their single current version.
+    "scd2_merge" -> { (spark, dir) =>
+      val dim = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val upd = dim.filter(col("c_custkey") % 10 === 0)
+        .select(
+          col("c_custkey"),
+          (round(col("c_acctbal") * 100).cast("long") + 10000L).as("bal_cents_new"))
+      val keys = upd.select(col("c_custkey").as("k"))
+
+      val centsOld = round(col("c_acctbal") * 100).cast("long")
+      val unchanged = dim
+        .join(broadcast(keys), col("c_custkey") === col("k"), "left_anti")
+        .select(
+          col("c_custkey"), lit(1L).as("version"), lit(true).as("is_current"),
+          centsOld.as("bal_cents"), col("c_mktsegment").as("segment"))
+      val closed = dim
+        .join(broadcast(keys), col("c_custkey") === col("k"), "left_semi")
+        .select(
+          col("c_custkey"), lit(1L).as("version"), lit(false).as("is_current"),
+          centsOld.as("bal_cents"), col("c_mktsegment").as("segment"))
+      val opened = upd.select(
+        col("c_custkey"), lit(2L).as("version"), lit(true).as("is_current"),
+        col("bal_cents_new").as("bal_cents"), lit("UPDATED").as("segment"))
+
+      unchanged.unionAll(closed).unionAll(opened)
+        .orderBy(col("c_custkey"), col("version"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stats_profile" -> {
+      def row(c: String, minmax: String => String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  ${minmax(s"MIN($c)")} AS min_s, ${minmax(s"MAX($c)")} AS max_s
+           |FROM lineitem""".stripMargin
+      val long  = (e: String) => s"CAST($e AS VARCHAR)"
+      val cents = (e: String) => s"CAST(CAST(round($e * 100) AS BIGINT) AS VARCHAR)"
+      val iso   = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      val asis  = (e: String) => e
+      Seq(
+        row("l_orderkey", long), row("l_linenumber", long),
+        row("l_quantity", cents), row("l_extendedprice", cents),
+        row("l_returnflag", asis), row("l_linestatus", asis),
+        row("l_shipdate", iso)
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "dq_checks" ->
+      """WITH v AS (
+        |  SELECT 'orders_custkey_fk' AS check_name,
+        |    (SELECT COUNT(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |      AS n_violations
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_unique',
+        |    (SELECT COUNT(*) FROM (
+        |       SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+        |  UNION ALL
+        |  SELECT 'customer_acctbal_range',
+        |    (SELECT COUNT(*) FROM customer WHERE c_acctbal < -1000.0 OR c_acctbal > 100000.0)
+        |  UNION ALL
+        |  SELECT 'documents_chars_consistent',
+        |    (SELECT COUNT(*) FROM documents WHERE text IS NULL OR len(text) <> n_chars)
+        |  UNION ALL
+        |  SELECT 'events_value_nonneg',
+        |    (SELECT COUNT(*) FROM events WHERE value < 0.0))
+        |SELECT check_name, n_violations, n_violations = 0 AS pass
+        |FROM v ORDER BY check_name""".stripMargin,
+    "agg_histogram" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c)
+        |SELECT (c.c - b.lo) * 10 // (b.hi - b.lo + 1) AS bucket,
+        |  COUNT(*) AS n_rows, MIN(c.c) AS min_cents, MAX(c.c) AS max_cents
+        |FROM c, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment
+        |  FROM customer),
+        |upd AS (SELECT c_custkey, bal_cents + 10000 AS bal_cents_new
+        |  FROM dim WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey, CAST(1 AS BIGINT) AS version, TRUE AS is_current, bal_cents,
+        |  c_mktsegment AS segment
+        |FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT c_custkey, CAST(1 AS BIGINT), FALSE, bal_cents, c_mktsegment
+        |FROM dim WHERE c_custkey IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT c_custkey, CAST(2 AS BIGINT), TRUE, bal_cents_new, 'UPDATED' FROM upd
+        |ORDER BY c_custkey, version""".stripMargin
+  )
+}

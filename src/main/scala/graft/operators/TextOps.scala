@@ -656,6 +656,43 @@ object TextOps {
             ReIp, "<IP>")
         ).as("redacted_hash")
       ).orderBy(col("doc_id"))
+    },
+
+    // Top collocations by pointwise mutual information. PMI is the one
+    // ln() in the pipeline that ranks output, so it follows the
+    // text_tfidf_top discipline: fold ALL integer counts into a single
+    // rational, take ONE ln of identical doubles on both engines, and
+    // quantize to a 1e6 grid BEFORE the ordering. Products stay ≤ ~2e16
+    // (< 2^63; above 2^53 is fine — both engines round the same BIGINT
+    // to the same double). At 100 TB the products would overflow int64:
+    // switch the argument to exp-of-log-sums there — the top-K contract
+    // is unchanged.
+    "text_pmi_bigrams" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir).select(split(col("text"), " ").as("ws"))
+      val uni  = docs.select(explode(col("ws")).as("w"))
+      val uc   = uni.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nu   = uni.agg(count(lit(1)).as("n_uni"))
+      val bi = docs
+        .select(explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))"
+        )).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      val nb = bi.agg(count(lit(1)).as("n_bi"))
+      bc.filter(col("cxy") >= 5)
+        .join(broadcast(uc.withColumnRenamed("w", "u1").withColumnRenamed("cw", "cx")), col("w1") === col("u1"))
+        .join(broadcast(uc.withColumnRenamed("w", "u2").withColumnRenamed("cw", "cy")), col("w2") === col("u2"))
+        .crossJoin(broadcast(nu))
+        .crossJoin(broadcast(nb))
+        .select(
+          col("w1"), col("w2"),
+          col("cxy").as("c_bigram"), col("cx").as("c_w1"), col("cy").as("c_w2"),
+          floor(
+            log((col("cxy") * col("n_uni") * col("n_uni")).cast("double") /
+              (col("n_bi") * col("cx") * col("cy")).cast("double")) * 1e6 + lit(0.5)
+          ).cast("long").as("pmi_q"))
+        .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 
@@ -931,6 +968,21 @@ object TextOps {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^ ]+', '<URL>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_hash
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "text_pmi_bigrams" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS w FROM tok),
+        |uc AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+        |nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+        |g AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM tok),
+        |nb AS (SELECT COUNT(*) AS n_bi FROM g),
+        |bc AS (SELECT g, COUNT(*) AS cxy FROM g GROUP BY g HAVING COUNT(*) >= 5),
+        |sp AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2, cxy FROM bc)
+        |SELECT w1, w2, cxy AS c_bigram, u1.cw AS c_w1, u2.cw AS c_w2,
+        |  CAST(FLOOR(ln(CAST(cxy * n_uni * n_uni AS DOUBLE)
+        |    / CAST(n_bi * u1.cw * u2.cw AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS pmi_q
+        |FROM sp JOIN uc u1 ON sp.w1 = u1.w JOIN uc u2 ON sp.w2 = u2.w, nu, nb
+        |ORDER BY pmi_q DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

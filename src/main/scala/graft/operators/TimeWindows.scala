@@ -96,6 +96,32 @@ object TimeWindows {
           count(col("p")).as("n_full_funnel"))
     },
 
+    // Per-user outlier flagging (|z| > 2) with NO floating-point boundary:
+    // quantize value to a 1e-3 grid, then clear denominators —
+    // (v−mean)² > 4·var  ⇔  (n·v_q − s_q)² > 4·(n·q_q − s_q²) — so the
+    // flag is pure BIGINT arithmetic (bounds: n≈70 events/user,
+    // v_q ≤ 5.7e5 ⇒ every product ≤ ~1.4e15 « 2^63). One shuffle on
+    // user_id carries the three moment windows; only outliers are
+    // emitted, so output is a tiny fraction of input at any scale.
+    "evt_anomaly" -> { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      Tables
+        .events(spark, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          floor(col("value") * 1000 + lit(0.5)).cast("long").as("v_q"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("v_q")).over(w))
+        .withColumn("q", sum(col("v_q") * col("v_q")).over(w))
+        .filter(
+          col("n") >= 10 &&
+            (col("n") * col("v_q") - col("s")) * (col("n") * col("v_q") - col("s")) >
+              lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("event_id"), col("user_id"), col("v_q"), col("n").as("n_user_events"))
+        .orderBy(col("event_id"))
+    },
+
     // Cohort RETENTION: users grouped by the date of their first event
     // (the cohort); for each (cohort, day-offset) cell, how many of that
     // cohort's users were active. Per-user first-date is one window over
@@ -171,6 +197,17 @@ object TimeWindows {
         |SELECT COUNT(*) AS n_users, COUNT(v) AS n_view,
         |  COUNT(c) AS n_view_click, COUNT(p) AS n_full_funnel
         |FROM per_user""".stripMargin,
+    "evt_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_q
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(v_q) AS s, SUM(v_q * v_q) AS q
+        |  FROM e GROUP BY user_id)
+        |SELECT event_id, e.user_id, v_q, n AS n_user_events
+        |FROM e JOIN a USING (user_id)
+        |WHERE n >= 10 AND (n*v_q - s)*(n*v_q - s) > 4*(n*q - s*s)
+        |ORDER BY event_id""".stripMargin,
     "evt_retention" ->
       """WITH d AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d,
