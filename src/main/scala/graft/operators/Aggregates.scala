@@ -375,6 +375,24 @@ object Aggregates {
           count(lit(1)).as("n")
         )
         .orderBy(col("l_partkey"))
+    },
+
+    // MODE (most frequent value) per group with a deterministic tiebreak
+    // (smallest value wins). Two hash aggs + a per-group top-1 window —
+    // the window's partition count equals the group count, so it scales
+    // with the grouping key, never a global sort.
+    "agg_mode" -> { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("source").asc)
+      Tables
+        .documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("source").as("mode_source"), col("n").as("n_mode"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -500,6 +518,12 @@ object Aggregates {
     "agg_minmax_per_key" ->
       s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
          |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
-         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, source, n,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source ASC) AS rn FROM c)
+        |SELECT lang, source AS mode_source, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY lang""".stripMargin
   )
 }

@@ -140,6 +140,35 @@ object Profiling {
         .orderBy(col("bucket"))
     },
 
+    // Key-skew diagnostics for a join/aggregation key: the top-5 hottest
+    // keys alongside the key-count distribution (exact p90 via
+    // DistributedRank.withGlobalCumSum over ones — a distributed rank,
+    // NOT a single-partition window, so the report itself survives a
+    // billion-key fact table). The p90 rank is integer math:
+    // (9·n_keys + 9) div 10 = ceil(0.9·n_keys) with no float.
+    "skew_report" -> { (spark, dir) =>
+      val c = Tables.lineitem(spark, dir)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val stats = c.agg(
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        sum(col("cnt")).as("total_rows"))
+      val ranked = DistributedRank.withGlobalCumSum(
+        c.withColumn("one", lit(1L)), "one",
+        Seq(col("cnt"), col("l_suppkey")), cumCol = "rk")
+      val p90 = ranked
+        .crossJoin(broadcast(stats))
+        .filter(col("rk") === expr("(9 * n_keys + 9) div 10"))
+        .select(col("cnt").as("p90_cnt"))
+      c.orderBy(col("cnt").desc, col("l_suppkey")).limit(5)
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(p90))
+        .select(
+          col("l_suppkey"), col("cnt"), col("n_keys"),
+          col("max_cnt"), col("p90_cnt"), col("total_rows"))
+        .orderBy(col("cnt").desc, col("l_suppkey"))
+    },
+
     // SCD2 merge: the update batch (derived deterministically from the
     // dim itself — customers with custkey % 10 = 0 get a new balance and
     // segment) closes the old version and opens version 2; untouched
@@ -219,6 +248,15 @@ object Profiling {
         |SELECT (c.c - b.lo) * 10 // (b.hi - b.lo + 1) AS bucket,
         |  COUNT(*) AS n_rows, MIN(c.c) AS min_cents, MAX(c.c) AS max_cents
         |FROM c, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "skew_report" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+        |s AS (SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_rows FROM c),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, l_suppkey) AS rk FROM c),
+        |p AS (SELECT cnt AS p90_cnt FROM r, s WHERE rk = (9 * n_keys + 9) // 10),
+        |t AS (SELECT * FROM c ORDER BY cnt DESC, l_suppkey LIMIT 5)
+        |SELECT l_suppkey, cnt, n_keys, max_cnt, p90_cnt, total_rows
+        |FROM t, s, p ORDER BY cnt DESC, l_suppkey""".stripMargin,
     "scd2_merge" ->
       """WITH dim AS (
         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment

@@ -141,6 +141,33 @@ object Windows {
         .orderBy(col("o_orderkey"))
     },
 
+    // TIME-interval RANGE frame: per user, the trailing-1-hour (inclusive)
+    // event count and quantized value sum. Spark range frames need a
+    // numeric sort key, so the frame runs over epoch MICROSECONDS
+    // (`unix_micros`) — integer-exact, and the same key DuckDB's
+    // `epoch_us` yields, so frame membership is bit-identical. The value
+    // sum rides the 1e-3 grid (sum of longs in a frame is
+    // order-independent). One shuffle on user_id.
+    "win_time_range" -> { (spark, dir) =>
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      Tables
+        .events(spark, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 1000 + lit(0.5)).cast("long").as("v_q"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(col("v_q")).over(w).as("sum_q_trailing_1h"))
+        .orderBy(col("event_id"))
+    },
+
     // first/last over the full partition frame.
     "win_first_last" -> { (spark, dir) =>
       val w = Window
@@ -203,6 +230,18 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_time_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_q
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  CAST(SUM(v_q) OVER w AS BIGINT) AS sum_q_trailing_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "win_first_last" ->
       s"""SELECT DISTINCT o_custkey,
          |  FIRST_VALUE(o_orderkey) OVER ($over

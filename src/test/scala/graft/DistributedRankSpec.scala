@@ -47,4 +47,24 @@ class DistributedRankSpec extends AnyFunSuite {
   test("matches SQL NTILE with remainder (N=7, b=3)") { check(7, 3) }
   test("matches SQL NTILE with remainder (N=103, b=8)") { check(103, 8) }
   test("matches SQL NTILE when N < buckets (N=3, b=5)") { check(3, 5) }
+
+  test("withGlobalCumSum ≡ single-window running sum at every partition count") {
+    val s = spark
+    import s.implicits._
+    val df = scala.util.Random
+      .shuffle((1 to 257).toList)
+      .map(i => (i.toLong, (i % 13 + 1).toLong))
+      .toDF("k", "v")
+    val expected = df
+      .select(col("k"), sum(col("v")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (np <- Seq(1, 3, 4, 16)) {
+      val got = DistributedRank
+        .withGlobalCumSum(df, "v", Seq(col("k").asc), cumCol = "cum", numPartitions = np)
+        .select(col("k"), col("cum"))
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sameElements(expected), s"numPartitions=$np diverges")
+    }
+  }
 }

@@ -74,6 +74,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_chunks and skew_report keep the global cumsum off the data path") {
+    for (q <- Seq("pack_chunks", "skew_report")) {
+      val wins = collectAll(executed(q)) { case w: WindowExec => w }
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      global.foreach { w =>
+        val aggBelow = w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+              if a.groupingExpressions.exists(_.toString.contains("__pid")) => a
+        }
+        assert(aggBelow.isDefined, s"$q: global window not over per-partition metadata")
+      }
+    }
+  }
+
   test("no declared query plans a cartesian product (except the intentional cross join)") {
     // A CartesianProduct appearing in any other query means a join
     // condition was lost (or planned as nested-loop-over-everything) —
