@@ -377,6 +377,75 @@ object Aggregates {
         .orderBy(col("l_partkey"))
     },
 
+    // Ordered string aggregation (group_concat parity): names joined in
+    // c_custkey order. Spark has no ordered string_agg, so the order is
+    // carried by array_sort over (key, name) structs — struct arrays
+    // sort lexicographically by field, making the concatenation
+    // deterministic under any partitioning. Output is md5'd: the gate
+    // checks CONTENT without hauling megabyte strings through the diff.
+    "agg_string_agg" -> { (spark, dir) =>
+      Tables
+        .customer(spark, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr(
+            "md5(concat_ws(',', transform(array_sort(collect_list(struct(c_custkey, c_name))), s -> s.c_name)))"
+          ).as("names_hash"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // EXACT median per group — no interpolation, no approx sketch: the
+    // lower median is the value at rank (n+1) div 2 under (value, id)
+    // order. Rank and count ride per-group windows (partition count =
+    // group count), values ride the 1e-3 grid, so the result is
+    // engine-exact. Definition is pinned on BOTH sides — DuckDB's
+    // median() interpolates on even counts and would diverge.
+    "agg_median_exact" -> { (spark, dir) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v_q"), col("event_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      Tables
+        .events(spark, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          floor(col("value") * 1000 + lit(0.5)).cast("long").as("v_q"))
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("v_q").as("median_q"), col("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // Winsorization: clip each value to its group's exact [p05, p95]
+    // rank values (ceil ranks in integer math — (5n+99) div 100 /
+    // (95n+99) div 100). Bounds come from two rank filters (one row per
+    // group — broadcast back); the clip itself is a map. The robust-
+    // stats preprocessing step before any mean/stddev at 100 TB.
+    "agg_winsorize" -> { (spark, dir) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v_q"), col("event_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      val ranked = Tables
+        .events(spark, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          floor(col("value") * 1000 + lit(0.5)).cast("long").as("v_q"))
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val lo = ranked.filter(col("rk") === expr("(5 * n + 99) div 100"))
+        .select(col("event_type"), col("v_q").as("lo_q"))
+      val hi = ranked.filter(col("rk") === expr("(95 * n + 99) div 100"))
+        .select(col("event_type"), col("v_q").as("hi_q"))
+      ranked
+        .join(broadcast(lo), "event_type")
+        .join(broadcast(hi), "event_type")
+        .select(
+          col("event_id"), col("event_type"), col("v_q"),
+          least(greatest(col("v_q"), col("lo_q")), col("hi_q")).as("v_wins"))
+        .orderBy(col("event_id"))
+    },
+
     // MODE (most frequent value) per group with a deterministic tiebreak
     // (smallest value wins). Two hash aggs + a per-group top-1 window —
     // the window's partition count equals the group count, so it scales
@@ -519,6 +588,35 @@ object Aggregates {
       s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
          |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "agg_string_agg" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  md5(string_agg(c_name, ',' ORDER BY c_custkey)) AS names_hash
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "agg_median_exact" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_q
+        |  FROM events),
+        |r AS (SELECT event_type, v_q,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_q, event_id) AS rk,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        |FROM e)
+        |SELECT event_type, v_q AS median_q, n
+        |FROM r WHERE rk = (n + 1) // 2 ORDER BY event_type""".stripMargin,
+    "agg_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_q
+        |  FROM events),
+        |r AS (SELECT event_id, event_type, v_q,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_q, event_id) AS rk,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        |FROM e),
+        |lo AS (SELECT event_type, v_q AS lo_q FROM r WHERE rk = (5 * n + 99) // 100),
+        |hi AS (SELECT event_type, v_q AS hi_q FROM r WHERE rk = (95 * n + 99) // 100)
+        |SELECT event_id, r.event_type, v_q,
+        |  least(greatest(v_q, lo_q), hi_q) AS v_wins
+        |FROM r JOIN lo ON r.event_type = lo.event_type
+        |       JOIN hi ON r.event_type = hi.event_type
+        |ORDER BY event_id""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
         |r AS (SELECT lang, source, n,

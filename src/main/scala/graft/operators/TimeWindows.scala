@@ -122,6 +122,55 @@ object TimeWindows {
         .orderBy(col("event_id"))
     },
 
+    // Time-series GAP FILLING: a dense (hour × event_type) grid over the
+    // observed span, zero-filled where no events landed — the step that
+    // makes downstream window math see missing buckets instead of
+    // silently skipping them. The grid is generated from a one-row
+    // bounds agg (metadata-scale, broadcast), so grid size is
+    // span × type-cardinality regardless of event count.
+    "evt_gapfill" -> { (spark, dir) =>
+      val ev = Tables
+        .events(spark, dir)
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val counts = ev.groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n0"))
+      val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      val hours = bounds
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      hours
+        .crossJoin(broadcast(types))
+        .join(counts, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"), coalesce(col("n0"), lit(0L)).as("n"))
+        .orderBy(col("h"), col("event_type"))
+    },
+
+    // Peak CONCURRENCY via the classic sweep line: each event opens a
+    // 5-minute interval; +1/−1 boundary points, sorted globally by
+    // (time, delta, id) — ends before starts at a shared instant, so
+    // intervals are half-open — and the running sum of deltas is the
+    // live-interval count. The global running sum is
+    // DistributedRank.withGlobalCumSum (two-pass, range-partitioned):
+    // the sweep line, usually the textbook "needs one sorted pass"
+    // operator, distributes exactly as far as a sampled sort does.
+    "evt_concurrency" -> { (spark, dir) =>
+      val ev = Tables
+        .events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val pts = ev
+        .select(col("event_id"), col("us").as("t"), lit(1L).as("delta"))
+        .unionAll(
+          ev.select(col("event_id"), (col("us") + 300000000L).as("t"), lit(-1L).as("delta")))
+      val swept = DistributedRank.withGlobalCumSum(
+        pts, "delta", Seq(col("t"), col("delta"), col("event_id")), cumCol = "conc")
+      val peak = swept.agg(max(col("conc")).as("peak"))
+      swept
+        .crossJoin(broadcast(peak))
+        .filter(col("conc") === col("peak"))
+        .groupBy(col("peak"))
+        .agg(min(col("t")).as("peak_at_us"))
+        .select(col("peak").as("peak_concurrency"), col("peak_at_us"))
+    },
+
     // Cohort RETENTION: users grouped by the date of their first event
     // (the cohort); for each (cohort, day-offset) cell, how many of that
     // cohort's users were active. Per-user first-date is one window over
@@ -208,6 +257,29 @@ object TimeWindows {
         |FROM e JOIN a USING (user_id)
         |WHERE n >= 10 AND (n*v_q - s)*(n*v_q - s) > 4*(n*q - s*s)
         |ORDER BY event_id""".stripMargin,
+    "evt_gapfill" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |hrs AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS h FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n0
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hrs.h AS h, ty.event_type, COALESCE(c.n0, 0) AS n
+        |FROM hrs CROSS JOIN ty
+        |LEFT JOIN c ON c.h = hrs.h AND c.event_type = ty.event_type
+        |ORDER BY hrs.h, ty.event_type""".stripMargin,
+    "evt_concurrency" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |pts AS (
+        |  SELECT event_id, us AS t, CAST(1 AS BIGINT) AS delta FROM e
+        |  UNION ALL
+        |  SELECT event_id, us + 300000000, CAST(-1 AS BIGINT) FROM e),
+        |sw AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM pts),
+        |p AS (SELECT MAX(conc) AS peak FROM sw)
+        |SELECT CAST(p.peak AS BIGINT) AS peak_concurrency, MIN(sw.t) AS peak_at_us
+        |FROM sw, p WHERE sw.conc = p.peak GROUP BY p.peak""".stripMargin,
     "evt_retention" ->
       """WITH d AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d,
