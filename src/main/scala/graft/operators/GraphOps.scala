@@ -34,13 +34,36 @@ object GraphOps {
     * of scope). Returns (id, score_q) on the 1e-12 grid where 1.0 ≡
     * 1e12. Damping 0.85 is the exact rational 17/20. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("id")).distinct()
+    // Materialize the edge list ONCE, already hash-partitioned on the
+    // per-iteration join key. Without this the edge subtree (scan +
+    // union + distinct — the expensive part) re-executes for deg, for
+    // nodes, and inside EVERY iteration (iters+2 times total); with it,
+    // each round's join reuses the checkpointed partitioning instead of
+    // re-shuffling the (large) edge side. At cluster scale the same
+    // effect comes from bucketing edges by src at rest; `reliable=true`
+    // checkpointing (as in DedupClusters) is the executor-loss-tolerant
+    // variant.
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.repartition(parts, col("src")).localCheckpoint()
+    // deg and nodes are NODE-sized and loop-invariant: materialize once
+    // (they would otherwise re-aggregate the edge list every round).
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
+    // Adaptive broadcast: checkpointed RDDs report no stats, so AQE
+    // cannot make this call — gate on the ACTUAL node count (free: the
+    // RDD is materialized). Small graphs broadcast the node-sized sides
+    // and each round costs ONE shuffle (the dst aggregation); huge
+    // graphs fall back to the co-partitioned shuffle join, which is the
+    // only scale-safe spelling when scores no longer fit an executor.
+    val nodeCount = nodes.count()
+    val small = nodeCount <= 1000000L
+    val degSide = if (small) broadcast(deg) else deg
     var scores = nodes.select(col("id"), lit(1000000000000L).as("score_q"))
     for (_ <- 1 to iters) {
-      val contribs = scores
-        .join(edges, col("id") === col("src"))
-        .join(deg, "src")
+      val scoreSide = if (small) broadcast(scores) else scores
+      val contribs = scoreSide
+        .join(e, col("id") === col("src"))
+        .join(degSide, "src")
         .select(col("dst"), expr("(score_q * 17 DIV 20) DIV deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("mass"))
