@@ -94,6 +94,50 @@ object StreamSinks {
   def committedFiles(spark: SparkSession, path: String, format: String = "orc"): Seq[String] =
     spark.read.format(format).load(path).inputFiles.toSeq
 
+  /** Orphan-file VACUUM for the manifest-committed sinks — the table-
+    * maintenance half of the exactly-once contract. A crashed or
+    * speculatively-duplicated task leaves its data file in the output
+    * directory WITHOUT a manifest entry; readers never see it
+    * (OrcStreamingSinkSpec pins that), but the bytes still bill and the
+    * file count still degrades object-store listings. The reference has
+    * the same residue: files that never reach the rename-to-final step
+    * linger as in-process/in-pending until an operator sweeps them
+    * (reference README.md:19-22). This sweep is safe BECAUSE commits are
+    * manifest-atomic: any data file not named by the manifest can never
+    * become visible later.
+    *
+    * Returns the orphan paths; deletes them unless `dryRun`. Never
+    * touches `_spark_metadata` itself. Run it only when no write is
+    * in-flight for the batch currently being written (in-flight task
+    * files of an UNCOMMITTED batch look like orphans — the same
+    * stop-the-writer precondition as the reference's manual sweep).
+    */
+  def vacuum(
+      spark: SparkSession,
+      path: String,
+      format: String = "orc",
+      dryRun: Boolean = false
+  ): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == "_spark_metadata") Nil
+        else if (st.isDirectory) dataFiles(st.getPath)
+        else if (name.startsWith("_") || name.startsWith(".")) Nil
+        else Seq(st.getPath)
+      }
+    val committed = committedFiles(spark, path, format)
+      .map(u => Path.getPathWithoutSchemeAndAuthority(new Path(u)).toString)
+      .toSet
+    val orphans = dataFiles(root).filter(p =>
+      !committed.contains(Path.getPathWithoutSchemeAndAuthority(p).toString))
+    if (!dryRun) orphans.foreach(fs.delete(_, false))
+    orphans.map(_.toString)
+  }
+
   /** Watermark gauge (reference parity R12): the reference exports the
     * last committed watermark as a metrics gauge, minus a hardcoded -8h
     * timezone shift (RowOrcBucketingSink.java:86,196-198). Here the same

@@ -87,6 +87,42 @@ class OrcStreamingSinkSpec extends AnyFunSuite {
     assert(fin.select(sum("id")).as[Double].head() === 55.0)
   }
 
+  test("vacuum lists exactly the orphans, deletes them, and committed reads are unchanged") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val out = freshDir("vac_out")
+    val ckpt = freshDir("vac_ckpt")
+    val stream = MemoryStream[Ev]
+    stream.addData(ev(1, "a"), ev(2, "b"), ev(3, "a"), ev(4, "b"))
+    val q = StreamSinks.orcSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q.processAllAvailable()
+    q.stop()
+
+    // Plant crash debris in BOTH partition dirs.
+    for (part <- Seq("etype=a", "etype=b")) {
+      val dir = Paths.get(out, part)
+      val committed = Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".orc")).toSeq.head
+      Files.copy(committed, dir.resolve("part-99999-vacuum-orphan.orc"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val before = spark.read.orc(out).count()
+    val dry = StreamSinks.vacuum(spark, out, dryRun = true)
+    assert(dry.size === 2 && dry.forall(_.contains("vacuum-orphan")), s"dry run listed: $dry")
+    assert(Files.exists(Paths.get(out, "etype=a", "part-99999-vacuum-orphan.orc")),
+      "dry run must not delete")
+
+    val swept = StreamSinks.vacuum(spark, out)
+    assert(swept.toSet === dry.toSet)
+    for (part <- Seq("etype=a", "etype=b"))
+      assert(!Files.exists(Paths.get(out, part, "part-99999-vacuum-orphan.orc")), "orphan survived")
+    assert(spark.read.orc(out).count() === before, "vacuum changed committed data")
+    assert(StreamSinks.vacuum(spark, out, dryRun = true).isEmpty, "second sweep found residue")
+  }
+
   test("parquet streaming sink commits through the manifest too") {
     val s = spark
     import s.implicits._
