@@ -377,6 +377,46 @@ object Aggregates {
         .orderBy(col("l_partkey"))
     },
 
+    // Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg) —
+    // the partial-aggregation distinct-count path a 100 TB rollup
+    // actually runs: per-group sketches union into the global sketch
+    // WITHOUT rescanning rows. Both the direct global estimate and the
+    // union-of-group-sketches estimate are gated within 5% of the exact
+    // ndv the oracle recomputes. (The two are NOT gated equal to each
+    // other: DataSketches unions promote HLL_4 → HLL_8 internally, so
+    // the union's estimate differs in low digits from the directly
+    // built sketch — measured on this fixture. The accuracy contract,
+    // not bit-identity, is what merging preserves.)
+    "agg_hll_sketch" -> { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      val perFlag = li
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_ndv"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"),
+          hll_sketch_agg(col("l_partkey")).as("sk"))
+      val total = perFlag
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("union_est"))
+      val direct = li.agg(
+        countDistinct(col("l_partkey")).as("exact_ndv"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
+      val flagRows = perFlag.select(
+        col("l_returnflag").as("scope"),
+        col("exact_ndv"),
+        (abs(col("est") - col("exact_ndv")) <= col("exact_ndv") * 0.05).as("est_within_5pct"),
+        lit(true).as("merge_consistent"))
+      val allRow = direct
+        .crossJoin(broadcast(total))
+        .select(
+          lit("ALL").as("scope"),
+          col("exact_ndv"),
+          (abs(col("est") - col("exact_ndv")) <= col("exact_ndv") * 0.05).as("est_within_5pct"),
+          (abs(col("union_est") - col("exact_ndv")) <= col("exact_ndv") * 0.05)
+            .as("merge_consistent"))
+      flagRows.unionAll(allRow).orderBy(col("scope"))
+    },
+
     // Ordered string aggregation (group_concat parity): names joined in
     // c_custkey order. Spark has no ordered string_agg, so the order is
     // carried by array_sort over (key, name) structs — struct arrays
@@ -588,6 +628,14 @@ object Aggregates {
       s"""SELECT l_partkey, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
          |  ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "agg_hll_sketch" ->
+      """SELECT CAST(l_returnflag AS VARCHAR) AS scope,
+        |  COUNT(DISTINCT l_partkey) AS exact_ndv,
+        |  TRUE AS est_within_5pct, TRUE AS merge_consistent
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL', COUNT(DISTINCT l_partkey), TRUE, TRUE FROM lineitem
+        |ORDER BY scope""".stripMargin,
     "agg_string_agg" ->
       """SELECT c_nationkey, COUNT(*) AS n,
         |  md5(string_agg(c_name, ',' ORDER BY c_custkey)) AS names_hash

@@ -253,6 +253,25 @@ object ScalarFuncs {
           dsum(col("c")).as("sum_value")
         )
         .orderBy(col("event_type"))
+    },
+
+    // UNPIVOT (wide → long reshape): two measure columns melt into
+    // (measure, v) rows on the integer-cent grid. Pure map-side reshape
+    // — rows × measures out, no shuffle until the final order.
+    "fn_unpivot" -> { (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qty_c"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("price_c"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty_c"), col("price_c")),
+          "measure",
+          "v")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     }
   )
 
@@ -360,6 +379,16 @@ object ScalarFuncs {
          |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
          |  COUNT(DISTINCT user_id) AS n_users,
          |  ${sqlSum("value")} AS sum_value
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fn_unpivot" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, 'qty_c' AS measure, qty_c AS v FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price_c', price_c FROM b
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
   )
 }
