@@ -486,6 +486,56 @@ object Aggregates {
         .orderBy(col("event_id"))
     },
 
+    // EXACT distributed least squares (y = a + b·x per group): the five
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate as longs on
+    // the integer-cent grid — order-free and map-side combinable — and
+    // the closed form's cross products run in DECIMAL(38,0) (Spark's
+    // 128-bit decimal ≙ DuckDB's HUGEINT) because n·Σxy at fixture scale
+    // already exceeds int64. Only the final three expressions drop to
+    // double, in identical textual order on both engines. This is the
+    // "ML-adjacent" regression an analytics engine should run WITHOUT a
+    // driver-side solve: one aggregation, any data size.
+    "agg_linreg" -> { (spark, dir) =>
+      val d38 = "decimal(38,0)"
+      Tables
+        .lineitem(spark, dir)
+        .select(
+          col("l_returnflag"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          // per-row products fit int64 (x ≤ 5e3 cents, y ≤ 1.05e7 cents)
+          // but their SUMS don't at sf0.1 (Σy² ≈ 2e19 > 2^63): accumulate
+          // in decimal(38,0) — Spark's 128-bit path, the same width
+          // DuckDB's HUGEINT sum uses, so both engines stay exact.
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          expr(s"cast(n as $d38) * cast(sxy as $d38) - cast(sx as $d38) * cast(sy as $d38)")
+            .as("num"),
+          expr(s"cast(n as $d38) * cast(sxx as $d38) - cast(sx as $d38) * cast(sx as $d38)")
+            .as("den"),
+          expr(s"cast(n as $d38) * cast(syy as $d38) - cast(sy as $d38) * cast(sy as $d38)")
+            .as("deny"),
+          col("sx"), col("sy"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          (col("num").cast("double") / col("den").cast("double")).as("slope"),
+          ((col("sy").cast("double") - (col("num").cast("double") / col("den").cast("double"))
+            * col("sx").cast("double")) / col("n").cast("double")).as("intercept"),
+          ((col("num").cast("double") * col("num").cast("double"))
+            / (col("den").cast("double") * col("deny").cast("double"))).as("r2"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // MODE (most frequent value) per group with a deterministic tiebreak
     // (smallest value wins). Two hash aggs + a per-group top-1 window —
     // the window's partition count equals the group count, so it scales
@@ -665,6 +715,30 @@ object Aggregates {
         |FROM r JOIN lo ON r.event_type = lo.event_type
         |       JOIN hi ON r.event_type = hi.event_type
         |ORDER BY event_id""".stripMargin,
+    "agg_linreg" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM b GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den,
+        |    n * syy - sy * sy AS deny,
+        |    sx, sy
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+        |    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
         |r AS (SELECT lang, source, n,

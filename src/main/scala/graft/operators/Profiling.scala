@@ -36,32 +36,28 @@ object Profiling {
   /** One profile row per column: nulls, exact ndv, min/max rendered
     * deterministically (integers verbatim; doubles as integer cents;
     * timestamps as ISO seconds — never raw double→string, which is
-    * shortest-repr in Spark but round-trip in some engines). */
-  private def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame = {
-    val aggs = cols.flatMap { case (c, fmt) =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__ndv_$c"),
-        fmt(min(col(c))).as(s"__min_$c"),
-        fmt(max(col(c))).as(s"__max_$c")
-      )
-    }
-    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stackExpr = cols
-      .map { case (c, _) => s"'$c', __null_$c, __ndv_$c, __min_$c, __max_$c" }
-      .mkString(", ")
-    wide.selectExpr(
-      "__rows",
-      s"stack(${cols.size}, $stackExpr) AS (col_name, n_null, n_distinct, min_s, max_s)"
-    ).select(
-      col("col_name"),
-      col("__rows").as("n_rows"),
-      col("n_null"),
-      col("n_distinct"),
-      col("min_s"),
-      col("max_s")
-    ).orderBy(col("col_name"))
-  }
+    * shortest-repr in Spark but round-trip in some engines).
+    *
+    * Plan shape: one PRUNED single-column scan + aggregate per column,
+    * unioned — deliberately NOT one wide aggregate with k exact
+    * countDistincts, which Catalyst plans as an Expand (row count × k,
+    * every row carrying every column) feeding one grouping: measured
+    * 16 s vs ~2 s at sf0.1 for 7 columns. Per-column subplans each read
+    * exactly one parquet column, run as independent stages, and a
+    * single-distinct aggregate needs no Expand at all. */
+  private def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame =
+    cols.map { case (c, fmt) =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          fmt(min(col(c))).as("min_s"),
+          fmt(max(col(c))).as("max_s"))
+        .select(
+          lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionAll _).orderBy(col("col_name"))
 
   private val asLong: Column => Column = c => c.cast("string")
   private val asCents: Column => Column = c => round(c * 100).cast("long").cast("string")

@@ -122,6 +122,31 @@ object TimeWindows {
         .orderBy(col("event_id"))
     },
 
+    // First-order MARKOV transition matrix over per-user event sequences
+    // — the sequence-modeling summary (what follows what, how often) with
+    // ZERO floating point: transition probabilities are reported in
+    // integer micro-units via floor(c·1e6 / total). One user_id shuffle
+    // for the lead() window, one hash agg on (from, to).
+    "evt_markov" -> { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn(
+          "total",
+          sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))))
+        .select(
+          col("from_type"), col("to_type"), col("c"),
+          expr("c * 1000000 div total").as("p_micro"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // Time-series GAP FILLING: a dense (hour × event_type) grid over the
     // observed span, zero-filled where no events landed — the step that
     // makes downstream window math see missing buckets instead of
@@ -257,6 +282,17 @@ object TimeWindows {
         |FROM e JOIN a USING (user_id)
         |WHERE n >= 10 AND (n*v_q - s)*(n*v_q - s) > 4*(n*q - s*s)
         |ORDER BY event_id""".stripMargin,
+    "evt_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT from_type, to_type, COUNT(*) AS c
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, SUM(c) AS total FROM t GROUP BY from_type)
+        |SELECT t.from_type, t.to_type, c, CAST(c * 1000000 // total AS BIGINT) AS p_micro
+        |FROM t JOIN tot ON t.from_type = tot.from_type
+        |ORDER BY t.from_type, t.to_type""".stripMargin,
     "evt_gapfill" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
