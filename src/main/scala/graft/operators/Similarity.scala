@@ -44,7 +44,7 @@ object Similarity {
     ) / lit(1000000.0)
 
   /** Corpus as (vec_id, v: array<double>). */
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -105,6 +105,41 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(hashJoins.nonEmpty, "no equi-join found in the lowered plan")
   }
 
+  test("key-pair filter pushes into the band join (halved candidate pipeline)") {
+    import org.apache.spark.sql.catalyst.expressions.LessThan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val l = corpus.select(col("vec_id").as("lid"), col("v").as("lv"))
+    val r = corpus.select(col("vec_id").as("rid"), col("v").as("rv"))
+    val df = SimilarityJoinOps
+      .similarityJoin(l, "lid", "lv", r, "rid", "rv", threshold = 0.4, bitsPerBand = 4, bands = 64)
+      .filter(col("lid") < col("rid"))
+    val opt = df.queryExecution.optimizedPlan
+    // The band join (band_idx/band_key equality) must carry the key
+    // comparison as a third conjunct...
+    val pushed = opt.collect {
+      case j: LJoin if j.condition.exists { c =>
+        val s = c.sql
+        s.contains("__band_key") && c.exists(_.isInstanceOf[LessThan])
+      } => j
+    }
+    assert(pushed.nonEmpty, "pair predicate not pushed into the band join")
+    // ...and no residual key-pair Filter may remain above the expansion.
+    val residual = opt.collect {
+      case f: LFilter if f.condition.exists(_.isInstanceOf[LessThan]) &&
+        !f.condition.sql.contains("__band") => f
+    }
+    assert(residual.isEmpty, s"residual key-pair filter: ${residual.map(_.condition.sql)}")
+    // Semantics unchanged vs filtering AFTER the node (no pushdown path).
+    val unpushed = SimilarityJoinOps
+      .similarityJoin(l, "lid", "lv", r, "rid", "rv", threshold = 0.4, bitsPerBand = 4, bands = 64)
+      .filter(col("lid") <= col("rid") - 1) // not a bare comparison → stays above
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = df.select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === unpushed, "pushdown changed the result set")
+  }
+
   test("self-join shares one banded subtree: exchange reuse in the physical plan") {
     // sameResult children → the lowering derives both sides from the left
     // child; with AQE off the static ReuseExchange rule must then dedup
