@@ -255,6 +255,38 @@ object ScalarFuncs {
         .orderBy(col("event_type"))
     },
 
+    // Corrupt-record handling (PERMISSIVE parse): a deterministic 1-in-7
+    // of the synthesized CSV lines carries a malformed numeric field;
+    // from_csv must parse the well-formed fields, null the bad one, and
+    // the pipeline aggregates good values while COUNTING the bad rows —
+    // the operational contract of ingesting dirty data at scale (fail
+    // the record, not the job). The oracle reconstructs the same
+    // classification from the corruption rule, so a parser that silently
+    // coerces or drops rows hash-mismatches.
+    "csv_badrecords" -> { (spark, dir) =>
+      val raw = concat_ws(
+        ",",
+        col("event_id"),
+        col("user_id"),
+        when(col("event_id") % 7 === 0, lit("xx")).otherwise(col("value").cast("string")))
+      Tables
+        .events(spark, dir)
+        .select(col("event_type"), raw.as("line"))
+        .select(
+          col("event_type"),
+          from_csv(col("line"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.DoubleType)
+          )), Map("mode" -> "PERMISSIVE")).as("r"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("r.c").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(floor(col("r.c") * 1000 + lit(0.5)).cast("long")).as("sum_good_q"))
+        .orderBy(col("event_type"))
+    },
+
     // UNPIVOT (wide → long reshape): two measure columns melt into
     // (measure, v) rows on the integer-cent grid. Pure map-side reshape
     // — rows × measures out, no shuffle until the final order.
@@ -380,6 +412,12 @@ object ScalarFuncs {
          |  COUNT(DISTINCT user_id) AS n_users,
          |  ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "csv_badrecords" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN NULL
+        |           ELSE CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_good_q
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "fn_unpivot" ->
       """WITH b AS (
         |  SELECT l_orderkey, l_linenumber,

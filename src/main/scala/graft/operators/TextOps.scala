@@ -603,6 +603,51 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // BIGRAM language-model scoring with Jelinek-Mercer interpolation —
+    // the sequence-aware upgrade of text_lm_score's unigram model:
+    // p(w2|w1) = 0.9·c(w1w2)/c(w1·) + 0.1·c(w2)/N, trained per lang on
+    // the corpus itself. Float discipline mirrors text_lm_score: the
+    // interpolation and its ONE ln() run per bigram TYPE in the model
+    // (identical literal spelling and operation order on both engines →
+    // identical doubles), quantized to a 1e-6 grid; per-doc accumulation
+    // is then exact integer mass.
+    "text_lm_bigram" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val bigram = expr(
+        "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))")
+      val db = d
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("lang"), explode(bigram).as("b"))
+        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      val byPair = db.groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("c")).as("cxy"))
+      val byW1 = byPair.groupBy(col("lang"), col("w1")).agg(sum(col("cxy")).as("cx"))
+      val uni = d
+        .select(col("lang"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cw"))
+      val totals = uni.groupBy(col("lang")).agg(sum(col("cw")).as("total"))
+      val model = byPair
+        .join(broadcast(byW1), Seq("lang", "w1"))
+        .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cy")), Seq("lang", "w2"))
+        .join(broadcast(totals), "lang")
+        .select(
+          col("lang"), col("w1"), col("w2"),
+          floor(log(
+            lit(0.9) * (col("cxy").cast("double") / col("cx").cast("double")) +
+              lit(0.1) * (col("cy").cast("double") / col("total").cast("double"))
+          ) * lit(1e6) + lit(0.5)).cast("long").as("lp_q"))
+      db.join(model, Seq("lang", "w1", "w2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(
+          sum(col("c")).cast("long").as("n_bigrams"),
+          sum(col("c") * col("lp_q")).cast("long").as("sum_lp_q"))
+        .withColumn(
+          "avg_lp",
+          col("sum_lp_q").cast("double") / (col("n_bigrams").cast("double") * lit(1e6)))
+        .orderBy(col("doc_id"))
+    },
+
     // Opaque-binary payload handling (multimodal posture): text → utf-8
     // bytes as a BinaryType column with typed metadata; readers see
     // byte length + content hash without decoding. The same schema shape
@@ -876,6 +921,36 @@ object TextOps {
         |SELECT doc_id, lang, n_tokens, sum_lp_q,
         |  CAST(sum_lp_q AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS avg_lp
         |FROM doc ORDER BY doc_id""".stripMargin,
+    "text_lm_bigram" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |db AS (
+        |  SELECT doc_id, lang,
+        |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2, COUNT(*) AS c
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+        |        FROM t)
+        |  GROUP BY doc_id, lang, w1, w2),
+        |bp AS (SELECT lang, w1, w2, CAST(SUM(c) AS BIGINT) AS cxy FROM db GROUP BY lang, w1, w2),
+        |b1 AS (SELECT lang, w1, CAST(SUM(cxy) AS BIGINT) AS cx FROM bp GROUP BY lang, w1),
+        |uni AS (SELECT lang, w, COUNT(*) AS cw
+        |  FROM (SELECT lang, unnest(ws) AS w FROM t) GROUP BY lang, w),
+        |tot AS (SELECT lang, CAST(SUM(cw) AS BIGINT) AS total FROM uni GROUP BY lang),
+        |m AS (
+        |  SELECT bp.lang, bp.w1 AS w1, bp.w2 AS w2,
+        |    CAST(FLOOR(ln(
+        |      0.9 * (CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE)) +
+        |      0.1 * (CAST(cy.cw AS DOUBLE) / CAST(total AS DOUBLE))
+        |    ) * 1e6 + 0.5) AS BIGINT) AS lp_q
+        |  FROM bp
+        |  JOIN b1 ON bp.lang = b1.lang AND bp.w1 = b1.w1
+        |  JOIN uni cy ON bp.lang = cy.lang AND bp.w2 = cy.w
+        |  JOIN tot ON bp.lang = tot.lang)
+        |SELECT doc_id, db.lang,
+        |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(c * lp_q) AS BIGINT) AS sum_lp_q,
+        |  CAST(SUM(c * lp_q) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * 1e6) AS avg_lp
+        |FROM db JOIN m ON db.lang = m.lang AND db.w1 = m.w1 AND db.w2 = m.w2
+        |GROUP BY doc_id, db.lang ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
