@@ -124,6 +124,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.cosineTopkTvf)
     ext.injectTableFunction(GraftExtensions.asofJoinTvf)
     ext.injectTableFunction(GraftExtensions.lshTopkTvf)
+    ext.injectTableFunction(GraftExtensions.packChunksTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -325,6 +326,49 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for packed-sequence layout:
+    * graft_pack_chunks(table, idCol, textCol, ctx) → per-doc stream span
+    * (doc_id, n_tokens, start_off, chunk_first, chunk_last,
+    * n_chunks_spanned) under the ctx-token concatenate-and-chunk
+    * packing — same two-pass distributed-cumsum plan as the Scala
+    * operator (graft.operators.Chunking.packChunks). */
+  private[graft] val packChunksTvf = (
+    FunctionIdentifier("graft_pack_chunks"),
+    new ExpressionInfo(
+      graft.operators.Chunking.getClass.getName, "graft_pack_chunks"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 4,
+        s"graft_pack_chunks expects (table, idCol, textCol, ctx), got ${children.length}")
+      def str(i: Int, what: String): String = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other =>
+              throw new IllegalArgumentException(s"graft_pack_chunks: $what must be a string literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_pack_chunks: $what must be a literal, got $other")
+      }
+      val ctx = children(3) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case n: java.lang.Number if n.intValue() > 0 => n.intValue()
+            case other =>
+              throw new IllegalArgumentException(s"graft_pack_chunks: ctx must be a positive int literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_pack_chunks: ctx must be a literal, got $other")
+      }
+      import org.apache.spark.sql.functions.col
+      val spark = SparkSession.active
+      val d = spark
+        .table(str(0, "table"))
+        .select(col(str(1, "idCol")).as("doc_id"), col(str(2, "textCol")).as("text"))
+      graft.operators.Chunking.packChunks(d, ctx).queryExecution.analyzed
+    }
+  )
+
   /** Late registration on a live session (tests, REPL): functions into
     * the registry, the SimilarityJoin lowering into the public
     * `experimental.extraOptimizations` hook (idempotent — analyzer rules
@@ -344,6 +388,8 @@ object GraftExtensions {
       asofJoinTvf._1, asofJoinTvf._2, asofJoinTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       lshTopkTvf._1, lshTopkTvf._2, lshTopkTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      packChunksTvf._1, packChunksTvf._2, packChunksTvf._3)
     // SQL names for the typed sketch Aggregators (UDAFs can't ride
     // SparkSessionExtensions — no Expression builder for ScalaAggregator
     // — so they register per-session here; idempotent overwrite). The

@@ -36,27 +36,45 @@ object Chunking {
   private val ChunkLen = 64
   private val Stride   = 48
 
+  /** Packed-sequence layout for `d` = (doc_id, text): per doc, its
+    * half-open token span [start_off, start_off + n_tokens) in the
+    * doc_id-ordered concatenated token stream, and the ctx-sized chunk
+    * ids that span touches. Integer-exact end to end; the global offset
+    * rides [[DistributedRank.withGlobalCumSum]]'s two-pass plan. Also
+    * the engine of the `graft_pack_chunks` SQL table function. */
+  def packChunks(d: DataFrame, ctx: Int): DataFrame = {
+    val docs = d
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    DistributedRank
+      .withGlobalCumSum(docs, "n_tokens", Seq(col("doc_id")), cumCol = "cum")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        // `div` (integer), not `/` (double) — offsets near 2^53 would
+        // round; chunk ids must stay exact at any stream length.
+        expr(s"(cum - n_tokens) div $ctx").as("chunk_first"),
+        expr(s"(cum - 1) div $ctx").as("chunk_last")
+      )
+      .withColumn("n_chunks_spanned", col("chunk_last") - col("chunk_first") + 1)
+  }
+
   val queries: Map[String, Q] = Map(
-    // Packed-sequence layout: per doc, its half-open token span
-    // [start_off, start_off + n_tokens) in the concatenated stream and
-    // the chunk ids that span touches. Integer-exact end to end.
     "pack_chunks" -> { (spark, dir) =>
-      val docs = Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      DistributedRank
-        .withGlobalCumSum(docs, "n_tokens", Seq(col("doc_id")), cumCol = "cum")
-        .select(
-          col("doc_id"),
-          col("n_tokens"),
-          (col("cum") - col("n_tokens")).as("start_off"),
-          // `div` (integer), not `/` (double) — offsets near 2^53 would
-          // round; chunk ids must stay exact at any stream length.
-          expr(s"(cum - n_tokens) div $Ctx").as("chunk_first"),
-          expr(s"(cum - 1) div $Ctx").as("chunk_last")
-        )
-        .withColumn("n_chunks_spanned", col("chunk_last") - col("chunk_first") + 1)
-        .orderBy(col("doc_id"))
+      packChunks(Tables.documents(spark, dir), Ctx).orderBy(col("doc_id"))
+    },
+
+    // The SQL spelling: graft_pack_chunks resolves the table name and
+    // reaches the same two-pass distributed-cumsum plan — a spark.sql
+    // user lays out training sequences without Scala. Shares
+    // pack_chunks' oracle BY REFERENCE.
+    "sql_pack_chunks" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_pack")
+      spark.sql(
+        s"""SELECT doc_id, n_tokens, start_off, chunk_first, chunk_last, n_chunks_spanned
+           |FROM graft_pack_chunks('graft_docs_pack', 'doc_id', 'text', $Ctx)
+           |ORDER BY doc_id""".stripMargin)
     },
 
     // Sliding-window chunks with overlap; md5 of the chunk text makes
@@ -85,6 +103,19 @@ object Chunking {
 
   val oracles: Map[String, String] = Map(
     "pack_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_off,
+         |  CAST((cum - n_tokens) // $Ctx AS BIGINT) AS chunk_first,
+         |  CAST((cum - 1) // $Ctx AS BIGINT) AS chunk_last,
+         |  CAST((cum - 1) // $Ctx - (cum - n_tokens) // $Ctx + 1 AS BIGINT) AS n_chunks_spanned
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // sql_pack_chunks shares pack_chunks' oracle BY REFERENCE (same
+    // column names, same ordering — only the spelling differs).
+    "sql_pack_chunks" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
