@@ -122,6 +122,39 @@ object TimeWindows {
         .orderBy(col("event_id"))
     },
 
+    // RFM SEGMENTATION (recency / frequency / monetary): per-user metrics
+    // → three SQL-exact quintile scores → segment cells. Each quintile is
+    // a GLOBAL ranking over the user table, so each rides
+    // DistributedRank.withGlobalNtile (SQL NTILE sizing, two-pass, no
+    // single-partition window) with a user_id tiebreak for total order.
+    // Recency anchors on the global max event time — deterministic, no
+    // wall clock.
+    "evt_rfm" -> { (spark, dir) =>
+      val ev = Tables
+        .events(spark, dir)
+        .select(
+          col("user_id"), col("ts"),
+          floor(col("value") * 1000 + lit(0.5)).cast("long").as("v_q"))
+      val anchor = ev.agg(max(col("ts")).as("amax"))
+      val perUser = ev
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("umax"), count(lit(1)).as("freq"), sum(col("v_q")).as("mon_q"))
+        .crossJoin(broadcast(anchor))
+        .select(
+          col("user_id"),
+          datediff(to_date(col("amax")), to_date(col("umax"))).cast("long").as("recency_days"),
+          col("freq"), col("mon_q"))
+      val r = DistributedRank.withGlobalNtile(
+        perUser, 5, Seq(col("recency_days").asc, col("user_id").asc), "rr", "r_score")
+      val f = DistributedRank.withGlobalNtile(
+        r, 5, Seq(col("freq").asc, col("user_id").asc), "fr", "f_score")
+      val m = DistributedRank.withGlobalNtile(
+        f, 5, Seq(col("mon_q").asc, col("user_id").asc), "mr", "m_score")
+      m.groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"), sum(col("mon_q")).as("sum_mon_q"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
     // First-order MARKOV transition matrix over per-user event sequences
     // — the sequence-modeling summary (what follows what, how often) with
     // ZERO floating point: transition probabilities are reported in
@@ -282,6 +315,26 @@ object TimeWindows {
         |FROM e JOIN a USING (user_id)
         |WHERE n >= 10 AND (n*v_q - s)*(n*v_q - s) > 4*(n*q - s*s)
         |ORDER BY event_id""".stripMargin,
+    "evt_rfm" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_q FROM events),
+        |a AS (SELECT MAX(ts) AS amax FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(MAX(ts) AS DATE), CAST(ANY_VALUE(amax) AS DATE)) AS BIGINT)
+        |      AS recency_days,
+        |    COUNT(*) AS freq, CAST(SUM(v_q) AS BIGINT) AS mon_q
+        |  FROM e, a GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, mon_q,
+        |    CAST(NTILE(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_score,
+        |    CAST(NTILE(5) OVER (ORDER BY freq ASC, user_id ASC) AS BIGINT) AS f_score,
+        |    CAST(NTILE(5) OVER (ORDER BY mon_q ASC, user_id ASC) AS BIGINT) AS m_score
+        |  FROM u)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+        |  CAST(SUM(mon_q) AS BIGINT) AS sum_mon_q
+        |FROM s GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
     "evt_markov" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,
