@@ -165,6 +165,30 @@ object Profiling {
         .orderBy(col("cnt").desc, col("l_suppkey"))
     },
 
+    // PARETO concentration (the 80/20 read on revenue): how many
+    // customers carry 80% of revenue, plus the top customer's share.
+    // The descending running revenue share is a GLOBAL cumsum →
+    // DistributedRank.withGlobalCumSum again; the 80% test is the
+    // integer cross-multiplication prev_cum·5 < total·4 — no float
+    // anywhere, shares reported in exact micro-units.
+    "pareto_share" -> { (spark, dir) =>
+      val perCust = Tables.orders(spark, dir)
+        .select(col("o_custkey"), floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("r"))
+        .groupBy(col("o_custkey")).agg(sum(col("r")).as("rev_q"))
+      val total = perCust.agg(sum(col("rev_q")).as("total"), max(col("rev_q")).as("top1"))
+      DistributedRank
+        .withGlobalCumSum(perCust, "rev_q", Seq(col("rev_q").desc, col("o_custkey").asc), "cum")
+        .crossJoin(broadcast(total))
+        .select(
+          col("o_custkey"), col("rev_q"), col("cum"), col("total"), col("top1"),
+          ((col("cum") - col("rev_q")) * 5 < col("total") * 4).as("needed"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(when(col("needed"), 1L).otherwise(0L)).as("n_top80"),
+          max(expr("top1 * 1000000 div total")).as("top1_share_micro"),
+          max(col("total")).as("total_rev_q"))
+    },
+
     // SCD2 merge: the update batch (derived deterministically from the
     // dim itself — customers with custkey % 10 = 0 get a new balance and
     // segment) closes the old version and opens version 2; untouched
@@ -253,6 +277,23 @@ object Profiling {
         |t AS (SELECT * FROM c ORDER BY cnt DESC, l_suppkey LIMIT 5)
         |SELECT l_suppkey, cnt, n_keys, max_cnt, p90_cnt, total_rows
         |FROM t, s, p ORDER BY cnt DESC, l_suppkey""".stripMargin,
+    "pareto_share" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS rev_q
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(SUM(rev_q) AS BIGINT) AS total, MAX(rev_q) AS top1 FROM pc),
+        |c AS (
+        |  SELECT rev_q,
+        |    CAST(SUM(rev_q) OVER (ORDER BY rev_q DESC, o_custkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM pc)
+        |SELECT COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN (cum - rev_q) * 5 < total * 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top80,
+        |  CAST(top1 * 1000000 // total AS BIGINT) AS top1_share_micro,
+        |  total AS total_rev_q
+        |FROM c, t GROUP BY top1, total""".stripMargin,
     "scd2_merge" ->
       """WITH dim AS (
         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment

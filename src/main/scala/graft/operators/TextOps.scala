@@ -603,6 +603,36 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary ENTROPY per language — the information-theoretic
+    // curation signal (low-entropy corpora are template-heavy; entropy
+    // collapse across snapshots flags duplication): H = ln N − (Σ c·ln c)/N
+    // in nats. Float discipline: ONE ln per distinct token type,
+    // quantized to the 1e-6 grid; the Σ c·ln c mass is then exact
+    // integer; the two final double ops are spelled identically on both
+    // engines. Scale: two hash aggs (token counts, per-lang fold).
+    "text_entropy" -> { (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select(col("lang"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          sum(col("c") * floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+            .as("clnc_mass_q"))
+        .select(
+          col("lang"), col("n_types"), col("n_tokens"),
+          // ln(N) is ALSO 1e-6-quantized before entering the result —
+          // an unquantized ln would put a raw libm double in the hash.
+          ((floor(log(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+            .cast("double") -
+            col("clnc_mass_q").cast("double") / col("n_tokens").cast("double")) / lit(1e6))
+            .as("entropy_nats"))
+        .orderBy(col("lang"))
+    },
+
     // BIGRAM language-model scoring with Jelinek-Mercer interpolation —
     // the sequence-aware upgrade of text_lm_score's unigram model:
     // p(w2|w1) = 0.9·c(w1w2)/c(w1·) + 0.1·c(w2)/N, trained per lang on
@@ -921,6 +951,20 @@ object TextOps {
         |SELECT doc_id, lang, n_tokens, sum_lp_q,
         |  CAST(sum_lp_q AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS avg_lp
         |FROM doc ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH tc AS (
+        |  SELECT lang, w, COUNT(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY lang, w),
+        |f AS (
+        |  SELECT lang, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS clnc_mass_q
+        |  FROM tc GROUP BY lang)
+        |SELECT lang, n_types, n_tokens,
+        |  (CAST(CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+        |    - CAST(clnc_mass_q AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1e6 AS entropy_nats
+        |FROM f ORDER BY lang""".stripMargin,
     "text_lm_bigram" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
         |db AS (
