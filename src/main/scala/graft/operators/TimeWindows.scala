@@ -122,6 +122,55 @@ object TimeWindows {
         .orderBy(col("event_id"))
     },
 
+    // CALENDAR day-over-day change on the daily value series: previous
+    // day joined by DATE (d−1), not by row adjacency — a partitioned
+    // equi-join at any calendar span, so the fleet-wide no-global-window
+    // audit holds with no exception (a LAG over the day series would be
+    // the one unpartitioned window in the engine; the join is also the
+    // more honest semantic — a missing day yields NULL, not a silent
+    // skip). Deltas and percent change in exact integer micro-units;
+    // `div` truncates toward zero exactly like DuckDB's `//` on negative
+    // deltas (DivSemanticsSpec pins that).
+    "evt_dod_change" -> { (spark, dir) =>
+      val daily = Tables
+        .events(spark, dir)
+        .select(to_date(col("ts")).as("d"), floor(col("value") * 1000 + lit(0.5)).cast("long").as("v_q"))
+        .groupBy(col("d"))
+        .agg(sum(col("v_q")).as("day_q"), count(lit(1)).as("n_events"))
+      daily
+        .join(
+          daily.select(col("d").as("pd"), col("day_q").as("prev_q")),
+          date_sub(col("d"), 1) === col("pd"),
+          "left")
+        .select(
+          col("d"), col("n_events"), col("day_q"), col("prev_q"),
+          expr("CASE WHEN prev_q IS NULL THEN NULL ELSE (day_q - prev_q) * 1000000 div prev_q END")
+            .as("pct_change_micro"))
+        .orderBy(col("d"))
+    },
+
+    // TOP SESSION PATHS: the most common within-session event-type
+    // sequences (product-analytics path mining). Sessions are the same
+    // 5-minute-gap windows as win_session; the path string is the
+    // ts-ordered (event_id tiebreak) concatenation of event types,
+    // carried by array_sort over (ts, event_id, type) structs — struct
+    // arrays sort lexicographically by field, so the path is
+    // deterministic under any partitioning (the agg_string_agg trick).
+    // One user_id shuffle for sessionization, one hash agg on the path.
+    "evt_top_paths" -> { (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(
+          expr(
+            "concat_ws('>', transform(array_sort(collect_list(struct(ts, event_id, event_type))), s -> s.event_type))"
+          ).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(15)
+    },
+
     // RFM SEGMENTATION (recency / frequency / monetary): per-user metrics
     // → three SQL-exact quintile scores → segment cells. Each quintile is
     // a GLOBAL ranking over the user table, so each rides
@@ -315,6 +364,39 @@ object TimeWindows {
         |FROM e JOIN a USING (user_id)
         |WHERE n >= 10 AND (n*v_q - s)*(n*v_q - s) > 4*(n*q - s*s)
         |ORDER BY event_id""".stripMargin,
+    "evt_dod_change" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS day_q,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT a.d, a.n_events, a.day_q, b.day_q AS prev_q
+        |  FROM d a LEFT JOIN d b ON a.d - 1 = b.d)
+        |SELECT d, n_events, day_q, prev_q,
+        |  CASE WHEN prev_q IS NULL THEN NULL
+        |       ELSE CAST((day_q - prev_q) * 1000000 // prev_q AS BIGINT) END AS pct_change_micro
+        |FROM l ORDER BY d""".stripMargin,
+    "evt_top_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL '5 minutes'
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM islands GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin,
     "evt_rfm" ->
       """WITH e AS (
         |  SELECT user_id, ts, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_q FROM events),
