@@ -189,6 +189,32 @@ object Profiling {
           max(col("total")).as("total_rev_q"))
     },
 
+    // GINI coefficient over per-customer revenue — pareto_share's scalar
+    // sibling: G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with ranks from the
+    // distributed global cumsum of ones (ascending revenue, custkey
+    // tiebreak). Every sum is integer; the closed form combines in
+    // decimal(38,0) (the linreg discipline — n·Σx approaches int64 at
+    // sf10) and drops to double once, in identical textual order.
+    "agg_gini" -> { (spark, dir) =>
+      val d38 = "decimal(38,0)"
+      val perCust = Tables.orders(spark, dir)
+        .select(col("o_custkey"), floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("r"))
+        .groupBy(col("o_custkey")).agg(sum(col("r")).as("rev_q"))
+      DistributedRank
+        .withGlobalCumSum(
+          perCust.withColumn("one", lit(1L)), "one",
+          Seq(col("rev_q").asc, col("o_custkey").asc), cumCol = "rank")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("rev_q")).as("sx"),
+          sum((col("rank") * col("rev_q")).cast(d38)).as("srx"))
+        .select(
+          col("n").as("n_customers"),
+          col("sx").as("total_rev_q"),
+          (expr(s"cast(2 as $d38) * srx - (cast(n as $d38) + 1) * cast(sx as $d38)").cast("double")
+            / expr(s"cast(n as $d38) * cast(sx as $d38)").cast("double")).as("gini"))
+    },
+
     // SCD2 merge: the update batch (derived deterministically from the
     // dim itself — customers with custkey % 10 = 0 get a new balance and
     // segment) closes the old version and opens version 2; untouched
@@ -294,6 +320,20 @@ object Profiling {
         |  CAST(top1 * 1000000 // total AS BIGINT) AS top1_share_micro,
         |  total AS total_rev_q
         |FROM c, t GROUP BY top1, total""".stripMargin,
+    "agg_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS rev_q
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT rev_q,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev_q ASC, o_custkey ASC) AS BIGINT) AS rank
+        |  FROM pc),
+        |s AS (SELECT COUNT(*) AS n, CAST(SUM(rev_q) AS BIGINT) AS sx,
+        |  SUM(rank * rev_q) AS srx FROM r)
+        |SELECT n AS n_customers, sx AS total_rev_q,
+        |  CAST(2 * srx - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+        |FROM s""".stripMargin,
     "scd2_merge" ->
       """WITH dim AS (
         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment

@@ -255,6 +255,24 @@ object ScalarFuncs {
         .orderBy(col("event_type"))
     },
 
+    // Bitwise function family (key manipulation, bitmap-style flags):
+    // AND/OR/XOR, shifts, bit_count, parity — pure codegen'd integer ops.
+    "fn_bitwise" -> { (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          expr("l_orderkey & 255").as("and255"),
+          expr("l_orderkey | 4096").as("or4096"),
+          expr("l_orderkey ^ l_linenumber").as("xor_ln"),
+          expr("shiftleft(l_linenumber, 3)").cast("long").as("shl3"),
+          expr("shiftright(l_orderkey, 2)").as("shr2"),
+          expr("bit_count(l_orderkey)").cast("long").as("popcnt"),
+          (expr("bit_count(l_orderkey)") % 2 === 0).as("even_parity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // Corrupt-record handling (PERMISSIVE parse): a deterministic 1-in-7
     // of the synthesized CSV lines carries a malformed numeric field;
     // from_csv must parse the well-formed fields, null the bad one, and
@@ -412,6 +430,16 @@ object ScalarFuncs {
          |  COUNT(DISTINCT user_id) AS n_users,
          |  ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS and255,
+        |  l_orderkey | 4096 AS or4096,
+        |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xor_ln,
+        |  CAST(l_linenumber << 3 AS BIGINT) AS shl3,
+        |  l_orderkey >> 2 AS shr2,
+        |  CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt,
+        |  bit_count(l_orderkey) % 2 = 0 AS even_parity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "csv_badrecords" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
