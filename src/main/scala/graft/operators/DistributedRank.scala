@@ -118,4 +118,44 @@ object DistributedRank {
       .withColumn(cumCol, col("__off") + col("__lcum"))
       .drop("__pid", "__lcum", "__off")
   }
+
+  /** Append `cumCol` — the EXCLUSIVE global running minimum of
+    * `valueCol` (its own type is preserved; NULL for the first row in
+    * the total order) under `sortExprs` — same two-pass shape as
+    * [[withGlobalCumSum]]: range-partition on the sort key, local
+    * exclusive-min window inside each sorted range, per-partition mins
+    * → broadcast exclusive prefix-mins over the metadata-scale
+    * partition table. The skyline operator is the canonical consumer:
+    * "is any strictly-earlier point already at-or-below me" becomes a
+    * single distributed pass instead of a quadratic dominance join.
+    */
+  def withGlobalCumMinExclusive(
+      df: DataFrame,
+      valueCol: String,
+      sortExprs: Seq[Column],
+      cumCol: String = "__cummin",
+      numPartitions: Int = 32
+  ): DataFrame = {
+    val ranged = df
+      .repartitionByRange(numPartitions, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+
+    // Metadata-scale: one row per partition.
+    val mins = ranged.groupBy(col("__pid")).agg(min(col(valueCol)).as("__pmin"))
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = mins
+      .withColumn("__off", min(col("__pmin")).over(wOff))
+      .select(col("__pid"), col("__off"))
+
+    val wLocal = Window
+      .partitionBy(col("__pid"))
+      .orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__lmin", min(col(valueCol)).over(wLocal))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(cumCol, least(col("__off"), col("__lmin")))
+      .drop("__pid", "__lmin", "__off")
+  }
 }

@@ -75,6 +75,59 @@ object GraphOps {
     scores
   }
 
+  /** Per-node triangle counts via degree-ordered edge orientation.
+    *
+    * `und` is an undirected simple graph as canonical (a < b) distinct
+    * pairs. The naive wedge join (E ⋈ E on the shared endpoint) is
+    * quadratic in the max degree — one celebrity node with degree d
+    * yields d² wedge candidates. Orienting every edge from its lower
+    * (degree, id) endpoint to its higher one caps the OUT-degree of any
+    * node at O(√m) (a node with out-degree k has k neighbors of degree
+    * ≥ its own, so k² ≤ 2m), which bounds the wedge join at O(m^1.5)
+    * total — the standard scale guard for triangle enumeration, and the
+    * reason this is not just three self-joins. Each triangle {x,y,z} is
+    * enumerated exactly once: from its (degree, id)-lowest vertex, with
+    * the other two in (degree, id) order.
+    *
+    * Shape: two node-sized broadcast-or-shuffle joins to attach degrees,
+    * one wedge self-join shuffled on the oriented source, one closing
+    * equi-join on (b, c), then an explode + hash agg for per-node
+    * counts. No iteration, no driver-side state.
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und
+      .select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+    // Attach both endpoint degrees, then orient low → high. The a < b
+    // canonical tiebreak makes (deg, id) a total order, so orientation
+    // is deterministic and every edge appears exactly once.
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, col("db")).otherwise(col("da")).as("ddeg")
+    )
+    // Wedges from each source, destinations in (deg, id) order; the
+    // closing edge — if it exists — is oriented b → c by construction.
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
+    val wedges = e1
+      .join(e2, Seq("src"))
+      .filter(col("bdeg") < col("cdeg") || (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
+    tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("tri"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the part↔supplier co-occurrence graph from lineitem
     // (nodes namespaced: part → 2k, supplier → 2k+1; every lineitem row
@@ -92,6 +145,26 @@ object GraphOps {
         .orderBy(col("score_q").desc, col("id").asc)
         .limit(20)
         .select(col("id"), col("score_q"))
+    },
+
+    // Per-node triangle counts over the part–part "bought together"
+    // graph (parts co-occurring in one order). The oracle enumerates
+    // canonical a<b<c triangles with three plain self-joins — fine at
+    // oracle scale, quadratic-in-degree at cluster scale, which is
+    // exactly what the degree-ordered Spark plan avoids. Top 20 by
+    // (count desc, id asc).
+    "graph_triangles" -> { (spark, dir) =>
+      val li = Tables
+        .lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val und = li
+        .as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      triangleCounts(und)
+        .orderBy(col("tri").desc, col("id").asc)
+        .limit(20)
     }
   )
 
@@ -117,6 +190,22 @@ object GraphOps {
          |it2 AS (${duckIter("it1")}),
          |it3 AS (${duckIter("it2")})
          |SELECT id, s AS score_q FROM it3
-         |ORDER BY score_q DESC, id ASC LIMIT 20""".stripMargin
+         |ORDER BY score_q DESC, id ASC LIMIT 20""".stripMargin,
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |t AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (
+        |  SELECT a AS id FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT id, COUNT(*) AS tri FROM n GROUP BY id
+        |ORDER BY tri DESC, id ASC LIMIT 20""".stripMargin
   )
 }

@@ -215,6 +215,30 @@ object Profiling {
             / expr(s"cast(n as $d38) * cast(sx as $d38)").cast("double")).as("gini"))
     },
 
+    // 2-D skyline (Pareto frontier): parts minimizing (size, price).
+    // The textbook spelling is a quadratic NOT EXISTS dominance join —
+    // the oracle uses it, because oracle scale permits. The distributed
+    // plan is the sort-based O(n log n) skyline: collapse to one best-y
+    // point per x (a hash agg), then keep a point iff every strictly
+    // smaller x has a strictly larger best price — an EXCLUSIVE global
+    // running min via DistributedRank (range partition + local window +
+    // metadata-scale offsets; never a single-partition window). Prices
+    // on the exact cent grid so both engines compare integers.
+    "skyline_2d" -> { (spark, dir) =>
+      val pts = Tables
+        .part(spark, dir)
+        .select(
+          col("p_size").cast("long").as("x"),
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("y"))
+        .groupBy(col("x"))
+        .agg(min(col("y")).as("y"))
+      DistributedRank
+        .withGlobalCumMinExclusive(pts, "y", Seq(col("x").asc), cumCol = "pm")
+        .filter(col("pm").isNull || col("pm") > col("y"))
+        .select(col("x").as("p_size"), col("y").as("best_price_q"))
+        .orderBy(col("p_size"))
+    },
+
     // SCD2 merge: the update batch (derived deterministically from the
     // dim itself — customers with custkey % 10 = 0 get a new balance and
     // segment) closes the old version and opens version 2; untouched
@@ -334,6 +358,14 @@ object Profiling {
         |SELECT n AS n_customers, sx AS total_rev_q,
         |  CAST(2 * srx - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
         |FROM s""".stripMargin,
+    "skyline_2d" ->
+      """WITH pts AS (
+        |  SELECT CAST(p_size AS BIGINT) AS x,
+        |         MIN(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS y
+        |  FROM part GROUP BY p_size)
+        |SELECT x AS p_size, y AS best_price_q FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q WHERE q.x < p.x AND q.y <= p.y)
+        |ORDER BY p_size""".stripMargin,
     "scd2_merge" ->
       """WITH dim AS (
         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment

@@ -387,6 +387,28 @@ object TextOps {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // Conjunctive keyword search over the corpus — the inverted-index
+    // retrieval primitive: the tokenize→term-filter is the posting-list
+    // scan (the IN filter runs before any shuffle, so only matching
+    // postings move), intersection is a per-doc hash agg HAVING all
+    // terms present, ranking is total term frequency — an integer, so
+    // cross-engine ordering is exact with a doc_id tiebreak. At scale
+    // the posting shuffle is proportional to matching postings, never
+    // the corpus.
+    "text_search" -> { (spark, dir) =>
+      val terms = Seq("window", "merge")
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("w")).as("nt"), count(lit(1)).as("score"))
+        .filter(col("nt") === terms.size)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // Deterministic train/holdout split — the reproducible-sampling
     // primitive every training pipeline needs: membership is a pure
     // function of the KEY (first md5 byte < 0x0d ⇒ holdout, ~5.1%), so
@@ -1065,6 +1087,13 @@ object TextOps {
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_q DESC, w ASC) AS rn FROM sc)
         |SELECT lang, rn, w AS term, tf, df, score_q
         |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "text_search" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, COUNT(DISTINCT w) AS nt, COUNT(*) AS score
+        |  FROM tok WHERE w IN ('window', 'merge') GROUP BY doc_id)
+        |SELECT doc_id, score FROM m WHERE nt = 2
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "bin_payload" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
