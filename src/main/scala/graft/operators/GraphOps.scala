@@ -165,6 +165,36 @@ object GraphOps {
       triangleCounts(und)
         .orderBy(col("tri").desc, col("id").asc)
         .limit(20)
+    },
+
+    // "Also bought" top-3 recommendations from the same co-occurrence
+    // graph: weighted edges (number of orders containing both parts),
+    // symmetrized, top 3 per part by (count desc, part asc) — a
+    // part-partitioned window, never global. The part ≤ 200 output bound
+    // sits on the window's PARTITION key, so Catalyst pushes it below
+    // the window and the ranked join prunes; counts are integers, ties
+    // deterministic.
+    "graph_also_bought" -> { (spark, dir) =>
+      val li = Tables
+        .lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val perOrder = li
+        .as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.ok").as("ok"), col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val cnt = perOrder.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      val sym = cnt
+        .select(col("a").as("part"), col("b").as("rec"), col("n"))
+        .unionAll(cnt.select(col("b").as("part"), col("a").as("rec"), col("n")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("part"))
+        .orderBy(col("n").desc, col("rec").asc)
+      sym
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3 && col("part") <= 200)
+        .select(col("part"), col("rnk"), col("rec"), col("n"))
+        .orderBy(col("part"), col("rnk"))
     }
   )
 
@@ -206,6 +236,18 @@ object GraphOps {
         |  UNION ALL SELECT b FROM t
         |  UNION ALL SELECT c FROM t)
         |SELECT id, COUNT(*) AS tri FROM n GROUP BY id
-        |ORDER BY tri DESC, id ASC LIMIT 20""".stripMargin
+        |ORDER BY tri DESC, id ASC LIMIT 20""".stripMargin,
+    "graph_also_bought" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |po AS (
+        |  SELECT DISTINCT x.ok, x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |c AS (SELECT a, b, COUNT(*) AS n FROM po GROUP BY a, b),
+        |s AS (SELECT a AS part, b AS rec, n FROM c
+        |      UNION ALL SELECT b, a, n FROM c),
+        |r AS (SELECT part, rec, n, CAST(ROW_NUMBER() OVER (
+        |  PARTITION BY part ORDER BY n DESC, rec ASC) AS BIGINT) AS rnk FROM s)
+        |SELECT part, rnk, rec, n FROM r WHERE rnk <= 3 AND part <= 200
+        |ORDER BY part, rnk""".stripMargin
   )
 }

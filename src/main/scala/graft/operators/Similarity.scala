@@ -299,6 +299,38 @@ object Similarity {
         .orderBy(col("v1"), col("v2"))
     },
 
+    // Reciprocal nearest neighbors (mutual argmax): pairs where each
+    // side is the other's single best neighbor among pairs with cosine
+    // ≥ 0.4 — the entity-resolution / bitext-mining primitive (a match
+    // both directions agree on is far more precise than a one-way top-1).
+    // Built ON TOP of the banded near-dup operator: candidates come from
+    // the zero-FN LSH plan (never all-pairs), symmetrized, per-node
+    // argmax via a vec_id-partitioned window, mutuality via self-join on
+    // the (a,b)=(b,a) flip. The oracle recomputes mutual argmax from the
+    // exact all-pairs graph — a green hash proves the banded candidate
+    // set loses no mutual pair. Cosine values are on the same quantized
+    // grid both engines share, so argmax ordering is exact.
+    "sim_mutual_knn" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val pairs =
+        embedNearDupLsh(corpus(spark, dir), threshold = 0.4, bitsPerBand = 4, bands = 64)
+      val sym = pairs
+        .select(col("v1").as("a"), col("v2").as("b"), col("cos"))
+        .unionAll(pairs.select(col("v2").as("a"), col("v1").as("b"), col("cos")))
+      val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b").asc)
+      val best = sym
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a"), col("b"), col("cos"))
+      best
+        .as("x")
+        .join(
+          best.as("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a") && col("x.a") < col("x.b"))
+        .select(col("x.a").as("v1"), col("x.b").as("v2"), col("x.cos").as("cos"))
+        .orderBy(col("v1"))
+    },
+
     // Multimodal array-column aggregation: per label, exact counts +
     // quantized norm / leading-dimension means (proves ARRAY<FLOAT>
     // columns flow through scan → transform → agg → scalar outputs).
@@ -537,6 +569,27 @@ object Similarity {
     // contract, and a shared val makes divergence impossible.
     "sim_join_node" -> allPairsCosineOracle,
     "sql_similarity_join" -> allPairsCosineOracle,
+    "sim_mutual_knn" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
+         |), p AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
+         |), s AS (
+         |  SELECT v1 AS a, v2 AS b, cos FROM p
+         |  UNION ALL SELECT v2, v1, cos FROM p
+         |), best AS (
+         |  SELECT a, b, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rn
+         |  FROM s)
+         |SELECT x.a AS v1, x.b AS v2, x.cos AS cos
+         |FROM best x JOIN best y
+         |  ON x.rn = 1 AND y.rn = 1 AND x.a = y.b AND x.b = y.a AND x.a < x.b
+         |ORDER BY v1""".stripMargin,
     // Approximate operator → the oracle checks the declared QUALITY BOUND
     // (recall_ok must be TRUE), not the neighbor list; n_queries pins the
     // probe-set size exactly.
