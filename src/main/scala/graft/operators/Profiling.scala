@@ -239,6 +239,32 @@ object Profiling {
         .orderBy(col("p_size"))
     },
 
+    // Systematic PPS sampling (probability proportional to size): walk
+    // the key-ordered cumulative weight line and pick every row whose
+    // weight interval crosses a step boundary (step = total/100 → ~100
+    // samples) — the survey-sampling / data-auditing primitive that is
+    // fully DETERMINISTIC (no RNG: the sample is a pure function of the
+    // data), unlike rand()-based PPS. The cumulative line comes from
+    // the distributed two-pass running sum (never a single-partition
+    // window); the total joins in as a one-row broadcast. Integer cents
+    // end to end, truncating division shared by both engines.
+    "sample_pps" -> { (spark, dir) =>
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("w"))
+      val withCum =
+        DistributedRank.withGlobalCumSum(o, "w", Seq(col("o_orderkey").asc), cumCol = "cum")
+      val total = withCum.agg(max(col("cum")).as("t"))
+      withCum
+        .crossJoin(broadcast(total))
+        .withColumn("step", expr("t div 100"))
+        .filter(expr("(cum div step) > ((cum - w) div step)"))
+        .select(col("o_orderkey"), col("w"), expr("cum div step").as("bucket"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // SCD2 merge: the update batch (derived deterministically from the
     // dim itself — customers with custkey % 10 = 0 get a new balance and
     // segment) closes the old version and opens version 2; untouched
@@ -366,6 +392,20 @@ object Profiling {
         |SELECT x AS p_size, y AS best_price_q FROM pts p
         |WHERE NOT EXISTS (SELECT 1 FROM pts q WHERE q.x < p.x AND q.y <= p.y)
         |ORDER BY p_size""".stripMargin,
+    "sample_pps" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderkey, w,
+        |    CAST(SUM(w) OVER (ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER () AS BIGINT) AS t
+        |  FROM o)
+        |SELECT o_orderkey, w, CAST(cum // (t // 100) AS BIGINT) AS bucket
+        |FROM c
+        |WHERE (cum // (t // 100)) > ((cum - w) // (t // 100))
+        |ORDER BY o_orderkey""".stripMargin,
     "scd2_merge" ->
       """WITH dim AS (
         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment

@@ -229,6 +229,49 @@ object TimeWindows {
         .orderBy(col("from_type"), col("to_type"))
     },
 
+    // Exact exponential smoothing (EWMA, α = 1/8) per user — a SEQUENTIAL
+    // recurrence (s ← s + (x − s)/8), the one shape no window frame
+    // expresses. The distributed spelling is a secondary sort:
+    // repartition by user, sort each partition by (user, ts, event_id),
+    // then a single O(1)-memory streaming fold over consecutive rows of
+    // one partition (mapPartitions with a lazy per-key iterator — no
+    // per-key buffering, no collect). All arithmetic is integer on the
+    // cent grid with truncating division, which Scala `/`, Spark `div`,
+    // and DuckDB `//` share (DivSemanticsSpec), so the fold is
+    // bit-identical to the oracle's recursive CTE. The batch twin of a
+    // mapGroupsWithState streaming fold.
+    "evt_ewma" -> { (spark, dir) =>
+      import spark.implicits._
+      val base = Tables
+        .events(spark, dir)
+        .select(
+          col("user_id"),
+          expr("unix_micros(ts)").as("us"),
+          col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("x"))
+        .as[(Long, Long, Long, Long)]
+      base
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+        .mapPartitions { it =>
+          val b = it.buffered
+          new Iterator[(Long, Long, Long)] {
+            def hasNext: Boolean = b.hasNext
+            def next(): (Long, Long, Long) = {
+              val (u, _, _, x0) = b.next()
+              var n = 1L
+              var s = x0
+              while (b.hasNext && b.head._1 == u) {
+                val r = b.next(); s += (r._4 - s) / 8; n += 1
+              }
+              (u, n, s)
+            }
+          }
+        }
+        .toDF("user_id", "n_events", "ewma_q")
+        .orderBy(col("user_id"))
+    },
+
     // Time-series GAP FILLING: a dense (hour × event_type) grid over the
     // observed span, zero-filled where no events landed — the step that
     // makes downstream window math see missing buckets instead of
@@ -428,6 +471,20 @@ object TimeWindows {
         |SELECT t.from_type, t.to_type, c, CAST(c * 1000000 // total AS BIGINT) AS p_micro
         |FROM t JOIN tot ON t.from_type = tot.from_type
         |ORDER BY t.from_type, t.to_type""".stripMargin,
+    "evt_ewma" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, x AS s FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.rn, r.s + (b.x - r.s) // 8
+        |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1),
+        |f AS (SELECT user_id, MAX(rn) AS n_events FROM b GROUP BY user_id)
+        |SELECT f.user_id AS user_id, f.n_events, r.s AS ewma_q
+        |FROM f JOIN r ON r.user_id = f.user_id AND r.rn = f.n_events
+        |ORDER BY f.user_id""".stripMargin,
     "evt_gapfill" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
