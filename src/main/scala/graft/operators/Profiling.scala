@@ -265,6 +265,43 @@ object Profiling {
         .orderBy(col("o_orderkey"))
     },
 
+    // Table reconciliation / version diff — the anti-entropy audit every
+    // pipeline needs after a backfill: classify every key across two
+    // table versions as added / removed / changed / unchanged and report
+    // counts + absolute value drift. One full-outer equi-join on the key
+    // (sort-merge at scale; both sides would be bucketed by key at rest)
+    // and a 4-row hash agg — no collects, no row-by-row compare. Version
+    // 2 is derived deterministically from version 1 (drop k%97=0, bump
+    // price on k%10=3, insert shifted copies of k%101=5) so the oracle
+    // reconstructs both sides exactly.
+    "table_diff" -> { (spark, dir) =>
+      val v1 = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c1"))
+      val v2 = v1
+        .filter(col("k") % 97 =!= 0)
+        .select(
+          col("k"),
+          when(col("k") % 10 === 3, col("c1") + 100).otherwise(col("c1")).as("c2"))
+        .unionAll(
+          v1.filter(col("k") % 101 === 5)
+            .select((col("k") + lit(10000000L)).as("k"), col("c1").as("c2")))
+      v1
+        .join(v2, Seq("k"), "full_outer")
+        .select(
+          when(col("c2").isNull, "removed")
+            .when(col("c1").isNull, "added")
+            .when(col("c1") =!= col("c2"), "changed")
+            .otherwise("unchanged")
+            .as("class"),
+          abs(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L))).as("d"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("drift_q"))
+        .orderBy(col("class"))
+    },
+
     // SCD2 merge: the update batch (derived deterministically from the
     // dim itself — customers with custkey % 10 = 0 get a new balance and
     // segment) closes the old version and opens version 2; untouched
@@ -406,6 +443,25 @@ object Profiling {
         |FROM c
         |WHERE (cum // (t // 100)) > ((cum - w) // (t // 100))
         |ORDER BY o_orderkey""".stripMargin,
+    "table_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c1
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 10 = 3 THEN c1 + 100 ELSE c1 END AS c2
+        |  FROM v1 WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000, c1 FROM v1 WHERE k % 101 = 5),
+        |j AS (
+        |  SELECT
+        |    CASE WHEN c2 IS NULL THEN 'removed'
+        |         WHEN c1 IS NULL THEN 'added'
+        |         WHEN c1 <> c2 THEN 'changed'
+        |         ELSE 'unchanged' END AS class,
+        |    ABS(COALESCE(c2, 0) - COALESCE(c1, 0)) AS d
+        |  FROM v1 FULL OUTER JOIN v2 USING (k))
+        |SELECT class, COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS drift_q
+        |FROM j GROUP BY class ORDER BY class""".stripMargin,
     "scd2_merge" ->
       """WITH dim AS (
         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment
