@@ -457,6 +457,37 @@ object Aggregates {
         .orderBy(col("event_type"))
     },
 
+    // Median absolute deviation — the robust dispersion twin of
+    // agg_median_exact, and a two-level composition: per-group exact
+    // median (lower-middle rule, pinned on both sides), the one-row-per-
+    // group result broadcast back onto the data, then the exact median
+    // of |v − med| by the same rule. Integer 1e-3 grid throughout; two
+    // partitioned rank windows, two metadata-scale broadcasts, no
+    // collects.
+    "agg_mad" -> { (spark, dir) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v_q"), col("event_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      val e = Tables
+        .events(spark, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          floor(col("value") * 1000 + lit(0.5)).cast("long").as("v_q"))
+      val med = e
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("v_q").as("med"), col("n"))
+      val wOrd2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("d_q"), col("event_id"))
+      e.join(broadcast(med), "event_type")
+        .withColumn("d_q", abs(col("v_q") - col("med")))
+        .withColumn("rk2", row_number().over(wOrd2))
+        .filter(col("rk2") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col("med").as("median_q"), col("d_q").as("mad_q"))
+        .orderBy(col("event_type"))
+    },
+
     // Winsorization: clip each value to its group's exact [p05, p95]
     // rank values (ceil ranks in integer math — (5n+99) div 100 /
     // (95n+99) div 100). Bounds come from two rank filters (one row per
@@ -700,6 +731,23 @@ object Aggregates {
         |FROM e)
         |SELECT event_type, v_q AS median_q, n
         |FROM r WHERE rk = (n + 1) // 2 ORDER BY event_type""".stripMargin,
+    "agg_mad" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_q
+        |  FROM events),
+        |r AS (SELECT event_type, v_q,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_q, event_id) AS rk,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (SELECT event_type, v_q AS med, n FROM r WHERE rk = (n + 1) // 2),
+        |d AS (
+        |  SELECT e.event_type, ABS(e.v_q - med.med) AS d_q, e.event_id, med.med, med.n
+        |  FROM e JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, n, med, d_q,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d_q, event_id) AS rk2
+        |  FROM d)
+        |SELECT event_type, n, med AS median_q, d_q AS mad_q
+        |FROM r2 WHERE rk2 = (n + 1) // 2 ORDER BY event_type""".stripMargin,
     "agg_winsorize" ->
       """WITH e AS (
         |  SELECT event_id, event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_q

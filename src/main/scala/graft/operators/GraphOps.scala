@@ -102,10 +102,12 @@ object GraphOps {
       .agg(count(lit(1)).as("deg"))
     // Attach both endpoint degrees, then orient low → high. The a < b
     // canonical tiebreak makes (deg, id) a total order, so orientation
-    // is deterministic and every edge appears exactly once.
+    // is deterministic and every edge appears exactly once. Degrees are
+    // node-sized → broadcast; at graphs where nodes outgrow executors
+    // this becomes two shuffle joins on the edge key, still linear.
     val withDeg = und
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .join(broadcast(deg.select(col("id").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("id").as("b"), col("deg").as("db"))), "b")
     val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     val oriented = withDeg.select(
       when(aLower, col("a")).otherwise(col("b")).as("src"),
@@ -114,13 +116,18 @@ object GraphOps {
     )
     // Wedges from each source, destinations in (deg, id) order; the
     // closing edge — if it exists — is oriented b → c by construction.
+    // Both joins are hinted SHUFFLE_HASH: sort-merge would SORT the
+    // wedge stream (O(m^1.5) rows — the dominant cost, measured 100 s
+    // of task CPU at sf0.1) to join it against the edge-sized side;
+    // hash-building the small side and streaming wedges through it cuts
+    // that to a linear probe. Same finding as the band-key self-joins.
     val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
     val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg"))
     val wedges = e1
-      .join(e2, Seq("src"))
+      .join(e2.hint("shuffle_hash"), Seq("src"))
       .filter(col("bdeg") < col("cdeg") || (col("bdeg") === col("cdeg") && col("b") < col("c")))
     val tri = wedges
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")).hint("shuffle_hash"), Seq("b", "c"))
       .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
     tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))

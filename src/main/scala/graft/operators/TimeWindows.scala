@@ -229,6 +229,27 @@ object TimeWindows {
         .orderBy(col("from_type"), col("to_type"))
     },
 
+    // Last-touch attribution: every purchase credits the event
+    // immediately preceding it in the user's timeline — the marketing /
+    // conversion-analysis staple. One user-partitioned lag window (the
+    // same single shuffle as evt_markov), then a tiny agg keyed by the
+    // credited type: purchases attributed, cent-exact revenue mass.
+    // First-touch or window-capped variants are the same plan with a
+    // different window frame.
+    "evt_attribution" -> { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v_q"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("event_type") === "purchase" && col("prev_type").isNotNull)
+        .groupBy(col("prev_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("v_q")).as("rev_q"))
+        .orderBy(col("prev_type"))
+    },
+
     // Exact exponential smoothing (EWMA, α = 1/8) per user — a SEQUENTIAL
     // recurrence (s ← s + (x − s)/8), the one shape no window frame
     // expresses. The distributed spelling is a secondary sort:
@@ -471,6 +492,15 @@ object TimeWindows {
         |SELECT t.from_type, t.to_type, c, CAST(c * 1000000 // total AS BIGINT) AS p_micro
         |FROM t JOIN tot ON t.from_type = tot.from_type
         |ORDER BY t.from_type, t.to_type""".stripMargin,
+    "evt_attribution" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_q,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, COUNT(*) AS n_purchases, CAST(SUM(v_q) AS BIGINT) AS rev_q
+        |FROM s WHERE event_type = 'purchase' AND prev_type IS NOT NULL
+        |GROUP BY prev_type ORDER BY prev_type""".stripMargin,
     "evt_ewma" ->
       """WITH RECURSIVE b AS (
         |  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
