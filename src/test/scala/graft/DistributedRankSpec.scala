@@ -48,6 +48,32 @@ class DistributedRankSpec extends AnyFunSuite {
   test("matches SQL NTILE with remainder (N=103, b=8)") { check(103, 8) }
   test("matches SQL NTILE when N < buckets (N=3, b=5)") { check(3, 5) }
 
+  test("withGlobalCumMinExclusive ≡ single-window exclusive running min at every partition count") {
+    val s = spark
+    import s.implicits._
+    // values descend then jump so the running min both moves and stalls;
+    // shuffled insertion order so range partitioning actually reorders.
+    val df = scala.util.Random
+      .shuffle((1 to 257).toList)
+      .map(i => (i.toLong, ((i * 7919) % 101 - 50).toLong))
+      .toDF("k", "v")
+    val expected = df
+      .select(col("k"), min(col("v")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)).as("pm"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    for (np <- Seq(1, 3, 4, 16)) {
+      val got = DistributedRank
+        .withGlobalCumMinExclusive(df, "v", Seq(col("k").asc), cumCol = "pm", numPartitions = np)
+        .select(col("k"), col("pm"))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      // first row in the total order must be NULL (no preceding rows)
+      assert(got.head._2 == null)
+      assert(got.sameElements(expected), s"numPartitions=$np diverges")
+    }
+  }
+
   test("withGlobalCumSum ≡ single-window running sum at every partition count") {
     val s = spark
     import s.implicits._
