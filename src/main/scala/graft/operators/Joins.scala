@@ -138,6 +138,77 @@ object Joins {
         .orderBy(col("r_name"))
     },
 
+    // TPC-H Q3-shaped 4-table analytic: selective dim filter (segment) +
+    // date predicates on BOTH fact sides of the join — the classic
+    // "unshipped orders revenue" plan. Customer and nation are dims
+    // (nation explicitly broadcast; customer small enough for AQE to
+    // choose); orders⋈lineitem is the one unavoidable fact-fact shuffle.
+    // Both date filters reach the parquet scans (PlanAuditSpec pins it).
+    "analytics_q3" -> { (spark, dir) =>
+      val cut = expr("TIMESTAMP '1998-06-01 00:00:00'")
+      val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      val n = Tables.nation(spark, dir)
+      val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+      val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"), n("n_name"))
+        .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // TPC-H Q5-shaped 6-table star: region→nation prune the customer AND
+    // supplier sides (local-supplier condition c_nationkey = s_nationkey),
+    // a one-year date window on orders, revenue per nation. This is the
+    // multi-join ordering surface: Catalyst/AQE must sequence two dim
+    // chains and two fact joins; dims are broadcast, facts shuffle once
+    // each on their join keys.
+    "analytics_q5" -> { (spark, dir) =>
+      val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val s = Tables.supplier(spark, dir)
+      val o = Tables
+        .orders(spark, dir)
+        .filter(
+          col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      val l = Tables.lineitem(spark, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+
+    // TPC-H Q10-shaped 4-table analytic: returned-item revenue per
+    // customer over a one-quarter window, top 20. Group-by carries the
+    // full customer display tuple (key + name + acctbal + nation), so the
+    // aggregate key is wide — the shape that punishes engines that can't
+    // push the date/returnflag filters below the joins.
+    "analytics_q10" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val o = Tables
+        .orders(spark, dir)
+        .filter(
+          col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+      val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(c("c_custkey"), c("c_name"), c("c_acctbal"), n("n_name"))
+        .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
     // Range (interval) self-join, banded: per error event, how many events
     // of the same user landed in the preceding 5 minutes. The 5-minute
     // epoch bucket turns the range condition into an equi-join on
@@ -297,6 +368,43 @@ object Joins {
          |  JOIN nation ON c_nationkey = n_nationkey
          |  JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "analytics_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, n_name,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY l_orderkey, o_orderdate, n_name
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "analytics_q5" ->
+      s"""SELECT n_name,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "analytics_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
     "join_range_events" ->
       """SELECT a.event_id, COALESCE(cnt.n, 0) AS n_prior
         |FROM events a LEFT JOIN (

@@ -49,6 +49,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bc.size >= 2, s"expected >=2 broadcast exchanges, got ${bc.size}")
   }
 
+  test("analytic multi-join queries broadcast their dims and push date filters") {
+    // TPC-H Q3/Q5/Q10 shapes: the multi-join ordering surface. Each must
+    // (a) broadcast at least its nation/region dims, (b) plan no
+    // cartesian (also swept fleet-wide below), and (c) land its date /
+    // flag predicates in the parquet scans rather than post-join filters.
+    for (q <- Seq("analytics_q3", "analytics_q5", "analytics_q10")) {
+      val plan = executed(q)
+      val bc = collectAll(plan) { case b: BroadcastExchangeExec => b }
+      assert(bc.nonEmpty, s"$q: no broadcast exchange — dim joins degraded to shuffles")
+      val pushed = collectAll(plan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "[]")
+      }
+      assert(pushed.exists(s => s != "[]" && s.nonEmpty), s"$q: no pushed filters in any scan")
+    }
+  }
+
   test("column pruning: a two-column projection reads a two-column schema") {
     val plan = executed("dedup_keyed") // projects user_id, event_type, event_id from events
     val schemas = collectAll(plan) {
