@@ -257,9 +257,13 @@ object Profiling {
       val withCum =
         DistributedRank.withGlobalCumSum(o, "w", Seq(col("o_orderkey").asc), cumCol = "cum")
       val total = withCum.agg(max(col("cum")).as("t"))
+      // greatest(…, 1): with total weight < 100 the step would be 0 and
+      // Spark's `div 0` yields NULL (silently empty sample) while DuckDB
+      // raises — clamping to 1 on BOTH engines defines the degenerate
+      // case identically (every positive-weight row sampled).
       withCum
         .crossJoin(broadcast(total))
-        .withColumn("step", expr("t div 100"))
+        .withColumn("step", expr("greatest(t div 100, 1)"))
         .filter(expr("(cum div step) > ((cum - w) div step)"))
         .select(col("o_orderkey"), col("w"), expr("cum div step").as("bucket"))
         .orderBy(col("o_orderkey"))
@@ -439,9 +443,10 @@ object Profiling {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
         |    CAST(SUM(w) OVER () AS BIGINT) AS t
         |  FROM o)
-        |SELECT o_orderkey, w, CAST(cum // (t // 100) AS BIGINT) AS bucket
+        |SELECT o_orderkey, w,
+        |  CAST(cum // GREATEST(t // 100, 1) AS BIGINT) AS bucket
         |FROM c
-        |WHERE (cum // (t // 100)) > ((cum - w) // (t // 100))
+        |WHERE (cum // GREATEST(t // 100, 1)) > ((cum - w) // GREATEST(t // 100, 1))
         |ORDER BY o_orderkey""".stripMargin,
     "table_diff" ->
       """WITH v1 AS (

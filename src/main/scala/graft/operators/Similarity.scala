@@ -310,6 +310,18 @@ object Similarity {
     // exact all-pairs graph — a green hash proves the banded candidate
     // set loses no mutual pair. Cosine values are on the same quantized
     // grid both engines share, so argmax ordering is exact.
+    //
+    // Zero-FN is a FIXTURE-MEASURED property, not a guarantee (round-4
+    // advice): with 64 bands × 4 sign bits, a pair at cos θ collides in
+    // one band w.p. p = (1 − θ_angle/π)^4 and is missed entirely w.p.
+    // (1 − p)^64 — at the θ=0.4 threshold (angle ≈ 0.369π) that is
+    // (1 − 0.631^4)^64 ≈ 2.6e-5 per pair, rising as cos → 0.4 from
+    // above, so a regenerated embeddings fixture COULD plant a pair the
+    // bands miss. The oracle hash-compare re-verifies the property on
+    // every regeneration: a miss fails CORRECTNESS loudly (rows_match
+    // false) rather than silently — if that ever fires, raise `bands`
+    // (miss probability is exponential in it) rather than widening
+    // bitsPerBand.
     "sim_mutual_knn" -> { (spark, dir) =>
       graft.functions.GraftExtensions.register(spark)
       val pairs =

@@ -107,35 +107,50 @@ object StreamSinks {
     * become visible later.
     *
     * Returns the orphan paths; deletes them unless `dryRun`. Never
-    * touches `_spark_metadata` itself. Run it only when no write is
-    * in-flight for the batch currently being written (in-flight task
-    * files of an UNCOMMITTED batch look like orphans — the same
-    * stop-the-writer precondition as the reference's manual sweep).
+    * touches `_spark_metadata` itself. In-flight task files of an
+    * UNCOMMITTED batch look exactly like crash debris, so two guards
+    * enforce the stop-the-writer precondition instead of documenting it:
+    * the sweep REFUSES to run while any active streaming query in this
+    * session sinks to `path`, and files younger than `graceMs` are
+    * skipped — a batch whose manifest commit lands after the sweep
+    * started keeps its data (writers from OTHER sessions are invisible
+    * to the first guard; the grace window is what protects them).
     */
   def vacuum(
       spark: SparkSession,
       path: String,
       format: String = "orc",
-      dryRun: Boolean = false
+      dryRun: Boolean = false,
+      graceMs: Long = 10 * 60 * 1000L
   ): Seq[String] = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileStatus, Path}
     val root = new Path(path)
+    val target = Path.getPathWithoutSchemeAndAuthority(root).toString
+    val writers = spark.streams.active.filter { q =>
+      Option(q.lastProgress).map(_.sink.description).exists(_.contains(target))
+    }
+    require(
+      writers.isEmpty,
+      s"vacuum($path): active streaming quer${if (writers.length == 1) "y" else "ies"} " +
+        s"${writers.map(_.id).mkString(", ")} still writing here — stop the writer first")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: Path): Seq[Path] =
+    def dataFiles(p: Path): Seq[FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val name = st.getPath.getName
         if (name == "_spark_metadata") Nil
         else if (st.isDirectory) dataFiles(st.getPath)
         else if (name.startsWith("_") || name.startsWith(".")) Nil
-        else Seq(st.getPath)
+        else Seq(st)
       }
     val committed = committedFiles(spark, path, format)
       .map(u => Path.getPathWithoutSchemeAndAuthority(new Path(u)).toString)
       .toSet
-    val orphans = dataFiles(root).filter(p =>
-      !committed.contains(Path.getPathWithoutSchemeAndAuthority(p).toString))
-    if (!dryRun) orphans.foreach(fs.delete(_, false))
-    orphans.map(_.toString)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val orphans = dataFiles(root).filter(st =>
+      st.getModificationTime <= cutoff &&
+        !committed.contains(Path.getPathWithoutSchemeAndAuthority(st.getPath).toString))
+    if (!dryRun) orphans.foreach(st => fs.delete(st.getPath, false))
+    orphans.map(_.getPath.toString)
   }
 
   /** Watermark gauge (reference parity R12): the reference exports the

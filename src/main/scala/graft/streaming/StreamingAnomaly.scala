@@ -9,11 +9,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * float drift, no order dependence. */
 case class KeyedMoments(key: Long, n: Long, s: Long, q: Long) {
   /** The batch twin's outlier predicate, verbatim (`evt_anomaly`):
-    * (v−mean)² > 4·var with denominators cleared to pure BIGINT —
-    * (n·v_q − s)² > 4·(n·q − s²) — valid at ANY point in the stream. */
+    * (v−mean)² > 4·var with denominators cleared — (n·v_q − s)² >
+    * 4·(n·q − s²). The cleared products (n·q, s², d²) exceed int64 after
+    * only a few thousand events per key at 1e-3-grid magnitudes, so the
+    * comparison runs in BigInt: exact at ANY point in the stream, for
+    * any key history whose STORED sums (n, s, q) are themselves in
+    * range — and those are guarded by `addExact` in the state
+    * transition, so an out-of-range history fails loudly rather than
+    * silently wrapping into garbage flags. */
   def isOutlier(vQ: Long): Boolean = {
-    val d = n * vQ - s
-    n >= 10 && d * d > 4 * (n * q - s * s)
+    val bn = BigInt(n); val bs = BigInt(s)
+    val d = bn * BigInt(vQ) - bs
+    n >= 10 && d * d > 4 * (bn * BigInt(q) - bs * bs)
   }
 }
 
@@ -43,10 +50,18 @@ object StreamingAnomaly {
       .groupByKey(_._1)
       .mapGroupsWithState[KeyedMoments, KeyedMoments](timeout) {
         (key, batch, state: GroupState[KeyedMoments]) =>
+          // addExact/multiplyExact: the stored sums stay provably exact
+          // or the job fails loudly — q = Σv² is the first to go (a
+          // 1e-3-grid value of 1000 contributes 1e12 per event), and a
+          // silently wrapped q would make every later flag garbage.
           val st = batch.foldLeft(state.getOption.getOrElse(KeyedMoments(key, 0L, 0L, 0L))) {
             (m, kv) =>
               val v = kv._2
-              KeyedMoments(key, m.n + 1, m.s + v, m.q + v * v)
+              KeyedMoments(
+                key,
+                Math.addExact(m.n, 1L),
+                Math.addExact(m.s, v),
+                Math.addExact(m.q, Math.multiplyExact(v, v)))
           }
           state.update(st)
           st

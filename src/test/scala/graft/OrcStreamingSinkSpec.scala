@@ -110,17 +110,49 @@ class OrcStreamingSinkSpec extends AnyFunSuite {
     }
 
     val before = spark.read.orc(out).count()
-    val dry = StreamSinks.vacuum(spark, out, dryRun = true)
+    // Default 10-minute grace window: the seconds-old debris is NOT yet
+    // sweepable — a concurrent batch's in-flight files look identical,
+    // and mtime age is the only signal that distinguishes them.
+    assert(StreamSinks.vacuum(spark, out, dryRun = true).isEmpty,
+      "grace window failed to protect fresh files")
+
+    val dry = StreamSinks.vacuum(spark, out, dryRun = true, graceMs = 0L)
     assert(dry.size === 2 && dry.forall(_.contains("vacuum-orphan")), s"dry run listed: $dry")
     assert(Files.exists(Paths.get(out, "etype=a", "part-99999-vacuum-orphan.orc")),
       "dry run must not delete")
 
-    val swept = StreamSinks.vacuum(spark, out)
+    val swept = StreamSinks.vacuum(spark, out, graceMs = 0L)
     assert(swept.toSet === dry.toSet)
     for (part <- Seq("etype=a", "etype=b"))
       assert(!Files.exists(Paths.get(out, part, "part-99999-vacuum-orphan.orc")), "orphan survived")
     assert(spark.read.orc(out).count() === before, "vacuum changed committed data")
-    assert(StreamSinks.vacuum(spark, out, dryRun = true).isEmpty, "second sweep found residue")
+    assert(StreamSinks.vacuum(spark, out, dryRun = true, graceMs = 0L).isEmpty,
+      "second sweep found residue")
+  }
+
+  test("vacuum refuses to run while an active query is still writing the path") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val out = freshDir("vac_live_out")
+    val ckpt = freshDir("vac_live_ckpt")
+    val stream = MemoryStream[Ev]
+    stream.addData(ev(1, "a"), ev(2, "b"))
+    // ProcessingTime trigger keeps the query ACTIVE after the drain
+    // (AvailableNow would self-terminate and defeat the guard's purpose).
+    val q = StreamSinks.orcSink(
+      stream.toDF(), out, ckpt, Seq("etype"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(60000L))
+    try {
+      q.processAllAvailable()
+      val e = intercept[IllegalArgumentException] {
+        StreamSinks.vacuum(spark, out, dryRun = true, graceMs = 0L)
+      }
+      assert(e.getMessage.contains("stop the writer"), s"wrong refusal: ${e.getMessage}")
+    } finally q.stop()
+    // Writer stopped → the sweep proceeds (and finds nothing).
+    assert(StreamSinks.vacuum(spark, out, dryRun = true, graceMs = 0L).isEmpty)
   }
 
   test("parquet streaming sink commits through the manifest too") {

@@ -76,4 +76,28 @@ class StreamingAnomalySpec extends AnyFunSuite {
     assert(flaggedStream === flaggedBatch, "streamed flags diverge from evt_anomaly")
     assert(flaggedBatch.nonEmpty, "fixture produced no outliers — the equivalence is vacuous")
   }
+
+  test("outlier predicate is exact where int64 product math would overflow") {
+    // 5000 events split between two grid values ~1.6e6 and 1e6 (grid
+    // values ~1600/1000 at the 1e-3 grid): the stored sums are
+    // comfortably in range (s≈6.6e9, q≈9.2e15), but every cleared-
+    // denominator product overflows int64 — n·q≈4.6e19, s²≈4.3e19, and
+    // 4·(n·q−s²)≈1.0e19 wraps NEGATIVE, which made the old Long
+    // spelling flag even the exact mean as an outlier. BigInt math must
+    // keep both directions right.
+    val n = 5000L
+    val a = 1632456L; val b = 1000000L
+    val m = KeyedMoments(1L, n, 2500L * (a + b), 2500L * (a * a + b * b))
+    val mean = (a + b) / 2
+    assert(!m.isOutlier(mean), "mean flagged as outlier — predicate overflowed")
+    assert(m.isOutlier(2316228L), "clear outlier missed in the overflow regime")
+
+    // Pin that this fixture actually exercises the overflow: the Long
+    // spelling (the pre-fix implementation) disagrees on the mean.
+    def longSpelling(vQ: Long): Boolean = {
+      val d = m.n * vQ - m.s
+      m.n >= 10 && d * d > 4 * (m.n * m.q - m.s * m.s)
+    }
+    assert(longSpelling(mean), "fixture not in the overflow regime — tighten the magnitudes")
+  }
 }
