@@ -29,6 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
+  /** One physical evaluation for a multi-consumer subplan.
+    *
+    * Every helper here stamps rows with `spark_partition_id()` and then
+    * reads the stamped data from TWO subtrees (per-partition counts +
+    * the main path). That is only sound if both subtrees see the SAME
+    * exchange instance: Catalyst's ReusedExchange dedup is
+    * column-pruning-sensitive — consumers that prune different columns
+    * canonicalize to different subplans, get SEPARATE range exchanges,
+    * and each exchange samples its boundaries with its own shuffle-id-
+    * derived seed. Observed failure: duplicated per-key ranks when the
+    * count path pruned a column the main path kept (the Ewma operator's
+    * first wiring). Pinning the lineage as a single shared RDD makes
+    * every consumer read ONE shuffle stage — boundaries and pids are
+    * consistent by construction — at the cost of a row-serialization
+    * boundary (the shuffle output is reused, not recomputed; nothing is
+    * cached or collected).
+    */
+  private def pinned(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Append `rankCol` (global 1-based rank) and `ntileCol` (1..buckets)
     * under the total order of `sortExprs` (must be a total order for
     * deterministic output). */
@@ -40,10 +60,10 @@ object DistributedRank {
       ntileCol: String = "__ntile",
       numPartitions: Int = 32
   ): DataFrame = {
-    val ranged = df
-      .repartitionByRange(numPartitions, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = pinned(
+      df.repartitionByRange(numPartitions, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn("__pid", spark_partition_id()))
 
     // Metadata-scale: one row per partition.
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
@@ -79,6 +99,61 @@ object DistributedRank {
       .drop("__pid", "__lrn", "__off", "__total")
   }
 
+  /** Append `rankCol` — the 1-based rank of each row WITHIN its
+    * `keyCol` group under the total order of `sortExprs` (which must
+    * lead with `keyCol`) — without `Window.partitionBy(key)`, whose
+    * one-task-per-key layout is exactly the hot-key serialization this
+    * exists to avoid. Same two-pass shape as [[withGlobalNtile]], with
+    * one extra observation that keeps the offset table metadata-scale
+    * at ANY key cardinality: range partitioning on (key, …) gives every
+    * key a CONTIGUOUS run of partitions, so at most `numPartitions − 1`
+    * keys span a partition boundary — and only those need a nonzero
+    * offset. Singleton-partition keys (the overwhelming mass) take
+    * offset 0 through the left join's coalesce.
+    */
+  def withPerKeyRank(
+      df: DataFrame,
+      keyCol: String,
+      sortExprs: Seq[Column],
+      rankCol: String = "__krank",
+      numPartitions: Int = 32
+  ): DataFrame = {
+    val ranged = pinned(
+      df.repartitionByRange(numPartitions, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn("__pid", spark_partition_id()))
+
+    // One row per (partition, key-present-in-it): ≤ rows + P, but only
+    // boundary-spanning keys survive the filter — ≤ P − 1 of them.
+    val counts = ranged
+      .groupBy(col("__pid").as("__opid"), col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__cnt"))
+    val spanning = counts
+      .groupBy(col("__k").as("__sk"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") > 1)
+      .select(col("__sk"))
+    val wOff = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .join(spanning, col("__k") === col("__sk"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .filter(col("__off") > 0)
+      .select(col("__opid"), col("__k"), col("__off"))
+
+    val wLocal = Window.partitionBy(col("__pid"), col(keyCol)).orderBy(sortExprs: _*)
+    ranged
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .join(
+        broadcast(offsets),
+        col("__pid") === col("__opid") && col(keyCol) === col("__k"),
+        "left")
+      .withColumn(rankCol, col("__lrn") + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__opid", "__k", "__lrn", "__off")
+  }
+
   /** Append `cumCol` — the INCLUSIVE global running sum of `valueCol`
     * (must be integral-typed; summed as long) under the total order of
     * `sortExprs` — with the same two-pass shape as [[withGlobalNtile]]:
@@ -96,10 +171,10 @@ object DistributedRank {
       cumCol: String = "__cum",
       numPartitions: Int = 32
   ): DataFrame = {
-    val ranged = df
-      .repartitionByRange(numPartitions, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = pinned(
+      df.repartitionByRange(numPartitions, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn("__pid", spark_partition_id()))
 
     // Metadata-scale: one row per partition.
     val sums = ranged.groupBy(col("__pid")).agg(sum(col(valueCol).cast("long")).as("__psum"))
@@ -136,10 +211,10 @@ object DistributedRank {
       cumCol: String = "__cummin",
       numPartitions: Int = 32
   ): DataFrame = {
-    val ranged = df
-      .repartitionByRange(numPartitions, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = pinned(
+      df.repartitionByRange(numPartitions, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn("__pid", spark_partition_id()))
 
     // Metadata-scale: one row per partition.
     val mins = ranged.groupBy(col("__pid")).agg(min(col(valueCol)).as("__pmin"))

@@ -250,46 +250,30 @@ object TimeWindows {
         .orderBy(col("prev_type"))
     },
 
-    // Exact exponential smoothing (EWMA, α = 1/8) per user — a SEQUENTIAL
-    // recurrence (s ← s + (x − s)/8), the one shape no window frame
-    // expresses. The distributed spelling is a secondary sort:
-    // repartition by user, sort each partition by (user, ts, event_id),
-    // then a single O(1)-memory streaming fold over consecutive rows of
-    // one partition (mapPartitions with a lazy per-key iterator — no
-    // per-key buffering, no collect). All arithmetic is integer on the
-    // cent grid with truncating division, which Scala `/`, Spark `div`,
-    // and DuckDB `//` share (DivSemanticsSpec), so the fold is
-    // bit-identical to the oracle's recursive CTE. The batch twin of a
-    // mapGroupsWithState streaming fold.
+    // Exact exponential smoothing (EWMA, α = 1/8) per user, in the
+    // CHUNKED-RENORMALIZATION form (see operators/Ewma.scala for the
+    // full why): the per-event truncating recurrence is irreducibly
+    // sequential per key (nested floors don't compose, and the state
+    // never provably forgets), so the operator's algebra truncates once
+    // per 32-event chunk instead — exact BigInt within a chunk, which
+    // turns the O(n) weighted-sum work into a hash-parallel
+    // (key, chunk) groupBy (a hot key spreads across tasks) and leaves
+    // only an O(n/32) O(1)-state fold per key. The oracle is generated
+    // from the same BigInt constants (HUGEINT weight tables + a
+    // chunk-level recursive CTE), so both engines compute the identical
+    // algebra. Still the batch twin of a mapGroupsWithState streaming
+    // fold (state = s + the partial chunk).
     "evt_ewma" -> { (spark, dir) =>
-      import spark.implicits._
-      val base = Tables
-        .events(spark, dir)
-        .select(
-          col("user_id"),
-          expr("unix_micros(ts)").as("us"),
-          col("event_id"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("x"))
-        .as[(Long, Long, Long, Long)]
-      base
-        .repartition(col("user_id"))
-        .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
-        .mapPartitions { it =>
-          val b = it.buffered
-          new Iterator[(Long, Long, Long)] {
-            def hasNext: Boolean = b.hasNext
-            def next(): (Long, Long, Long) = {
-              val (u, _, _, x0) = b.next()
-              var n = 1L
-              var s = x0
-              while (b.hasNext && b.head._1 == u) {
-                val r = b.next(); s += (r._4 - s) / 8; n += 1
-              }
-              (u, n, s)
-            }
-          }
-        }
-        .toDF("user_id", "n_events", "ewma_q")
+      Ewma
+        .ewmaByKey(
+          Tables
+            .events(spark, dir)
+            .select(
+              col("user_id"),
+              expr("unix_micros(ts)").as("us"),
+              col("event_id"),
+              floor(col("value") * 100 + lit(0.5)).cast("long").as("x")),
+          "user_id", "us", "event_id", "x")
         .orderBy(col("user_id"))
     },
 
@@ -502,19 +486,7 @@ object TimeWindows {
         |FROM s WHERE event_type = 'purchase' AND prev_type IS NOT NULL
         |GROUP BY prev_type ORDER BY prev_type""".stripMargin,
     "evt_ewma" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, rn, x AS s FROM b WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.user_id, b.rn, r.s + (b.x - r.s) // 8
-        |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1),
-        |f AS (SELECT user_id, MAX(rn) AS n_events FROM b GROUP BY user_id)
-        |SELECT f.user_id AS user_id, f.n_events, r.s AS ewma_q
-        |FROM f JOIN r ON r.user_id = f.user_id AND r.rn = f.n_events
-        |ORDER BY f.user_id""".stripMargin,
+      Ewma.oracleSql("events", "user_id", "ts", "event_id", "FLOOR(value * 100 + 0.5)"),
     "evt_gapfill" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DistributedRank, Ewma}
+
+/** Pins the chunked-renormalization EWMA (operators/Ewma.scala):
+  *
+  * 1. the distributed plan equals an independently-spelled in-memory
+  *    reference of the same algebra (seed = first value; per chunk of
+  *    ≤32: s ← ⌊(7^L·s + Σ 7^(L−j)·8^(j−1)·x_j) / 8^L⌋) on real data
+  *    with multi-chunk, partial-chunk, and single-event keys;
+  * 2. withPerKeyRank equals the window-function rank it replaces;
+  * 3. the chunk-sum stage of a PLANTED HOT KEY runs on >1 task — the
+  *    round-4 scale flag this operator exists to remove.
+  */
+class EwmaSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Independent spelling of the chunk algebra — local powers, no reuse
+    * of Ewma's constant tables. */
+  private def reference(xs: Seq[Long]): (Long, Long) = {
+    var s = BigInt(xs.head)
+    xs.tail.grouped(Ewma.ChunkLen).foreach { ch =>
+      val l = ch.length
+      val b = ch.zipWithIndex.foldLeft(BigInt(0)) { case (acc, (x, j0)) =>
+        acc + BigInt(x) * BigInt(7).pow(l - (j0 + 1)) * BigInt(8).pow(j0)
+      }
+      s = (BigInt(7).pow(l) * s + b) / BigInt(8).pow(l)
+    }
+    (xs.length.toLong, s.toLong)
+  }
+
+  private def eventsQ = {
+    val s = spark
+    Tables
+      .events(s, sf)
+      .select(
+        col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("x"))
+  }
+
+  test("distributed chunked EWMA equals the in-memory reference on real data") {
+    val s = spark
+    import s.implicits._
+    val expected = eventsQ
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .sortBy(r => (r._1, r._2, r._3))
+      .groupBy(_._1)
+      .map { case (u, rows) => val (n, e) = reference(rows.toSeq.map(_._4)); (u, n, e) }
+      .toSet
+    val got = Ewma
+      .ewmaByKey(eventsQ, "user_id", "us", "event_id", "x")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got === expected)
+    assert(expected.exists(_._2 > Ewma.ChunkLen + 1), "fixture has no multi-chunk key — vacuous")
+  }
+
+  test("withPerKeyRank equals the per-key window rank it replaces") {
+    val s = spark
+    import s.implicits._
+    val df = eventsQ
+    val viaWindow = df
+      .withColumn(
+        "r",
+        row_number()
+          .over(Window.partitionBy(col("user_id")).orderBy(col("user_id"), col("us"), col("event_id")))
+          .cast("long"))
+      .select(col("event_id"), col("r"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val viaRank = DistributedRank
+      .withPerKeyRank(df, "user_id", Seq(col("user_id"), col("us"), col("event_id")), "r",
+        numPartitions = 7)
+      .select(col("event_id"), col("r"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(viaRank === viaWindow)
+  }
+
+  test("a planted hot key's chunk sums run on more than one task") {
+    val s = spark
+    import s.implicits._
+    // One key, 2000 events → 62 full chunks + remainder: with the old
+    // per-key layout ALL of this lands on one task; chunk hashing must
+    // spread it.
+    val hot = s
+      .range(2000)
+      .select(
+        lit(77L).as("user_id"),
+        col("id").as("us"),
+        col("id").as("event_id"),
+        (col("id") % 997 + 1).as("x"))
+    // AQE's size-based coalescing folds this KB-scale fixture into one
+    // partition (correct behavior for genuinely small data — at real
+    // scale the bytes keep it wide). Disable it for the pin: the claim
+    // under test is that the stage partitions by (key, chunk), not key.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = s.conf.get(coalesceKey)
+    val pids =
+      try {
+        s.conf.set(coalesceKey, "false")
+        Ewma
+          .chunkSummaries(hot, "user_id", "us", "event_id", "x")
+          .filter(_._2 >= 0L) // chunk rows only (ci = −1 is the seed)
+          .mapPartitions { it =>
+            val pid = TaskContext.getPartitionId()
+            it.map(_ => pid)
+          }
+          .distinct()
+          .collect()
+      } finally s.conf.set(coalesceKey, prev)
+    assert(pids.length >= 2, s"hot key's chunks all ran on one task: ${pids.toSeq}")
+
+    // And the end-to-end result still matches the reference.
+    val got = Ewma
+      .ewmaByKey(hot, "user_id", "us", "event_id", "x")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    val expected = reference((0L until 2000L).map(_ % 997 + 1))
+    assert(got === Seq((77L, expected._1, expected._2)))
+  }
+}
