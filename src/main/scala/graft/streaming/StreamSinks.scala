@@ -153,6 +153,60 @@ object StreamSinks {
     orphans.map(_.getPath.toString)
   }
 
+  /** Result of [[promote]]: how many files the committed set holds and
+    * which orphans were swept to reach plain-listing visibility. */
+  final case class PromoteReport(committedFiles: Int, sweptOrphans: Seq[String])
+
+  /** Promote a manifest-committed sink directory to PLAIN-LISTING
+    * visibility — the reference's strongest guarantee, which the
+    * manifest mechanism alone does not give: the reference's rename-
+    * based 2PC leaves the directory containing EXACTLY the committed
+    * files, so a reader that just lists `*.orc` (Hive external table,
+    * Trino, DuckDB glob) sees the committed rows and nothing else
+    * (reference README.md:13,17; RowOrcBucketingSink.java:172-200).
+    * Spark's FileStreamSink gets exactly-once only for manifest-aware
+    * readers; uncommitted task files linger for everyone else.
+    *
+    * Committed files already sit at their final names/paths — what
+    * breaks plain listing is orphan debris. Promotion is therefore a
+    * stop-the-writer-guarded zero-grace sweep plus a VERIFIED
+    * post-condition: after the sweep, the recursive data-file listing
+    * must equal the manifest's committed set exactly (checked, not
+    * assumed — a concurrent foreign writer or a manifest referencing a
+    * missing file fails loudly here instead of silently diverging).
+    * After a green promote, dropping `_spark_metadata` (or pointing any
+    * non-Spark engine at the directory glob) yields exactly the
+    * committed rows; `OrcStreamingSinkSpec` pins that, including across
+    * a crash-restart cycle. Run it at the same point the reference's
+    * operators run their manual sweep: writer stopped, batch boundary.
+    */
+  def promote(spark: SparkSession, path: String, format: String = "orc"): PromoteReport = {
+    import org.apache.hadoop.fs.Path
+    val swept = vacuum(spark, path, format, dryRun = false, graceMs = 0L)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == "_spark_metadata") Nil
+        else if (st.isDirectory) dataFiles(st.getPath)
+        else if (name.startsWith("_") || name.startsWith(".")) Nil
+        else Seq(st.getPath)
+      }
+    val listed = dataFiles(root)
+      .map(p => Path.getPathWithoutSchemeAndAuthority(p).toString)
+      .toSet
+    val committed = committedFiles(spark, path, format)
+      .map(u => Path.getPathWithoutSchemeAndAuthority(new Path(u)).toString)
+      .toSet
+    require(
+      listed == committed,
+      s"promote($path): directory and manifest disagree after sweep — " +
+        s"unlisted committed files: ${(committed -- listed).take(3).mkString(", ")}; " +
+        s"extra files: ${(listed -- committed).take(3).mkString(", ")}")
+    PromoteReport(committed.size, swept)
+  }
+
   /** Watermark gauge (reference parity R12): the reference exports the
     * last committed watermark as a metrics gauge, minus a hardcoded -8h
     * timezone shift (RowOrcBucketingSink.java:86,196-198). Here the same

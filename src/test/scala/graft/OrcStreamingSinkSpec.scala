@@ -155,6 +155,63 @@ class OrcStreamingSinkSpec extends AnyFunSuite {
     assert(StreamSinks.vacuum(spark, out, dryRun = true, graceMs = 0L).isEmpty)
   }
 
+  test("promote makes the committed set visible to manifest-UNAWARE readers, across restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val out = freshDir("promote_out")
+    val ckpt = freshDir("promote_ckpt")
+    val stream = MemoryStream[Ev]
+
+    // A manifest-less copy of the sink dir IS the non-Spark reader:
+    // plain file listing, no _spark_metadata to consult — what Hive /
+    // Trino / DuckDB see over the directory glob.
+    def plainReadCount(): Long = {
+      val copy = Files.createTempDirectory("graft_promote_copy")
+      copy.toFile.deleteOnExit()
+      Files.walk(Paths.get(out)).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(_.toString.contains("_spark_metadata"))
+        .foreach { p =>
+          val rel = Paths.get(out).relativize(p)
+          val dst = copy.resolve(rel.toString)
+          Files.createDirectories(dst.getParent)
+          Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+        }
+      spark.read.orc(copy.toString).count()
+    }
+
+    // Phase 1: commit a batch, plant crash debris.
+    stream.addData(ev(1, "a"), ev(2, "b"), ev(3, "a"))
+    val q1 = StreamSinks.orcSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q1.processAllAvailable(); q1.stop()
+    val aDir = Paths.get(out, "etype=a")
+    val committedFile = Files.list(aDir).iterator().asScala
+      .filter(_.toString.endsWith(".orc")).toSeq.head
+    Files.copy(committedFile, aDir.resolve("part-99999-debris.orc"),
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(plainReadCount() > 3, "debris invisible to the plain reader — fixture is vacuous")
+
+    val r1 = StreamSinks.promote(spark, out)
+    assert(r1.sweptOrphans.size === 1 && r1.committedFiles > 0)
+    assert(plainReadCount() === 3, "plain reader diverges from committed set after promote")
+
+    // Phase 2: crash-restart from the checkpoint, more data, new debris.
+    stream.addData(ev(4, "b"), ev(5, "a"))
+    val q2 = StreamSinks.orcSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q2.processAllAvailable(); q2.stop()
+    Files.copy(committedFile, Paths.get(out, "etype=b").resolve("part-99998-debris.orc"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val r2 = StreamSinks.promote(spark, out)
+    assert(r2.sweptOrphans.size === 1)
+    assert(plainReadCount() === 5, "plain reader diverges after restart + promote")
+    // Idempotent: a second promote sweeps nothing and changes nothing.
+    assert(StreamSinks.promote(spark, out).sweptOrphans.isEmpty)
+    assert(plainReadCount() === 5)
+  }
+
   test("parquet streaming sink commits through the manifest too") {
     val s = spark
     import s.implicits._
