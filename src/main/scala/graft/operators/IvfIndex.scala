@@ -47,14 +47,13 @@ object IvfIndex {
     * is governed by that fraction (plus whatever structure k-means
     * finds), so quality is scale-stable by construction.
     *
-    * k is capped at 256: the assignment expression embeds k centroid
-    * literals in one codegen'd `least()` (zero shuffle — the whole point
-    * of the literal design), and the generated source grows linearly in
-    * k. Past a few hundred centroids the right shape is a broadcast-join
-    * assignment against a centroid table, which trades a per-row join
-    * probe for unbounded k; at √N = 256 that switchover sits at N ≈ 65k
-    * rows PER TRAINING DOMAIN, and a 100 TB corpus would shard training
-    * (per language/source bucket) before reaching it.
+    * k is capped at [[LiteralAssignMaxK]] = 256 HERE because auto-sized
+    * indexes should stay on the fused-literal codegen assignment (zero
+    * shuffle, whole-stage-codegen'd; generated source grows linearly in
+    * k). Larger k is fully supported: [[assignAuto]] switches to the
+    * bit-equivalent broadcast-variable probe ([[assignBroadcast]]) past
+    * the cap, so a hand-sized index with thousands of centroids works —
+    * the cap is a codegen-quality preference, not an architecture limit.
     */
   def autoParams(n: Long, targetScanFrac: Double = 0.3): (Int, Int) = {
     val k = math.max(4, math.min(256, math.round(math.sqrt(n.toDouble)).toInt))
@@ -75,6 +74,90 @@ object IvfIndex {
     least(model.centroids.zipWithIndex.map { case (c, i) =>
       struct((-CosineSimilarity.column(v, typedLit(c))).as("d"), lit(i).as("cl"))
     }: _*).getField("cl")
+
+  /** k above which [[assignAuto]] switches from the fused-literal
+    * expression to the broadcast-variable path: the generated code of
+    * [[assignExpr]] grows linearly in k and falls out of JIT-friendly
+    * territory past a few hundred centroids. Matches [[autoParams]]'s
+    * k cap, so auto-sized indexes stay on the codegen path. */
+  val LiteralAssignMaxK = 256
+
+  /** Nearest-centroid assignment via a BROADCAST VARIABLE +
+    * mapPartitions — the k-switchover path [[LiteralAssignMaxK]] gates:
+    * centroids ship once per executor as one broadcast instead of k
+    * fused expression literals, so k is unbounded. Still zero shuffle
+    * and zero row expansion — an O(k·dim) probe per row inside a
+    * partition scan (the shape a BLAS batch kernel would slot into).
+    *
+    * Arithmetic is REPLICATED from CosineSimilarity.nullSafeEval
+    * term-for-term (per-product floor-quantization at 1e-6, sum order,
+    * final division) and ties break on the lower cluster id, so the two
+    * paths agree bit-for-bit; degenerate vectors (null / dim mismatch /
+    * zero norm) reproduce the expression path's null-first struct
+    * ordering (the first null-distance centroid wins).
+    * IvfIndexLayoutSpec pins path equivalence on a shared model.
+    */
+  def assignBroadcast(
+      corpus: DataFrame,
+      model: Model,
+      vCol: String = "v",
+      outCol: String = "cl"
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(model.centroids.map(_.toArray))
+    val vIdx = corpus.schema.fieldIndex(vCol)
+    val outSchema = corpus.schema.add(outCol, org.apache.spark.sql.types.IntegerType, nullable = false)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    corpus.mapPartitions { it =>
+      val cents = bc.value
+      it.map { r =>
+        val v: Seq[Double] = if (r.isNullAt(vIdx)) null else r.getSeq[Double](vIdx)
+        var bestCl = -1
+        var bestD = 0.0
+        var nullCl = -1
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          if (v == null || v.length != c.length) {
+            if (nullCl < 0) nullCl = i
+          } else {
+            var dot = 0.0; var nx = 0.0; var ny = 0.0
+            var j = 0
+            while (j < c.length) {
+              val xi = v(j); val yi = c(j)
+              dot += math.floor(xi * yi * 1e6 + 0.5)
+              nx += math.floor(xi * xi * 1e6 + 0.5)
+              ny += math.floor(yi * yi * 1e6 + 0.5)
+              j += 1
+            }
+            val denom = math.sqrt((nx / 1e6) * (ny / 1e6))
+            if (denom == 0.0) {
+              if (nullCl < 0) nullCl = i
+            } else {
+              val d = -((dot / 1e6) / denom)
+              if (bestCl < 0 || d < bestD) { bestCl = i; bestD = d }
+            }
+          }
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (if (nullCl >= 0) nullCl else bestCl))
+      }
+    }
+  }
+
+  /** Assignment with the k-gated path choice: fused-literal codegen up
+    * to [[LiteralAssignMaxK]] centroids, broadcast-variable probe past
+    * it. Both paths are bit-equivalent (spec-pinned), so callers never
+    * observe the switch. */
+  def assignAuto(
+      corpus: DataFrame,
+      model: Model,
+      vCol: String = "v",
+      outCol: String = "cl"
+  ): DataFrame =
+    if (model.k <= LiteralAssignMaxK) corpus.withColumn(outCol, assignExpr(model, col(vCol)))
+    else assignBroadcast(corpus, model, vCol, outCol)
 
   /** Train a k-means codebook on a deterministic hash-sample of `corpus`
     * (expects columns `vec_id`, `v: array<double>`).
@@ -159,8 +242,7 @@ object IvfIndex {
     * file counts bounded by k × tasks) is the standard partitioned-write
     * trade. */
   def writeIndexed(corpus: DataFrame, model: Model, path: String): Unit =
-    corpus
-      .withColumn("cl", assignExpr(model, col("v")))
+    assignAuto(corpus, model)
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cl")
@@ -241,7 +323,7 @@ object IvfIndex {
       .filter(col("crn") <= nProbe)
       .select(col("q_id"), col("qv"), col("cl"))
 
-    val assigned = corpus.withColumn("cl", assignExpr(model, col("v")))
+    val assigned = assignAuto(corpus, model)
     val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     assigned
       .join(broadcast(probed), Seq("cl"))

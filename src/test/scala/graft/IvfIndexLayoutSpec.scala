@@ -20,6 +20,45 @@ class IvfIndexLayoutSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("broadcast assignment ≡ fused-literal assignment, on a trained and an oversized model") {
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+    def byExpr(m: IvfIndex.Model) = e
+      .withColumn("cl", IvfIndex.assignExpr(m, col("v")))
+      .select("vec_id", "cl")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    def byBroadcast(m: IvfIndex.Model) = IvfIndex
+      .assignBroadcast(e, m)
+      .select("vec_id", "cl")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+
+    // Path equivalence on a genuinely trained model…
+    val trained = IvfIndex.train(e, k = 10, iters = 3)
+    assert(byBroadcast(trained) === byExpr(trained))
+
+    // …and on a model larger than the codegen gate, where assignAuto
+    // must take the broadcast path and still agree with the expression.
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    val big = IvfIndex.Model(Array.tabulate(IvfIndex.LiteralAssignMaxK + 44) { i =>
+      Seq.tabulate(dim)(j => math.sin(i * 31 + j * 7).abs + 0.01)
+    })
+    assert(big.k > IvfIndex.LiteralAssignMaxK)
+    val viaAuto = IvfIndex
+      .assignAuto(e, big)
+      .select("vec_id", "cl")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(viaAuto === byExpr(big))
+    assert(viaAuto.values.toSet.size > 1, "degenerate fixture: every vector in one cluster")
+  }
+
   test("indexed search ≡ in-memory search, and the scan prunes to the probed partitions") {
     val e = Tables
       .embeddings(spark, sf)
