@@ -13,9 +13,13 @@ import java.nio.file.{Files, Paths}
   * round-3 driver recording was ~2.5× a clean run on identical code
   * because end-of-round work shared the box):
   *
-  * - before the measured passes it waits (up to 90 s) for the 1-minute
-  *   system load average to drop below half the allotted cores, so a
-  *   competing burst finishes instead of polluting every sample;
+  * - a budgeted quiet gate (SPARK_GRAFT_BENCH_QUIET_MAX_SEC, default
+  *   600 s total) waits for the 1-minute load average to drop below half
+  *   the allotted cores BEFORE the warmup, again before EVERY measured
+  *   pass, and once more before a final quarantine re-measure of any
+  *   still-flagged queries — so a competing burst pauses the bench at
+  *   the next pass boundary instead of polluting the remaining samples;
+  *   an exhausted budget is reported as `quiet_gate_timeout`;
   * - a query whose spread (max−min) exceeds its median is re-run up to
   *   two extra times — transient interference shrinks the spread, a
   *   genuinely bimodal query keeps it and stays flagged;
@@ -57,14 +61,24 @@ object Bench {
       } catch { case _: Throwable => (0L, 0L) }
 
     // Serialize against competing load: a box already saturated by
-    // another job would inflate every sample; give it up to 90 s to
-    // drain. Our own JVM is mostly idle here, so loadavg reflects the
-    // OTHER tenants (plus sbt's compile tail, which the first samples of
-    // the warmup pass absorb anyway).
+    // another job would inflate every sample. The round-3 AND round-4
+    // driver recordings both shipped contended (end-of-round work shares
+    // the box and outlives a short grace), so the gate is a BUDGETED
+    // LOOP-WAIT applied before the warmup and re-applied before every
+    // measured pass — a burst that starts mid-run pauses the bench
+    // instead of polluting the remaining passes. Our own JVM is idle at
+    // each gate (between passes all queries have completed), so loadavg
+    // reflects the other tenants. Budget via
+    // SPARK_GRAFT_BENCH_QUIET_MAX_SEC (default 600); if it runs dry the
+    // bench proceeds and says so (`quiet_gate_timeout`) rather than
+    // shipping silently-distrusted numbers.
     val loadStart = loadAvg()
     val quietBar = math.max(2.0, cpus.toDouble / 2)
+    val quietBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_MAX_SEC", "600").toInt
     var waited = 0
-    while (loadAvg() > quietBar && waited < 90) { Thread.sleep(5000); waited += 5 }
+    def waitQuiet(): Unit =
+      while (loadAvg() > quietBar && waited < quietBudget) { Thread.sleep(5000); waited += 5 }
+    waitQuiet()
 
     val (jifT0, jifS0) = cpuJiffies()
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -80,8 +94,11 @@ object Bench {
     }
     names.foreach(once) // warmup pass (JIT + codegen + FS cache)
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
-    for (_ <- 1 to nRuns; n <- names)
-      samples(n) = samples.getOrElse(n, Vector.empty) :+ once(n)
+    for (_ <- 1 to nRuns) {
+      waitQuiet() // re-gate: a burst that started mid-run pauses the bench
+      for (n <- names)
+        samples(n) = samples.getOrElse(n, Vector.empty) :+ once(n)
+    }
 
     // lower-middle median: with an even survivor count this takes the
     // FASTER middle sample — a transient failure or interference burst
@@ -103,15 +120,29 @@ object Bench {
     // genuinely bimodal query keeps producing slow samples, re-fills the
     // top, and stays flagged; one interfered sample is displaced by a
     // clean re-measurement and the flag clears.
+    def isContended(n: String): Boolean = {
+      val ts = samples(n); val m = medianOf(ts)
+      m > 0.05 && spreadOf(ts) > m
+    }
     for (n <- names) {
       var extra = 0
-      while (extra < 2 && {
-          val ts = samples(n); val m = medianOf(ts)
-          m > 0.05 && spreadOf(ts) > m
-        }) {
+      while (extra < 2 && isContended(n)) {
         val ts = samples(n)
         samples(n) = ts.patch(ts.indexOf(ts.max), Nil, 1) :+ once(n)
         extra += 1
+      }
+    }
+
+    // Quarantine pass: queries still flagged after per-query retries are
+    // the ones a mid-run burst hit hardest. Wait for quiet once more
+    // (same budget) and replace each one's worst sample with a fresh
+    // measurement — a clean box clears the flag, a genuinely bimodal
+    // query survives it and stays flagged.
+    if (names.exists(isContended)) {
+      waitQuiet()
+      for (n <- names if isContended(n)) {
+        val ts = samples(n)
+        samples(n) = ts.patch(ts.indexOf(ts.max), Nil, 1) :+ once(n)
       }
     }
 
@@ -130,6 +161,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,""" +
         s""""runs":$nRuns,"max_spread_ratio":$maxRatio,"contended":$contended,""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_wait_sec":$waited,""" +
+        s""""quiet_gate_timeout":${waited >= quietBudget},""" +
         s""""cpu_steal_frac":$stealFrac,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/tmp/bench_out.json")
     try {

@@ -87,30 +87,28 @@ object Ewma {
       keyCol,
       Seq(col(keyCol), col(tsCol), col(idCol)),
       rankCol = "__pos")
-    val seeds = ranked
-      .filter(col("__pos") === 1)
-      .select(
-        col(keyCol).cast("long").as("_1"),
-        lit(-1L).as("_2"),
-        lit(0).as("_3"),
-        col(xCol).cast("long").cast("string").as("_4"))
-      .as[(Long, Long, Int, String)]
-    val chunks = ranked
-      .filter(col("__pos") >= 2)
+    // Seeds ride the SAME grouped pass as chunks (ci = −1, j = 0): a
+    // separate filter+union branch would re-execute every stage above
+    // the rank subplan's pinned RDD a second time — measured ~2× the
+    // whole operator's fixed cost at bench scale for zero semantic gain.
+    ranked
       .select(
         col(keyCol).cast("long"),
-        expr(s"CAST((__pos - 2) div $ChunkLen AS BIGINT)"),
-        expr(s"CAST((__pos - 2) % $ChunkLen + 1 AS INT)"),
+        expr(s"CAST(CASE WHEN __pos = 1 THEN -1 ELSE (__pos - 2) div $ChunkLen END AS BIGINT)"),
+        expr(s"CAST(CASE WHEN __pos = 1 THEN 0 ELSE (__pos - 2) % $ChunkLen + 1 END AS INT)"),
         col(xCol).cast("long"))
       .as[(Long, Long, Int, Long)]
       .groupByKey(t => (t._1, t._2))
       .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Long)]) =>
-        // ≤ ChunkLen rows per group by construction — bounded memory.
-        val rows = it.toArray.sortBy(_._3)
-        val praw = rows.foldLeft(BigInt(0))((acc, r) => acc + BigInt(r._4) * weight(r._3))
-        (key._1, key._2, rows.length, (praw / pow7(ChunkLen - rows.length)).toString)
+        if (key._2 == -1L) {
+          (key._1, -1L, 0, it.next()._4.toString) // the per-key seed row
+        } else {
+          // ≤ ChunkLen rows per group by construction — bounded memory.
+          val rows = it.toArray.sortBy(_._3)
+          val praw = rows.foldLeft(BigInt(0))((acc, r) => acc + BigInt(r._4) * weight(r._3))
+          (key._1, key._2, rows.length, (praw / pow7(ChunkLen - rows.length)).toString)
+        }
       }
-    seeds.union(chunks)
   }
 
   /** (key, n_events, ewma_q) per key: seed + fold over chunk summaries.
