@@ -209,6 +209,63 @@ object Joins {
         .limit(20)
     },
 
+    // TPC-H Q7-shaped: volume shipped between two nation pairs by year —
+    // TWO INDEPENDENT dim chains (supplier→nation₁, customer→orders→
+    // nation₂) meeting at lineitem, with the symmetric pair predicate
+    // applied across them. The join-order stress here is that neither
+    // nation filter alone prunes much; the cross-chain pair condition
+    // does, and it can only apply after both chains are joined.
+    "analytics_q7" -> { (spark, dir) =>
+      val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(spark, dir)
+      val s = Tables.supplier(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      l.join(s, l("l_suppkey") === s("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(l("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q8-shaped 7-table market share: one nation's share of revenue
+    // for one part type in one region, per year — the DEEPEST plan in
+    // the suite (part⋈lineitem⋈supplier⋈orders⋈customer⋈nation⋈region +
+    // a second nation dim on the supplier chain), with a conditional-sum
+    // ratio on top. part is filtered selectively (one p_type) so the CBO
+    // should drive the join order from that filter.
+    "analytics_q8" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+      val l = Tables.lineitem(spark, dir)
+      val s = Tables.supplier(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val cn = Tables.nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val sn = Tables.nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val r = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+      p.join(l, p("p_partkey") === l("l_partkey"))
+        .join(s, l("l_suppkey") === s("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(cn), c("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), cn("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(sn), s("s_nationkey") === col("s_nk"))
+        .groupBy(year(o("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          dsum(
+            when(col("supp_nation") === "NATION_5", l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+              .otherwise(lit(0.0))).as("brazil_rev"),
+          dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("total_rev"))
+        .orderBy(col("o_year"))
+    },
+
     // Range (interval) self-join, banded: per error event, how many events
     // of the same user landed in the preceding 5 minutes. The 5-minute
     // epoch bucket turns the range condition into an equi-join on
@@ -405,6 +462,33 @@ object Joins {
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey ASC
          |LIMIT 20""".stripMargin,
+    "analytics_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "analytics_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${sqlSum("CASE WHEN n1.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS brazil_rev,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+         |FROM part JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin,
     "join_range_events" ->
       """SELECT a.event_id, COALESCE(cnt.n, 0) AS n_prior
         |FROM events a LEFT JOIN (

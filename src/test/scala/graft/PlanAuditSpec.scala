@@ -54,7 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (a) broadcast at least its nation/region dims, (b) plan no
     // cartesian (also swept fleet-wide below), and (c) land its date /
     // flag predicates in the parquet scans rather than post-join filters.
-    for (q <- Seq("analytics_q3", "analytics_q5", "analytics_q10")) {
+    for (q <- Seq("analytics_q3", "analytics_q5", "analytics_q7", "analytics_q8", "analytics_q10")) {
       val plan = executed(q)
       val bc = collectAll(plan) { case b: BroadcastExchangeExec => b }
       assert(bc.nonEmpty, s"$q: no broadcast exchange — dim joins degraded to shuffles")
