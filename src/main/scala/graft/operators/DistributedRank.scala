@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-partition by the sort key (distributed sampled sort — the
   *      same machinery as a global orderBy);
-  *   2. local row_number inside each sorted range partition;
+  *   2. local rank/running-agg inside each sorted range partition — a
+  *      NARROW mapPartitions counter over the already-sorted rows, not
+  *      a `Window.partitionBy(__pid)` (which would re-exchange the full
+  *      table just to tell Catalyst what the pinned layout already is);
   *   3. per-partition row counts → cumulative offsets. This is
   *      METADATA-scale (one row per partition), so the tiny cumulative
   *      window over it is free;
@@ -23,11 +26,77 @@ import org.apache.spark.sql.functions._
   *      exactly for every N (the simpler ⌊(i−1)·b/N⌋+1 closed form
   *      spreads the remainder evenly and diverges whenever N mod b ≠ 0).
   *
-  * Two distributed shuffles (range + pid-hash), zero single-partition
+  * ONE full-data shuffle (the range exchange), zero single-partition
   * data movement; partition boundaries affect nothing observable, so
   * sampling nondeterminism cannot leak into results.
   */
 object DistributedRank {
+
+  /** Local (within-partition) 1-based running index over consecutive
+    * runs of `keyCols` values — the narrow replacement for
+    * `row_number() OVER (PARTITION BY __pid[, key] ORDER BY sort)`:
+    * rows inside a pinned partition are ALREADY in sort order (the pin
+    * happens after `sortWithinPartitions`), but Catalyst cannot see
+    * that through the RDD boundary and would insert a second FULL-DATA
+    * exchange + sort to satisfy the window. A mapPartitions counter
+    * reads the shuffle output in place instead — at 100 TB that is one
+    * entire shuffle of the table saved. Pass Nil for a plain
+    * per-partition index (global-rank helpers); pass the key column
+    * for a per-key index (the counter resets at each key run).
+    */
+  private def withLocalRunIndex(df: DataFrame, keyCols: Seq[String], outCol: String): DataFrame = {
+    val keyIdxs = keyCols.map(df.schema.fieldIndex)
+    val schema = df.schema.add(outCol, org.apache.spark.sql.types.LongType, nullable = false)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      var cur: Seq[Any] = null
+      var n = 0L
+      it.map { r =>
+        val k = keyIdxs.map(r.get)
+        if (cur == null || k != cur) { cur = k; n = 1L }
+        else n += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+  }
+
+  /** Local INCLUSIVE running sum of `valueCol` (summed as long, nulls
+    * contribute nothing — matching SQL window `sum`) over the pinned
+    * partition's existing sort order; same narrow-vs-exchange rationale
+    * as [[withLocalRunIndex]]. */
+  private def withLocalRunningSum(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val schema = df.schema.add(outCol, org.apache.spark.sql.types.LongType, nullable = false)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      var s = 0L
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) s += r.getAs[Number](vIdx).longValue()
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+  }
+
+  /** Local EXCLUSIVE running min of `valueCol` (null for the first row,
+    * nulls skipped — matching `min OVER (… ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND -1)`) over the pinned partition's sort order. */
+  private def withLocalExclMin(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val schema = df.schema.add(outCol, df.schema(valueCol).dataType, nullable = true)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      var m: Any = null
+      it.map { r =>
+        val out = m
+        val v = r.get(vIdx)
+        if (v != null && (m == null || v.asInstanceOf[Comparable[Any]].compareTo(m) < 0)) m = v
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+  }
 
   /** One physical evaluation for a multi-consumer subplan.
     *
@@ -74,15 +143,13 @@ object DistributedRank {
       .withColumn("__total", sum(col("__cnt")).over(wTot))
       .select(col("__pid"), col("__off"), col("__total"))
 
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortExprs: _*)
     // SQL NTILE sizing: with q = N div b and r = N mod b, the first r
     // buckets get q+1 rows and the remaining b−r buckets get q rows
     // (remainder front-loaded). Piecewise on whether the rank falls in
     // the big-bucket prefix; integer `div` keeps it exact at any N, and
     // CASE short-circuits so the q=0 division in the ELSE branch is
     // never evaluated when N < b.
-    ranged
-      .withColumn("__lrn", row_number().over(wLocal))
+    withLocalRunIndex(ranged, Nil, "__lrn")
       .join(broadcast(offsets), "__pid")
       .withColumn(rankCol, col("__off") + col("__lrn"))
       .withColumn(
@@ -143,9 +210,7 @@ object DistributedRank {
       .filter(col("__off") > 0)
       .select(col("__opid"), col("__k"), col("__off"))
 
-    val wLocal = Window.partitionBy(col("__pid"), col(keyCol)).orderBy(sortExprs: _*)
-    ranged
-      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    withLocalRunIndex(ranged, Seq(keyCol), "__lrn")
       .join(
         broadcast(offsets),
         col("__pid") === col("__opid") && col(keyCol) === col("__k"),
@@ -183,12 +248,7 @@ object DistributedRank {
       .withColumn("__off", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__off"))
 
-    val wLocal = Window
-      .partitionBy(col("__pid"))
-      .orderBy(sortExprs: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("__lcum", sum(col(valueCol).cast("long")).over(wLocal))
+    withLocalRunningSum(ranged, valueCol, "__lcum")
       .join(broadcast(offsets), "__pid")
       .withColumn(cumCol, col("__off") + col("__lcum"))
       .drop("__pid", "__lcum", "__off")
@@ -223,12 +283,7 @@ object DistributedRank {
       .withColumn("__off", min(col("__pmin")).over(wOff))
       .select(col("__pid"), col("__off"))
 
-    val wLocal = Window
-      .partitionBy(col("__pid"))
-      .orderBy(sortExprs: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("__lmin", min(col(valueCol)).over(wLocal))
+    withLocalExclMin(ranged, valueCol, "__lmin")
       .join(broadcast(offsets), "__pid")
       .withColumn(cumCol, least(col("__off"), col("__lmin")))
       .drop("__pid", "__lmin", "__off")

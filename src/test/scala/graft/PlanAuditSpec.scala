@@ -75,11 +75,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"events scan reads more than needed: $schemas")
   }
 
-  test("win_ntile keeps all data-path windows partitioned (no global-window funnel)") {
+  test("win_ntile keeps every window off the data path (no global-window funnel)") {
+    // Since the round-5 narrow rewrite the LOCAL rank is a mapPartitions
+    // counter (no WindowExec, no second full-data exchange); the only
+    // windows left in the plan at all are the metadata-scale cumulative
+    // offsets over per-partition counts. Pin exactly that.
     val wins = collectAll(executed("win_ntile")) { case w: WindowExec => w }
-    assert(wins.exists(_.partitionSpec.nonEmpty), "no partitioned window found — rewrite regressed")
-    // the only empty-partition windows allowed are the metadata-scale
-    // cumulative offsets (input = one row per partition)
     val global = wins.filter(_.partitionSpec.isEmpty)
     assert(global.size <= 2, s"unexpected global windows: ${global.size}")
     global.foreach { w =>
