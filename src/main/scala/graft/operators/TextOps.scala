@@ -414,6 +414,35 @@ object TextOps {
     // function of the KEY (first md5 byte < 0x0d ⇒ holdout, ~5.1%), so
     // the split is stable across runs, engines, and repartitioning;
     // no RNG state, no sample() nondeterminism. Pure map + hash agg.
+    // LEAKAGE-PROOF train/holdout split: plain per-doc hash splitting
+    // (split_train_holdout) leaks when near-duplicates land on opposite
+    // sides — the holdout stops measuring generalization. Here the split
+    // decision is made per NEAR-DUP CLUSTER (connected components over
+    // the same ≥0.5 n-gram-Jaccard graph as dedup_clusters; singletons
+    // are their own group), so a cluster cannot straddle splits BY
+    // CONSTRUCTION — the split is a pure function of the group rep.
+    // Deterministic md5 bucketing on the rep, same scheme as
+    // split_train_holdout. Output: per-split doc/group/token mass.
+    "split_leakproof" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val comp = DedupClusters.connectedComponents(
+        ngramJaccardPairs(docs, 3, 0.5).select(col("d1"), col("d2")))
+      val bucket = substring(md5(col("grp").cast("string").cast("binary")), 1, 2)
+      docs
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("rep"), col("doc_id")))
+        .select(
+          when(bucket < "0d", "holdout").otherwise("train").as("split"),
+          col("grp"),
+          size(toks(col("text"))).cast("long").as("nt"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"),
+          sum(col("nt")).cast("long").as("sum_tokens"))
+        .orderBy(col("split"))
+    },
+
     "split_train_holdout" -> { (spark, dir) =>
       val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
       Tables
@@ -867,6 +896,36 @@ object TextOps {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "split_leakproof" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs0 AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM pairs0
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(n, m) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n),
+         |d AS (
+         |  SELECT doc.doc_id, COALESCE(comp.rep, doc.doc_id) AS grp,
+         |    len(string_split(doc.text,' ')) AS nt
+         |  FROM documents doc LEFT JOIN comp ON comp.doc_id = doc.doc_id)
+         |SELECT
+         |  CASE WHEN substr(md5(grp::VARCHAR),1,2) < '0d' THEN 'holdout' ELSE 'train' END AS split,
+         |  COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups,
+         |  CAST(SUM(nt) AS BIGINT) AS sum_tokens
+         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
     "select_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars, len(string_split(text,' ')) AS nt,
