@@ -55,9 +55,9 @@ object Ewma {
     * has no such bound.) */
   val ChunkLen = 32
 
-  private[operators] val pow7: Array[BigInt] =
+  private[graft] val pow7: Array[BigInt] =
     Array.iterate(BigInt(1), ChunkLen + 1)(_ * 7)
-  private[operators] val pow8: Array[BigInt] =
+  private[graft] val pow8: Array[BigInt] =
     Array.iterate(BigInt(1), ChunkLen + 1)(_ * 8)
 
   /** weight(j) = 7^(C−j)·8^(j−1): position j's exact contribution to a
