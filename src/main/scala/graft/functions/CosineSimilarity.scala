@@ -125,6 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.asofJoinTvf)
     ext.injectTableFunction(GraftExtensions.lshTopkTvf)
     ext.injectTableFunction(GraftExtensions.packChunksTvf)
+    ext.injectTableFunction(GraftExtensions.ewmaTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -369,6 +370,39 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for the hot-key-parallel chunked EWMA:
+    * graft_ewma(table, keyCol, tsCol, idCol, xCol) → (keyCol, n_events,
+    * ewma_q) per key — the same chunked-renormalization plan as the
+    * Scala operator (graft.operators.Ewma.ewmaByKey); xCol must already
+    * be on the caller's integer grid (e.g. floor(value*100 + 0.5)). */
+  private[graft] val ewmaTvf = (
+    FunctionIdentifier("graft_ewma"),
+    new ExpressionInfo(
+      graft.operators.Ewma.getClass.getName, "graft_ewma"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 5,
+        s"graft_ewma expects (table, keyCol, tsCol, idCol, xCol), got ${children.length}")
+      def str(i: Int, what: String): String = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other =>
+              throw new IllegalArgumentException(s"graft_ewma: $what must be a string literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_ewma: $what must be a literal, got $other")
+      }
+      import org.apache.spark.sql.functions.col
+      val spark = SparkSession.active
+      val names = Seq(str(1, "keyCol"), str(2, "tsCol"), str(3, "idCol"), str(4, "xCol"))
+      val d = spark.table(str(0, "table")).select(names.map(col): _*)
+      graft.operators.Ewma
+        .ewmaByKey(d, names(0), names(1), names(2), names(3))
+        .queryExecution.analyzed
+    }
+  )
+
   /** Late registration on a live session (tests, REPL): functions into
     * the registry, the SimilarityJoin lowering into the public
     * `experimental.extraOptimizations` hook (idempotent — analyzer rules
@@ -390,6 +424,8 @@ object GraftExtensions {
       lshTopkTvf._1, lshTopkTvf._2, lshTopkTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       packChunksTvf._1, packChunksTvf._2, packChunksTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      ewmaTvf._1, ewmaTvf._2, ewmaTvf._3)
     // SQL names for the typed sketch Aggregators (UDAFs can't ride
     // SparkSessionExtensions — no Expression builder for ScalaAggregator
     // — so they register per-session here; idempotent overwrite). The

@@ -263,6 +263,26 @@ object TimeWindows {
     // chunk-level recursive CTE), so both engines compute the identical
     // algebra. Still the batch twin of a mapGroupsWithState streaming
     // fold (state = s + the partial chunk).
+    // The SQL spelling: graft_ewma TABLE FUNCTION over a pre-gridded
+    // view — a SQL-only user reaches the same hot-key-parallel chunked
+    // plan. Shares evt_ewma's oracle BY REFERENCE (same contract,
+    // divergence impossible).
+    "sql_ewma" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables
+        .events(spark, dir)
+        .select(
+          col("user_id"),
+          expr("unix_micros(ts)").as("us"),
+          col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("x"))
+        .createOrReplaceTempView("graft_events_grid")
+      spark.sql(
+        """SELECT user_id, n_events, ewma_q
+          |FROM graft_ewma('graft_events_grid', 'user_id', 'us', 'event_id', 'x')
+          |ORDER BY user_id""".stripMargin)
+    },
+
     "evt_ewma" -> { (spark, dir) =>
       Ewma
         .ewmaByKey(
@@ -486,6 +506,10 @@ object TimeWindows {
         |FROM s WHERE event_type = 'purchase' AND prev_type IS NOT NULL
         |GROUP BY prev_type ORDER BY prev_type""".stripMargin,
     "evt_ewma" ->
+      Ewma.oracleSql("events", "user_id", "ts", "event_id", "FLOOR(value * 100 + 0.5)"),
+    // sql_ewma shares evt_ewma's generated oracle BY REFERENCE — the TVF
+    // spelling must match the Scala operator exactly.
+    "sql_ewma" ->
       Ewma.oracleSql("events", "user_id", "ts", "event_id", "FLOOR(value * 100 + 0.5)"),
     "evt_gapfill" ->
       """WITH b AS (
