@@ -112,7 +112,13 @@ object IvfIndex {
     corpus.mapPartitions { it =>
       val cents = bc.value
       it.map { r =>
-        val v: Seq[Double] = if (r.isNullAt(vIdx)) null else r.getSeq[Double](vIdx)
+        // A null ELEMENT nulls the cosine against every centroid on the
+        // expression path (first-null-candidate wins, = cl 0); surface
+        // it as a null vector here so both paths agree instead of an
+        // unboxing NPE mid-loop.
+        val raw = if (r.isNullAt(vIdx)) null else r.getSeq[Double](vIdx)
+        val v: Seq[Double] =
+          if (raw == null || raw.asInstanceOf[Seq[Any]].exists(_ == null)) null else raw
         var bestCl = -1
         var bestD = 0.0
         var nullCl = -1
