@@ -179,6 +179,12 @@ object StreamSinks {
     * committed rows; `OrcStreamingSinkSpec` pins that, including across
     * a crash-restart cycle. Run it at the same point the reference's
     * operators run their manual sweep: writer stopped, batch boundary.
+    *
+    * Lifecycle handoff: after a green promote the directory is a valid
+    * PLAIN table — deleting `_spark_metadata` converts it to a
+    * batch-managed table on which the maintenance operators (compact,
+    * writeSorted/writeZOrdered rewrites) apply; the spec pins rows
+    * surviving that conversion + compaction.
     */
   def promote(spark: SparkSession, path: String, format: String = "orc"): PromoteReport = {
     import org.apache.hadoop.fs.Path

@@ -210,6 +210,16 @@ class OrcStreamingSinkSpec extends AnyFunSuite {
     // Idempotent: a second promote sweeps nothing and changes nothing.
     assert(StreamSinks.promote(spark, out).sweptOrphans.isEmpty)
     assert(plainReadCount() === 5)
+
+    // Lifecycle handoff: after a green promote the directory IS a plain
+    // table — drop the manifest and batch maintenance (compact) applies
+    // with rows intact. This is the streaming→batch table conversion the
+    // reference gets for free from its rename protocol.
+    val meta = Paths.get(out, "_spark_metadata")
+    Files.walk(meta).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val compacted = freshDir("promote_compacted")
+    graft.sources.FileIO.compact(spark, out, compacted, targetFileBytes = 64L * 1024 * 1024, format = "orc")
+    assert(spark.read.orc(compacted).count() === 5, "compaction after manifest drop changed rows")
   }
 
   test("parquet streaming sink commits through the manifest too") {
