@@ -46,9 +46,12 @@ object TimeWindows {
         .orderBy(col("ws"))
     },
 
-    // Session windows per user, 5-minute gap: an event at exactly
-    // prev_ts + gap starts a NEW session (Spark sessions are
-    // [start, last_event + gap) half-open).
+    // Session windows per user, 5-minute gap. Boundary semantics,
+    // verified empirically (StreamingTopPathsSpec pins it): Spark
+    // MERGES touching sessions — an event at exactly prev_ts + gap
+    // still extends the session; only a STRICTLY larger gap splits.
+    // The oracle's island rewrite therefore splits on `> INTERVAL`,
+    // not `>=`.
     "win_session" -> { (spark, dir) =>
       Tables
         .events(spark, dir)
@@ -382,8 +385,11 @@ object TimeWindows {
     "win_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,
+        |    -- STRICTLY greater: Spark's session_window MERGES touching
+        |    -- windows (an event at exactly lastTs+gap extends the
+        |    -- session), so the split condition is > gap, not >=
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= INTERVAL '5 minutes'
+        |              > INTERVAL '5 minutes'
         |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),
@@ -448,8 +454,11 @@ object TimeWindows {
     "evt_top_paths" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,
+        |    -- STRICTLY greater: Spark's session_window MERGES touching
+        |    -- windows (an event at exactly lastTs+gap extends the
+        |    -- session), so the split condition is > gap, not >=
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= INTERVAL '5 minutes'
+        |              > INTERVAL '5 minutes'
         |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),

@@ -17,9 +17,11 @@ case class SessionPathRow(user_id: Long, start_ms: Long, path: String)
   * Append mode, event-time timeouts.
   *
   * A session closes two ways, both matching the batch
-  * `session_window(ts, gap)` semantics (new session iff the inter-event
-  * gap is ≥ the window gap — the oracle's `>= INTERVAL` spelling):
-  *  - in-stream: the next event of the same user arrives ≥ gap later —
+  * `session_window(ts, gap)` semantics — which MERGES touching windows:
+  * an event at exactly lastTs + gap still extends the session, so the
+  * split condition is STRICTLY `>` (the spec pins the boundary against
+  * the batch engine):
+  *  - in-stream: the next event of the same user arrives > gap later —
   *    the closed session emits immediately;
   *  - by watermark: no successor arrives and the event-time watermark
   *    passes lastEvent + gap — the timeout closes and emits it.
@@ -68,7 +70,7 @@ object StreamingTopPaths {
             batch.toArray.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, _, tpe) =>
               val t = ts.getTime
               if (st == null) st = PathSessState(t, t, 1, List(tpe))
-              else if (t - st.lastMs >= gapMs) {
+              else if (t - st.lastMs > gapMs) {
                 out = SessionPathRow(user, st.startMs, st.types.reverse.mkString(">")) :: out
                 st = PathSessState(t, t, 1, List(tpe))
               } else if (st.len < maxPathEvents) {

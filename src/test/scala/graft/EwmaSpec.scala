@@ -92,6 +92,13 @@ class EwmaSpec extends AnyFunSuite {
     assert(viaRank === viaWindow)
   }
 
+  test("empty input yields empty output (no seed-row crash)") {
+    val s = spark
+    import s.implicits._
+    val empty = s.emptyDataset[(Long, Long, Long, Long)].toDF("user_id", "us", "event_id", "x")
+    assert(Ewma.ewmaByKey(empty, "user_id", "us", "event_id", "x").count() === 0)
+  }
+
   test("a planted hot key's chunk sums run on more than one task") {
     val s = spark
     import s.implicits._

@@ -103,4 +103,65 @@ class StreamingTopPathsSpec extends AnyFunSuite {
       .toSeq
     assert(topStream === topBatch, "top-path counts diverge from evt_top_paths")
   }
+
+  test("exact-gap boundary matches session_window: touching merges, strictly-greater splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // Spark's session_window MERGES touching windows: b at exactly
+    // a + gap extends a's session; c at b + gap + 1ms starts a new one.
+    // This empirically pins the boundary the oracles' island rewrite
+    // must spell as `> INTERVAL` (not `>=`) — and the streaming
+    // operator's in-stream split as strictly `>`.
+    val t0 = 1700000000000L
+    val evs = Seq(
+      (7L, new Timestamp(t0), 1L, "view"),
+      (7L, new Timestamp(t0 + 300000L), 2L, "click"), // touching → merges
+      (7L, new Timestamp(t0 + 300000L + 300001L), 3L, "purchase")) // > gap → splits
+
+    val batchPaths = evs
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(expr(
+        "concat_ws('>', transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type))"
+      ).as("path"))
+      .select("path")
+      .as[String]
+      .collect()
+      .sorted
+      .toSeq
+    assert(batchPaths === Seq("purchase", "view>click"), s"unexpected batch split: $batchPaths")
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val input = stream
+      .toDS()
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp, Long, String)]
+    val q = StreamingTopPaths
+      .sessionPathsByUser(input)
+      .writeStream
+      .format("memory")
+      .queryName("paths_boundary")
+      .outputMode("append")
+      .start()
+    stream.addData(evs: _*)
+    q.processAllAvailable()
+    for (i <- 0 to 1) {
+      stream.addData((-1L, new Timestamp(t0 + 7200000L + i), 0L, "x"))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = s
+      .table("paths_boundary")
+      .filter(col("user_id") >= 0)
+      .select("path")
+      .as[String]
+      .collect()
+      .sorted
+      .toSeq
+    assert(streamed === batchPaths, "boundary gap split diverges from session_window")
+  }
 }
