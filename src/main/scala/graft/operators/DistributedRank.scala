@@ -62,19 +62,22 @@ object DistributedRank {
   }
 
   /** Local INCLUSIVE running sum of `valueCol` (summed as long, nulls
-    * contribute nothing — matching SQL window `sum`) over the pinned
-    * partition's existing sort order; same narrow-vs-exchange rationale
-    * as [[withLocalRunIndex]]. */
+    * contribute nothing, and the sum is NULL until the partition's first
+    * non-null value — matching SQL window `sum`, which yields NULL over
+    * an all-null prefix rather than 0) over the pinned partition's
+    * existing sort order; same narrow-vs-exchange rationale as
+    * [[withLocalRunIndex]]. */
   private def withLocalRunningSum(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     val vIdx = df.schema.fieldIndex(valueCol)
-    val schema = df.schema.add(outCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val schema = df.schema.add(outCol, org.apache.spark.sql.types.LongType, nullable = true)
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { it =>
       var s = 0L
+      var seen = false
       it.map { r =>
-        if (!r.isNullAt(vIdx)) s += r.getAs[Number](vIdx).longValue()
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+        if (!r.isNullAt(vIdx)) { seen = true; s += r.getAs[Number](vIdx).longValue() }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (if (seen) s else null))
       }
     }
   }
@@ -204,8 +207,11 @@ object DistributedRank {
       .partitionBy(col("__k"))
       .orderBy(col("__opid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Null-safe equality throughout: a NULL-keyed group that spans a
+    // partition boundary must still find its offset (`===` drops it and
+    // silently duplicates its per-key ranks).
     val offsets = counts
-      .join(spanning, col("__k") === col("__sk"))
+      .join(spanning, col("__k") <=> col("__sk"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
       .filter(col("__off") > 0)
       .select(col("__opid"), col("__k"), col("__off"))
@@ -213,7 +219,7 @@ object DistributedRank {
     withLocalRunIndex(ranged, Seq(keyCol), "__lrn")
       .join(
         broadcast(offsets),
-        col("__pid") === col("__opid") && col(keyCol) === col("__k"),
+        col("__pid") === col("__opid") && col(keyCol) <=> col("__k"),
         "left")
       .withColumn(rankCol, col("__lrn") + coalesce(col("__off"), lit(0L)))
       .drop("__pid", "__opid", "__k", "__lrn", "__off")
@@ -241,16 +247,22 @@ object DistributedRank {
         .sortWithinPartitions(sortExprs: _*)
         .withColumn("__pid", spark_partition_id()))
 
-    // Metadata-scale: one row per partition.
+    // Metadata-scale: one row per partition. `__off` stays NULL while no
+    // preceding partition holds a non-null value (SQL sum over an all-null
+    // or empty frame is NULL, not 0) so the global result is NULL over a
+    // null-leading prefix — matching the window SUM this replaces.
     val sums = ranged.groupBy(col("__pid")).agg(sum(col(valueCol).cast("long")).as("__psum"))
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sums
-      .withColumn("__off", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .withColumn("__off", sum(col("__psum")).over(wOff))
       .select(col("__pid"), col("__off"))
 
     withLocalRunningSum(ranged, valueCol, "__lcum")
       .join(broadcast(offsets), "__pid")
-      .withColumn(cumCol, col("__off") + col("__lcum"))
+      .withColumn(
+        cumCol,
+        when(col("__off").isNull && col("__lcum").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("__off"), lit(0L)) + coalesce(col("__lcum"), lit(0L))))
       .drop("__pid", "__lcum", "__off")
   }
 

@@ -126,13 +126,20 @@ object StreamSinks {
     import org.apache.hadoop.fs.{FileStatus, Path}
     val root = new Path(path)
     val target = Path.getPathWithoutSchemeAndAuthority(root).toString
-    val writers = spark.streams.active.filter { q =>
-      Option(q.lastProgress).map(_.sink.description).exists(_.contains(target))
-    }
+    // A just-started query has lastProgress == null until its first progress
+    // event, so its sink is unknowable — treat it as a potential writer of
+    // THIS path and refuse, rather than sweep its in-flight task files.
+    val (unknown, known) = spark.streams.active.partition(q => q.lastProgress == null)
+    val writers = known.filter(q => q.lastProgress.sink.description.contains(target))
     require(
       writers.isEmpty,
       s"vacuum($path): active streaming quer${if (writers.length == 1) "y" else "ies"} " +
         s"${writers.map(_.id).mkString(", ")} still writing here — stop the writer first")
+    require(
+      unknown.isEmpty,
+      s"vacuum($path): active streaming quer${if (unknown.length == 1) "y has" else "ies have"} " +
+        s"no progress yet (${unknown.map(_.id).mkString(", ")}) — sink unknown, could be " +
+        "writing here; wait for a first progress event or stop the writer")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: Path): Seq[FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>

@@ -74,6 +74,67 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalCumSum matches window-SUM null semantics on a null-leading prefix") {
+    val s = spark
+    import s.implicits._
+    // first 40 rows in the total order carry NULL v, then values with
+    // interleaved nulls — SQL window SUM is NULL over the all-null prefix
+    // and skips nulls afterwards.
+    val df = scala.util.Random
+      .shuffle((1 to 257).toList)
+      .map { i =>
+        val v: java.lang.Long =
+          if (i <= 40 || i % 11 == 0) null else java.lang.Long.valueOf((i % 13 + 1).toLong)
+        (i.toLong, v)
+      }
+      .toDF("k", "v")
+    val expected = df
+      .select(col("k"), sum(col("v")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    for (np <- Seq(1, 3, 4, 16)) {
+      val got = DistributedRank
+        .withGlobalCumSum(df, "v", Seq(col("k").asc), cumCol = "cum", numPartitions = np)
+        .select(col("k"), col("cum"))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      assert(got.head._2 == null, s"numPartitions=$np: null-leading prefix must stay NULL")
+      assert(got.sameElements(expected), s"numPartitions=$np diverges")
+    }
+  }
+
+  test("withPerKeyRank keeps a NULL-keyed group correct across partition boundaries") {
+    val s = spark
+    import s.implicits._
+    // one huge NULL-keyed group (spans every range partition when keyCol
+    // leads the sort) plus a few ordinary keys — each row must get a
+    // distinct, dense 1..n rank within its group.
+    val df = scala.util.Random
+      .shuffle((1 to 300).toList)
+      .map { i =>
+        val key: java.lang.Long = if (i <= 200) null else java.lang.Long.valueOf((i % 3).toLong)
+        (key, i.toLong)
+      }
+      .toDF("key", "ord")
+    val expected = df
+      .select(col("key"), col("ord"), row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("ord"))).cast("long").as("rnk"))
+      .orderBy(col("key").asc_nulls_first, col("ord"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (np <- Seq(3, 4, 16)) {
+      val got = DistributedRank
+        .withPerKeyRank(df, "key", Seq(col("key").asc_nulls_first, col("ord").asc),
+          rankCol = "rnk", numPartitions = np)
+        .select(col("key"), col("ord"), col("rnk"))
+        .orderBy(col("key").asc_nulls_first, col("ord"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.sameElements(expected), s"numPartitions=$np diverges on the NULL-keyed group")
+    }
+  }
+
   test("withGlobalCumSum ≡ single-window running sum at every partition count") {
     val s = spark
     import s.implicits._

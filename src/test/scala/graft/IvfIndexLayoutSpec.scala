@@ -21,9 +21,23 @@ class IvfIndexLayoutSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("broadcast assignment ≡ fused-literal assignment, on a trained and an oversized model") {
-    val e = Tables
+    val base = Tables
       .embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dim = base.select(size(col("v"))).first().getInt(0)
+
+    // Degenerate inputs pin the broadcast path's hand-replicated
+    // null-first struct ordering: null vector, null element, zero norm,
+    // and dim mismatch must each resolve to the FIRST null-distance
+    // centroid on both paths (= cluster 0 when every centroid is sound).
+    val degenerates = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  (900001L, CAST(NULL AS ARRAY<DOUBLE>)),
+         |  (900002L, array(CAST(NULL AS DOUBLE), ${Seq.fill(dim - 1)("0.5").mkString(",")})),
+         |  (900003L, array(${Seq.fill(dim)("0.0").mkString(",")})),
+         |  (900004L, array(1.0D, 2.0D))
+         |AS t(vec_id, v)""".stripMargin)
+    val e = base.unionByName(degenerates)
 
     def byExpr(m: IvfIndex.Model) = e
       .withColumn("cl", IvfIndex.assignExpr(m, col("v")))
@@ -38,13 +52,17 @@ class IvfIndexLayoutSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1))
       .toMap
 
-    // Path equivalence on a genuinely trained model…
-    val trained = IvfIndex.train(e, k = 10, iters = 3)
-    assert(byBroadcast(trained) === byExpr(trained))
+    // Path equivalence on a genuinely trained model — train on the sound
+    // vectors only (a null mean is not a meaningful centroid), assign all.
+    val trained = IvfIndex.train(base, k = 10, iters = 3)
+    val bAssign = byBroadcast(trained)
+    assert(bAssign === byExpr(trained))
+    Seq(900001L, 900002L, 900003L, 900004L).foreach { id =>
+      assert(bAssign(id) === 0, s"degenerate vec_id=$id not on the first null-distance centroid")
+    }
 
     // …and on a model larger than the codegen gate, where assignAuto
     // must take the broadcast path and still agree with the expression.
-    val dim = e.select(size(col("v"))).first().getInt(0)
     val big = IvfIndex.Model(Array.tabulate(IvfIndex.LiteralAssignMaxK + 44) { i =>
       Seq.tabulate(dim)(j => math.sin(i * 31 + j * 7).abs + 0.01)
     })

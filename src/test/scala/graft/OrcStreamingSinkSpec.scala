@@ -155,6 +155,52 @@ class OrcStreamingSinkSpec extends AnyFunSuite {
     assert(StreamSinks.vacuum(spark, out, dryRun = true, graceMs = 0L).isEmpty)
   }
 
+  test("vacuum refuses while any active query has no progress yet (sink unknowable)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // A committed sink dir the sweep would otherwise happily run on.
+    val out = freshDir("vac_noprog_out")
+    val ckpt = freshDir("vac_noprog_ckpt")
+    val seed = MemoryStream[Ev]
+    seed.addData(ev(1, "a"))
+    StreamSinks.orcSink(seed.toDF(), out, ckpt, Seq("etype")).awaitTermination()
+
+    // A second query whose FIRST batch is still in flight: lastProgress
+    // is null until batch 0 completes, so its sink is unknowable — the
+    // pre-fix guard matched it against nothing and swept anyway.
+    val blocker = MemoryStream[Ev]
+    blocker.addData(ev(2, "b"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val q = blocker
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", freshDir("vac_noprog_ckpt2"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count()
+        entered.countDown()
+        gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+      .start()
+    try {
+      assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS), "batch 0 never started")
+      assert(q.lastProgress == null, "batch 0 already reported progress — test premise broken")
+      val e = intercept[IllegalArgumentException] {
+        StreamSinks.vacuum(spark, out, dryRun = true, graceMs = 0L)
+      }
+      assert(e.getMessage.contains("no progress yet"), s"wrong refusal: ${e.getMessage}")
+    } finally {
+      gate.countDown()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // No unknowable writers left → the sweep proceeds (and finds nothing).
+    assert(StreamSinks.vacuum(spark, out, dryRun = true, graceMs = 0L).isEmpty)
+  }
+
   test("promote makes the committed set visible to manifest-UNAWARE readers, across restart") {
     val s = spark
     import s.implicits._
