@@ -20,18 +20,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. The session reads nanos as raw INT64
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set once in GraftSession /
-    * Verify / Bench — NOT mutated here) and this loader truncates to
-    * microseconds — the same truncation DuckDB applies when it surfaces
-    * the column as a µs TIMESTAMP, so oracle comparisons line up. The
-    * `div` is integer division: the ns epoch (~1.7e18) exceeds double's
-    * 2^53 exact range, so a float path would corrupt low digits.
+  /** `events.ts` has shipped in two fixture vintages, so the loader
+    * dispatches on the type the parquet footer yields:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so the
+    *    session reads nanos as raw INT64
+    *    (`spark.sql.legacy.parquet.nanosAsLong`, set in GraftSession) and
+    *    this loader truncates to microseconds — the same truncation DuckDB
+    *    applies. Integer `div`: the ns epoch (~1.7e18) exceeds double's
+    *    2^53 exact range, so a float path would corrupt low digits.
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=0: loads as timestamp_ntz;
+    *    cast to timestamp (wall-clock identical under the UTC session,
+    *    and what DuckDB surfaces natively).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

@@ -23,6 +23,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Surface the failure instead of letting the query silently vanish
+        // from the dump (round-7 lesson: 28 broken queries read as "123
+        // pass" because absence ≠ error in the driver's compare). An empty
+        // output dir with an _error.txt marker makes the driver's read of
+        // <name> fail loudly → recorded as `err`, not missing.
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        d.listFiles().foreach(_.delete())
+        Files.writeString(Paths.get(s"$outDir/$name/_error.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
