@@ -292,6 +292,37 @@ object FileIO {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Pluggable-Bucketer parity (reference RowOrcBucketingSink.java:41,
+    // 111,251-254): an ARBITRARY row expression — not just a column or a
+    // date format — routes each row to its bucket directory, here
+    // `<event_type>_<value tier>`. The re-read filter is on the derived
+    // bucket column, so pruning happens at directory-listing time even
+    // though the bucket is a computed expression; the oracle recomputes
+    // the same expression from the ORIGINAL parquet, so a pass proves
+    // the routing expression and the layout agree row-for-row.
+    "orc_bucketer_roundtrip" -> { (spark, dir) =>
+      val p = out(dir, "events_bucketed_orc")
+      val bucketExpr = concat(
+        col("event_type"), lit("_"),
+        when(col("value") < 50, lit("small")).otherwise(lit("big")))
+      graft.streaming.StreamSinks
+        .withBucket(Tables.events(spark, dir), "bucket", bucketExpr)
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("compression", "zlib")
+        .partitionBy("bucket")
+        .orc(p)
+      spark.read
+        .orc(p)
+        .filter(col("bucket").endsWith("_big")) // prunes bucket dirs
+        .groupBy(col("bucket"))
+        .agg(
+          dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("bucket"))
+    },
+
     // Parquet batch sink (the streaming twin is graft.streaming): write
     // partitioned parquet, re-read with a partition-pruning filter.
     "parquet_sink_roundtrip" -> { (spark, dir) =>
@@ -329,6 +360,12 @@ object FileIO {
          |  CAST(COUNT(*) AS BIGINT) AS n_map_ok
          |FROM embeddings WHERE label <= 7
          |GROUP BY label ORDER BY label""".stripMargin,
+    "orc_bucketer_roundtrip" ->
+      s"""SELECT event_type || '_' || (CASE WHEN value < 50 THEN 'small' ELSE 'big' END) AS bucket,
+         |  ${sqlSum("value")} AS sum_value, COUNT(*) AS n
+         |FROM events
+         |WHERE ends_with(event_type || '_' || (CASE WHEN value < 50 THEN 'small' ELSE 'big' END), '_big')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "csv_scan_roundtrip" ->
       s"""SELECT o_orderstatus, ${sqlSum("o_totalprice")} AS sum_price,
          |  MAX(o_orderdate) AS max_date, COUNT(*) AS n
