@@ -103,4 +103,56 @@ object DedupClusters {
     connectedComponents(pairs, maxIter, reliableCheckpoint)
       .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** INCREMENTAL connected components: fold a batch of new pairs into an
+    * existing cluster map without re-running CC over the full graph —
+    * the maintenance loop a continuously-ingesting dedup pipeline needs
+    * (the cluster-map sibling of TextOps.incrementalDedup's fingerprint
+    * store; the scale mitigation for split_leakproof's full-graph CC).
+    *
+    * Only components TOUCHED by a new edge can change, so the iteration
+    * runs over: (a) the touched components' members, rewritten as STAR
+    * EDGES (member → rep) — the depth-1 form the converged map already
+    * encodes, so propagation re-converges in ~2 rounds regardless of the
+    * original graph's diameter; (b) the new pairs themselves. Untouched
+    * rows of the old map pass through with zero iteration. Min-label
+    * reps make the merge exact: the result is row-for-row identical to
+    * `connectedComponents(oldPairs ∪ newPairs)` (DedupClustersSpec and
+    * the dedup_incr_clusters oracle pin this).
+    *
+    * Cost at 100 TB: O(|new pairs| + |affected members|) per batch vs
+    * O(|all pairs| × diameter) for a rebuild — the dominant untouched
+    * mass is one left-anti join (bucket-joinable if the map is laid out
+    * by rep).
+    *
+    * @param oldMap   converged (doc_id, rep) map — MUST itself be a CC
+    *                 output (star-shaped, min-label reps)
+    * @param newPairs (d1, d2) near-dup pairs with at least one endpoint
+    *                 outside or touching the old graph
+    */
+  def augment(
+      oldMap: DataFrame,
+      newPairs: DataFrame,
+      maxIter: Int = 20,
+      reliableCheckpoint: Boolean = false
+  ): DataFrame = {
+    val touched = newPairs.select(col("d1").as("doc_id"))
+      .union(newPairs.select(col("d2").as("doc_id")))
+      .distinct()
+    val touchedReps = oldMap
+      .join(touched, Seq("doc_id"), "left_semi")
+      .select(col("rep"))
+      .distinct()
+    val affectedOld = oldMap.join(touchedReps, Seq("rep"), "left_semi")
+    val starEdges = affectedOld
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("d1"), col("rep").as("d2"))
+    val merged = connectedComponents(
+      starEdges.unionByName(newPairs.select(col("d1"), col("d2"))),
+      maxIter, reliableCheckpoint)
+    oldMap
+      .join(touchedReps, Seq("rep"), "left_anti")
+      .select(col("doc_id"), col("rep"))
+      .unionByName(merged)
+  }
 }

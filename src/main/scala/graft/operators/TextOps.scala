@@ -120,6 +120,48 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental sibling of [[ngramJaccardPairs]]: exact Jaccard pairs
+    * where at least one endpoint satisfies `isNew` — the candidate
+    * generation for folding a NEW batch into an existing cluster map
+    * (DedupClusters.augment) without re-joining the full index against
+    * itself. The join is (new-docs index) × (full index): |new|/|all| of
+    * the full self-join's probe side, which is the entire point at
+    * 100 TB where the daily batch is ≪ the corpus. Orientation guard:
+    * new-old pairs emerge once (new side is always `a`); new-new pairs
+    * would emerge twice, so they additionally require a.doc_id < b.doc_id.
+    * Jaccard denominators use UNCAPPED full-corpus shingle counts, same
+    * as the batch path. `isNew` must be a deterministic predicate over
+    * `doc_id` (evaluated on both join sides).
+    */
+  private[operators] def ngramJaccardPairsIncr(
+      all: DataFrame,
+      isNew: org.apache.spark.sql.Column,
+      k: Int,
+      threshold: Double
+  ): DataFrame = {
+    val sh = shingleRows(all, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500).withColumn("nw", isNew)
+    idx.filter(col("nw")).as("a")
+      .join(
+        idx.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b.nw") || col("a.doc_id") < col("b.doc_id")))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(
+        col("d1"),
+        col("d2"),
+        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Deterministic stratified sample: keep a row iff the first four hex
     * chars of md5(key) fall below the stratum's threshold — membership is
     * a pure function of the key (engine-portable, stable under
@@ -142,6 +184,34 @@ object TextOps {
       acc.when(col(strataCol) === stratum, lit(thresh(rate)))
     }.otherwise(lit(thresh(defaultRate)))
     d.filter(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 4) < t)
+  }
+
+  /** Leakproof split decision + summary given a CLUSTER MAP — factored
+    * out of the split_leakproof query so the map can come from anywhere:
+    * a fresh full-graph CC (the query's small-data path) or, at scale,
+    * a MAINTAINED map kept current by [[DedupClusters.augment]] as
+    * batches land — the split never pays the full-graph CC again (the
+    * round-5 scale mitigation). Membership is a pure function of the
+    * group rep (md5 bucket, same scheme as split_train_holdout), so a
+    * near-dup cluster cannot straddle splits by construction and the
+    * assignment is stable as the map grows: an untouched component keeps
+    * its rep, hence its split, across augment rounds.
+    */
+  def leakproofSplitSummary(docs: DataFrame, clusterMap: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("grp").cast("string").cast("binary")), 1, 2)
+    docs
+      .join(clusterMap, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("rep"), col("doc_id")))
+      .select(
+        when(bucket < "0d", "holdout").otherwise("train").as("split"),
+        col("grp"),
+        size(toks(col("text"))).cast("long").as("nt"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("nt")).cast("long").as("sum_tokens"))
+      .orderBy(col("split"))
   }
 
   /** Incremental exact dedup of a new batch against an existing
@@ -203,6 +273,28 @@ object TextOps {
     "dedup_clusters" -> { (spark, dir) =>
       DedupClusters
         .clusters(ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5).select(col("d1"), col("d2")))
+        .orderBy(col("rep"))
+    },
+
+    // INCREMENTAL cluster maintenance, gated against the full-graph
+    // ground truth: 80% of documents (doc_id % 5 != 0) form the landed
+    // corpus whose cluster map already converged; the other 20% arrive
+    // as a new batch — candidate pairs come from the RESTRICTED
+    // (new × all) index join, and DedupClusters.augment folds them into
+    // the old map touching only affected components. The oracle is the
+    // same recursive-CTE CC as dedup_clusters over ALL documents, so a
+    // pass proves the incremental path is exactly the batch rebuild.
+    "dedup_incr_clusters" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val oldMap = DedupClusters.connectedComponents(
+        ngramJaccardPairs(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), 3, 0.5)
+          .select(col("d1"), col("d2")))
+      val newPairs = ngramJaccardPairsIncr(docs, isNew, 3, 0.5).select(col("d1"), col("d2"))
+      DedupClusters
+        .augment(oldMap, newPairs)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_members"))
         .orderBy(col("rep"))
     },
 
@@ -427,20 +519,7 @@ object TextOps {
       val docs = Tables.documents(spark, dir)
       val comp = DedupClusters.connectedComponents(
         ngramJaccardPairs(docs, 3, 0.5).select(col("d1"), col("d2")))
-      val bucket = substring(md5(col("grp").cast("string").cast("binary")), 1, 2)
-      docs
-        .join(comp, Seq("doc_id"), "left")
-        .withColumn("grp", coalesce(col("rep"), col("doc_id")))
-        .select(
-          when(bucket < "0d", "holdout").otherwise("train").as("split"),
-          col("grp"),
-          size(toks(col("text"))).cast("long").as("nt"))
-        .groupBy(col("split"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          countDistinct(col("grp")).as("n_groups"),
-          sum(col("nt")).cast("long").as("sum_tokens"))
-        .orderBy(col("split"))
+      leakproofSplitSummary(docs, comp)
     },
 
     "split_train_holdout" -> { (spark, dir) =>
@@ -860,6 +939,31 @@ object TextOps {
     // the component representative) — an independent formulation of what
     // the engine computes iteratively.
     "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs0 AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM pairs0
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(n, m) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)
+         |SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
+    // Incremental CC must equal the batch rebuild, so the oracle is the
+    // SAME full-graph recursive-CTE CC as dedup_clusters — the split
+    // into old corpus + new batch is invisible to ground truth.
+    "dedup_incr_clusters" ->
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
          |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)

@@ -79,6 +79,37 @@ class DedupClustersSpec extends AnyFunSuite {
       s"expected 2 surviving checkpoints (edges + final labels), got ${survivors.map(_.getName)}")
   }
 
+  test("augment equals full rebuild: bridge merges, new components, untouched passthrough, rep takeover") {
+    val s = spark
+    import s.implicits._
+    // Old graph: {1,2,3}, {10,11}, {20,21} (untouched).
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val oldMap = DedupClusters.connectedComponents(oldPairs.toDF("d1", "d2"))
+    // New batch: bridges {1..3}↔{10,11}, adds a fresh component {30,31},
+    // and attaches 0 to {1..3} — 0 < 1 forces a rep TAKEOVER.
+    val newPairs = Seq((3L, 10L), (30L, 31L), (0L, 1L))
+    val got = DedupClusters
+      .augment(oldMap, newPairs.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupClusters
+      .connectedComponents((oldPairs ++ newPairs).toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full, "incremental result diverged from batch rebuild")
+    assert(got(11L) === 0L, "bridged+taken-over component must relabel to the new min id")
+    assert(got(20L) === 20L && got(21L) === 20L, "untouched component must pass through")
+    assert(got(30L) === 30L && got(31L) === 30L)
+  }
+
+  test("augment with pairs touching no old component = pure addition") {
+    val s = spark
+    import s.implicits._
+    val oldMap = DedupClusters.connectedComponents(Seq((1L, 2L)).toDF("d1", "d2"))
+    val got = DedupClusters
+      .augment(oldMap, Seq((5L, 6L)).toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("clusters summary counts members per representative") {
     val s = spark
     import s.implicits._
