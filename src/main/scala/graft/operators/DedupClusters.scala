@@ -136,8 +136,15 @@ object DedupClusters {
       maxIter: Int = 20,
       reliableCheckpoint: Boolean = false
   ): DataFrame = {
-    val touched = newPairs.select(col("d1").as("doc_id"))
-      .union(newPairs.select(col("d2").as("doc_id")))
+    // newPairs feeds three separate consumers (touched-node set, the CC
+    // edge list, the final union) — materialize ONCE here or the
+    // caller's candidate-generation join (new-batch index × full index)
+    // re-executes per consumer. Same truncation trade as the CC loop:
+    // local blocks by default, reliable checkpoint for cluster runs.
+    val np0 = newPairs.select(col("d1"), col("d2"))
+    val np = if (reliableCheckpoint) np0.checkpoint() else np0.localCheckpoint()
+    val touched = np.select(col("d1").as("doc_id"))
+      .union(np.select(col("d2").as("doc_id")))
       .distinct()
     val touchedReps = oldMap
       .join(touched, Seq("doc_id"), "left_semi")
@@ -148,7 +155,7 @@ object DedupClusters {
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("d1"), col("rep").as("d2"))
     val merged = connectedComponents(
-      starEdges.unionByName(newPairs.select(col("d1"), col("d2"))),
+      starEdges.unionByName(np),
       maxIter, reliableCheckpoint)
     oldMap
       .join(touchedReps, Seq("rep"), "left_anti")

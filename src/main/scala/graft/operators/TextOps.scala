@@ -101,15 +101,10 @@ object TextOps {
     * shingles are ~3e-8; the string form never needs to shuffle). Set
     * sizes `n` come from the UNCAPPED per-doc shingle counts, so Jaccard
     * denominators stay exact. */
-  private[operators] def ngramJaccardPairs(d: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(d, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
-    idx
-      .as("a")
-      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
+  /** Shared Jaccard-scoring tail: shared-shingle counts (d1, d2, c) +
+    * UNCAPPED per-doc sizes → thresholded (d1, d2, jaccard). */
+  private def jaccardFromCounts(counts: DataFrame, sz: DataFrame, threshold: Double): DataFrame =
+    counts
       .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
       .select(
@@ -118,6 +113,57 @@ object TextOps {
         (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
+
+  private[operators] def ngramJaccardPairs(d: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(d, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
+    val counts = idx
+      .as("a")
+      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    jaccardFromCounts(counts, sz, threshold)
+  }
+
+  /** Old-corpus self pairs AND new-batch restricted pairs off ONE
+    * shingle pass — the maintenance-loop shape where both sides of the
+    * incremental CC gate share the materialized inverted index. The
+    * hashed shingle rows are localCheckpoint'ed once (they feed the
+    * per-doc sizes, the hot-key scan, and both candidate joins — without
+    * materialization the text re-shingles per consumer); at real scale
+    * those rows ARE the inverted-index table a continuously-ingesting
+    * pipeline keeps on disk anyway.
+    */
+  private[operators] def ngramJaccardPairsSplit(
+      all: DataFrame,
+      isNew: org.apache.spark.sql.Column,
+      k: Int,
+      threshold: Double
+  ): (DataFrame, DataFrame) = {
+    val sh = shingleRows(all, k)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500).withColumn("nw", isNew)
+    val idxOld = idx.filter(!col("nw"))
+    val oldCounts = idxOld
+      .as("a")
+      .join(idxOld.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val newCounts = idx.filter(col("nw"))
+      .as("a")
+      .join(
+        idx.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b.nw") || col("a.doc_id") < col("b.doc_id")))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c"))
+    (jaccardFromCounts(oldCounts, sz, threshold), jaccardFromCounts(newCounts, sz, threshold))
   }
 
   /** Incremental sibling of [[ngramJaccardPairs]]: exact Jaccard pairs
@@ -142,7 +188,7 @@ object TextOps {
     val sh = shingleRows(all, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500).withColumn("nw", isNew)
-    idx.filter(col("nw")).as("a")
+    val counts = idx.filter(col("nw")).as("a")
       .join(
         idx.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
@@ -152,14 +198,7 @@ object TextOps {
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("c"))
-      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(
-        col("d1"),
-        col("d2"),
-        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard")
-      )
-      .filter(col("jaccard") >= threshold)
+    jaccardFromCounts(counts, sz, threshold)
   }
 
   /** Deterministic stratified sample: keep a row iff the first four hex
@@ -287,12 +326,10 @@ object TextOps {
     "dedup_incr_clusters" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
       val isNew = pmod(col("doc_id"), lit(5)) === 0
-      val oldMap = DedupClusters.connectedComponents(
-        ngramJaccardPairs(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), 3, 0.5)
-          .select(col("d1"), col("d2")))
-      val newPairs = ngramJaccardPairsIncr(docs, isNew, 3, 0.5).select(col("d1"), col("d2"))
+      val (oldPairs, newPairs) = ngramJaccardPairsSplit(docs, isNew, 3, 0.5)
+      val oldMap = DedupClusters.connectedComponents(oldPairs.select(col("d1"), col("d2")))
       DedupClusters
-        .augment(oldMap, newPairs)
+        .augment(oldMap, newPairs.select(col("d1"), col("d2")))
         .groupBy(col("rep"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("rep"))
