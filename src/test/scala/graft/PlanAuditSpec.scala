@@ -44,6 +44,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("orc_bucketer_roundtrip prunes bucket dirs on the DERIVED bucket column") {
+    val scans = collectAll(executed("orc_bucketer_roundtrip")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(
+      scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "bucket"))),
+      "no scan carries a partition filter on the derived bucket column — " +
+        "the expression-bucketer layout is not being pruned")
+  }
+
   test("star join broadcasts its dimension tables") {
     val bc = collectAll(executed("join_star_broadcast")) { case b: BroadcastExchangeExec => b }
     assert(bc.size >= 2, s"expected >=2 broadcast exchanges, got ${bc.size}")
