@@ -339,4 +339,39 @@ object IvfIndex {
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
   }
+
+  /** Persist the trained codebook next to its data — the missing third
+    * of the index lifecycle (writeIndexed persists the LAYOUT, this
+    * persists the MODEL that makes the layout searchable): one parquet
+    * row per centroid at `path`. The quantized centroid doubles survive
+    * a parquet round trip bit-exactly (no float narrowing), so a loaded
+    * model assigns and searches identically to the in-memory original —
+    * IvfIndexLayoutSpec pins load(save(m)) ≡ m and search parity.
+    * k×dim rows — metadata-scale, same class as the training collects.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toSeq
+      .toDF("cl", "cv")
+      .coalesce(1)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Load a codebook persisted by [[saveModel]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cl"), col("cv"))
+      .as[(Int, Seq[Double])]
+      .collect()
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"centroid ids at $path are not dense 0..k-1 — not a saveModel artifact")
+    Model(rows.map(_._2))
+  }
 }

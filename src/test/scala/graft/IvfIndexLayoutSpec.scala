@@ -122,4 +122,27 @@ class IvfIndexLayoutSpec extends AnyFunSuite {
     assert(selected < populated || populated <= 3,
       s"scan read all $populated partitions — no pruning (selected=$selected)")
   }
+
+  test("saved codebook loads bit-exactly and searches identically") {
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val model = IvfIndex.train(e, k = 6, iters = 2)
+    val path = "/root/repo/tmp/graft_io/ivf_model_spec"
+    IvfIndex.saveModel(spark, model, path)
+    val loaded = IvfIndex.loadModel(spark, path)
+
+    // Bit-exact round trip: quantized doubles survive parquet unchanged.
+    assert(loaded.k === model.k)
+    assert(loaded.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+
+    // And the loaded model drives an identical search.
+    val probes = e.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def key(m: IvfIndex.Model) = IvfIndex.search(e, probes, m, nProbe = 2, topK = 3)
+      .select("q_id", "rnk", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(key(loaded) === key(model))
+  }
 }
