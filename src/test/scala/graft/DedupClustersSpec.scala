@@ -110,6 +110,35 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("property: augment equals full rebuild on 20 seeded random graph/batch splits") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 20) {
+      val nNodes = 4 + rnd.nextInt(20)
+      val nEdges = 1 + rnd.nextInt(2 * nNodes)
+      val all = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (all.nonEmpty) {
+        // Any partition of the edge set is a valid history: old edges
+        // landed first, new edges arrive as the batch.
+        val (oldE, newE) = all.partition(_ => rnd.nextBoolean())
+        if (oldE.nonEmpty && newE.nonEmpty) {
+          val oldMap = DedupClusters.connectedComponents(oldE.toDF("d1", "d2"))
+          val got = DedupClusters.augment(oldMap, newE.toDF("d1", "d2"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val full = DedupClusters.connectedComponents(all.toDF("d1", "d2"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got === full,
+            s"trial $trial diverged (old=$oldE new=$newE)")
+        }
+      }
+    }
+  }
+
   test("clusters summary counts members per representative") {
     val s = spark
     import s.implicits._
