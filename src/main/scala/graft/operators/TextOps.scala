@@ -114,7 +114,7 @@ object TextOps {
       )
       .filter(col("jaccard") >= threshold)
 
-  private[operators] def ngramJaccardPairs(d: DataFrame, k: Int, threshold: Double): DataFrame = {
+  private[graft] def ngramJaccardPairs(d: DataFrame, k: Int, threshold: Double): DataFrame = {
     val sh = shingleRows(d, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
@@ -179,7 +179,7 @@ object TextOps {
     * as the batch path. `isNew` must be a deterministic predicate over
     * `doc_id` (evaluated on both join sides).
     */
-  private[operators] def ngramJaccardPairsIncr(
+  private[graft] def ngramJaccardPairsIncr(
       all: DataFrame,
       isNew: org.apache.spark.sql.Column,
       k: Int,

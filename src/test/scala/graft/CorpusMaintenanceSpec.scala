@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DedupClusters, TextOps}
+import graft.streaming.CorpusMaintenance
+
+/** The continuous-ingest maintenance loop end-to-end: exact dedup vs the
+  * store, incremental pair generation, cluster-map augment, blue/green
+  * versioning — pinned against a from-scratch rebuild of the same state,
+  * plus replay idempotence (the at-least-once → exactly-once argument)
+  * and the maintained-map leakproof split. */
+class CorpusMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def freshDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft_$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  // Tiny synthetic corpus with exact and near duplicates. Texts are long
+  // enough (>= 3 words) to shingle at k=3.
+  private def doc(id: Long, text: String) = (id, text)
+  private val seed = Seq(
+    doc(1, "the quick brown fox jumps over the lazy dog"),
+    doc(2, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    doc(3, "completely different text about spark engines at scale"),
+    doc(4, "another unrelated document mentioning parquet files only")
+  )
+  private val batch1 = Seq(
+    doc(11, "the quick brown fox jumps over the lazy dog"), // EXACT dup of 1 → dropped
+    doc(12, "the quick brown fox jumps over the lazy doge"), // near-dup of 1/2 → joins cluster
+    doc(13, "fresh content entirely new to the landed corpus")
+  )
+  private val batch2 = Seq(
+    doc(21, "completely different text about spark engines at large scale"), // near-dup of 3
+    doc(22, "fresh content entirely new to the landed corpus") // EXACT dup of 13 → dropped
+  )
+
+  private def df(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("ingest loop state == from-scratch rebuild; replay is a no-op; split reads the maintained map") {
+    val state = freshDir("corpus_state")
+    CorpusMaintenance.bootstrap(spark, df(seed), state)
+    assert(CorpusMaintenance.currentMapVersion(state) === 1)
+
+    val s1 = CorpusMaintenance.ingestBatch(spark, df(batch1), state)
+    assert(s1.nBatch === 3 && s1.nAdmitted === 2, s"batch1 stats: $s1")
+    val s2 = CorpusMaintenance.ingestBatch(spark, df(batch2), state)
+    assert(s2.nBatch === 2 && s2.nAdmitted === 1, s"batch2 stats: $s2")
+    assert(s2.mapVersion === 3)
+
+    // Corpus = seed + admitted survivors only.
+    val corpus = spark.read.parquet(s"$state/docs")
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 12L, 13L, 21L))
+
+    // Maintained map == one-shot CC over the surviving corpus.
+    val maintained = CorpusMaintenance.currentMap(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = DedupClusters.connectedComponents(
+      TextOps.ngramJaccardPairs(corpus, 3, 0.5).select(col("d1"), col("d2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained === rebuilt, "maintained map diverged from scratch rebuild")
+    assert(maintained(12L) === 1L, "near-dup of docs 1/2 must join their cluster")
+    assert(maintained(21L) === 3L, "near-dup of doc 3 must join its cluster")
+
+    // Replay (at-least-once redelivery): every hash already stored → no
+    // admissions, no new version, corpus unchanged.
+    val replay = CorpusMaintenance.ingestBatch(spark, df(batch1), state)
+    assert(replay.nAdmitted === 0 && replay.mapVersion === 3, s"replay mutated state: $replay")
+    assert(spark.read.parquet(s"$state/docs").count() === 7)
+
+    // Blue/green: superseded versions still on disk, pointer names v3.
+    assert(new java.io.File(s"$state/cluster_map_v1").exists())
+    assert(Files.readString(java.nio.file.Paths.get(s"$state/_CURRENT_MAP")).trim === "3")
+
+    // Leakproof split over the maintained map: groups never straddle —
+    // every member of a cluster shares its rep's split; summary columns
+    // match the batch operator's shape.
+    val summary = TextOps.leakproofSplitSummary(corpus, CorpusMaintenance.currentMap(spark, state))
+    assert(summary.columns.toSeq === Seq("split", "n_docs", "n_groups", "sum_tokens"))
+    assert(summary.agg(sum("n_docs")).first().getLong(0) === 7L)
+  }
+
+  test("streaming sink drives the same loop through foreachBatch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val state = freshDir("corpus_state_stream"); val ckpt = freshDir("corpus_ckpt")
+    CorpusMaintenance.bootstrap(spark, df(seed), state)
+
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    ms.addData(batch1)
+    val q = CorpusMaintenance.sink(stream, state, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    assert(spark.read.parquet(s"$state/docs").count() === 6) // 4 seed + 2 admitted
+    val maintained = CorpusMaintenance.currentMap(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained(12L) === 1L)
+  }
+}
