@@ -188,6 +188,13 @@ object TextOps {
     val sh = shingleRows(all, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500).withColumn("nw", isNew)
+    incrPairsFromFlaggedIdx(idx, sz, threshold)
+  }
+
+  /** The restricted-join core shared by the `nw`-flagged incremental
+    * generators: (new side) × (full index) with the new-new orientation
+    * guard, then Jaccard scoring. */
+  private def incrPairsFromFlaggedIdx(idx: DataFrame, sz: DataFrame, threshold: Double): DataFrame = {
     val counts = idx.filter(col("nw")).as("a")
       .join(
         idx.as("b"),
@@ -199,6 +206,28 @@ object TextOps {
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("c"))
     jaccardFromCounts(counts, sz, threshold)
+  }
+
+  /** [[ngramJaccardPairsIncr]] with the new-batch membership given as a
+    * DATAFRAME of ids instead of a Column predicate — the shape the
+    * ingest loop needs at scale: batch membership never passes through
+    * a driver-side literal (no `isin` collect), it joins onto the index
+    * as a flag (broadcast when the batch is small — the common case —
+    * by the session's auto-broadcast threshold, shuffle-join otherwise).
+    */
+  private[graft] def ngramJaccardPairsIncrByIds(
+      all: DataFrame,
+      newIds: DataFrame,
+      k: Int,
+      threshold: Double
+  ): DataFrame = {
+    val sh = shingleRows(all, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val flags = newIds.select(col("doc_id")).distinct().withColumn("nw", lit(true))
+    val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
+      .join(flags, Seq("doc_id"), "left")
+      .withColumn("nw", coalesce(col("nw"), lit(false)))
+    incrPairsFromFlaggedIdx(idx, sz, threshold)
   }
 
   /** Deterministic stratified sample: keep a row iff the first four hex

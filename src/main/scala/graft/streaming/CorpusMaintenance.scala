@@ -112,11 +112,11 @@ object CorpusMaintenance {
       .write.mode(SaveMode.Append).parquet(hashesPath(stateDir))
 
     // Restricted (batch × corpus) candidate join over the UPDATED corpus.
+    // Batch membership joins onto the index as a flag — never a
+    // driver-side id literal, so any batch size is fine.
     val corpus = spark.read.parquet(docsPath(stateDir))
-    val newIds = admitted.select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    require(newIds.size <= 1000000, "batch too large for an isin literal — chunk the ingest")
-    val isNew = col("doc_id").isInCollection(newIds.toSeq)
-    val newPairs = TextOps.ngramJaccardPairsIncr(corpus, isNew, k, threshold)
+    val newPairs = TextOps
+      .ngramJaccardPairsIncrByIds(corpus, admitted.select(col("doc_id")), k, threshold)
       .select(col("d1"), col("d2")).localCheckpoint()
     val nPairs = newPairs.count()
 

@@ -41,4 +41,13 @@ class NgramPairsSplitSpec extends AnyFunSuite {
     val full = pairSet(TextOps.ngramJaccardPairs(docs, 3, 0.5))
     assert((pairSet(oldPairs) ++ pairSet(newPairs)) === full)
   }
+
+  test("id-DataFrame variant ≡ Column-predicate variant") {
+    val docs = Tables.documents(spark, sf)
+    val byCol = TextOps.ngramJaccardPairsIncr(
+      docs, pmod(col("doc_id"), lit(5)) === 0, 3, 0.5)
+    val byIds = TextOps.ngramJaccardPairsIncrByIds(
+      docs, docs.filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"), 3, 0.5)
+    assert(pairSet(byIds) === pairSet(byCol))
+  }
 }
