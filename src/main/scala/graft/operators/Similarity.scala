@@ -346,6 +346,27 @@ object Similarity {
     // Multimodal array-column aggregation: per label, exact counts +
     // quantized norm / leading-dimension means (proves ARRAY<FLOAT>
     // columns flow through scan → transform → agg → scalar outputs).
+    // int8 embedding quantization (Quantize): the hash-checkable output
+    // is the GUARANTEE, not the codes — per label, row count plus a
+    // bool_and over the per-vector reconstruction bound
+    // |x − c·scale| ≤ scale/2 (+ float-noise headroom), whose oracle is
+    // constant TRUE (same scheme as sim_ann_ivf's recall bound: the
+    // mechanism is pinned by QuantizeSpec, the bound is what users rely
+    // on). Codes are codegen'd built-ins end-to-end — no UDF at the scan.
+    "embed_quantize" -> { (spark, dir) =>
+      import graft.util.Exact._
+      val e = Tables
+        .embeddings(spark, dir)
+        .select(col("label"), asDouble(col("embedding")).as("v"))
+      val q = Quantize.withQuantized(e, "v")
+      q.withColumn("err", Quantize.maxAbsError(col("v"), col("q"), col("q_scale")))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          bool_and(col("err") <= col("q_scale") / 2 * 1.000001 + 1e-12).as("bound_ok"))
+        .orderBy(col("label"))
+    },
+
     "embed_stats" -> { (spark, dir) =>
       import graft.util.Exact._
       val e = Tables
@@ -614,6 +635,9 @@ object Similarity {
     "sql_ann_lsh" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "embed_quantize" ->
+      """SELECT label, COUNT(*) AS n, TRUE AS bound_ok
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "embed_stats" ->
       s"""WITH e AS (
          |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
