@@ -269,6 +269,39 @@ object Similarity {
       bruteForceTopK(spark, dir, 5).orderBy(col("q_id"), col("rnk"))
     },
 
+    // Quantized-corpus top-K (the FAISS-SQ8 pattern composed from
+    // Quantize + cosineTopK): the corpus is searched through its int8
+    // codes (dequantize-on-the-fly — at scale the f64 vectors never
+    // load), probes stay exact. Hash-checkable output is the QUALITY
+    // BOUND (same scheme as sim_ann_ivf): per-probe recall@5 of the
+    // quantized search vs the exact top-5, gated at mean ≥ 0.6 with a
+    // constant-TRUE oracle — int8's ~0.4% per-element error keeps
+    // measured recall ≈ 1.0 (ties aside), so the bound has wide
+    // headroom on any fixture draw.
+    "sim_topk_cosine_q8" -> { (spark, dir) =>
+      val e = corpus(spark, dir)
+      val deq = Quantize
+        .withQuantized(e, "v")
+        .select(col("vec_id"), Quantize.dequantize(col("q"), col("q_scale")).as("v"))
+      val probes = e
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val qTop = cosineTopK(deq, probes, 5)
+      val bf = bruteForceTopK(spark, dir, 5).select(col("q_id"), col("vec_id"))
+      val hits = qTop
+        .join(bf, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      probes
+        .select(col("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.6).as("recall_ok"))
+        .select(col("n_queries"), col("recall_ok"))
+    },
+
     // The SQL spelling: same exact top-K reached through the
     // graft_cosine_topk TABLE FUNCTION (GraftExtensions), same oracle BY
     // REFERENCE — a SQL-only user gets similarity search without the
@@ -627,6 +660,9 @@ object Similarity {
     // (recall_ok must be TRUE), not the neighbor list; n_queries pins the
     // probe-set size exactly.
     "sim_ann_ivf" ->
+      """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "sim_topk_cosine_q8" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "sim_ann_lsh" ->
