@@ -35,6 +35,15 @@ object RecallProbe {
       val q = probes.count()
       println(s"RECALL $dir: mean recall@5 = ${hits.toDouble / (5.0 * q)} ($hits/${5 * q} hits)")
 
+      // SQ8 (int8-quantized corpus) top-K recall vs the same brute force
+      val deq = graft.operators.Quantize
+        .withQuantized(e, "v")
+        .select(col("vec_id"),
+          graft.operators.Quantize.dequantize(col("q"), col("q_scale")).as("v"))
+      val q8 = graft.operators.Similarity.cosineTopK(deq, probes, 5)
+      val hitsQ8 = q8.join(bf, Seq("q_id", "vec_id")).count()
+      println(s"SQ8 $dir: mean recall@5 = ${hitsQ8.toDouble / (5.0 * q)} ($hitsQ8/${5 * q} hits)")
+
       // LSH-bucketed ANN recall vs the same brute force, per band params
       for ((r, b) <- Seq((4, 8), (5, 8), (6, 8), (6, 16), (8, 16), (8, 32))) {
         val ann2 = graft.operators.Similarity.lshSearch(e, probes, r, b, topK = 5)
