@@ -93,6 +93,30 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(summary.agg(sum("n_docs")).first().getLong(0) === 7L)
   }
 
+  test("fixture-scale: three ingest batches over documents == one-shot rebuild") {
+    val state = freshDir("corpus_state_fixture")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // History: thirds by doc_id mod 3 — seed lands first, two batches follow.
+    CorpusMaintenance.bootstrap(spark, docs.filter(col("doc_id") % 3 === 0), state)
+    CorpusMaintenance.ingestBatch(spark, docs.filter(col("doc_id") % 3 === 1), state)
+    CorpusMaintenance.ingestBatch(spark, docs.filter(col("doc_id") % 3 === 2), state)
+
+    val landed = spark.read.parquet(s"$state/docs")
+    // Exact dups across batches are dropped by the store, so the landed
+    // corpus is the fixture minus later-arriving exact duplicates — and
+    // the maintained map must equal a from-scratch CC over exactly the
+    // landed corpus.
+    val maintained = CorpusMaintenance.currentMap(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = DedupClusters.connectedComponents(
+      TextOps.ngramJaccardPairs(landed, 3, 0.5).select(col("d1"), col("d2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained === rebuilt,
+      s"maintained map diverged from rebuild on the fixture (${maintained.size} vs ${rebuilt.size} rows)")
+    assert(landed.count() > 0 && maintained.nonEmpty)
+  }
+
   test("streaming sink drives the same loop through foreachBatch") {
     val s = spark
     import s.implicits._
