@@ -4,6 +4,30 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump one query's result to `outDir/<name>`. A throwing query must
+    * SURFACE, not vanish (round-7 lesson: 28 broken queries read as
+    * "123 pass" because absence ≠ error in the driver's compare): on
+    * failure the output dir is emptied and an `_error.txt` marker
+    * written, so the driver's read of `<name>` fails loudly → recorded
+    * as `err`, not missing. VerifyDumpSpec pins both paths. */
+  private[graft] def dumpOne(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame
+  ): Unit =
+    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val d = new java.io.File(s"$outDir/$name")
+      d.mkdirs()
+      d.listFiles().foreach(_.delete())
+      Files.writeString(Paths.get(s"$outDir/$name/_error.txt"),
+        s"${e.getClass.getName}: ${e.getMessage}\n")
+    }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     // GraftSession: the correctness gate must exercise the same session
@@ -17,24 +41,7 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // Surface the failure instead of letting the query silently vanish
-        // from the dump (round-7 lesson: 28 broken queries read as "123
-        // pass" because absence ≠ error in the driver's compare). An empty
-        // output dir with an _error.txt marker makes the driver's read of
-        // <name> fail loudly → recorded as `err`, not missing.
-        val d = new java.io.File(s"$outDir/$name")
-        d.mkdirs()
-        d.listFiles().foreach(_.delete())
-        Files.writeString(Paths.get(s"$outDir/$name/_error.txt"),
-          s"${e.getClass.getName}: ${e.getMessage}\n")
-      }
-    }
+      .foreach { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
