@@ -23,11 +23,20 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
       val d = new java.io.File(s"$outDir/$name")
+      // Recursive, deepest-first: File.delete silently no-ops on non-empty
+      // dirs, so a `_temporary` subdir from a mid-write failure would keep
+      // committed part-files alive behind the marker — the driver could
+      // glob them as a plausible result. VerifyDumpSpec pins this.
+      deleteTree(d)
       d.mkdirs()
-      d.listFiles().foreach(_.delete())
       Files.writeString(Paths.get(s"$outDir/$name/_error.txt"),
         s"${e.getClass.getName}: ${e.getMessage}\n")
     }
+
+  private[graft] def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     // GraftSession: the correctness gate must exercise the same session

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,5 +54,23 @@ class VerifyDumpSpec extends AnyFunSuite {
       (sp, _) => sp.emptyDataFrame.select(org.apache.spark.sql.functions.col("nope")))
     assert(new java.io.File(s"$out/q/_error.txt").exists())
     intercept[Exception] { spark.read.parquet(s"$out/q").collect() }
+  }
+
+  test("failure cleanup removes nested subdirs (a _temporary tree), not just top-level files") {
+    val out = freshDir()
+    // Plant the debris of a mid-write crash: committed part-files inside a
+    // _temporary subtree. A non-recursive delete no-ops on the non-empty dir
+    // and the stale part-file would sit next to _error.txt.
+    val tmp = new java.io.File(s"$out/q/_temporary/0/task_0")
+    assert(tmp.mkdirs())
+    Files.writeString(tmp.toPath.resolve("part-00000.parquet"), "stale")
+    Files.writeString(Paths.get(s"$out/q/part-old.parquet"), "stale-top")
+
+    Verify.dumpOne(spark, "unused", out, "q",
+      (_, _) => throw new IllegalStateException("mid-write crash"))
+
+    val left = new java.io.File(s"$out/q").listFiles().map(_.getName).toSet
+    assert(left === Set("_error.txt"),
+      s"failed query dir must hold ONLY the marker, found $left")
   }
 }
