@@ -109,10 +109,17 @@ object EventStreamSource {
       .parquet(dir)
 
   /** Wire frame → typed events rows. PERMISSIVE `from_json`: a malformed
-    * value yields a NULL struct (flattened to all-NULL payload columns),
-    * never an exception. Kafka metadata survives as `_topic`/`_partition`
-    * /`_offset`/`_kafka_ts` for audit/replay lineage. */
+    * value yields an all-NULL-fields struct, never an exception — which
+    * makes any single payload field useless as a corruption signal (a
+    * well-formed `"event_id":null` is indistinguishable from poison).
+    * Parse failure is detected properly via `columnNameOfCorruptRecord`:
+    * the parser itself records the unparseable raw text, so `_corrupt` is
+    * true exactly when the parser failed (malformed JSON, field type
+    * mismatch) or the Kafka value was NULL — never for a legitimate null
+    * field. Kafka metadata survives as `_topic`/`_partition`/`_offset`
+    * /`_kafka_ts` for audit/replay lineage. */
   def parseEventJson(wire: DataFrame): DataFrame = {
+    val parseSchema = eventSchema.add(StructField("_corrupt_record", StringType))
     val parsed = wire
       .select(
         col("value").cast("string").as("_raw"),
@@ -121,7 +128,8 @@ object EventStreamSource {
         col("offset").as("_offset"),
         col("timestamp").as("_kafka_ts")
       )
-      .withColumn("_e", from_json(col("_raw"), eventSchema))
+      .withColumn("_e", from_json(col("_raw"), parseSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
     parsed.select(
       col("_e.event_id").as("event_id"),
       col("_e.ts").as("ts"),
@@ -129,18 +137,21 @@ object EventStreamSource {
       col("_e.event_type").as("event_type"),
       col("_e.value").as("value"),
       col("_e.props").as("props"),
+      (col("_e").isNull || col("_e._corrupt_record").isNotNull).as("_corrupt"),
       col("_raw"), col("_topic"), col("_partition"), col("_offset"), col("_kafka_ts")
     )
   }
 
-  /** Poison-message routing: rows whose payload failed to parse
-    * (`event_id` NULL post-parse) split into a dead-letter leg carrying
-    * the raw bytes + offsets for replay; clean rows drop the audit
-    * columns and are exactly the `events` table schema. */
+  /** Poison-message routing: only TRUE parse failures (`_corrupt`, i.e.
+    * the parsed struct was NULL) go to the dead-letter leg, carrying the
+    * raw bytes + offsets for replay. Well-formed events with a null
+    * `event_id` stay on the clean leg — routing them to dead-letter
+    * would silently drop valid data. Clean rows drop the audit columns
+    * and are exactly the `events` table schema. */
   def splitCorrupt(parsed: DataFrame): (DataFrame, DataFrame) = {
-    val bad = parsed.filter(col("event_id").isNull)
+    val bad = parsed.filter(col("_corrupt"))
       .select(col("_raw"), col("_topic"), col("_partition"), col("_offset"), col("_kafka_ts"))
-    val good = parsed.filter(col("event_id").isNotNull)
+    val good = parsed.filter(!col("_corrupt"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     (good, bad)
   }

@@ -39,7 +39,10 @@ class EventStreamSourceSpec extends AnyFunSuite {
     val queue = freshDir("evt_queue")
     val goodJson = Seq(
       """{"event_id":1,"ts":"2024-03-05T12:34:56.000Z","user_id":10,"event_type":"click","value":1.5,"props":"{}"}""",
-      """{"event_id":2,"ts":"2024-03-05T13:00:00.000Z","user_id":11,"event_type":"view","value":null,"props":"a"}"""
+      """{"event_id":2,"ts":"2024-03-05T13:00:00.000Z","user_id":11,"event_type":"view","value":null,"props":"a"}""",
+      // Well-formed payload whose event_id is legitimately null: must stay
+      // on the clean leg — only PARSE failures are corrupt.
+      """{"event_id":null,"ts":"2024-03-05T14:00:00.000Z","user_id":12,"event_type":"view","value":2.0,"props":"b"}"""
     )
     val poison = Seq("""not json at all""")
     enqueueWire(queue, goodJson ++ poison, startOffset = 0L)
@@ -55,23 +58,25 @@ class EventStreamSourceSpec extends AnyFunSuite {
     val all = spark.table("evt_parsed")
     val (good, bad) = EventStreamSource.splitCorrupt(all)
 
-    val goodRows = good.orderBy("event_id").collect()
-    assert(goodRows.length === 2)
+    val goodRows = good.orderBy(col("event_id").asc_nulls_last).collect()
+    assert(goodRows.length === 3)
     assert(goodRows(0).getLong(0) === 1L)
     assert(goodRows(0).getTimestamp(1) === Timestamp.valueOf("2024-03-05 12:34:56"))
     assert(goodRows(0).getLong(2) === 10L)
     assert(goodRows(0).getString(3) === "click")
     assert(goodRows(0).getDouble(4) === 1.5)
     assert(goodRows(1).isNullAt(4), "explicit null value survives as NULL")
+    assert(goodRows(2).isNullAt(0) && goodRows(2).getLong(2) === 12L,
+      "well-formed event with null event_id stays on the clean leg")
     // Clean leg is exactly the events table schema (so everything built
     // on Tables.events runs unchanged on the stream).
     assert(good.schema.fieldNames.toSeq ===
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
 
     val badRows = bad.collect()
-    assert(badRows.length === 1)
+    assert(badRows.length === 1, "ONLY the true parse failure is dead-lettered")
     assert(badRows(0).getString(0) === "not json at all")
-    assert(badRows(0).getLong(3) === 2L, "dead-letter keeps the offset for replay")
+    assert(badRows(0).getLong(3) === 3L, "dead-letter keeps the offset for replay")
   }
 
   test("parsed stream drives the exactly-once ORC sink with a bucketer expression") {
