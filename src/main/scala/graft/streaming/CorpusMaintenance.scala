@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -22,24 +23,29 @@ import graft.operators.{DedupClusters, TextOps}
   *
   * State layout under `stateDir` (all plain parquet — readable by any
   * engine, no custom formats):
-  *   docs/               corpus rows (doc_id, text, …) — append-only
-  *   hashes/             fingerprint store (h) — append-only
+  *   docs/epoch=N/       corpus rows (doc_id, text, …) landed by epoch N
+  *   hashes/epoch=N/     fingerprint rows (h) landed by epoch N
   *   cluster_map_v<N>/   versioned cluster maps — blue/green
-  *   _CURRENT_MAP        one-line pointer file naming the live version
+  *   _CURRENT_MAP        one-line pointer file naming the live epoch
   *
-  * The cluster map is OVERWRITTEN logically but never physically: each
-  * ingest writes `cluster_map_v<N+1>` and then flips the pointer —
-  * readers of the current version are never raced (the
-  * read-what-you-overwrite failure mode a single-dir design hits), and
-  * a crash between write and flip leaves the old version live and the
-  * orphan version inert. Same blue/green discipline as
-  * [[StreamingIvfAppend.compact]].
+  * EPOCH COMMIT (crash atomicity): one ingest = one epoch N = one map
+  * version N. The batch's docs, hashes, and merged map are all STAGED
+  * under their epoch-N paths (overwrite mode, so a crashed attempt's
+  * debris is cleared on replay), and none of it is visible until the
+  * single atomic commit point: the `_CURRENT_MAP` pointer flip. Every
+  * reader — including the next ingest's own dedup store and corpus scan
+  * — filters to epochs ≤ the pointer. A crash anywhere before the flip
+  * leaves the old epoch live and the staged files inert; at-least-once
+  * redelivery then recomputes the SAME epoch from committed state and
+  * re-stages over the debris. A redelivery after the flip admits nothing
+  * (the batch's hashes are now committed) and is a pure no-op. That is
+  * the full exactly-once argument — it holds mid-batch, not just for
+  * whole-batch replay. CorpusMaintenanceSpec pins both crash positions.
   *
-  * IDEMPOTENCE: replaying a batch (foreachBatch crash-redelivery) is a
-  * no-op by construction — every row's hash is already in the store, so
-  * exact dedup admits nothing, no pairs are generated, and the map is
-  * rewritten unchanged. CorpusMaintenanceSpec pins this and the
-  * equivalence of the maintained map with a from-scratch rebuild.
+  * The pointer itself is written through the Hadoop FileSystem API
+  * (works on HDFS/S3A/local alike, matching the module's cluster
+  * posture) as temp-file + atomic rename — a crash mid-write can never
+  * leave a truncated pointer.
   */
 object CorpusMaintenance {
 
@@ -47,18 +53,49 @@ object CorpusMaintenance {
 
   private def docsPath(stateDir: String) = s"$stateDir/docs"
   private def hashesPath(stateDir: String) = s"$stateDir/hashes"
-  private def mapPath(stateDir: String, v: Int) = s"$stateDir/cluster_map_v$v"
+  private def epochDir(base: String, v: Int) = s"$base/epoch=$v"
+  private[graft] def mapPath(stateDir: String, v: Int) = s"$stateDir/cluster_map_v$v"
   private def pointerPath(stateDir: String) = s"$stateDir/_CURRENT_MAP"
 
-  /** Current live cluster-map version, 0 if none. */
-  def currentMapVersion(stateDir: String): Int = {
-    val p = java.nio.file.Paths.get(pointerPath(stateDir))
-    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim.toInt else 0
+  /** Current live epoch / cluster-map version, 0 if none committed. */
+  def currentMapVersion(spark: SparkSession, stateDir: String): Int = {
+    val p = new Path(pointerPath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s.toInt
+    }
   }
+
+  /** Atomic pointer flip — THE commit point of an epoch. Temp file +
+    * rename(OVERWRITE) through FileContext: atomic on local and HDFS,
+    * and never observable half-written. */
+  private[graft] def commitPointer(spark: SparkSession, stateDir: String, v: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(pointerPath(stateDir))
+    val tmp = new Path(pointerPath(stateDir) + ".tmp")
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(dst.toUri, conf).rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Committed view of an epoch-partitioned store: epochs ≤ the pointer
+    * only (partition-pruned at scan), epoch column dropped. Staged or
+    * crashed-orphan epochs are invisible. */
+  private def committed(spark: SparkSession, base: String, upTo: Int): DataFrame =
+    spark.read.parquet(base).filter(col("epoch") <= upTo).drop("epoch")
+
+  /** The committed corpus (doc_id, text, …). */
+  def corpus(spark: SparkSession, stateDir: String): DataFrame =
+    committed(spark, docsPath(stateDir), currentMapVersion(spark, stateDir))
 
   /** The live cluster map (doc_id, rep); empty if no version yet. */
   def currentMap(spark: SparkSession, stateDir: String): DataFrame = {
-    val v = currentMapVersion(stateDir)
+    val v = currentMapVersion(spark, stateDir)
     if (v == 0)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -67,7 +104,7 @@ object CorpusMaintenance {
   }
 
   /** Bootstrap the state from an initial corpus (runs the one full-graph
-    * CC the maintenance loop exists to never run again). */
+    * CC the maintenance loop exists to never run again). Epoch 1. */
   def bootstrap(
       spark: SparkSession,
       initial: DataFrame,
@@ -75,20 +112,22 @@ object CorpusMaintenance {
       k: Int = 3,
       threshold: Double = 0.5
   ): Unit = {
-    initial.write.mode(SaveMode.Overwrite).parquet(docsPath(stateDir))
+    initial.write.mode(SaveMode.Overwrite).parquet(epochDir(docsPath(stateDir), 1))
     initial.select(md5(lower(trim(col("text")))).as("h"))
       .distinct()
-      .write.mode(SaveMode.Overwrite).parquet(hashesPath(stateDir))
+      .write.mode(SaveMode.Overwrite).parquet(epochDir(hashesPath(stateDir), 1))
     val pairs = TextOps.ngramJaccardPairs(initial, k, threshold).select(col("d1"), col("d2"))
     DedupClusters.connectedComponents(pairs)
       .write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, 1))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(pointerPath(stateDir)), "1")
+    commitPointer(spark, stateDir, 1)
   }
 
   /** One ingest step (a pure batch function — call it from foreachBatch
     * or a scheduled job). `batch` must carry `doc_id` and `text`; rows
     * whose normalized text already landed are dropped, survivors join
     * the corpus and the cluster map in one affected-components pass.
+    * All state derives from COMMITTED epochs and lands staged under
+    * epoch v+1; the pointer flip at the end is the only commit.
     */
   def ingestBatch(
       spark: SparkSession,
@@ -98,41 +137,44 @@ object CorpusMaintenance {
       threshold: Double = 0.5
   ): IngestStats = {
     val nBatch = batch.count()
-    val store = spark.read.parquet(hashesPath(stateDir))
+    val v = currentMapVersion(spark, stateDir)
+    val store = committed(spark, hashesPath(stateDir), v)
     // Materialize the admitted set once: it feeds the corpus append, the
     // hash append, and the pair generation.
     val admitted = TextOps.incrementalDedup(batch, store).localCheckpoint()
     val nAdmitted = admitted.count()
-    val v = currentMapVersion(stateDir)
     if (nAdmitted == 0) return IngestStats(nBatch, 0, 0, v)
 
+    // Stage epoch v+1. Overwrite clears any debris a crashed prior
+    // attempt left at the same epoch; nothing is committed yet.
+    val next = v + 1
     admitted.drop("__hash")
-      .write.mode(SaveMode.Append).parquet(docsPath(stateDir))
+      .write.mode(SaveMode.Overwrite).parquet(epochDir(docsPath(stateDir), next))
     admitted.select(col("__hash").as("h"))
-      .write.mode(SaveMode.Append).parquet(hashesPath(stateDir))
+      .write.mode(SaveMode.Overwrite).parquet(epochDir(hashesPath(stateDir), next))
 
-    // Restricted (batch × corpus) candidate join over the UPDATED corpus.
-    // Batch membership joins onto the index as a flag — never a
-    // driver-side id literal, so any batch size is fine.
-    val corpus = spark.read.parquet(docsPath(stateDir))
+    // Restricted (batch × corpus) candidate join over committed docs plus
+    // the staged epoch (both just written by THIS attempt). Batch
+    // membership joins onto the index as a flag — never a driver-side id
+    // literal, so any batch size is fine.
+    val corpusNow = committed(spark, docsPath(stateDir), next)
     val newPairs = TextOps
-      .ngramJaccardPairsIncrByIds(corpus, admitted.select(col("doc_id")), k, threshold)
+      .ngramJaccardPairsIncrByIds(corpusNow, admitted.select(col("doc_id")), k, threshold)
       .select(col("d1"), col("d2")).localCheckpoint()
     val nPairs = newPairs.count()
 
-    val next = v + 1
     val merged =
       if (v == 0) DedupClusters.connectedComponents(newPairs)
       else DedupClusters.augment(currentMap(spark, stateDir), newPairs)
     merged.write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, next))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(pointerPath(stateDir)), next.toString)
+    commitPointer(spark, stateDir, next)
     IngestStats(nBatch, nAdmitted, nPairs, next)
   }
 
   /** Streaming entry: every micro-batch of (doc_id, text, …) runs one
     * [[ingestBatch]] step. foreachBatch gives at-least-once delivery;
-    * the hash store makes redelivery a no-op, so end-to-end the state is
-    * exactly-once. */
+    * the epoch-commit protocol makes any redelivery — mid-batch crash
+    * included — converge to exactly-once state. */
   def sink(
       stream: DataFrame,
       stateDir: String,

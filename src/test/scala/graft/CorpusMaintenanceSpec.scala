@@ -52,7 +52,7 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
   test("ingest loop state == from-scratch rebuild; replay is a no-op; split reads the maintained map") {
     val state = freshDir("corpus_state")
     CorpusMaintenance.bootstrap(spark, df(seed), state)
-    assert(CorpusMaintenance.currentMapVersion(state) === 1)
+    assert(CorpusMaintenance.currentMapVersion(spark, state) === 1)
 
     val s1 = CorpusMaintenance.ingestBatch(spark, df(batch1), state)
     assert(s1.nBatch === 3 && s1.nAdmitted === 2, s"batch1 stats: $s1")
@@ -61,7 +61,7 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(s2.mapVersion === 3)
 
     // Corpus = seed + admitted survivors only.
-    val corpus = spark.read.parquet(s"$state/docs")
+    val corpus = CorpusMaintenance.corpus(spark, state)
     assert(corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(1L, 2L, 3L, 4L, 12L, 13L, 21L))
 
@@ -79,7 +79,7 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     // admissions, no new version, corpus unchanged.
     val replay = CorpusMaintenance.ingestBatch(spark, df(batch1), state)
     assert(replay.nAdmitted === 0 && replay.mapVersion === 3, s"replay mutated state: $replay")
-    assert(spark.read.parquet(s"$state/docs").count() === 7)
+    assert(CorpusMaintenance.corpus(spark, state).count() === 7)
 
     // Blue/green: superseded versions still on disk, pointer names v3.
     assert(new java.io.File(s"$state/cluster_map_v1").exists())
@@ -102,7 +102,7 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     CorpusMaintenance.ingestBatch(spark, docs.filter(col("doc_id") % 3 === 1), state)
     CorpusMaintenance.ingestBatch(spark, docs.filter(col("doc_id") % 3 === 2), state)
 
-    val landed = spark.read.parquet(s"$state/docs")
+    val landed = CorpusMaintenance.corpus(spark, state)
     // Exact dups across batches are dropped by the store, so the landed
     // corpus is the fixture minus later-arriving exact duplicates — and
     // the maintained map must equal a from-scratch CC over exactly the
@@ -115,6 +115,48 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(maintained === rebuilt,
       s"maintained map diverged from rebuild on the fixture (${maintained.size} vs ${rebuilt.size} rows)")
     assert(landed.count() > 0 && maintained.nonEmpty)
+  }
+
+  test("mid-batch crash: staged epochs are invisible until the pointer flip; redelivery converges") {
+    val state = freshDir("corpus_crash")
+    CorpusMaintenance.bootstrap(spark, df(seed), state)
+
+    // Crash position A: an attempt died after staging docs for epoch 2
+    // but before staging hashes or flipping the pointer. Plant debris.
+    df(Seq(doc(99L, "garbage partial row from a crashed attempt")))
+      .write.mode("overwrite").parquet(s"$state/docs/epoch=2")
+    assert(CorpusMaintenance.corpus(spark, state).count() === 4,
+      "staged-but-uncommitted epoch must be invisible to readers")
+
+    // Redelivery of the real batch re-stages epoch 2 over the debris.
+    val s1 = CorpusMaintenance.ingestBatch(spark, df(batch1), state)
+    assert(s1.nAdmitted === 2 && s1.mapVersion === 2)
+    val ids = CorpusMaintenance.corpus(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L, 4L, 12L, 13L), s"debris leaked into the corpus: $ids")
+
+    // Crash position B: everything for epoch 2 staged (docs, hashes, map)
+    // but the pointer flip never happened. Simulate by reverting the
+    // pointer (through the module's own atomic writer, keeping the
+    // checksum sidecar consistent); committed state must roll back to
+    // epoch 1 wholesale.
+    CorpusMaintenance.commitPointer(spark, state, 1)
+    assert(CorpusMaintenance.corpus(spark, state).count() === 4)
+    assert(CorpusMaintenance.ingestBatch(spark, df(batch1), state).mapVersion === 2,
+      "redelivery after a pre-flip crash must recommit the same epoch")
+
+    // Final state identical to a clean run: map == from-scratch rebuild,
+    // no duplicate doc_ids, and a further replay is a no-op.
+    val corpus = CorpusMaintenance.corpus(spark, state)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 12L, 13L))
+    val maintained = CorpusMaintenance.currentMap(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = DedupClusters.connectedComponents(
+      TextOps.ngramJaccardPairs(corpus, 3, 0.5).select(col("d1"), col("d2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained === rebuilt, "post-crash maintained map diverged from rebuild")
+    assert(CorpusMaintenance.ingestBatch(spark, df(batch1), state).nAdmitted === 0)
   }
 
   test("streaming sink drives the same loop through foreachBatch") {
@@ -130,7 +172,7 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     val q = CorpusMaintenance.sink(stream, state, ckpt)
     q.processAllAvailable(); q.stop()
 
-    assert(spark.read.parquet(s"$state/docs").count() === 6) // 4 seed + 2 admitted
+    assert(CorpusMaintenance.corpus(spark, state).count() === 6) // 4 seed + 2 admitted
     val maintained = CorpusMaintenance.currentMap(spark, state)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(maintained(12L) === 1L)
