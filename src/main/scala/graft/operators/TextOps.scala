@@ -134,6 +134,15 @@ object TextOps {
     * materialization the text re-shingles per consumer); at real scale
     * those rows ARE the inverted-index table a continuously-ingesting
     * pipeline keeps on disk anyway.
+    *
+    * Hot-key cap semantics: each leg's cap is evaluated over the SAME
+    * corpus its standalone sibling sees — the old leg's hot set over old
+    * rows only (≡ `ngramJaccardPairs(oldDocs)`), the new leg's over the
+    * full old+new index (≡ `ngramJaccardPairsIncr(all)`). One combined
+    * cap would silently drop a shingle from the old-old self-join when
+    * its doc-freq crosses the cap only WITH the new batch counted,
+    * deflating old-pair Jaccards at the boundary (NgramPairsSplitSpec
+    * pins the 500-vs-510 boundary case).
     */
   private[operators] def ngramJaccardPairsSplit(
       all: DataFrame,
@@ -146,7 +155,8 @@ object TextOps {
       .localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500).withColumn("nw", isNew)
-    val idxOld = idx.filter(!col("nw"))
+    val idxOld = SkewTools.dropHotKeys(
+      sh.withColumn("nw", isNew).filter(!col("nw")), Seq("s"), 500)
     val oldCounts = idxOld
       .as("a")
       .join(idxOld.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -178,6 +188,15 @@ object TextOps {
     * Jaccard denominators use UNCAPPED full-corpus shingle counts, same
     * as the batch path. `isNew` must be a deterministic predicate over
     * `doc_id` (evaluated on both join sides).
+    *
+    * Hot-key cap: evaluated over the FULL (old+new) index — the corpus
+    * as it stands when the batch arrives. A shingle whose doc-freq
+    * crosses the cap at ingest N is dropped from candidate generation
+    * from then on, so a maintained map can differ at the cap boundary
+    * from a from-scratch rebuild whose cap saw the final corpus; both
+    * sides of that trade only FORGO candidates of quadratic-bucket keys,
+    * never invent pairs. Fixture doc-freqs (≤ 25 at sf0.1) keep the gate
+    * oracles cap-free.
     */
   private[graft] def ngramJaccardPairsIncr(
       all: DataFrame,

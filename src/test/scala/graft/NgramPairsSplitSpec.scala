@@ -42,6 +42,32 @@ class NgramPairsSplitSpec extends AnyFunSuite {
     assert((pairSet(oldPairs) ++ pairSet(newPairs)) === full)
   }
 
+  test("old leg's hot-key cap sees old rows only — the 500-vs-510 doc-freq boundary") {
+    val s = spark
+    import s.implicits._
+    // A shingle S = "alpha beta gamma" with old doc-freq exactly 500
+    // (kept: cap drops only freq > 500) that crosses to 510 once 10 new
+    // docs arrive (dropped from any cap over the combined index). The
+    // only pair above threshold is the old near-dup sentinel (9001,9002),
+    // whose Jaccard is 0.5 WITH S counted and 0.2 without — so a cap
+    // computed over the moving corpus would lose it from the old leg.
+    val fillers = (1 to 498).map(i => (i.toLong, s"alpha beta gamma u${i}a u${i}b u${i}c"))
+    val sentinels = Seq(
+      (9001L, "alpha beta gamma delta epsilon"),
+      (9002L, "alpha beta gamma delta zeta"))
+    val news = (1 to 10).map(i => (10000L + i, s"alpha beta gamma n${i}x n${i}y"))
+    val docs = (fillers ++ sentinels ++ news).toDF("doc_id", "text")
+    val isNew = col("doc_id") >= 10000L
+
+    val (oldPairs, newPairs) = TextOps.ngramJaccardPairsSplit(docs, isNew, 3, 0.5)
+    val oldStandalone = TextOps.ngramJaccardPairs(docs.filter(!isNew), 3, 0.5)
+    assert(pairSet(oldStandalone) === Set((9001L, 9002L)), "fixture must isolate the sentinel pair")
+    assert(pairSet(oldPairs) === pairSet(oldStandalone),
+      "old leg lost pairs at the cap boundary — its hot-key set must see old rows only")
+    assert(pairSet(newPairs) === pairSet(TextOps.ngramJaccardPairsIncr(docs, isNew, 3, 0.5)),
+      "new leg must keep full-index cap semantics, matching the incremental generator")
+  }
+
   test("id-DataFrame variant ≡ Column-predicate variant") {
     val docs = Tables.documents(spark, sf)
     val byCol = TextOps.ngramJaccardPairsIncr(
