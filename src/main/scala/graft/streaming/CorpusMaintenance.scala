@@ -171,6 +171,21 @@ object CorpusMaintenance {
     IngestStats(nBatch, nAdmitted, nPairs, next)
   }
 
+  /** GC for superseded cluster-map versions: keep the live map plus
+    * `keep - 1` predecessors, delete older ones past the mtime grace
+    * window. Never touches docs/hashes epochs (they ARE the corpus),
+    * the pointer, or the live map — see [[Retention.retainVersioned]].
+    * Returns the deleted paths. */
+  def retain(
+      spark: SparkSession,
+      stateDir: String,
+      keep: Int,
+      graceMs: Long = 10 * 60 * 1000L
+  ): Seq[String] =
+    Retention.retainVersioned(
+      spark, stateDir, "cluster_map_v",
+      live = currentMapVersion(spark, stateDir), keep = keep, graceMs = graceMs)
+
   /** Streaming entry: every micro-batch of (doc_id, text, …) runs one
     * [[ingestBatch]] step. foreachBatch gives at-least-once delivery;
     * the epoch-commit protocol makes any redelivery — mid-batch crash
