@@ -406,6 +406,32 @@ object TextOps {
         .orderBy(col("rep"))
     },
 
+    // The CONTINUOUS corpus-maintenance loop end-to-end, query-gated:
+    // documents arrive as three batches (doc_id % 3 — seed bootstrap +
+    // two ingests) through the full CorpusMaintenance state machine —
+    // exact dedup vs the hash store, epoch-staged appends, restricted
+    // pair generation, cluster-map augment, atomic pointer commits. The
+    // result is the final maintained map's cluster summary; the oracle
+    // recomputes the landed corpus (first-batch winner per text hash,
+    // min doc_id within a batch) and runs the SAME recursive-CTE CC as
+    // dedup_clusters over it, so a pass proves the maintained state of
+    // the whole loop equals a from-scratch rebuild. State lives in a
+    // deterministic per-fixture tmp dir: re-running bootstrap resets the
+    // pointer to epoch 1, so every pass replays the identical history.
+    "corpus_maintain" -> { (spark, dir) =>
+      import graft.streaming.CorpusMaintenance
+      val state = s"${sys.props("java.io.tmpdir")}/graft_corpus_maintain_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      CorpusMaintenance.bootstrap(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 0), state)
+      CorpusMaintenance.ingestBatch(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 1), state)
+      CorpusMaintenance.ingestBatch(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 2), state)
+      CorpusMaintenance.currentMap(spark, state)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("rep"))
+    },
+
     // Winnowing-style fingerprinting: hash of each 8-token rolling
     // window; pairs sharing ≥3 window fingerprints are clones/partial
     // clones. The output carries only pair counts, so the fingerprint
@@ -1075,6 +1101,45 @@ object TextOps {
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
          |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs0 AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM pairs0
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(n, m) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)
+         |SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
+    // The maintained corpus: every seed row (bootstrap does no in-batch
+    // collapse), later batches contribute their min-doc_id winner per
+    // text hash unless the hash appeared in ANY earlier batch (landed or
+    // collapsed — either way it is in the store). CC over that corpus.
+    "corpus_maintain" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text, doc_id % 3 AS b, md5(lower(trim(text))) AS h
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, text, b, h FROM d WHERE b = 0
+         |  UNION ALL
+         |  SELECT doc_id, text, b, h FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY h, b ORDER BY doc_id) AS rn
+         |    FROM d WHERE b > 0)
+         |  WHERE rn = 1),
+         |landed AS (
+         |  SELECT doc_id, text FROM w w1
+         |  WHERE NOT EXISTS (SELECT 1 FROM d w2 WHERE w2.h = w1.h AND w2.b < w1.b)),
+         |sh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM landed)
          |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs0 AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
