@@ -1,0 +1,158 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.operators.{DedupClusters, GraphOps, IvfIndex, TextOps}
+
+/** Empirical scaling rehearsal for the suite's heavy hitters — the
+  * first measured test of the "survives 100×" posture the plan audits
+  * argue structurally. Generates DETERMINISTIC synthetic fixtures shaped
+  * like sf0.1 (same cardinality ratios, word-vocab text with ~8%
+  * near-dup structure, 64-dim near-uniform embeddings, ~4-line orders)
+  * at the given multipliers, writes them to parquet, and times each
+  * operator's warm path twice per scale:
+  *
+  *   incr_augment   restricted pair-gen + cluster augment (the
+  *                  dedup_incr_clusters gate path; its CC setup is
+  *                  cached, exactly like the gate)
+  *   triangles      co-occurrence graph build + degree-ordered
+  *                  triangle counts (graph_triangles)
+  *   ivf_train      sampled k-means codebook (sim_ann_ivf setup)
+  *   ivf_search     probe-pruned ANN search (sim_ann_ivf query path)
+  *   leakproof      full pair-gen + CC + split summary (split_leakproof)
+  *
+  * Run: `runMain graft.tools.ScaleRehearsal <outDir> <mult>...`
+  * Prints one `SCALE {json}` line per (op, multiplier); SCALING.md
+  * records the fitted exponents.
+  */
+object ScaleRehearsal {
+
+  private val vocab: Seq[String] = Seq(
+    "spark", "line", "column", "order", "small", "sort", "fast", "value",
+    "scan", "hash", "slow", "group", "batch", "part", "query", "agg",
+    "table", "vector", "stream", "filter", "big", "merge", "join", "key",
+    "window", "customer", "the", "a", "data", "cache", "plan", "code",
+    "row", "page", "disk", "node", "task", "stage", "shard", "index")
+
+  /** documents twin: 92% base docs (30-70 words off a 40-word vocab,
+    * all word choices pure functions of the doc seed) + 8% near-dups
+    * (same word stream as their base doc with ONE position rewritten —
+    * 3-gram Jaccard ≈ 0.9, well above the 0.5 pair threshold). */
+  private def genDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocabCol = array(vocab.map(lit): _*)
+    val nBase = (n * 92) / 100
+    spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < nBase, col("id")).otherwise(col("id") - nBase).as("seed"),
+      (col("id") >= nBase).as("dup"))
+      .select(
+        col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(1), (pmod(xxhash64(col("seed")), lit(41)) + 30).cast("int")),
+            i => {
+              val base = element_at(vocabCol,
+                (pmod(xxhash64(col("seed"), i), lit(vocab.size)) + 1).cast("int"))
+              val alt = element_at(vocabCol,
+                (pmod(xxhash64(col("seed"), i, lit(7)), lit(vocab.size)) + 1).cast("int"))
+              val flipAt = (pmod(xxhash64(col("doc_id")), lit(25)) + 3).cast("int")
+              when(col("dup") && i === flipAt, alt).otherwise(base)
+            }),
+          " ").as("text"))
+  }
+
+  /** embeddings twin: 64-dim near-uniform in [-1, 1) — ANN's worst
+    * case, matching the fixture's structure. */
+  private def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(xxhash64(col("id"), j), lit(2001)) - 1000).cast("double") / 1000.0).as("v"))
+
+  /** lineitem twin (the two columns the graph queries read): ~4 lines
+    * per order, uniform part choice over a part universe that scales
+    * with the corpus — constant expected co-purchase degree. */
+  private def genLineitem(spark: SparkSession, nLines: Long, nParts: Long): DataFrame =
+    spark.range(nLines).select(
+      (col("id") / 4).cast("long").as("ok"),
+      pmod(xxhash64(col("id")), lit(nParts)).as("pk"))
+
+  private def time[T](f: => T): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.head
+    val mults = args.tail.map(_.toInt)
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (m <- mults) {
+      val dir = s"$outDir/m$m"
+      genDocs(spark, 5000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+      genEmbeddings(spark, 2000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/emb")
+      genLineitem(spark, 600000L * m, 20000L * m)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/li")
+
+      val docs = spark.read.parquet(s"$dir/docs")
+      val emb = spark.read.parquet(s"$dir/emb")
+      val li = spark.read.parquet(s"$dir/li")
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+
+      // incr_augment: converged old map is setup (cached, like the gate)
+      val oldMap = DedupClusters.connectedComponents(
+        TextOps.ngramJaccardPairs(docs.filter(!isNew), 3, 0.5)
+          .select(col("d1"), col("d2"))).localCheckpoint()
+      oldMap.count()
+      def incrRun(): Long = DedupClusters.augment(
+          oldMap,
+          TextOps.ngramJaccardPairsIncr(docs, isNew, 3, 0.5).select(col("d1"), col("d2")))
+        .groupBy(col("rep")).agg(count(lit(1))).count()
+
+      def triRun(): Long = {
+        val und = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+          .distinct()
+        GraphOps.triangleCounts(und)
+          .orderBy(col("tri").desc, col("id").asc).limit(20).collect().length.toLong
+      }
+
+      val (k, nProbe) = IvfIndex.autoParams(emb.count())
+      var model: IvfIndex.Model = null
+      def trainRun(): Unit = { model = IvfIndex.train(emb, k = k, iters = 3) }
+      def probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      // In-memory path: assignment recomputed per search (O(n·k)) — what
+      // sim_ann_ivf's self-contained gate does.
+      def searchRun(): Long =
+        IvfIndex.search(emb, probes, model, nProbe = nProbe, topK = 5).count()
+      // Materialized path: cluster-partitioned layout, probe-time
+      // partition pruning — the 100 TB shape (index built once in
+      // indexRun, searched many times).
+      def indexRun(): Unit = IvfIndex.writeIndexed(emb, model, s"$dir/ivf")
+      def searchIdxRun(): Long = IvfIndex.searchIndexed(
+        s"$dir/ivf", probes, model, nProbe = nProbe, topK = 5).count()
+
+      def leakRun(): Long = TextOps.leakproofSplitSummary(
+          docs,
+          DedupClusters.connectedComponents(
+            TextOps.ngramJaccardPairs(docs, 3, 0.5).select(col("d1"), col("d2"))))
+        .count()
+
+      val ops: Seq[(String, () => Any)] = Seq(
+        ("incr_augment", () => incrRun()),
+        ("triangles", () => triRun()),
+        ("ivf_train", () => trainRun()),
+        ("ivf_search", () => searchRun()),
+        ("ivf_index_build", () => indexRun()),
+        ("ivf_search_indexed", () => searchIdxRun()),
+        ("leakproof", () => leakRun()))
+      for ((name, f) <- ops) {
+        val a = time(f()); val b = time(f())
+        println(f"""SCALE {"op":"$name","m":$m,"runA":$a%.3f,"runB":$b%.3f}""")
+      }
+    }
+    spark.stop()
+  }
+}
