@@ -222,9 +222,17 @@ object IvfIndex {
         new graft.functions.VecAgg.VecSum(cents.head.length),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
       )
+      // Iteration assignment goes through the BROADCAST path regardless
+      // of k: each iteration's centroids are fresh literals, so the
+      // fused-codegen expression would be generated, janino-compiled
+      // (seconds at k in the low hundreds — measured ~5-7 s/iteration by
+      // tools/ScaleRehearsal's assign_fused probe) and then used exactly
+      // once. Literal fusion only pays when the SAME model is probed
+      // repeatedly (search paths, where the codegen cache amortizes it);
+      // in the Lloyd loop it is pure compile overhead. Bit-equivalent by
+      // the assignAuto parity spec.
       for (_ <- 1 to iters) {
-        val stats = sample
-          .withColumn("cl", assignExpr(Model(cents), col("v")))
+        val stats = assignBroadcast(sample, Model(cents))
           .groupBy(col("cl"))
           .agg(vecSum(col("v")).as("s"), count(lit(1)).as("n"))
           .collect()

@@ -23,6 +23,8 @@ import graft.operators.{DedupClusters, GraphOps, IvfIndex, TextOps}
   *   leakproof      full pair-gen + CC + split summary (split_leakproof)
   *
   * Run: `runMain graft.tools.ScaleRehearsal <outDir> <mult>...`
+  * (optionally `SCALE_OPS=ivf_train,ivf_search_indexed` to restrict —
+  * the larger multipliers are only affordable for the capped ops).
   * Prints one `SCALE {json}` line per (op, multiplier); SCALING.md
   * records the fitted exponents.
   */
@@ -84,26 +86,33 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val outDir = args.head
     val mults = args.tail.map(_.toInt)
+    val only = sys.env.get("SCALE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(op: String): Boolean = only.forall(_.contains(op))
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     for (m <- mults) {
       val dir = s"$outDir/m$m"
-      genDocs(spark, 5000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-      genEmbeddings(spark, 2000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/emb")
-      genLineitem(spark, 600000L * m, 20000L * m)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/li")
+      if (wanted("incr_augment") || wanted("leakproof"))
+        genDocs(spark, 5000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+      if (wanted("ivf_train") || wanted("ivf_search") ||
+          wanted("ivf_index_build") || wanted("ivf_search_indexed") ||
+          wanted("assign_fused") || wanted("assign_broadcast"))
+        genEmbeddings(spark, 2000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/emb")
+      if (wanted("triangles"))
+        genLineitem(spark, 600000L * m, 20000L * m)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/li")
 
-      val docs = spark.read.parquet(s"$dir/docs")
-      val emb = spark.read.parquet(s"$dir/emb")
-      val li = spark.read.parquet(s"$dir/li")
+      lazy val docs = spark.read.parquet(s"$dir/docs")
+      lazy val emb = spark.read.parquet(s"$dir/emb")
+      lazy val li = spark.read.parquet(s"$dir/li")
       val isNew = pmod(col("doc_id"), lit(5)) === 0
 
       // incr_augment: converged old map is setup (cached, like the gate)
-      val oldMap = DedupClusters.connectedComponents(
+      lazy val oldMap = DedupClusters.connectedComponents(
         TextOps.ngramJaccardPairs(docs.filter(!isNew), 3, 0.5)
           .select(col("d1"), col("d2"))).localCheckpoint()
-      oldMap.count()
       def incrRun(): Long = DedupClusters.augment(
           oldMap,
           TextOps.ngramJaccardPairsIncr(docs, isNew, 3, 0.5).select(col("d1"), col("d2")))
@@ -118,21 +127,39 @@ object ScaleRehearsal {
           .orderBy(col("tri").desc, col("id").asc).limit(20).collect().length.toLong
       }
 
-      val (k, nProbe) = IvfIndex.autoParams(emb.count())
+      lazy val (k, nProbe) = IvfIndex.autoParams(emb.count())
       var model: IvfIndex.Model = null
       def trainRun(): Unit = { model = IvfIndex.train(emb, k = k, iters = 3) }
+      def ensureModel(): Unit = if (model == null) trainRun()
       def probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       // In-memory path: assignment recomputed per search (O(n·k)) — what
       // sim_ann_ivf's self-contained gate does.
-      def searchRun(): Long =
+      def searchRun(): Long = {
+        ensureModel()
         IvfIndex.search(emb, probes, model, nProbe = nProbe, topK = 5).count()
+      }
       // Materialized path: cluster-partitioned layout, probe-time
       // partition pruning — the 100 TB shape (index built once in
       // indexRun, searched many times).
-      def indexRun(): Unit = IvfIndex.writeIndexed(emb, model, s"$dir/ivf")
-      def searchIdxRun(): Long = IvfIndex.searchIndexed(
-        s"$dir/ivf", probes, model, nProbe = nProbe, topK = 5).count()
+      def indexRun(): Unit = { ensureModel(); IvfIndex.writeIndexed(emb, model, s"$dir/ivf") }
+      var indexed = false
+      def searchIdxRun(): Long = {
+        if (!indexed) { indexRun(); indexed = true }
+        IvfIndex.searchIndexed(s"$dir/ivf", probes, model, nProbe = nProbe, topK = 5).count()
+      }
+
+      // Path probes for the k-gated assignment switch: same computation,
+      // forced through each path — evidence for LiteralAssignMaxK.
+      def assignFusedRun(): Long = {
+        ensureModel()
+        emb.withColumn("cl", IvfIndex.assignExpr(model, col("v")))
+          .agg(sum(col("cl"))).count()
+      }
+      def assignBcastRun(): Long = {
+        ensureModel()
+        IvfIndex.assignBroadcast(emb, model).agg(sum(col("cl"))).count()
+      }
 
       def leakRun(): Long = TextOps.leakproofSplitSummary(
           docs,
@@ -147,7 +174,9 @@ object ScaleRehearsal {
         ("ivf_search", () => searchRun()),
         ("ivf_index_build", () => indexRun()),
         ("ivf_search_indexed", () => searchIdxRun()),
-        ("leakproof", () => leakRun()))
+        ("assign_fused", () => assignFusedRun()),
+        ("assign_broadcast", () => assignBcastRun()),
+        ("leakproof", () => leakRun())).filter(t => wanted(t._1))
       for ((name, f) <- ops) {
         val a = time(f()); val b = time(f())
         println(f"""SCALE {"op":"$name","m":$m,"runA":$a%.3f,"runB":$b%.3f}""")
