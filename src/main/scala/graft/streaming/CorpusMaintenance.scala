@@ -189,21 +189,31 @@ object CorpusMaintenance {
   /** Streaming entry: every micro-batch of (doc_id, text, …) runs one
     * [[ingestBatch]] step. foreachBatch gives at-least-once delivery;
     * the epoch-commit protocol makes any redelivery — mid-batch crash
-    * included — converge to exactly-once state. */
+    * included — converge to exactly-once state.
+    *
+    * @param retainVersions when set, [[retain]] sweeps superseded map
+    *   versions after every ingest (keep = this many, including live),
+    *   so a long-running loop GCs itself instead of accumulating one
+    *   dead `cluster_map_v<N>` per batch. `retainGraceMs` is the mtime
+    *   window protecting versions a concurrent reader may still hold. */
   def sink(
       stream: DataFrame,
       stateDir: String,
       checkpoint: String,
       k: Int = 3,
       threshold: Double = 0.5,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      retainVersions: Option[Int] = None,
+      retainGraceMs: Long = 10 * 60 * 1000L
   ): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        ingestBatch(b.sparkSession, b, stateDir, k, threshold); ()
+        ingestBatch(b.sparkSession, b, stateDir, k, threshold)
+        retainVersions.foreach(n => retain(b.sparkSession, stateDir, n, retainGraceMs))
+        ()
       }
       .start()
 }

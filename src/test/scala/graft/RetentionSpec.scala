@@ -75,6 +75,35 @@ class RetentionSpec extends AnyFunSuite {
     assert(s4.mapVersion === 5 && mapVersionsOnDisk(state) === Set(3, 4, 5))
   }
 
+  test("streaming sink GCs itself when retainVersions is set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val state = freshDir("retain_stream"); val ckpt = freshDir("retain_stream_ckpt")
+    CorpusMaintenance.bootstrap(spark, df(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark engines at scale"))), state)
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val q = CorpusMaintenance.sink(stream, state, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      retainVersions = Some(2), retainGraceMs = 0L)
+    // One micro-batch per document, so each ingest commits its own epoch.
+    ms.addData(Seq((11L, "the quick brown fox jumps over the lazy doge")))
+    q.processAllAvailable()
+    ms.addData(Seq((12L, "yet another entirely novel document body here")))
+    q.processAllAvailable()
+    ms.addData(Seq((13L, "one more brand new piece of text content again")))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(CorpusMaintenance.currentMapVersion(spark, state) === 4)
+    assert(mapVersionsOnDisk(state) === Set(3, 4),
+      "the loop must sweep its own superseded versions")
+    assert(CorpusMaintenance.corpus(spark, state).count() === 5)
+  }
+
   test("retire deletes an old IVF generation after compact, never a fresh one") {
     val s = spark
     import s.implicits._
