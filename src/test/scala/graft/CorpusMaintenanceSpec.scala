@@ -117,6 +117,22 @@ class CorpusMaintenanceSpec extends AnyFunSuite {
     assert(landed.count() > 0 && maintained.nonEmpty)
   }
 
+  test("corpus_maintain gate: repeated runs replay the ingest history to the identical map") {
+    // The declared query bootstraps once per (application, fixture) and
+    // REPLAYS the two-ingest history on every later run by resetting the
+    // pointer to epoch 1 (the state machine's own crash-replay path). A
+    // second in-app run must land byte-identical cluster summaries —
+    // otherwise the bench's warm passes would measure a different
+    // computation than the driver's one-shot correctness gate.
+    val q = SparkEntry.queries("corpus_maintain")
+    val first = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val second = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(first.nonEmpty)
+    assert(first === second, "gate replay diverged from the bootstrap-fresh run")
+  }
+
   test("mid-batch crash: staged epochs are invisible until the pointer flip; redelivery converges") {
     val state = freshDir("corpus_crash")
     CorpusMaintenance.bootstrap(spark, df(seed), state)
