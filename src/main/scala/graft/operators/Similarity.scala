@@ -128,6 +128,43 @@ object Similarity {
     (r, math.max(1, bandsFor(r)))
   }
 
+  /** CORPUS-SIZE-AWARE band parameters — the missing scale dimension of
+    * [[lshAutoParams]]. For near-orthogonal (background) pairs each
+    * sign-bit collides with probability ~1/2, so a corpus of n random
+    * vectors produces ≈ (n/2)·b·2^-r background candidates PER ROW;
+    * with fixed r that term is linear in n — i.e. total candidate
+    * volume grows quadratically no matter how good the threshold
+    * S-curve is (measured: the 1×..30× rehearsal curve in SCALING.md
+    * turns super-linear once n²·b/2^r passes the planted-pair volume).
+    * This picks the smallest r whose expected background candidates per
+    * row stay under `candidateBudgetPerRow` — r grows with log₂(n·b),
+    * bands are then sized for `targetRecall` at the threshold — so the
+    * band join stays O(n · budget) by construction at ANY corpus size.
+    * Each extra bit halves background volume but only shrinks per-band
+    * recall by p ≈ 1−θ/π (≈0.91 at 0.9), so the iteration always
+    * terminates: background falls 2× per bit, bands grow ~1.1× per bit.
+    */
+  def lshAutoParamsScaled(
+      n: Long,
+      threshold: Double,
+      targetRecall: Double = 0.999,
+      candidateBudgetPerRow: Double = 10.0,
+      maxBitsPerBand: Int = 48
+  ): (Int, Int) = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall must be in (0,1), got $targetRecall")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    def bandsFor(r: Int): Int = {
+      val pr = math.pow(p, r)
+      math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt)
+    }
+    def backgroundOk(r: Int): Boolean =
+      (n.toDouble / 2.0) * bandsFor(r) * math.pow(0.5, r) <= candidateBudgetPerRow
+    val r = (1 to maxBitsPerBand).find(backgroundOk).getOrElse(maxBitsPerBand)
+    (r, bandsFor(r))
+  }
+
   /** Exploded (vec_id, band_idx, band_key) rows with buckets hotter than
     * `cap` dropped (SkewTools.dropHotKeys — the quadratic-bucket guard;
     * defaults sit above every fixture bucket, DedupSkewSpec proves the
@@ -139,7 +176,13 @@ object Similarity {
     * (~1 s over sf0.1), while persisting would materialize the ×bands
     * exploded table (64× the corpus) to memory/disk. Recompute is the
     * right side of that trade at every scale. */
-  private def lshKeyed(e: DataFrame, bitsPerBand: Int, bands: Int, cap: Int): DataFrame = {
+  private def lshKeyed(
+      e: DataFrame,
+      bitsPerBand: Int,
+      bands: Int,
+      cap: Int,
+      materializeSignature: Boolean = false
+  ): DataFrame = {
     graft.functions.GraftExtensions.register(e.sparkSession)
     // Repartition by key BEFORE the ×bands explode: a small parquet input
     // is one indivisible row group, so without this the signature, the
@@ -150,13 +193,24 @@ object Similarity {
     // partition count is EXPLICIT: a bare repartition(col) is a
     // coalescable shuffle origin, and AQE would fold these byte-small
     // but compute-amplifying partitions straight back into one task.
+    //
+    // `materializeSignature` localCheckpoints the COMPACT per-vector key
+    // array (b longs/row — never the ×bands exploded rows) so the
+    // hyperplane-projection pass runs ONCE instead of once per consumer
+    // (hot-key count + anti-join probe + both self-join branches). At
+    // fixture scale the signature is trivial and the extra job is pure
+    // overhead (gates keep the default false); past ~10^5 vectors on
+    // size-scaled parameters (lshAutoParamsScaled: r·b grows ~log²n) the
+    // recompute dominates the whole join — measured 73 s → 21 s at 200 k
+    // vectors, SCALING.md — so large-corpus callers flip it on.
     val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sig0 = e.repartition(parts, col("vec_id")).select(
+      col("vec_id"),
+      graft.functions.SignBandKeys.keysColumn(col("v"), bitsPerBand, bands, LshSeed)
+        .as("__keys"))
+    val sig = if (materializeSignature) sig0.localCheckpoint() else sig0
     SkewTools.dropHotKeys(
-      e.repartition(parts, col("vec_id")).select(
-        col("vec_id"),
-        posexplode(graft.functions.SignBandKeys.keysColumn(col("v"), bitsPerBand, bands, LshSeed))
-          .as(Seq("band_idx", "band_key"))
-      ),
+      sig.select(col("vec_id"), posexplode(col("__keys")).as(Seq("band_idx", "band_key"))),
       Seq("band_idx", "band_key"),
       cap
     )
@@ -166,8 +220,14 @@ object Similarity {
     * (band, key) — the shuffle-bounded shape, never a broadcast nested
     * loop — then distinct over the id pairs (ids only: ~24 bytes per row
     * through the shuffle; vectors stay out of the band join entirely). */
-  def lshCandidates(e: DataFrame, bitsPerBand: Int, bands: Int, cap: Int = 1000): DataFrame = {
-    val keyed = lshKeyed(e, bitsPerBand, bands, cap)
+  def lshCandidates(
+      e: DataFrame,
+      bitsPerBand: Int,
+      bands: Int,
+      cap: Int = 1000,
+      materializeSignature: Boolean = false
+  ): DataFrame = {
+    val keyed = lshKeyed(e, bitsPerBand, bands, cap, materializeSignature)
     keyed
       .as("x")
       .join(
@@ -193,10 +253,11 @@ object Similarity {
       threshold: Double,
       bitsPerBand: Int,
       bands: Int,
-      cap: Int = 1000
+      cap: Int = 1000,
+      materializeSignature: Boolean = false
   ): DataFrame = {
     graft.functions.GraftExtensions.register(e.sparkSession)
-    lshCandidates(e, bitsPerBand, bands, cap)
+    lshCandidates(e, bitsPerBand, bands, cap, materializeSignature)
       .join(e.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
       .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
       .select(
@@ -333,6 +394,36 @@ object Similarity {
       graft.functions.GraftExtensions.register(spark)
       embedNearDupLsh(corpus(spark, dir), threshold = 0.4, bitsPerBand = 4, bands = 64)
         .orderBy(col("v1"), col("v2"))
+    },
+
+    // SEMANTIC dedup (SemDeDup-shaped: keep ONE representative per
+    // semantic-duplicate cluster in embedding space): the banded
+    // zero-FN cosine near-dup pairs feed connected components, each
+    // vector maps to its cluster rep (min id; singletons rep
+    // themselves), and `kept` marks the survivor the downstream
+    // training mix would retain. Composes two already-gated operators —
+    // the LSH-banded pair join (never all-pairs) and the label-
+    // propagation CC whose rounds iterate only while labels move — so
+    // the 100 TB shape is inherited: candidate volume is banded+capped,
+    // CC state is one (id, rep) row per NODE OF THE DUP GRAPH (near-dup
+    // clusters, not the corpus), and the final left join back to the
+    // corpus is a plain shuffle join. The oracle recomputes the whole
+    // pipeline from the exact all-pairs cosine graph via the same
+    // recursive-CTE CC as dedup_clusters — a green hash proves both the
+    // candidate completeness and the cluster assignment.
+    "dedup_semantic" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val e = corpus(spark, dir)
+      val cc = graft.operators.DedupClusters.connectedComponents(
+        embedNearDupLsh(e, threshold = 0.4, bitsPerBand = 4, bands = 64)
+          .select(col("v1").as("d1"), col("v2").as("d2")))
+      e.select(col("vec_id"))
+        .join(cc.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          coalesce(col("rep"), col("vec_id")).as("rep"))
+        .withColumn("kept", col("vec_id") === col("rep"))
+        .orderBy(col("vec_id"))
     },
 
     // Reciprocal nearest neighbors (mutual argmax): pairs where each
@@ -625,6 +716,31 @@ object Similarity {
     "sim_topk_cosine" -> topkCosineOracle,
     "sql_cosine_topk" -> topkCosineOracle,
     "dedup_embed_cosine" -> allPairsCosineOracle,
+    // Semantic dedup ground truth: the same exact all-pairs cosine graph,
+    // components via the same recursive-CTE CC as dedup_clusters, rep =
+    // MIN id, singletons keep themselves.
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), nn AS (
+         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
+         |), p AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+         |  WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
+         |), edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(n, m) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.n, g.b FROM reach r JOIN edges g ON r.m = g.a
+         |),
+         |comp AS (SELECT n AS vec_id, MIN(m) AS rep FROM reach GROUP BY n)
+         |SELECT em.vec_id,
+         |  COALESCE(c.rep, em.vec_id) AS rep,
+         |  (COALESCE(c.rep, em.vec_id) = em.vec_id) AS kept
+         |FROM embeddings em LEFT JOIN comp c USING (vec_id)
+         |ORDER BY em.vec_id""".stripMargin,
     "mm_doc_embed_join" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

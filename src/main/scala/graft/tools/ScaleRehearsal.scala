@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.operators.{DedupClusters, GraphOps, IvfIndex, TextOps}
+import graft.operators.{Dedup, DedupClusters, GraphOps, IvfIndex, Similarity, TextOps}
+import graft.streaming.CorpusMaintenance
 
 /** Empirical scaling rehearsal for the suite's heavy hitters — the
   * first measured test of the "survives 100×" posture the plan audits
@@ -71,6 +72,25 @@ object ScaleRehearsal {
       transform(sequence(lit(0), lit(63)),
         j => (pmod(xxhash64(col("id"), j), lit(2001)) - 1000).cast("double") / 1000.0).as("v"))
 
+  /** embeddings with PLANTED near-dup structure — the production dedup
+    * regime: 92% base near-uniform vectors, 8% perturbed copies of a
+    * base vector (±1% per-coordinate noise → cos ≈ 0.999, far above a
+    * 0.9 threshold, while unrelated uniform pairs sit near 0). */
+  private def genEmbeddingsPlanted(spark: SparkSession, n: Long): DataFrame = {
+    val nBase = (n * 92) / 100
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      when(col("id") < nBase, col("id")).otherwise(col("id") - nBase).as("seed"),
+      (col("id") >= nBase).as("dup"))
+      .select(
+        col("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(xxhash64(col("seed"), j), lit(2001)) - 1000).cast("double") / 1000.0 +
+            when(col("dup"),
+              (pmod(xxhash64(col("vec_id"), j, lit(13)), lit(21)) - 10).cast("double") / 1000.0)
+              .otherwise(lit(0.0))).as("v"))
+  }
+
   /** lineitem twin (the two columns the graph queries read): ~4 lines
     * per order, uniform part choice over a part universe that scales
     * with the corpus — constant expected co-purchase degree. */
@@ -94,12 +114,17 @@ object ScaleRehearsal {
 
     for (m <- mults) {
       val dir = s"$outDir/m$m"
-      if (wanted("incr_augment") || wanted("leakproof"))
+      if (wanted("incr_augment") || wanted("leakproof") || wanted("minhash") ||
+          wanted("corpus_ingest"))
         genDocs(spark, 5000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
       if (wanted("ivf_train") || wanted("ivf_search") ||
           wanted("ivf_index_build") || wanted("ivf_search_indexed") ||
-          wanted("assign_fused") || wanted("assign_broadcast"))
+          wanted("assign_fused") || wanted("assign_broadcast") ||
+          wanted("embed_dedup") || wanted("mutual_knn"))
         genEmbeddings(spark, 2000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/emb")
+      if (wanted("embed_dedup_prod") || wanted("embed_dedup_auto"))
+        genEmbeddingsPlanted(spark, 2000L * m)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/emb_planted")
       if (wanted("triangles"))
         genLineitem(spark, 600000L * m, 20000L * m)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/li")
@@ -167,6 +192,76 @@ object ScaleRehearsal {
             TextOps.ngramJaccardPairs(docs, 3, 0.5).select(col("d1"), col("d2"))))
         .count()
 
+      // MinHash-LSH near-dup over the full synthetic corpus: signature
+      // build is the linear stage, band join is capped — the curve should
+      // track corpus size, not its square.
+      def minhashRun(): Long = Dedup.minhashPairs(docs, 0.6).count()
+
+      // Sign-LSH banded embedding near-dup (the dedup_embed_cosine /
+      // sim_mutual_knn candidate machinery) on the near-uniform corpus:
+      // measures the band-keying + capped-bucket-join scale path with an
+      // adversarially sparse planted-pair structure.
+      def embedDedupRun(): Long =
+        Similarity.embedNearDupLsh(emb, threshold = 0.4, bitsPerBand = 4, bands = 64).count()
+
+      // PRODUCTION-regime embedding dedup: planted cos≈0.999 duplicates,
+      // 0.9 threshold, 10-bit bands (1024 keys/band) × 25 — the
+      // parameters the operator documents for corpora with real dup
+      // structure. Candidate volume here is driven by the planted pairs,
+      // not the background continuum — the scale curve should be
+      // near-linear, unlike the adversarial-uniform gate regime above.
+      lazy val embPlanted = spark.read.parquet(s"$dir/emb_planted")
+      def embedDedupProdRun(): Long =
+        Similarity.embedNearDupLsh(embPlanted, threshold = 0.9, bitsPerBand = 10, bands = 25)
+          .count()
+
+      // Same corpus through the CORPUS-SIZE-AWARE parameter choice
+      // (lshAutoParamsScaled): r grows with log2(n·b) so background
+      // candidates stay O(n) by construction — this curve should stay
+      // near-linear where the fixed-r one turns quadratic.
+      def embedDedupAutoRun(): Long = {
+        val (r, b) = Similarity.lshAutoParamsScaled(2000L * m, threshold = 0.9)
+        Similarity.embedNearDupLsh(embPlanted, threshold = 0.9, bitsPerBand = r, bands = b,
+            materializeSignature = true)
+          .count()
+      }
+
+      // Full mutual-kNN pipeline (banded pairs → per-node argmax →
+      // mutuality self-join), same shape as the sim_mutual_knn gate.
+      def mutualKnnRun(): Long = {
+        val pairs = Similarity.embedNearDupLsh(emb, threshold = 0.4, bitsPerBand = 4, bands = 64)
+        val sym = pairs
+          .select(col("v1").as("a"), col("v2").as("b"), col("cos"))
+          .unionAll(pairs.select(col("v2").as("a"), col("v1").as("b"), col("cos")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(col("cos").desc, col("b").asc)
+        val best = sym.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("a"), col("b"), col("cos"))
+        best.as("x")
+          .join(best.as("y"),
+            col("x.a") === col("y.b") && col("x.b") === col("y.a") && col("x.a") < col("x.b"))
+          .count()
+      }
+
+      // The CorpusMaintenance ingest step at FIXED batch size (~500 docs,
+      // hash-sampled uniformly) against a corpus that grows with m: the
+      // loop's claim is corpus-size-insensitivity, so this curve should be
+      // flat. Bootstrap is setup (paid once, in runA — read runB); each
+      // run replays from the bootstrapped epoch via the pointer reset,
+      // exactly like the corpus_maintain gate.
+      val isBatch = pmod(xxhash64(col("doc_id")), lit(math.max(1L, (5000L * m) / 500))) === 0
+      var corpusState: String = null
+      def ensureCorpusState(): Unit = if (corpusState == null) {
+        corpusState = s"$dir/corpus_state"
+        CorpusMaintenance.bootstrap(spark, docs.filter(!isBatch), corpusState)
+      }
+      def corpusIngestRun(): Unit = {
+        ensureCorpusState()
+        CorpusMaintenance.commitPointer(spark, corpusState, 1)
+        CorpusMaintenance.ingestBatch(spark, docs.filter(isBatch), corpusState)
+        ()
+      }
+
       val ops: Seq[(String, () => Any)] = Seq(
         ("incr_augment", () => incrRun()),
         ("triangles", () => triRun()),
@@ -176,7 +271,13 @@ object ScaleRehearsal {
         ("ivf_search_indexed", () => searchIdxRun()),
         ("assign_fused", () => assignFusedRun()),
         ("assign_broadcast", () => assignBcastRun()),
-        ("leakproof", () => leakRun())).filter(t => wanted(t._1))
+        ("leakproof", () => leakRun()),
+        ("minhash", () => minhashRun()),
+        ("embed_dedup", () => embedDedupRun()),
+        ("embed_dedup_prod", () => embedDedupProdRun()),
+        ("embed_dedup_auto", () => embedDedupAutoRun()),
+        ("mutual_knn", () => mutualKnnRun()),
+        ("corpus_ingest", () => corpusIngestRun())).filter(t => wanted(t._1))
       for ((name, f) <- ops) {
         val a = time(f()); val b = time(f())
         println(f"""SCALE {"op":"$name","m":$m,"runA":$a%.3f,"runB":$b%.3f}""")

@@ -218,6 +218,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lshAutoParamsScaled: background candidates bounded per row, recall held, bits grow with n") {
+    def capture(t: Double, r: Int, b: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, r), b)
+    }
+    var lastR = 0
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 100000000L, 1000000000L)) {
+      val (r, b) = operators.Similarity.lshAutoParamsScaled(n, 0.9)
+      // declared contract: expected background candidates per row under budget
+      assert((n / 2.0) * b * math.pow(0.5, r) <= 10.0,
+        s"n=$n ($r,$b): background per-row bound violated")
+      // recall at the threshold unchanged by the scaling dimension
+      assert(capture(0.9, r, b) >= 0.999, s"n=$n ($r,$b): recall lost")
+      // monotone: a bigger corpus never gets FEWER bits
+      assert(r >= lastR, s"n=$n: bits regressed $lastR -> $r")
+      // keys must still pack into one long
+      assert(r <= 48, s"n=$n: $r bits exceed the single-long key packing")
+      lastR = r
+    }
+    // 100 TB sanity (10^10 rows): recall 0.999 forces a heavy signature
+    // (bands grow (1/p)^r while each bit only halves background), so the
+    // honest huge-n operating point trades a little recall; at 0.99 the
+    // bound, the recall, and the packing limit all still hold.
+    val (r10, b10) = operators.Similarity
+      .lshAutoParamsScaled(10000000000L, 0.9, targetRecall = 0.99)
+    assert((10000000000L / 2.0) * b10 * math.pow(0.5, r10) <= 10.0)
+    assert(capture(0.9, r10, b10) >= 0.99)
+    assert(r10 <= 48 && b10 <= 4096, s"10^10 rows -> ($r10,$b10) not implementable")
+  }
+
   test("auto-derived params prune a structured corpus with zero false negatives") {
     import org.apache.spark.sql.functions._
     val s = spark
