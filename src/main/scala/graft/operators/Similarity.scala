@@ -49,6 +49,24 @@ object Similarity {
       .embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
+  /** Converged semantic cluster map of the landed (vec_id % 5 != 0)
+    * corpus — the dedup_semantic_incr gate's SETUP, derived once per
+    * (application, fixture) and localCheckpoint'ed so repeated runs time
+    * the restricted join + augment the query advertises (in production
+    * this map lives on disk, maintained batch by batch). */
+  private val semOldMapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def convergedSemOldMap(spark: SparkSession, dir: String): DataFrame =
+    semOldMapCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir",
+      _ => {
+        val old = corpus(spark, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        graft.operators.DedupClusters.connectedComponents(
+          embedNearDupLsh(old, threshold = 0.4, bitsPerBand = 4, bands = 64)
+            .select(col("v1").as("d1"), col("v2").as("d2")))
+          .localCheckpoint()
+      })
+
   /** Exact brute-force cosine top-K for probe vectors vec_id < 5, scored
     * by the NATIVE codegen expression: probes broadcast, corpus streams,
     * per-query top-K via window. Shared by sim_topk_cosine and the
@@ -239,14 +257,26 @@ object Similarity {
       .distinct()
   }
 
+  /** Exact-cosine verification of candidate id pairs: vectors joined back
+    * onto the deduped candidates (planner picks broadcast when the corpus
+    * fits; at 100 TB this is the id-pairs-then-bucketed-fetch shape). */
+  private def verifyCosine(cands: DataFrame, e: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
+      .select(
+        col("v1"),
+        col("v2"),
+        graft.functions.CosineSimilarity.column(col("va"), col("vb")).as("cos")
+      )
+      .filter(col("cos") >= threshold)
+
   /** Embedding near-dup via sign-LSH banding + exact cosine verification
     * of candidates only: signature (pure map) → band-key equi-join over
-    * id-only rows → distinct candidate pairs → vectors joined back onto
-    * the deduped candidates (planner picks broadcast when the corpus
-    * fits; at 100 TB this is the id-pairs-then-bucketed-fetch shape) →
-    * exact cosine ≥ threshold. False positives cost compute, never
-    * correctness; false negatives are driven out by the band parameters
-    * and pinned by the all-pairs oracle. Returns (v1, v2, cos).
+    * id-only rows → distinct candidate pairs → exact cosine ≥ threshold.
+    * False positives cost compute, never correctness; false negatives
+    * are driven out by the band parameters and pinned by the all-pairs
+    * oracle. Returns (v1, v2, cos).
     */
   def embedNearDupLsh(
       e: DataFrame,
@@ -257,15 +287,52 @@ object Similarity {
       materializeSignature: Boolean = false
   ): DataFrame = {
     graft.functions.GraftExtensions.register(e.sparkSession)
-    lshCandidates(e, bitsPerBand, bands, cap, materializeSignature)
-      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
-      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
-      .select(
-        col("v1"),
-        col("v2"),
-        graft.functions.CosineSimilarity.column(col("va"), col("vb")).as("cos")
+    verifyCosine(lshCandidates(e, bitsPerBand, bands, cap, materializeSignature), e, threshold)
+  }
+
+  /** RESTRICTED banded candidates — only pairs with at least one flagged
+    * side surface (the embedding sibling of
+    * TextOps.ngramJaccardPairsIncr's restricted index join). The flag
+    * rides the keyed frame as a column — never a driver-side id literal
+    * — so any batch size is fine; both join branches share the ONE keyed
+    * subtree exactly like [[lshCandidates]]. */
+  def lshCandidatesIncr(
+      e: DataFrame,
+      isNew: Column,
+      bitsPerBand: Int,
+      bands: Int,
+      cap: Int = 1000,
+      materializeSignature: Boolean = false
+  ): DataFrame = {
+    val flags = e.select(col("vec_id"), isNew.as("__nw"))
+    val keyed = lshKeyed(e, bitsPerBand, bands, cap, materializeSignature)
+      .join(flags, Seq("vec_id"))
+    keyed
+      .as("x")
+      .join(
+        keyed.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id") && (col("x.__nw") || col("y.__nw"))
       )
-      .filter(col("cos") >= threshold)
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+  }
+
+  /** Incremental embedding near-dup: verified pairs restricted to
+    * (new × all) — feed these to [[DedupClusters.augment]] to keep a
+    * semantic cluster map current without re-pairing the landed corpus. */
+  def embedNearDupLshIncr(
+      e: DataFrame,
+      isNew: Column,
+      threshold: Double,
+      bitsPerBand: Int,
+      bands: Int,
+      cap: Int = 1000,
+      materializeSignature: Boolean = false
+  ): DataFrame = {
+    graft.functions.GraftExtensions.register(e.sparkSession)
+    verifyCosine(
+      lshCandidatesIncr(e, isNew, bitsPerBand, bands, cap, materializeSignature), e, threshold)
   }
 
   /** LSH-bucketed approximate nearest neighbors — the index-free ANN
@@ -394,6 +461,35 @@ object Similarity {
       graft.functions.GraftExtensions.register(spark)
       embedNearDupLsh(corpus(spark, dir), threshold = 0.4, bitsPerBand = 4, bands = 64)
         .orderBy(col("v1"), col("v2"))
+    },
+
+    // INCREMENTAL semantic dedup: the embedding sibling of
+    // dedup_incr_clusters. 80% of vectors (vec_id % 5 != 0) form the
+    // landed corpus whose semantic cluster map already converged (SETUP
+    // — computed once per (application, fixture) and cached, exactly the
+    // dedup_incr_clusters precedent); the other 20% arrive as a batch.
+    // Candidate pairs come from the RESTRICTED (new × all) band join
+    // (lshCandidatesIncr — the flag rides the keyed frame, no driver id
+    // literal) and DedupClusters.augment folds them into the old map
+    // touching only affected components. Old-old pairs ∪ new-involved
+    // pairs tile the full pair graph, so the oracle is the SAME
+    // full-graph recursive-CTE CC as dedup_semantic — a pass proves the
+    // incremental path lands the identical per-vector (rep, kept)
+    // assignment as a from-scratch rebuild.
+    "dedup_semantic_incr" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val e = corpus(spark, dir)
+      val isNew = pmod(col("vec_id"), lit(5)) === 0
+      val newPairs = embedNearDupLshIncr(e, isNew, threshold = 0.4, bitsPerBand = 4, bands = 64)
+        .select(col("v1").as("d1"), col("v2").as("d2"))
+      val merged = graft.operators.DedupClusters.augment(convergedSemOldMap(spark, dir), newPairs)
+      e.select(col("vec_id"))
+        .join(merged.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          coalesce(col("rep"), col("vec_id")).as("rep"))
+        .withColumn("kept", col("vec_id") === col("rep"))
+        .orderBy(col("vec_id"))
     },
 
     // SEMANTIC dedup (SemDeDup-shaped: keep ONE representative per
@@ -712,35 +808,42 @@ object Similarity {
        |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Semantic dedup ground truth: the exact all-pairs cosine ≥ 0.4 graph,
+    * components via the same recursive-CTE CC as dedup_clusters, rep =
+    * MIN id, singletons keeping themselves. */
+  private val semanticDedupOracle: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), nn AS (
+       |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
+       |), p AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+       |  WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
+       |), edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+       |nodes AS (SELECT DISTINCT a AS d FROM edges),
+       |reach(n, m) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT r.n, g.b FROM reach r JOIN edges g ON r.m = g.a
+       |),
+       |comp AS (SELECT n AS vec_id, MIN(m) AS rep FROM reach GROUP BY n)
+       |SELECT em.vec_id,
+       |  COALESCE(c.rep, em.vec_id) AS rep,
+       |  (COALESCE(c.rep, em.vec_id) = em.vec_id) AS kept
+       |FROM embeddings em LEFT JOIN comp c USING (vec_id)
+       |ORDER BY em.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine" -> topkCosineOracle,
     "sql_cosine_topk" -> topkCosineOracle,
     "dedup_embed_cosine" -> allPairsCosineOracle,
     // Semantic dedup ground truth: the same exact all-pairs cosine graph,
     // components via the same recursive-CTE CC as dedup_clusters, rep =
-    // MIN id, singletons keep themselves.
-    "dedup_semantic" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |), nn AS (
-         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
-         |), p AS (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2
-         |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
-         |  WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
-         |), edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
-         |nodes AS (SELECT DISTINCT a AS d FROM edges),
-         |reach(n, m) AS (
-         |  SELECT d, d FROM nodes
-         |  UNION
-         |  SELECT r.n, g.b FROM reach r JOIN edges g ON r.m = g.a
-         |),
-         |comp AS (SELECT n AS vec_id, MIN(m) AS rep FROM reach GROUP BY n)
-         |SELECT em.vec_id,
-         |  COALESCE(c.rep, em.vec_id) AS rep,
-         |  (COALESCE(c.rep, em.vec_id) = em.vec_id) AS kept
-         |FROM embeddings em LEFT JOIN comp c USING (vec_id)
-         |ORDER BY em.vec_id""".stripMargin,
+    // MIN id, singletons keep themselves. Shared BY REFERENCE with the
+    // incremental spelling: augment ≡ rebuild is the declared contract.
+    "dedup_semantic" -> semanticDedupOracle,
+    "dedup_semantic_incr" -> semanticDedupOracle,
     "mm_doc_embed_join" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

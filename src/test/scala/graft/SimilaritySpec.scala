@@ -218,6 +218,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lshCandidatesIncr: old-only plus restricted pairs tile the full candidate set") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(91)
+    def unit(): Seq[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val e = (0 until 300).map(i => (i.toLong, unit())).toDF("vec_id", "v")
+    val isNew = pmod(col("vec_id"), lit(5)) === 0
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(operators.Similarity.lshCandidates(e, 4, 16))
+    val oldOnly = pairSet(operators.Similarity.lshCandidates(e.filter(!isNew), 4, 16))
+    val incr = pairSet(operators.Similarity.lshCandidatesIncr(e, isNew, 4, 16))
+    // restricted pairs are exactly the full set minus the old-old ones —
+    // no pair is lost and none is double-generated
+    assert(incr.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 },
+      "incr emitted a pair with no new endpoint")
+    assert((oldOnly ++ incr) === full, "old ∪ incr does not tile the full candidate set")
+    assert(oldOnly.intersect(incr).isEmpty, "old and incr overlap")
+  }
+
   test("lshAutoParamsScaled: background candidates bounded per row, recall held, bits grow with n") {
     def capture(t: Double, r: Int, b: Int): Double = {
       val p = 1.0 - math.acos(t) / math.Pi
