@@ -239,8 +239,27 @@ object TextOps {
       newIds: DataFrame,
       k: Int,
       threshold: Double
+  ): DataFrame =
+    ngramJaccardPairsIncrFromIndex(hashedShingles(all, k), newIds, threshold)
+
+  /** The (doc_id, s) hashed-shingle rows — the exact frame every Jaccard
+    * generator derives from text, exposed so a maintenance loop can
+    * PERSIST it (epoch-partitioned) instead of re-shingling the landed
+    * corpus on every ingest. */
+  private[graft] def hashedShingles(d: DataFrame, k: Int): DataFrame =
+    shingleRows(d, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
+
+  /** [[ngramJaccardPairsIncrByIds]] over a PRE-BUILT shingle index — the
+    * persisted-index shape of the ingest loop at scale: the corpus text
+    * is never re-read; only the batch was shingled (by the caller, who
+    * appended its rows to the store this frame reads). Row-identical
+    * inputs make this exactly ≡ the from-text variant; the hot-key cap
+    * and the Jaccard denominators see the same full index either way. */
+  private[graft] def ngramJaccardPairsIncrFromIndex(
+      sh: DataFrame,
+      newIds: DataFrame,
+      threshold: Double
   ): DataFrame = {
-    val sh = shingleRows(all, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val flags = newIds.select(col("doc_id")).distinct().withColumn("nw", lit(true))
     val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)

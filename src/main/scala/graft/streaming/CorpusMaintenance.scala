@@ -25,11 +25,18 @@ import graft.operators.{DedupClusters, TextOps}
   * engine, no custom formats):
   *   docs/epoch=N/       corpus rows (doc_id, text, …) landed by epoch N
   *   hashes/epoch=N/     fingerprint rows (h) landed by epoch N
+  *   shingles/epoch=N/   hashed-shingle index rows (doc_id, s) of epoch
+  *                       N's docs — the persisted inverted index, so an
+  *                       ingest shingles ONLY its batch (the corpus text
+  *                       is never re-read; measured in SCALING.md, this
+  *                       is what keeps ingest cost flat as the corpus
+  *                       grows — the index scan is columnar longs, and
+  *                       at cluster scale lays out bucketed by `s`)
   *   cluster_map_v<N>/   versioned cluster maps — blue/green
   *   _CURRENT_MAP        one-line pointer file naming the live epoch
   *
   * EPOCH COMMIT (crash atomicity): one ingest = one epoch N = one map
-  * version N. The batch's docs, hashes, and merged map are all STAGED
+  * version N. The batch's docs, hashes, shingles, and merged map are all STAGED
   * under their epoch-N paths (overwrite mode, so a crashed attempt's
   * debris is cleared on replay), and none of it is visible until the
   * single atomic commit point: the `_CURRENT_MAP` pointer flip. Every
@@ -53,6 +60,7 @@ object CorpusMaintenance {
 
   private def docsPath(stateDir: String) = s"$stateDir/docs"
   private def hashesPath(stateDir: String) = s"$stateDir/hashes"
+  private def shinglesPath(stateDir: String) = s"$stateDir/shingles"
   private def epochDir(base: String, v: Int) = s"$base/epoch=$v"
   private[graft] def mapPath(stateDir: String, v: Int) = s"$stateDir/cluster_map_v$v"
   private def pointerPath(stateDir: String) = s"$stateDir/_CURRENT_MAP"
@@ -116,6 +124,8 @@ object CorpusMaintenance {
     initial.select(md5(lower(trim(col("text")))).as("h"))
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(epochDir(hashesPath(stateDir), 1))
+    TextOps.hashedShingles(initial, k)
+      .write.mode(SaveMode.Overwrite).parquet(epochDir(shinglesPath(stateDir), 1))
     val pairs = TextOps.ngramJaccardPairs(initial, k, threshold).select(col("d1"), col("d2"))
     DedupClusters.connectedComponents(pairs)
       .write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, 1))
@@ -152,14 +162,19 @@ object CorpusMaintenance {
       .write.mode(SaveMode.Overwrite).parquet(epochDir(docsPath(stateDir), next))
     admitted.select(col("__hash").as("h"))
       .write.mode(SaveMode.Overwrite).parquet(epochDir(hashesPath(stateDir), next))
+    // Only the BATCH is shingled from text; its rows join the persisted
+    // index (the whole point of the shingle store — ingest cost no
+    // longer re-reads the landed corpus text, see SCALING.md).
+    TextOps.hashedShingles(admitted.drop("__hash"), k)
+      .write.mode(SaveMode.Overwrite).parquet(epochDir(shinglesPath(stateDir), next))
 
-    // Restricted (batch × corpus) candidate join over committed docs plus
-    // the staged epoch (both just written by THIS attempt). Batch
-    // membership joins onto the index as a flag — never a driver-side id
-    // literal, so any batch size is fine.
-    val corpusNow = committed(spark, docsPath(stateDir), next)
+    // Restricted (batch × corpus) candidate join over the committed
+    // shingle index plus the staged epoch (just written by THIS
+    // attempt). Batch membership joins onto the index as a flag — never
+    // a driver-side id literal, so any batch size is fine.
+    val idxNow = committed(spark, shinglesPath(stateDir), next)
     val newPairs = TextOps
-      .ngramJaccardPairsIncrByIds(corpusNow, admitted.select(col("doc_id")), k, threshold)
+      .ngramJaccardPairsIncrFromIndex(idxNow, admitted.select(col("doc_id")), threshold)
       .select(col("d1"), col("d2")).localCheckpoint()
     val nPairs = newPairs.count()
 
