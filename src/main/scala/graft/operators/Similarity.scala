@@ -56,6 +56,13 @@ object Similarity {
     * this map lives on disk, maintained batch by batch). */
   private val semOldMapCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Bootstrapped SemanticMaintenance state dir per (application,
+    * fixture) — the semantic_maintain gate's setup, shared across runs
+    * so repeated passes replay the ingest history (corpus_maintain
+    * precedent). */
+  private val semStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def convergedSemOldMap(spark: SparkSession, dir: String): DataFrame =
     semOldMapCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}:$dir",
@@ -260,7 +267,7 @@ object Similarity {
   /** Exact-cosine verification of candidate id pairs: vectors joined back
     * onto the deduped candidates (planner picks broadcast when the corpus
     * fits; at 100 TB this is the id-pairs-then-bucketed-fetch shape). */
-  private def verifyCosine(cands: DataFrame, e: DataFrame, threshold: Double): DataFrame =
+  private[graft] def verifyCosine(cands: DataFrame, e: DataFrame, threshold: Double): DataFrame =
     cands
       .join(e.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
       .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
@@ -288,6 +295,44 @@ object Similarity {
   ): DataFrame = {
     graft.functions.GraftExtensions.register(e.sparkSession)
     verifyCosine(lshCandidates(e, bitsPerBand, bands, cap, materializeSignature), e, threshold)
+  }
+
+  /** UNCAPPED (vec_id, band_idx, band_key) rows — the persistable form of
+    * the sign-LSH index (a maintenance loop stores these epoch-partitioned
+    * so an ingest signatures only its batch; the hot-bucket cap is applied
+    * at JOIN time over the full stored index, same as the from-vector
+    * path). */
+  private[graft] def bandKeyRows(e: DataFrame, bitsPerBand: Int, bands: Int): DataFrame = {
+    graft.functions.GraftExtensions.register(e.sparkSession)
+    val parts = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    e.repartition(parts, col("vec_id")).select(
+      col("vec_id"),
+      posexplode(graft.functions.SignBandKeys.keysColumn(col("v"), bitsPerBand, bands, LshSeed))
+        .as(Seq("band_idx", "band_key")))
+  }
+
+  /** [[lshCandidatesIncr]] over a PRE-BUILT band-key index (the persisted
+    * shape): restricted pairs with ≥1 side in `newIds`, hot-bucket cap
+    * evaluated over the full stored index. Row-identical key inputs make
+    * this exactly ≡ the from-vector variant. */
+  private[graft] def lshCandidatesIncrFromKeys(
+      keyedAll: DataFrame,
+      newIds: DataFrame,
+      cap: Int = 1000
+  ): DataFrame = {
+    val flags = newIds.select(col("vec_id")).distinct().withColumn("__nw", lit(true))
+    val keyed = SkewTools.dropHotKeys(keyedAll, Seq("band_idx", "band_key"), cap)
+      .join(flags, Seq("vec_id"), "left")
+      .withColumn("__nw", coalesce(col("__nw"), lit(false)))
+    keyed
+      .as("x")
+      .join(
+        keyed.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id") && (col("x.__nw") || col("y.__nw"))
+      )
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
   }
 
   /** RESTRICTED banded candidates — only pairs with at least one flagged
@@ -461,6 +506,46 @@ object Similarity {
       graft.functions.GraftExtensions.register(spark)
       embedNearDupLsh(corpus(spark, dir), threshold = 0.4, bitsPerBand = 4, bands = 64)
         .orderBy(col("v1"), col("v2"))
+    },
+
+    // The CONTINUOUS semantic-dedup maintenance loop end-to-end,
+    // query-gated (the embedding sibling of corpus_maintain): vectors
+    // arrive as three batches (vec_id % 3 — seed bootstrap + two
+    // ingests) through the full SemanticMaintenance state machine —
+    // identity dedup vs landed ids, epoch-staged vector + band-key-index
+    // appends (only the batch is ever signatured), restricted candidate
+    // join from the STORED index, exact-cosine verify, cluster-map
+    // augment, atomic pointer commits. Output is the final maintained
+    // map's per-vector (rep, kept) assignment; the oracle is the SAME
+    // full-graph recursive-CTE CC as dedup_semantic, so a pass proves
+    // the maintained state of the whole loop equals a from-scratch
+    // rebuild. Bootstrap is SETUP (once per application+fixture, the
+    // corpus_maintain precedent); every run replays the two-ingest
+    // history from committed epoch-1 state via the pointer reset.
+    "semantic_maintain" -> { (spark, dir) =>
+      import graft.streaming.SemanticMaintenance
+      graft.functions.GraftExtensions.register(spark)
+      val e = corpus(spark, dir)
+      val state = semStateCache.computeIfAbsent(
+        s"${spark.sparkContext.applicationId}:$dir",
+        _ => {
+          val s = s"${sys.props("java.io.tmpdir")}/graft_semantic_maintain_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_")
+          SemanticMaintenance.bootstrap(spark, e.filter(pmod(col("vec_id"), lit(3)) === 0), s)
+          s
+        })
+      graft.streaming.CorpusMaintenance.commitPointer(spark, state, 1)
+      SemanticMaintenance.ingestBatch(spark, e.filter(pmod(col("vec_id"), lit(3)) === 1), state)
+      SemanticMaintenance.ingestBatch(spark, e.filter(pmod(col("vec_id"), lit(3)) === 2), state)
+      e.select(col("vec_id"))
+        .join(
+          SemanticMaintenance.currentMap(spark, state).withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          coalesce(col("rep"), col("vec_id")).as("rep"))
+        .withColumn("kept", col("vec_id") === col("rep"))
+        .orderBy(col("vec_id"))
     },
 
     // INCREMENTAL semantic dedup: the embedding sibling of
@@ -844,6 +929,7 @@ object Similarity {
     // incremental spelling: augment ≡ rebuild is the declared contract.
     "dedup_semantic" -> semanticDedupOracle,
     "dedup_semantic_incr" -> semanticDedupOracle,
+    "semantic_maintain" -> semanticDedupOracle,
     "mm_doc_embed_join" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{DedupClusters, Similarity}
+
+/** Continuous SEMANTIC-dedup maintenance — the embedding sibling of
+  * [[CorpusMaintenance]]: as batches of vectors land, the loop keeps a
+  * semantic cluster map (connected components of the cosine ≥ threshold
+  * near-dup graph) current without ever re-pairing the landed corpus:
+  *
+  *  1. identity dedup of the batch against landed ids (vec_id is the
+  *     document key — a re-delivered or re-crawled vector never lands
+  *     twice);
+  *  2. append survivors to the vector store and their sign-LSH band-key
+  *     rows to the persisted index ([[Similarity.bandKeyRows]] — only
+  *     the BATCH is ever signatured; the corpus index is read back as
+  *     columnar longs);
+  *  3. restricted (batch × all) candidates from the stored index
+  *     ([[Similarity.lshCandidatesIncrFromKeys]]), verified by exact
+  *     cosine against the vector store;
+  *  4. [[DedupClusters.augment]] folds the verified pairs into the
+  *     persistent map touching only affected components;
+  *  5. downstream consumers read the maintained map — e.g. keep-one-
+  *     per-cluster selection (dedup_semantic's `kept` flag) stays
+  *     current for the whole corpus at per-batch cost.
+  *
+  * State layout under `stateDir` (plain parquet; same epoch protocol as
+  * CorpusMaintenance — shared pointer helpers):
+  *   vecs/epoch=N/       (vec_id, v) vector rows landed by epoch N
+  *   keys/epoch=N/       (vec_id, band_idx, band_key) sign-LSH index rows
+  *   cluster_map_v<N>/   versioned cluster maps — blue/green
+  *   _CURRENT_MAP        one-line pointer naming the live epoch
+  *
+  * Crash atomicity is inherited verbatim: all of an epoch's stores stage
+  * under `epoch=N` in overwrite mode, the pointer flip
+  * ([[CorpusMaintenance.commitPointer]] — Hadoop-FS temp + atomic
+  * rename) is the single commit point, readers filter epochs ≤ pointer,
+  * and redelivery re-stages over debris or no-ops once the ids are
+  * committed. SemanticMaintenanceSpec pins maintained ≡ rebuild, replay
+  * idempotence, and staged-epoch invisibility.
+  */
+object SemanticMaintenance {
+
+  final case class IngestStats(nBatch: Long, nAdmitted: Long, nNewPairs: Long, mapVersion: Int)
+
+  private def vecsPath(stateDir: String) = s"$stateDir/vecs"
+  private def keysPath(stateDir: String) = s"$stateDir/keys"
+  private def epochDir(base: String, v: Int) = s"$base/epoch=$v"
+  private[graft] def mapPath(stateDir: String, v: Int) = s"$stateDir/cluster_map_v$v"
+
+  private def committed(spark: SparkSession, base: String, upTo: Int): DataFrame =
+    spark.read.parquet(base).filter(col("epoch") <= upTo).drop("epoch")
+
+  /** The committed vector corpus (vec_id, v). */
+  def corpus(spark: SparkSession, stateDir: String): DataFrame =
+    committed(spark, vecsPath(stateDir),
+      CorpusMaintenance.currentMapVersion(spark, stateDir))
+
+  /** The live cluster map (doc_id, rep); empty if no version yet. */
+  def currentMap(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
+    if (v == 0)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, rep LONG"))
+    else spark.read.parquet(mapPath(stateDir, v))
+  }
+
+  /** Bootstrap from an initial corpus — runs the one full banded
+    * pair-join the loop exists to never run again. Epoch 1. */
+  def bootstrap(
+      spark: SparkSession,
+      initial: DataFrame,
+      stateDir: String,
+      threshold: Double = 0.4,
+      bitsPerBand: Int = 4,
+      bands: Int = 64
+  ): Unit = {
+    initial.write.mode(SaveMode.Overwrite).parquet(epochDir(vecsPath(stateDir), 1))
+    Similarity.bandKeyRows(initial, bitsPerBand, bands)
+      .write.mode(SaveMode.Overwrite).parquet(epochDir(keysPath(stateDir), 1))
+    DedupClusters.connectedComponents(
+      Similarity.embedNearDupLsh(initial, threshold, bitsPerBand, bands)
+        .select(col("v1").as("d1"), col("v2").as("d2")))
+      .write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, 1))
+    CorpusMaintenance.commitPointer(spark, stateDir, 1)
+  }
+
+  /** One ingest step — a pure batch function (call from foreachBatch or
+    * a scheduled job). `batch` must carry (vec_id, v); rows whose vec_id
+    * already landed are dropped, survivors join the store and the map in
+    * one affected-components pass. All reads derive from COMMITTED
+    * epochs; everything stages under epoch v+1; the pointer flip is the
+    * only commit. */
+  def ingestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      stateDir: String,
+      threshold: Double = 0.4,
+      bitsPerBand: Int = 4,
+      bands: Int = 64
+  ): IngestStats = {
+    val nBatch = batch.count()
+    val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
+    val landedIds = committed(spark, vecsPath(stateDir), v).select(col("vec_id"))
+    val admitted = batch
+      .dropDuplicates("vec_id")
+      .join(landedIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val nAdmitted = admitted.count()
+    if (nAdmitted == 0) return IngestStats(nBatch, 0, 0, v)
+
+    val next = v + 1
+    admitted.write.mode(SaveMode.Overwrite).parquet(epochDir(vecsPath(stateDir), next))
+    // Only the BATCH is signatured; the corpus index is read back.
+    Similarity.bandKeyRows(admitted, bitsPerBand, bands)
+      .write.mode(SaveMode.Overwrite).parquet(epochDir(keysPath(stateDir), next))
+
+    val keysNow = committed(spark, keysPath(stateDir), next)
+    val vecsNow = committed(spark, vecsPath(stateDir), next)
+    val newPairs = Similarity.verifyCosine(
+        Similarity.lshCandidatesIncrFromKeys(keysNow, admitted.select(col("vec_id"))),
+        vecsNow, threshold)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+      .localCheckpoint()
+    val nPairs = newPairs.count()
+
+    val merged =
+      if (v == 0) DedupClusters.connectedComponents(newPairs)
+      else DedupClusters.augment(currentMap(spark, stateDir), newPairs)
+    merged.write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, next))
+    CorpusMaintenance.commitPointer(spark, stateDir, next)
+    IngestStats(nBatch, nAdmitted, nPairs, next)
+  }
+
+  /** GC for superseded cluster-map versions — see [[Retention.retainVersioned]]. */
+  def retain(
+      spark: SparkSession,
+      stateDir: String,
+      keep: Int,
+      graceMs: Long = 10 * 60 * 1000L
+  ): Seq[String] =
+    Retention.retainVersioned(
+      spark, stateDir, "cluster_map_v",
+      live = CorpusMaintenance.currentMapVersion(spark, stateDir),
+      keep = keep, graceMs = graceMs)
+
+  /** Streaming entry: every micro-batch of (vec_id, v) runs one
+    * [[ingestBatch]] step; at-least-once delivery converges to
+    * exactly-once state by the epoch-commit protocol. */
+  def sink(
+      stream: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      threshold: Double = 0.4,
+      bitsPerBand: Int = 4,
+      bands: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow(),
+      retainVersions: Option[Int] = None,
+      retainGraceMs: Long = 10 * 60 * 1000L
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        ingestBatch(b.sparkSession, b, stateDir, threshold, bitsPerBand, bands)
+        retainVersions.foreach(n => retain(b.sparkSession, stateDir, n, retainGraceMs))
+        ()
+      }
+      .start()
+}
