@@ -22,6 +22,14 @@ import graft.streaming.CorpusMaintenance
   *   ivf_train      sampled k-means codebook (sim_ann_ivf setup)
   *   ivf_search     probe-pruned ANN search (sim_ann_ivf query path)
   *   leakproof      full pair-gen + CC + split summary (split_leakproof)
+  *   minhash        MinHash-LSH near-dup over the full corpus
+  *   embed_dedup[_prod|_auto]  sign-LSH cosine near-dup: fixture zero-FN
+  *                  params on uniform vectors / production params on
+  *                  planted dups / corpus-size-aware lshAutoParamsScaled
+  *   mutual_knn     banded pairs → argmax → mutuality self-join
+  *   corpus_ingest / semantic_ingest  the two maintenance loops' ingest
+  *                  at FIXED batch size against a corpus growing with m
+  *                  — both curves must stay flat (SCALING.md)
   *
   * Run: `runMain graft.tools.ScaleRehearsal <outDir> <mult>...`
   * (optionally `SCALE_OPS=ivf_train,ivf_search_indexed` to restrict —
@@ -122,7 +130,8 @@ object ScaleRehearsal {
           wanted("assign_fused") || wanted("assign_broadcast") ||
           wanted("embed_dedup") || wanted("mutual_knn"))
         genEmbeddings(spark, 2000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/emb")
-      if (wanted("embed_dedup_prod") || wanted("embed_dedup_auto"))
+      if (wanted("embed_dedup_prod") || wanted("embed_dedup_auto") ||
+          wanted("semantic_ingest"))
         genEmbeddingsPlanted(spark, 2000L * m)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/emb_planted")
       if (wanted("triangles"))
@@ -262,6 +271,30 @@ object ScaleRehearsal {
         ()
       }
 
+      // SemanticMaintenance ingest at FIXED batch size (~500 vectors)
+      // against a planted-dup corpus growing with m — the embedding
+      // loop's corpus-size-insensitivity claim. Same protocol as
+      // corpus_ingest: bootstrap is setup (read runB), runs replay from
+      // the bootstrapped epoch via the pointer reset. Production band
+      // parameters (the maintained index is the scale path).
+      val isVecBatch =
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, (2000L * m) / 500))) === 0
+      var semState: String = null
+      def ensureSemState(): Unit = if (semState == null) {
+        semState = s"$dir/sem_state"
+        graft.streaming.SemanticMaintenance.bootstrap(
+          spark, embPlanted.filter(!isVecBatch), semState,
+          threshold = 0.9, bitsPerBand = 10, bands = 25)
+      }
+      def semanticIngestRun(): Unit = {
+        ensureSemState()
+        CorpusMaintenance.commitPointer(spark, semState, 1)
+        graft.streaming.SemanticMaintenance.ingestBatch(
+          spark, embPlanted.filter(isVecBatch), semState,
+          threshold = 0.9, bitsPerBand = 10, bands = 25)
+        ()
+      }
+
       val ops: Seq[(String, () => Any)] = Seq(
         ("incr_augment", () => incrRun()),
         ("triangles", () => triRun()),
@@ -277,7 +310,8 @@ object ScaleRehearsal {
         ("embed_dedup_prod", () => embedDedupProdRun()),
         ("embed_dedup_auto", () => embedDedupAutoRun()),
         ("mutual_knn", () => mutualKnnRun()),
-        ("corpus_ingest", () => corpusIngestRun())).filter(t => wanted(t._1))
+        ("corpus_ingest", () => corpusIngestRun()),
+        ("semantic_ingest", () => semanticIngestRun())).filter(t => wanted(t._1))
       for ((name, f) <- ops) {
         val a = time(f()); val b = time(f())
         println(f"""SCALE {"op":"$name","m":$m,"runA":$a%.3f,"runB":$b%.3f}""")
