@@ -117,6 +117,28 @@ class SemanticMaintenanceSpec extends AnyFunSuite {
     assert(landedIds === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L))
   }
 
+  test("streaming sink drives the same loop through foreachBatch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val state = freshDir("sem_state_stream"); val ckpt = freshDir("sem_ckpt")
+    SemanticMaintenance.bootstrap(spark, df(seed), state, threshold = 0.9,
+      bitsPerBand = 4, bands = 32)
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val stream = ms.toDF().toDF("vec_id", "v")
+    ms.addData(batch1)
+    val q = SemanticMaintenance.sink(stream, state, ckpt, threshold = 0.9,
+      bitsPerBand = 4, bands = 32)
+    q.processAllAvailable(); q.stop()
+
+    // 4 seed + 3 admitted (id 2 dropped by identity dedup)
+    assert(SemanticMaintenance.corpus(spark, state).count() === 7)
+    val maintained = mapOf(SemanticMaintenance.currentMap(spark, state))
+    // 11 (perturbed copy of 0) joined the {0,1} cluster through the stream
+    assert(maintained.get(11L) === maintained.get(0L))
+  }
+
   test("gate replay: repeated semantic_maintain runs land identical assignments") {
     val q = SparkEntry.queries("semantic_maintain")
     val first = q(spark, "/root/testdata/sf0.001")
