@@ -34,6 +34,45 @@ class RetentionSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("cluster_map_v"))
       .map(_.getName.stripPrefix("cluster_map_v").toInt).toSet
 
+  test("semantic loop: retain sweeps superseded maps, live state and pointer intact") {
+    import graft.streaming.SemanticMaintenance
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Seq[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val state = freshDir("sem_retain_state")
+    val v0 = unit()
+    SemanticMaintenance.bootstrap(spark,
+      Seq((1L, v0), (2L, unit())).toDF("vec_id", "v"), state,
+      threshold = 0.9, bitsPerBand = 4, bands = 32)
+    SemanticMaintenance.ingestBatch(spark,
+      Seq((11L, unit())).toDF("vec_id", "v"), state,
+      threshold = 0.9, bitsPerBand = 4, bands = 32)
+    SemanticMaintenance.ingestBatch(spark,
+      Seq((12L, v0.map(_ + 0.001))).toDF("vec_id", "v"), state,
+      threshold = 0.9, bitsPerBand = 4, bands = 32)
+    assert(CorpusMaintenance.currentMapVersion(spark, state) === 3)
+    assert(mapVersionsOnDisk(state) === Set(1, 2, 3))
+
+    val deleted = SemanticMaintenance.retain(spark, state, keep = 2, graceMs = 0L)
+    assert(deleted.size === 1)
+    assert(mapVersionsOnDisk(state) === Set(2, 3))
+    assert(CorpusMaintenance.currentMapVersion(spark, state) === 3)
+    // 12 ≈ 1 still clustered in the live map after the sweep
+    val maintained = SemanticMaintenance.currentMap(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained.get(12L) === maintained.get(1L))
+    // next ingest commits on the swept store
+    SemanticMaintenance.ingestBatch(spark,
+      Seq((13L, unit())).toDF("vec_id", "v"), state,
+      threshold = 0.9, bitsPerBand = 4, bands = 32)
+    assert(CorpusMaintenance.currentMapVersion(spark, state) === 4)
+  }
+
   test("retain(2) after three ingests keeps live + one predecessor; map still == rebuild") {
     val state = freshDir("retain_state")
     CorpusMaintenance.bootstrap(spark, df(Seq(
