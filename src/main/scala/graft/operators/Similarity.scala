@@ -508,6 +508,24 @@ object Similarity {
         .orderBy(col("v1"), col("v2"))
     },
 
+    // SEMANTIC leakproof split: train/holdout membership decided per
+    // EMBEDDING-cluster rep (the same md5-bucket scheme as
+    // split_leakproof), so paraphrase-level near-dups — which n-gram
+    // Jaccard can miss entirely — can never straddle the split. The
+    // machinery is shared: the semantic CC map feeds the SAME
+    // leakproofSplitSummary as the text path (docs join the map on
+    // doc_id = vec_id, the fixtures' shared key; singletons group as
+    // themselves), so a maintained map (SemanticMaintenance) slots in
+    // unchanged at scale. Oracle recomputes the exact all-pairs cosine
+    // CC + split from scratch.
+    "split_semantic" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val cc = graft.operators.DedupClusters.connectedComponents(
+        embedNearDupLsh(corpus(spark, dir), threshold = 0.4, bitsPerBand = 4, bands = 64)
+          .select(col("v1").as("d1"), col("v2").as("d2")))
+      TextOps.leakproofSplitSummary(Tables.documents(spark, dir), cc)
+    },
+
     // The CONTINUOUS semantic-dedup maintenance loop end-to-end,
     // query-gated (the embedding sibling of corpus_maintain): vectors
     // arrive as three batches (vec_id % 3 — seed bootstrap + two
@@ -930,6 +948,34 @@ object Similarity {
     "dedup_semantic" -> semanticDedupOracle,
     "dedup_semantic_incr" -> semanticDedupOracle,
     "semantic_maintain" -> semanticDedupOracle,
+    // Same exact cosine CC, then the split_leakproof bucket scheme per
+    // semantic rep over documents (doc_id = vec_id in the fixtures).
+    "split_semantic" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), nn AS (
+         |  SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e
+         |), p AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+         |  WHERE ${duckQdot("a.v", "b.v")} / sqrt(a.n2 * b.n2) >= 0.4
+         |), edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(n, m) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.n, g.b FROM reach r JOIN edges g ON r.m = g.a
+         |),
+         |comp AS (SELECT n AS vec_id, MIN(m) AS rep FROM reach GROUP BY n),
+         |d AS (
+         |  SELECT doc.doc_id, COALESCE(comp.rep, doc.doc_id) AS grp,
+         |    len(string_split(doc.text,' ')) AS nt
+         |  FROM documents doc LEFT JOIN comp ON comp.vec_id = doc.doc_id)
+         |SELECT
+         |  CASE WHEN substr(md5(grp::VARCHAR),1,2) < '0d' THEN 'holdout' ELSE 'train' END AS split,
+         |  COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups,
+         |  CAST(SUM(nt) AS BIGINT) AS sum_tokens
+         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
     "mm_doc_embed_join" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
