@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -32,8 +31,16 @@ import graft.operators.{DedupClusters, TextOps}
   *                       is what keeps ingest cost flat as the corpus
   *                       grows — the index scan is columnar longs, and
   *                       at cluster scale lays out bucketed by `s`)
+  *   <store>_base_v<B>/  compacted base generation: epochs 1..B folded
+  *                       into one directory ([[compactEpochs]]) so a
+  *                       long-running loop's committed listing stays
+  *                       O(1) dirs instead of one epoch dir per ingest
   *   cluster_map_v<N>/   versioned cluster maps — blue/green
   *   _CURRENT_MAP        one-line pointer file naming the live epoch
+  *   _BASE_EPOCH         compacted-through pointer (see [[EpochStore]])
+  *   _PARAMS             (k, threshold) pinned at bootstrap — an ingest
+  *                       with different values is rejected rather than
+  *                       silently mixing incompatible shingle indexes
   *
   * EPOCH COMMIT (crash atomicity): one ingest = one epoch N = one map
   * version N. The batch's docs, hashes, shingles, and merged map are all STAGED
@@ -58,48 +65,31 @@ object CorpusMaintenance {
 
   final case class IngestStats(nBatch: Long, nAdmitted: Long, nNewPairs: Long, mapVersion: Int)
 
-  private def docsPath(stateDir: String) = s"$stateDir/docs"
-  private def hashesPath(stateDir: String) = s"$stateDir/hashes"
-  private def shinglesPath(stateDir: String) = s"$stateDir/shingles"
-  private def epochDir(base: String, v: Int) = s"$base/epoch=$v"
+  private[streaming] val Stores = Seq("docs", "hashes", "shingles")
+  private def docsDir(stateDir: String, v: Int) = EpochStore.epochDir(s"$stateDir/docs", v)
+  private def hashesDir(stateDir: String, v: Int) = EpochStore.epochDir(s"$stateDir/hashes", v)
+  private def shinglesDir(stateDir: String, v: Int) = EpochStore.epochDir(s"$stateDir/shingles", v)
   private[graft] def mapPath(stateDir: String, v: Int) = s"$stateDir/cluster_map_v$v"
-  private def pointerPath(stateDir: String) = s"$stateDir/_CURRENT_MAP"
 
   /** Current live epoch / cluster-map version, 0 if none committed. */
-  def currentMapVersion(spark: SparkSession, stateDir: String): Int = {
-    val p = new Path(pointerPath(stateDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      s.toInt
-    }
-  }
+  def currentMapVersion(spark: SparkSession, stateDir: String): Int =
+    EpochStore.readIntPointer(spark, EpochStore.mainPointerPath(stateDir))
 
-  /** Atomic pointer flip — THE commit point of an epoch. Temp file +
-    * rename(OVERWRITE) through FileContext: atomic on local and HDFS,
-    * and never observable half-written. */
-  private[graft] def commitPointer(spark: SparkSession, stateDir: String, v: Int): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new Path(pointerPath(stateDir))
-    val tmp = new Path(pointerPath(stateDir) + ".tmp")
-    val fs = dst.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(dst.toUri, conf).rename(tmp, dst, Options.Rename.OVERWRITE)
-  }
+  /** Atomic pointer flip — THE commit point of an epoch (temp file +
+    * atomic rename, see [[EpochStore.commitIntPointer]]). */
+  private[graft] def commitPointer(spark: SparkSession, stateDir: String, v: Int): Unit =
+    EpochStore.commitIntPointer(spark, EpochStore.mainPointerPath(stateDir), v)
 
-  /** Committed view of an epoch-partitioned store: epochs ≤ the pointer
-    * only (partition-pruned at scan), epoch column dropped. Staged or
-    * crashed-orphan epochs are invisible. */
-  private def committed(spark: SparkSession, base: String, upTo: Int): DataFrame =
-    spark.read.parquet(base).filter(col("epoch") <= upTo).drop("epoch")
+  /** Committed view of an epoch store: epochs ≤ the pointer only, with
+    * compacted history read from the base generation — see
+    * [[EpochStore.committed]]. Staged or crashed-orphan epochs are
+    * invisible. */
+  private def committed(spark: SparkSession, stateDir: String, store: String, upTo: Int): DataFrame =
+    EpochStore.committed(spark, stateDir, store, upTo)
 
   /** The committed corpus (doc_id, text, …). */
   def corpus(spark: SparkSession, stateDir: String): DataFrame =
-    committed(spark, docsPath(stateDir), currentMapVersion(spark, stateDir))
+    committed(spark, stateDir, "docs", currentMapVersion(spark, stateDir))
 
   /** The live cluster map (doc_id, rep); empty if no version yet. */
   def currentMap(spark: SparkSession, stateDir: String): DataFrame = {
@@ -120,12 +110,14 @@ object CorpusMaintenance {
       k: Int = 3,
       threshold: Double = 0.5
   ): Unit = {
-    initial.write.mode(SaveMode.Overwrite).parquet(epochDir(docsPath(stateDir), 1))
+    EpochStore.writeParams(spark, stateDir,
+      Seq("k" -> k.toString, "threshold" -> threshold.toString))
+    initial.write.mode(SaveMode.Overwrite).parquet(docsDir(stateDir, 1))
     initial.select(md5(lower(trim(col("text")))).as("h"))
       .distinct()
-      .write.mode(SaveMode.Overwrite).parquet(epochDir(hashesPath(stateDir), 1))
+      .write.mode(SaveMode.Overwrite).parquet(hashesDir(stateDir, 1))
     TextOps.hashedShingles(initial, k)
-      .write.mode(SaveMode.Overwrite).parquet(epochDir(shinglesPath(stateDir), 1))
+      .write.mode(SaveMode.Overwrite).parquet(shinglesDir(stateDir, 1))
     val pairs = TextOps.ngramJaccardPairs(initial, k, threshold).select(col("d1"), col("d2"))
     DedupClusters.connectedComponents(pairs)
       .write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, 1))
@@ -146,9 +138,11 @@ object CorpusMaintenance {
       k: Int = 3,
       threshold: Double = 0.5
   ): IngestStats = {
+    EpochStore.requireParams(spark, stateDir,
+      Seq("k" -> k.toString, "threshold" -> threshold.toString))
     val nBatch = batch.count()
     val v = currentMapVersion(spark, stateDir)
-    val store = committed(spark, hashesPath(stateDir), v)
+    val store = committed(spark, stateDir, "hashes", v)
     // Materialize the admitted set once: it feeds the corpus append, the
     // hash append, and the pair generation.
     val admitted = TextOps.incrementalDedup(batch, store).localCheckpoint()
@@ -159,20 +153,20 @@ object CorpusMaintenance {
     // attempt left at the same epoch; nothing is committed yet.
     val next = v + 1
     admitted.drop("__hash")
-      .write.mode(SaveMode.Overwrite).parquet(epochDir(docsPath(stateDir), next))
+      .write.mode(SaveMode.Overwrite).parquet(docsDir(stateDir, next))
     admitted.select(col("__hash").as("h"))
-      .write.mode(SaveMode.Overwrite).parquet(epochDir(hashesPath(stateDir), next))
+      .write.mode(SaveMode.Overwrite).parquet(hashesDir(stateDir, next))
     // Only the BATCH is shingled from text; its rows join the persisted
     // index (the whole point of the shingle store — ingest cost no
     // longer re-reads the landed corpus text, see SCALING.md).
     TextOps.hashedShingles(admitted.drop("__hash"), k)
-      .write.mode(SaveMode.Overwrite).parquet(epochDir(shinglesPath(stateDir), next))
+      .write.mode(SaveMode.Overwrite).parquet(shinglesDir(stateDir, next))
 
     // Restricted (batch × corpus) candidate join over the committed
     // shingle index plus the staged epoch (just written by THIS
     // attempt). Batch membership joins onto the index as a flag — never
     // a driver-side id literal, so any batch size is fine.
-    val idxNow = committed(spark, shinglesPath(stateDir), next)
+    val idxNow = committed(spark, stateDir, "shingles", next)
     val newPairs = TextOps
       .ngramJaccardPairsIncrFromIndex(idxNow, admitted.select(col("doc_id")), threshold)
       .select(col("d1"), col("d2")).localCheckpoint()
@@ -186,10 +180,36 @@ object CorpusMaintenance {
     IngestStats(nBatch, nAdmitted, nPairs, next)
   }
 
+  /** Fold committed epochs 1..`upTo` of the docs/hashes/shingles stores
+    * into one base generation each ([[EpochStore.compact]] — blue/green,
+    * single `_BASE_EPOCH` flip, crash-safe). Run it from the maintenance
+    * loop every N batches: without it the committed view of a long-running
+    * loop is a one-dir-per-ingest listing — the metadata/small-file
+    * bottleneck the reference's file-per-checkpoint layout foreshadows
+    * (`RowOrcBucketingSink.java:157-164`). Readers (including the next
+    * ingest) are unaffected: the committed view is identical before and
+    * after, which EpochCompactionSpec pins (maintained ≡ rebuild across a
+    * mid-history compaction) and the corpus_maintain/semantic_maintain
+    * oracles re-prove at fixture scale. */
+  def compactEpochs(spark: SparkSession, stateDir: String, upTo: Int): Unit =
+    EpochStore.compact(spark, stateDir, Stores, upTo)
+
+  /** GC for epoch dirs superseded by [[compactEpochs]] (and older base
+    * generations): see [[EpochStore.retireCompacted]]. Returns deleted
+    * paths. */
+  def retireCompactedEpochs(
+      spark: SparkSession,
+      stateDir: String,
+      graceMs: Long = 10 * 60 * 1000L
+  ): Seq[String] =
+    EpochStore.retireCompacted(spark, stateDir, Stores, graceMs)
+
   /** GC for superseded cluster-map versions: keep the live map plus
     * `keep - 1` predecessors, delete older ones past the mtime grace
-    * window. Never touches docs/hashes epochs (they ARE the corpus),
-    * the pointer, or the live map — see [[Retention.retainVersioned]].
+    * window. Never touches docs/hashes EPOCHS ≤ the pointer that are not
+    * yet compacted (they ARE the corpus — [[compactEpochs]] +
+    * [[retireCompactedEpochs]] is the path that reclaims those), the
+    * pointers, or the live map — see [[Retention.retainVersioned]].
     * Returns the deleted paths. */
   def retain(
       spark: SparkSession,

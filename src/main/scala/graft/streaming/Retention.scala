@@ -60,6 +60,39 @@ object Retention {
       }
   }
 
+  /** Sweep superseded `epoch=N` partition dirs of an epoch store after a
+    * compaction folded them into a base generation: delete every
+    * `<dir>/epoch=N` with N ≤ `cut` whose mtime is older than `graceMs`.
+    * The caller passes the COMMITTED base epoch as `cut`
+    * ([[EpochStore.retireCompacted]]), so everything deleted is covered
+    * by the live base generation; the grace window protects a reader
+    * that resolved the pointers just before the flip. Returns the
+    * deleted paths. */
+  def retainEpochs(
+      spark: SparkSession,
+      dir: String,
+      cut: Int,
+      graceMs: Long = 10 * 60 * 1000L
+  ): Seq[String] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    val cutoffTime = System.currentTimeMillis() - graceMs
+    fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("epoch=")) None
+        else
+          name.stripPrefix("epoch=").toIntOption match {
+            case Some(v) if v <= cut && st.getModificationTime < cutoffTime =>
+              fs.delete(st.getPath, true)
+              Some(st.getPath.toString)
+            case _ => None
+          }
+      }
+  }
+
   /** Delete one explicitly retired generation directory (an old IVF
     * base or delta after a [[StreamingIvfAppend.compact]] switch-over).
     * The caller asserts it is no longer live; the mtime grace window is

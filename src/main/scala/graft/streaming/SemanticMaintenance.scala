@@ -30,8 +30,15 @@ import graft.operators.{DedupClusters, Similarity}
   * CorpusMaintenance — shared pointer helpers):
   *   vecs/epoch=N/       (vec_id, v) vector rows landed by epoch N
   *   keys/epoch=N/       (vec_id, band_idx, band_key) sign-LSH index rows
+  *   <store>_base_v<B>/  compacted base generation ([[compactEpochs]])
   *   cluster_map_v<N>/   versioned cluster maps — blue/green
   *   _CURRENT_MAP        one-line pointer naming the live epoch
+  *   _BASE_EPOCH         compacted-through pointer (see [[EpochStore]])
+  *   _PARAMS             (threshold, bitsPerBand, bands) pinned at
+  *                       bootstrap — the stored band keys are only
+  *                       meaningful under ONE parameter set, so an
+  *                       ingest with different values is rejected
+  *                       instead of silently mixing incompatible keys
   *
   * Crash atomicity is inherited verbatim: all of an epoch's stores stage
   * under `epoch=N` in overwrite mode, the pointer flip
@@ -45,17 +52,23 @@ object SemanticMaintenance {
 
   final case class IngestStats(nBatch: Long, nAdmitted: Long, nNewPairs: Long, mapVersion: Int)
 
-  private def vecsPath(stateDir: String) = s"$stateDir/vecs"
-  private def keysPath(stateDir: String) = s"$stateDir/keys"
-  private def epochDir(base: String, v: Int) = s"$base/epoch=$v"
+  private[streaming] val Stores = Seq("vecs", "keys")
+  private def vecsDir(stateDir: String, v: Int) = EpochStore.epochDir(s"$stateDir/vecs", v)
+  private def keysDir(stateDir: String, v: Int) = EpochStore.epochDir(s"$stateDir/keys", v)
   private[graft] def mapPath(stateDir: String, v: Int) = s"$stateDir/cluster_map_v$v"
 
-  private def committed(spark: SparkSession, base: String, upTo: Int): DataFrame =
-    spark.read.parquet(base).filter(col("epoch") <= upTo).drop("epoch")
+  private def committed(spark: SparkSession, stateDir: String, store: String, upTo: Int): DataFrame =
+    EpochStore.committed(spark, stateDir, store, upTo)
+
+  private def params(threshold: Double, bitsPerBand: Int, bands: Int): Seq[(String, String)] =
+    Seq(
+      "threshold" -> threshold.toString,
+      "bitsPerBand" -> bitsPerBand.toString,
+      "bands" -> bands.toString)
 
   /** The committed vector corpus (vec_id, v). */
   def corpus(spark: SparkSession, stateDir: String): DataFrame =
-    committed(spark, vecsPath(stateDir),
+    committed(spark, stateDir, "vecs",
       CorpusMaintenance.currentMapVersion(spark, stateDir))
 
   /** The live cluster map (doc_id, rep); empty if no version yet. */
@@ -78,9 +91,10 @@ object SemanticMaintenance {
       bitsPerBand: Int = 4,
       bands: Int = 64
   ): Unit = {
-    initial.write.mode(SaveMode.Overwrite).parquet(epochDir(vecsPath(stateDir), 1))
+    EpochStore.writeParams(spark, stateDir, params(threshold, bitsPerBand, bands))
+    initial.write.mode(SaveMode.Overwrite).parquet(vecsDir(stateDir, 1))
     Similarity.bandKeyRows(initial, bitsPerBand, bands)
-      .write.mode(SaveMode.Overwrite).parquet(epochDir(keysPath(stateDir), 1))
+      .write.mode(SaveMode.Overwrite).parquet(keysDir(stateDir, 1))
     DedupClusters.connectedComponents(
       Similarity.embedNearDupLsh(initial, threshold, bitsPerBand, bands)
         .select(col("v1").as("d1"), col("v2").as("d2")))
@@ -102,9 +116,10 @@ object SemanticMaintenance {
       bitsPerBand: Int = 4,
       bands: Int = 64
   ): IngestStats = {
+    EpochStore.requireParams(spark, stateDir, params(threshold, bitsPerBand, bands))
     val nBatch = batch.count()
     val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
-    val landedIds = committed(spark, vecsPath(stateDir), v).select(col("vec_id"))
+    val landedIds = committed(spark, stateDir, "vecs", v).select(col("vec_id"))
     val admitted = batch
       .dropDuplicates("vec_id")
       .join(landedIds, Seq("vec_id"), "left_anti")
@@ -113,13 +128,13 @@ object SemanticMaintenance {
     if (nAdmitted == 0) return IngestStats(nBatch, 0, 0, v)
 
     val next = v + 1
-    admitted.write.mode(SaveMode.Overwrite).parquet(epochDir(vecsPath(stateDir), next))
+    admitted.write.mode(SaveMode.Overwrite).parquet(vecsDir(stateDir, next))
     // Only the BATCH is signatured; the corpus index is read back.
     Similarity.bandKeyRows(admitted, bitsPerBand, bands)
-      .write.mode(SaveMode.Overwrite).parquet(epochDir(keysPath(stateDir), next))
+      .write.mode(SaveMode.Overwrite).parquet(keysDir(stateDir, next))
 
-    val keysNow = committed(spark, keysPath(stateDir), next)
-    val vecsNow = committed(spark, vecsPath(stateDir), next)
+    val keysNow = committed(spark, stateDir, "keys", next)
+    val vecsNow = committed(spark, stateDir, "vecs", next)
     val newPairs = Similarity.verifyCosine(
         Similarity.lshCandidatesIncrFromKeys(keysNow, admitted.select(col("vec_id"))),
         vecsNow, threshold)
@@ -134,6 +149,22 @@ object SemanticMaintenance {
     CorpusMaintenance.commitPointer(spark, stateDir, next)
     IngestStats(nBatch, nAdmitted, nPairs, next)
   }
+
+  /** Fold committed epochs 1..`upTo` of the vecs/keys stores into one
+    * base generation each — see [[CorpusMaintenance.compactEpochs]]; the
+    * committed view (and so every restricted candidate join) is
+    * identical before and after. */
+  def compactEpochs(spark: SparkSession, stateDir: String, upTo: Int): Unit =
+    EpochStore.compact(spark, stateDir, Stores, upTo)
+
+  /** GC for epoch dirs superseded by [[compactEpochs]] and older base
+    * generations — see [[EpochStore.retireCompacted]]. */
+  def retireCompactedEpochs(
+      spark: SparkSession,
+      stateDir: String,
+      graceMs: Long = 10 * 60 * 1000L
+  ): Seq[String] =
+    EpochStore.retireCompacted(spark, stateDir, Stores, graceMs)
 
   /** GC for superseded cluster-map versions — see [[Retention.retainVersioned]]. */
   def retain(
