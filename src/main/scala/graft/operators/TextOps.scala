@@ -408,6 +408,26 @@ object TextOps {
         .orderBy(col("rep"))
     },
 
+    // The FAULT-TOLERANT lineage mode of the same collapse, oracle-gated
+    // at real fixture scale (the spec pins it only on a toy graph):
+    // `reliableCheckpoint = true` persists each propagation round's
+    // labels to the SparkContext checkpoint dir — the mode a multi-hour
+    // 100 TB dedup run needs so an executor loss mid-iteration replays
+    // from the last round instead of killing the job (localCheckpoint
+    // blocks die with their executor). Shares dedup_clusters' oracle BY
+    // REFERENCE: both modes must land the identical cluster map.
+    "dedup_clusters_ckpt" -> { (spark, dir) =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          s"${sys.props("java.io.tmpdir")}/graft_ckpt_" +
+            spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_"))
+      DedupClusters
+        .clusters(
+          ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.5).select(col("d1"), col("d2")),
+          reliableCheckpoint = true)
+        .orderBy(col("rep"))
+    },
+
     // INCREMENTAL cluster maintenance, gated against the full-graph
     // ground truth: 80% of documents (doc_id % 5 != 0) form the landed
     // corpus whose cluster map already converged; the other 20% arrive
@@ -456,8 +476,11 @@ object TextOps {
       val state = corpusStateCache.computeIfAbsent(
         s"${spark.sparkContext.applicationId}:$dir",
         _ => {
+          // The applicationId in the dir name keeps two concurrent
+          // applications (bench driver + test suite on one machine) from
+          // interleaving pointer flips in one shared store.
           val s = s"${sys.props("java.io.tmpdir")}/graft_corpus_maintain_" +
-            dir.replaceAll("[^A-Za-z0-9]", "_")
+            (dir + "_" + spark.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
           CorpusMaintenance.bootstrap(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 0), s)
           s
         })
@@ -1090,6 +1113,31 @@ object TextOps {
     s"list_distinct(list_transform(range(1, len(ws)-${k - 1}+1), i -> $parts))"
   }
 
+  /** dedup_clusters ground truth (recursive-CTE reachability over the
+    * exact Jaccard pair graph) — shared by both lineage modes. */
+  private lazy val clustersOracle: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+       |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+       |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs0 AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM pairs0
+       |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS d FROM edges),
+       |reach(n, m) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+       |),
+       |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)
+       |SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep ORDER BY rep""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(lower(trim(text))) AS text_hash, COUNT(*) AS n_copies
@@ -1109,29 +1157,11 @@ object TextOps {
          |ORDER BY d1, d2""".stripMargin,
     // Components via recursive reachability (min over reachable nodes =
     // the component representative) — an independent formulation of what
-    // the engine computes iteratively.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
-         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
-         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |pairs0 AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM pairs0
-         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS d FROM edges),
-         |reach(n, m) AS (
-         |  SELECT d, d FROM nodes
-         |  UNION
-         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
-         |),
-         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)
-         |SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
+    // the engine computes iteratively. Shared BY REFERENCE with the
+    // reliable-checkpoint spelling: both lineage modes must land the
+    // identical cluster map.
+    "dedup_clusters" -> clustersOracle,
+    "dedup_clusters_ckpt" -> clustersOracle,
     // Incremental CC must equal the batch rebuild, so the oracle is the
     // SAME full-graph recursive-CTE CC as dedup_clusters — the split
     // into old corpus + new batch is invisible to ground truth.

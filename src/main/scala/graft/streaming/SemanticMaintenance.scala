@@ -47,6 +47,13 @@ import graft.operators.{DedupClusters, Similarity}
   * and redelivery re-stages over debris or no-ops once the ids are
   * committed. SemanticMaintenanceSpec pins maintained ≡ rebuild, replay
   * idempotence, and staged-epoch invisibility.
+  *
+  * The maintained ≡ rebuild contract is cap-relative: the hot-bucket
+  * guard is evaluated over the index as of each ingest, so a bucket that
+  * crosses the cap mid-history can leave the maintained map a strict
+  * superset of a from-scratch rebuild's — see the caveat on
+  * [[Similarity.embedNearDupLshIncr]]. Exact whenever no bucket crosses
+  * the cap between bootstrap and now (all fixture gates).
   */
 object SemanticMaintenance {
 

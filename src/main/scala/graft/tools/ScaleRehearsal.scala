@@ -50,7 +50,7 @@ object ScaleRehearsal {
     * all word choices pure functions of the doc seed) + 8% near-dups
     * (same word stream as their base doc with ONE position rewritten —
     * 3-gram Jaccard ≈ 0.9, well above the 0.5 pair threshold). */
-  private def genDocs(spark: SparkSession, n: Long): DataFrame = {
+  private[graft] def genDocs(spark: SparkSession, n: Long): DataFrame = {
     val vocabCol = array(vocab.map(lit): _*)
     val nBase = (n * 92) / 100
     spark.range(n).select(col("id").as("doc_id"),
@@ -74,7 +74,7 @@ object ScaleRehearsal {
 
   /** embeddings twin: 64-dim near-uniform in [-1, 1) — ANN's worst
     * case, matching the fixture's structure. */
-  private def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
+  private[graft] def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
       col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)),
@@ -84,7 +84,7 @@ object ScaleRehearsal {
     * regime: 92% base near-uniform vectors, 8% perturbed copies of a
     * base vector (±1% per-coordinate noise → cos ≈ 0.999, far above a
     * 0.9 threshold, while unrelated uniform pairs sit near 0). */
-  private def genEmbeddingsPlanted(spark: SparkSession, n: Long): DataFrame = {
+  private[graft] def genEmbeddingsPlanted(spark: SparkSession, n: Long): DataFrame = {
     val nBase = (n * 92) / 100
     spark.range(n).select(
       col("id").as("vec_id"),

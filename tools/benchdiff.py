@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Per-query bench diff: current round's full bench dump vs a baseline dump.
+
+Usage:
+    python3 tools/benchdiff.py bench/r10.json [bench/r08.json] > bench/DIFF_r10.md
+
+Compares the per-query medians of two `graft.Bench` full dumps (the
+committed `bench/r{NN}.json` files; BASELINE.md's standing table is
+bench/r08.json). Because the two runs may have executed on different
+ambient machine load, each query is compared SAME-RUN-NORMALIZED: its
+share of the run's total over the queries both runs share. A normalized
+ratio > 1.5 means the query got slower relative to its own run's
+baseline mix - a real plan/code regression, not ambient noise.
+
+Emits a markdown report: flagged regressions first, then the full table
+(worst ratio first), then queries added/removed vs the baseline.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    qs = d.get("queries", {})
+    if not qs:
+        sys.exit(f"{path}: no 'queries' map - need a full bench dump")
+    return d, qs
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    cur_path = sys.argv[1]
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "bench/r08.json"
+    cur_d, cur = load(cur_path)
+    base_d, base = load(base_path)
+
+    shared = sorted(set(cur) & set(base))
+    added = sorted(set(cur) - set(base))
+    removed = sorted(set(base) - set(cur))
+    cur_total = sum(cur[q] for q in shared)
+    base_total = sum(base[q] for q in shared)
+
+    rows = []
+    for q in shared:
+        raw_ratio = cur[q] / base[q] if base[q] > 0 else float("inf")
+        norm_ratio = (cur[q] / cur_total) / (base[q] / base_total) if base[q] > 0 else float("inf")
+        rows.append((q, base[q], cur[q], raw_ratio, norm_ratio))
+    rows.sort(key=lambda r: -r[4])
+    flagged = [r for r in rows if r[4] > 1.5]
+
+    print(f"# Bench diff: {cur_path} vs {base_path}")
+    print()
+    print(f"- shared queries: {len(shared)}; added: {len(added)}; removed: {len(removed)}")
+    print(f"- shared-query totals: {cur_total:.2f}s vs {base_total:.2f}s "
+          f"(raw {cur_total / base_total:.2f}x; per-query ratios below are "
+          f"normalized by these totals to cancel ambient machine speed)")
+    print(f"- **flagged (>1.5x normalized): {len(flagged)}**")
+    print()
+    if flagged:
+        print("## Flagged regressions")
+        print()
+        print("| query | base s | cur s | raw x | normalized x |")
+        print("|---|---|---|---|---|")
+        for q, b, c, rr, nr in flagged:
+            print(f"| {q} | {b:.3f} | {c:.3f} | {rr:.2f} | **{nr:.2f}** |")
+        print()
+    print("## All shared queries (worst normalized ratio first)")
+    print()
+    print("| query | base s | cur s | raw x | normalized x |")
+    print("|---|---|---|---|---|")
+    for q, b, c, rr, nr in rows:
+        print(f"| {q} | {b:.3f} | {c:.3f} | {rr:.2f} | {nr:.2f} |")
+    print()
+    if added:
+        print("## Added (no baseline)")
+        print()
+        for q in added:
+            print(f"- {q}: {cur[q]:.3f}s")
+        print()
+    if removed:
+        print("## Removed since baseline")
+        print()
+        for q in removed:
+            print(f"- {q}: was {base[q]:.3f}s")
+        print()
+    if flagged:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
