@@ -230,7 +230,15 @@ object CorpusMaintenance {
     *   versions after every ingest (keep = this many, including live),
     *   so a long-running loop GCs itself instead of accumulating one
     *   dead `cluster_map_v<N>` per batch. `retainGraceMs` is the mtime
-    *   window protecting versions a concurrent reader may still hold. */
+    *   window protecting versions a concurrent reader may still hold.
+    * @param compactEvery when set, [[compactEpochs]] folds the committed
+    *   epoch tail into the base generation whenever it reaches this
+    *   length (and [[retireCompactedEpochs]] sweeps what the grace
+    *   window allows), so the loop keeps its own committed listing at
+    *   O(compactEvery) directories forever — no external maintenance
+    *   job. Safe here BECAUSE foreachBatch serializes with ingest: the
+    *   single-writer assumption compaction documents holds by
+    *   construction. */
   def sink(
       stream: DataFrame,
       stateDir: String,
@@ -239,7 +247,8 @@ object CorpusMaintenance {
       threshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow(),
       retainVersions: Option[Int] = None,
-      retainGraceMs: Long = 10 * 60 * 1000L
+      retainGraceMs: Long = 10 * 60 * 1000L,
+      compactEvery: Option[Int] = None
   ): StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -248,7 +257,29 @@ object CorpusMaintenance {
       .foreachBatch { (b: DataFrame, _: Long) =>
         ingestBatch(b.sparkSession, b, stateDir, k, threshold)
         retainVersions.foreach(n => retain(b.sparkSession, stateDir, n, retainGraceMs))
+        compactEvery.foreach { every =>
+          maybeCompact(b.sparkSession, stateDir, Stores, every, retainGraceMs)
+        }
         ()
       }
       .start()
+
+  /** Fold + sweep when the committed epoch tail reached `every` — shared
+    * by both loops' sinks. */
+  private[streaming] def maybeCompact(
+      spark: SparkSession,
+      stateDir: String,
+      stores: Seq[String],
+      every: Int,
+      graceMs: Long
+  ): Unit = {
+    require(every >= 1, s"compactEvery must be >= 1, got $every")
+    val live = currentMapVersion(spark, stateDir)
+    val base = EpochStore.baseEpoch(spark, stateDir)
+    if (live - base >= every) {
+      EpochStore.compact(spark, stateDir, stores, live)
+      EpochStore.retireCompacted(spark, stateDir, stores, graceMs)
+      ()
+    }
+  }
 }

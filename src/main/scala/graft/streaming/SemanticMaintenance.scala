@@ -187,7 +187,12 @@ object SemanticMaintenance {
 
   /** Streaming entry: every micro-batch of (vec_id, v) runs one
     * [[ingestBatch]] step; at-least-once delivery converges to
-    * exactly-once state by the epoch-commit protocol. */
+    * exactly-once state by the epoch-commit protocol. `compactEvery`
+    * makes the loop self-maintaining exactly like
+    * [[CorpusMaintenance.sink]]: whenever the committed epoch tail
+    * reaches that length it is folded into the base generation and the
+    * grace-window sweep runs — foreachBatch serializes it with ingest,
+    * so the single-writer assumption holds by construction. */
   def sink(
       stream: DataFrame,
       stateDir: String,
@@ -197,7 +202,8 @@ object SemanticMaintenance {
       bands: Int = 64,
       trigger: Trigger = Trigger.AvailableNow(),
       retainVersions: Option[Int] = None,
-      retainGraceMs: Long = 10 * 60 * 1000L
+      retainGraceMs: Long = 10 * 60 * 1000L,
+      compactEvery: Option[Int] = None
   ): StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -206,6 +212,9 @@ object SemanticMaintenance {
       .foreachBatch { (b: DataFrame, _: Long) =>
         ingestBatch(b.sparkSession, b, stateDir, threshold, bitsPerBand, bands)
         retainVersions.foreach(n => retain(b.sparkSession, stateDir, n, retainGraceMs))
+        compactEvery.foreach { every =>
+          CorpusMaintenance.maybeCompact(b.sparkSession, stateDir, Stores, every, retainGraceMs)
+        }
         ()
       }
       .start()

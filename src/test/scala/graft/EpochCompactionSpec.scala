@@ -92,6 +92,38 @@ class EpochCompactionSpec extends AnyFunSuite {
     assert(replay.nAdmitted === 0 && replay.mapVersion === 3)
   }
 
+  test("repeated compaction: a second fold reads through the first base generation") {
+    val state = freshDir("compact_twice")
+    CorpusMaintenance.bootstrap(spark, docsDf(seed), state)
+    CorpusMaintenance.ingestBatch(spark, docsDf(batch1), state)
+    CorpusMaintenance.compactEpochs(spark, state, upTo = 2)
+    CorpusMaintenance.retireCompactedEpochs(spark, state, graceMs = 0)
+
+    // More history lands on top of the compacted base...
+    CorpusMaintenance.ingestBatch(spark, docsDf(batch2), state)
+    CorpusMaintenance.ingestBatch(spark,
+      docsDf(Seq((31L, "yet another brand new document for epoch four"))), state)
+    // ...and a SECOND fold must union the live base generation with the
+    // epoch tail, supersede base_v2, and keep every reader whole.
+    CorpusMaintenance.compactEpochs(spark, state, upTo = 4)
+    val retired = CorpusMaintenance.retireCompactedEpochs(spark, state, graceMs = 0)
+    assert(retired.exists(_.endsWith("docs_base_v2")), s"old base generation not retired: $retired")
+    assert(ls(state).contains("docs_base_v4") && !ls(state).contains("docs_base_v2"))
+    assert(ls(s"$state/docs") === Set.empty)
+
+    val corpus = CorpusMaintenance.corpus(spark, state)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 12L, 13L, 21L, 31L))
+    val maintained = CorpusMaintenance.currentMap(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = DedupClusters.connectedComponents(
+      TextOps.ngramJaccardPairs(corpus, 3, 0.5).select(col("d1"), col("d2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained === rebuilt, "maintained map diverged after the second compaction")
+    // The twice-compacted hash store still blocks replays.
+    assert(CorpusMaintenance.ingestBatch(spark, docsDf(batch1), state).nAdmitted === 0)
+  }
+
   test("a crash mid-compact leaves the old epochs live; a rerun overwrites the debris") {
     val state = freshDir("compact_crash")
     CorpusMaintenance.bootstrap(spark, docsDf(seed), state)
@@ -154,6 +186,45 @@ class EpochCompactionSpec extends AnyFunSuite {
     }
     // The bootstrap values still work.
     assert(CorpusMaintenance.ingestBatch(spark, docsDf(batch1), state).nAdmitted === 2)
+  }
+
+  test("self-compacting streaming sink keeps the committed listing bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val state = freshDir("compact_sink"); val ckpt = freshDir("compact_sink_ckpt")
+    CorpusMaintenance.bootstrap(spark, docsDf(seed), state)
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    // Five singleton batches -> epochs 2..6 (one sink restart per batch,
+    // so each add lands as its OWN micro-batch and the checkpoint-resume
+    // path runs every time); compactEvery=2 folds the tail whenever it
+    // reaches two epochs, graceMs=0 retires eagerly.
+    (0 until 5).foreach { i =>
+      ms.addData(Seq((100L + i, s"unique streaming document number $i")))
+      val q = CorpusMaintenance.sink(stream, state, ckpt,
+        retainGraceMs = 0, compactEvery = Some(2))
+      q.processAllAvailable(); q.stop()
+    }
+
+    assert(CorpusMaintenance.currentMapVersion(spark, state) === 6)
+    assert(graft.streaming.EpochStore.baseEpoch(spark, state) >= 4,
+      "the sink never folded its epoch tail")
+    // Committed listing stays O(compactEvery): at most one un-folded
+    // epoch dir remains beside the single live base generation.
+    assert(ls(s"$state/docs").size <= 1, s"unbounded listing: ${ls(s"$state/docs")}")
+    assert(ls(state).count(_.startsWith("docs_base_v")) === 1)
+
+    val corpus = CorpusMaintenance.corpus(spark, state)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 100L, 101L, 102L, 103L, 104L))
+    val maintained = CorpusMaintenance.currentMap(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = DedupClusters.connectedComponents(
+      TextOps.ngramJaccardPairs(corpus, 3, 0.5).select(col("d1"), col("d2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained === rebuilt, "self-compacting sink diverged from rebuild")
   }
 
   // --- semantic loop ---------------------------------------------------
