@@ -110,6 +110,7 @@ object CorpusMaintenance {
       k: Int = 3,
       threshold: Double = 0.5
   ): Unit = {
+    EpochStore.clearBasePointer(spark, stateDir)
     EpochStore.writeParams(spark, stateDir,
       Seq("k" -> k.toString, "threshold" -> threshold.toString))
     initial.write.mode(SaveMode.Overwrite).parquet(docsDir(stateDir, 1))

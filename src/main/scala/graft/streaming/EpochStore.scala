@@ -83,6 +83,20 @@ object EpochStore {
   def baseEpoch(spark: SparkSession, stateDir: String): Int =
     readIntPointer(spark, basePointerPath(stateDir))
 
+  /** Remove the base pointer — called by the loops' `bootstrap` so
+    * re-bootstrapping a previously-compacted state dir restarts from
+    * scratch (pre-compaction semantics: stale epochs > 1 are
+    * staged-invisible debris; a stale base pointer would instead make
+    * every committed read resolve through a dead generation). Old
+    * `<store>_base_v*` dirs become inert debris the next compaction
+    * overwrites or supersedes. */
+  private[streaming] def clearBasePointer(spark: SparkSession, stateDir: String): Unit = {
+    val p = new Path(basePointerPath(stateDir))
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
+
   private def listEpochs(spark: SparkSession, base: String): Seq[Int] = {
     val p = new Path(base)
     val fs = fsOf(spark, p)

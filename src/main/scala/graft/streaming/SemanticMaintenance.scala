@@ -98,6 +98,7 @@ object SemanticMaintenance {
       bitsPerBand: Int = 4,
       bands: Int = 64
   ): Unit = {
+    EpochStore.clearBasePointer(spark, stateDir)
     EpochStore.writeParams(spark, stateDir, params(threshold, bitsPerBand, bands))
     initial.write.mode(SaveMode.Overwrite).parquet(vecsDir(stateDir, 1))
     Similarity.bandKeyRows(initial, bitsPerBand, bands)

@@ -123,7 +123,8 @@ object ScaleRehearsal {
     for (m <- mults) {
       val dir = s"$outDir/m$m"
       if (wanted("incr_augment") || wanted("leakproof") || wanted("minhash") ||
-          wanted("corpus_ingest"))
+          wanted("corpus_ingest") || wanted("corpus_ingest_frag") ||
+          wanted("corpus_ingest_compacted"))
         genDocs(spark, 5000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
       if (wanted("ivf_train") || wanted("ivf_search") ||
           wanted("ivf_index_build") || wanted("ivf_search_indexed") ||
@@ -271,6 +272,44 @@ object ScaleRehearsal {
         ()
       }
 
+      // Epoch-fragmentation measurement (r10): the SAME fixed-size ingest
+      // against (a) a store whose history sits in 13 committed epoch dirs
+      // and (b) the same history folded into one base generation by
+      // compactEpochs + retired — isolating the committed-listing cost
+      // the compaction exists to bound (13 dirs is directional: a real
+      // loop without compaction accumulates 10^4+). Protocol matches
+      // corpus_ingest: setup paid once, runs replay epoch 14 via the
+      // pointer reset.
+      val bucket = pmod(xxhash64(col("doc_id")), lit(29))
+      def mkFragState(compacted: Boolean): String = {
+        val st = s"$dir/corpus_state_${if (compacted) "cmp" else "frag"}"
+        CorpusMaintenance.bootstrap(spark, docs.filter(bucket < 16), st)
+        for (i <- 0 until 12)
+          CorpusMaintenance.ingestBatch(spark, docs.filter(bucket === 16 + i), st)
+        require(CorpusMaintenance.currentMapVersion(spark, st) == 13,
+          "a setup mini-batch admitted nothing; epoch numbering shifted")
+        if (compacted) {
+          CorpusMaintenance.compactEpochs(spark, st, upTo = 13)
+          CorpusMaintenance.retireCompactedEpochs(spark, st, graceMs = 0)
+          ()
+        }
+        st
+      }
+      var fragState: String = null
+      def fragIngestRun(): Unit = {
+        if (fragState == null) fragState = mkFragState(compacted = false)
+        CorpusMaintenance.commitPointer(spark, fragState, 13)
+        CorpusMaintenance.ingestBatch(spark, docs.filter(bucket === 28), fragState)
+        ()
+      }
+      var cmpState: String = null
+      def cmpIngestRun(): Unit = {
+        if (cmpState == null) cmpState = mkFragState(compacted = true)
+        CorpusMaintenance.commitPointer(spark, cmpState, 13)
+        CorpusMaintenance.ingestBatch(spark, docs.filter(bucket === 28), cmpState)
+        ()
+      }
+
       // SemanticMaintenance ingest at FIXED batch size (~500 vectors)
       // against a planted-dup corpus growing with m — the embedding
       // loop's corpus-size-insensitivity claim. Same protocol as
@@ -311,6 +350,8 @@ object ScaleRehearsal {
         ("embed_dedup_auto", () => embedDedupAutoRun()),
         ("mutual_knn", () => mutualKnnRun()),
         ("corpus_ingest", () => corpusIngestRun()),
+        ("corpus_ingest_frag", () => fragIngestRun()),
+        ("corpus_ingest_compacted", () => cmpIngestRun()),
         ("semantic_ingest", () => semanticIngestRun())).filter(t => wanted(t._1))
       for ((name, f) <- ops) {
         val a = time(f()); val b = time(f())

@@ -148,6 +148,21 @@ class EpochCompactionSpec extends AnyFunSuite {
     assert(!after.contains(99L), "crashed-attempt debris survived the rerun")
   }
 
+  test("re-bootstrapping a compacted state dir restarts from scratch") {
+    val state = freshDir("compact_reboot")
+    CorpusMaintenance.bootstrap(spark, docsDf(seed), state)
+    CorpusMaintenance.ingestBatch(spark, docsDf(batch1), state)
+    CorpusMaintenance.compactEpochs(spark, state, upTo = 2)
+    // A new pipeline reuses the dir (the rehearsal-tool pattern): the
+    // stale _BASE_EPOCH must not make committed reads resolve through
+    // the now-dead generation.
+    CorpusMaintenance.bootstrap(spark, docsDf(batch2), state)
+    assert(graft.streaming.EpochStore.baseEpoch(spark, state) === 0)
+    assert(CorpusMaintenance.corpus(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(21L, 22L))
+    assert(CorpusMaintenance.ingestBatch(spark, docsDf(seed), state).nAdmitted === 4)
+  }
+
   test("retirement honors the mtime grace window") {
     val state = freshDir("compact_grace")
     CorpusMaintenance.bootstrap(spark, docsDf(seed), state)
