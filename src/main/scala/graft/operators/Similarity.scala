@@ -1039,7 +1039,7 @@ object Similarity {
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 = 0
          |), p AS (
          |  SELECT vec_id, v,
-         |    list_transform(list_zip(v, range(1, 65)), z ->
+         |    list_transform(list_zip(v, range(1, len(v) + 1)), z ->
          |      z[1] + ((vec_id*37 + (z[2]-1)*13) % 21 - 10) / 100.0) AS pv
          |  FROM e)
          |SELECT COUNT(*) AS n_planted,

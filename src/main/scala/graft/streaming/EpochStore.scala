@@ -97,26 +97,20 @@ object EpochStore {
     ()
   }
 
-  private def listEpochs(spark: SparkSession, base: String): Seq[Int] = {
-    val p = new Path(base)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) Seq.empty
-    else
-      fs.listStatus(p).toSeq
-        .filter(_.isDirectory)
-        .flatMap(st => st.getPath.getName match {
-          case n if n.startsWith("epoch=") => n.stripPrefix("epoch=").toIntOption
-          case _ => None
-        })
-        .sorted
-  }
-
   /** Committed view of a store: epochs ≤ `upTo` only, with everything at
     * or below the compacted base epoch read from the ONE base-generation
     * directory instead of its (possibly already retired) epoch dirs.
     * Staged or crashed-orphan epochs are invisible either way. The
     * per-store directory listing is metadata-scale — post-compaction it
-    * is O(1) entries, which is the point. */
+    * is O(1) entries, which is the point.
+    *
+    * The epoch tail is derived from the POINTERS, not a directory
+    * listing: every committed epoch in (B, upTo] must exist on disk
+    * (each pointer flip to N follows a successful epoch-N stage, and
+    * [[retireCompacted]] only deletes epochs ≤ B), so a missing dir is
+    * external deletion or a partial copy — the view FAILS LOUDLY instead
+    * of silently shrinking and breaking the maintained ≡ rebuild
+    * contract. */
   def committed(spark: SparkSession, stateDir: String, store: String, upTo: Int): DataFrame = {
     val base = s"$stateDir/$store"
     val b = baseEpoch(spark, stateDir)
@@ -128,7 +122,15 @@ object EpochStore {
           "compaction only folds COMMITTED epochs and the pointer never moves backwards " +
           "past it, so this indicates pointer/state corruption (or a gate-style pointer " +
           "reset into a compacted store, which is unsupported)")
-      val tail = listEpochs(spark, base).filter(n => n > b && n <= upTo).map(epochDir(base, _))
+      val fs = fsOf(spark, new Path(base))
+      val tail = (b + 1 to upTo).map { n =>
+        val d = epochDir(base, n)
+        require(fs.exists(new Path(d)),
+          s"committed($store): epoch dir $d is missing but the pointers commit epochs " +
+            s"($b, $upTo] — the store was externally deleted or partially copied; " +
+            "refusing to serve a silently-shrunken view")
+        d
+      }
       val paths = baseGenDir(stateDir, store, b) +: tail
       spark.read.parquet(paths: _*)
     }

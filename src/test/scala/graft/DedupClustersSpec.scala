@@ -59,14 +59,16 @@ class DedupClustersSpec extends AnyFunSuite {
       .toMap
     assert(reliable === local)
     assert(reliable.values.toSet === Set(1L, 10L))
-    // reliable mode must actually persist to the checkpoint dir (the
-    // fault-tolerance property localCheckpoint lacks)
+    // reliable mode must have initialized the checkpoint dir (the UUID
+    // session subdir Spark creates for RDD checkpointing)
     val persisted = new java.io.File(dir).listFiles()
-    assert(persisted != null && persisted.nonEmpty, "no checkpoint data written to the reliable dir")
-    // ... and must GC superseded per-iteration label generations: only
-    // the edges checkpoint and the FINAL labels checkpoint survive, not
-    // one generation per iteration (a multi-hour run would otherwise
-    // fill the checkpoint FS with dead label sets)
+    assert(persisted != null && persisted.nonEmpty, "checkpoint dir was never initialized")
+    // ... and must fully reclaim its reliable files on convergence: the
+    // per-iteration generations are deleted as superseded, and the edges
+    // + final labels are deleted once the converged result moves to
+    // local blocks — repeated runs in one application (the bench's 5
+    // passes, a maintenance loop's many augments) must not accumulate
+    // one dead label set per run in the checkpoint FS
     def rddDirs(f: java.io.File): Seq[java.io.File] =
       Option(f.listFiles()).toSeq.flatten.flatMap {
         case d if d.isDirectory && d.getName.startsWith("rdd-") => Seq(d)
@@ -75,8 +77,8 @@ class DedupClustersSpec extends AnyFunSuite {
       }
     val survivors = rddDirs(new java.io.File(dir))
     assert(
-      survivors.size == 2,
-      s"expected 2 surviving checkpoints (edges + final labels), got ${survivors.map(_.getName)}")
+      survivors.isEmpty,
+      s"expected full checkpoint reclamation after convergence, got ${survivors.map(_.getName)}")
   }
 
   test("augment equals full rebuild: bridge merges, new components, untouched passthrough, rep takeover") {

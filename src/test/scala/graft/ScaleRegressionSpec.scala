@@ -37,10 +37,12 @@ class ScaleRegressionSpec extends AnyFunSuite {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** Warm time at each multiplier: one untimed warmup run, then the
-    * timed run — same protocol as ScaleRehearsal's runB. */
+  /** Warm time at each multiplier: one untimed warmup run, then the MIN
+    * of two timed runs — same protocol as ScaleRehearsal's runB, with
+    * the min absorbing one GC pause / CI load burst per multiplier (the
+    * single-sample m=1 denominator was the flake surface). */
   private def warmTimes(op: Long => Unit): (Double, Double) = {
-    def at(m: Long): Double = { op(m); time(op(m)) }
+    def at(m: Long): Double = { op(m); math.min(time(op(m)), time(op(m))) }
     (at(1), at(10))
   }
 

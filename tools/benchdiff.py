@@ -39,8 +39,18 @@ def main():
     shared = sorted(set(cur) & set(base))
     added = sorted(set(cur) - set(base))
     removed = sorted(set(base) - set(cur))
-    cur_total = sum(cur[q] for q in shared)
-    base_total = sum(base[q] for q in shared)
+    # Normalization denominators exclude queries whose own raw ratio moved
+    # >2x in either direction: one query that legitimately got much faster
+    # (e.g. a gate split: 12s -> 0.2s) would otherwise shrink cur_total and
+    # inflate every OTHER query's normalized ratio past the flag bar on an
+    # improvement, not a regression. Fall back to all shared queries if the
+    # filter leaves too little mass to normalize against.
+    stable = [q for q in shared
+              if base[q] > 0 and 0.5 <= cur[q] / base[q] <= 2.0]
+    if sum(base[q] for q in stable) < 0.25 * sum(base[q] for q in shared):
+        stable = shared
+    cur_total = sum(cur[q] for q in stable)
+    base_total = sum(base[q] for q in stable)
 
     rows = []
     for q in shared:
@@ -53,7 +63,9 @@ def main():
     print(f"# Bench diff: {cur_path} vs {base_path}")
     print()
     print(f"- shared queries: {len(shared)}; added: {len(added)}; removed: {len(removed)}")
-    print(f"- shared-query totals: {cur_total:.2f}s vs {base_total:.2f}s "
+    print(f"- normalization basis: {len(stable)} stable queries (raw ratio in [0.5, 2]); "
+          f"{len(shared) - len(stable)} big movers excluded from the denominators")
+    print(f"- stable-query totals: {cur_total:.2f}s vs {base_total:.2f}s "
           f"(raw {cur_total / base_total:.2f}x; per-query ratios below are "
           f"normalized by these totals to cancel ambient machine speed)")
     print(f"- **flagged (>1.5x normalized): {len(flagged)}**")
