@@ -119,6 +119,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.signBandKeysDescriptor)
+    ext.injectFunction(GraftExtensions.signBandProbesDescriptor)
     ext.injectTableFunction(GraftExtensions.similarityJoinTvf)
     ext.injectTableFunction(GraftExtensions.minhashPairsTvf)
     ext.injectTableFunction(GraftExtensions.cosineTopkTvf)
@@ -161,6 +162,24 @@ object GraftExtensions {
       }
       val dim = if (children.length == 5) intArg(children(4), "dim") else SignBandKeys.DefaultDim
       SignBandKeys(children.head, intArg(children(1), "bitsPerBand"), intArg(children(2), "bands"), seed, dim)
+    }
+  )
+
+  private val signBandProbesDescriptor = (
+    FunctionIdentifier("graft_sign_band_probes"),
+    new ExpressionInfo(classOf[SignBandProbes].getName, "graft_sign_band_probes"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 6,
+        "graft_sign_band_probes expects (vector, bitsPerBand, bands, seed, dim, extraProbes)")
+      val seed = children(3) match {
+        case Literal(v: Long, _) => v
+        case Literal(v: Int, _)  => v.toLong
+        case other => throw new IllegalArgumentException(s"graft_sign_band_probes: seed must be a literal, got $other")
+      }
+      SignBandProbes(children.head, intArg(children(1), "bitsPerBand"),
+        intArg(children(2), "bands"), seed, intArg(children(4), "dim"),
+        intArg(children(5), "extraProbes"))
     }
   )
 
@@ -278,19 +297,21 @@ object GraftExtensions {
 
   /** SQL surface for the index-free LSH-bucketed ANN search:
     * graft_lsh_topk(table, idCol, vecCol, probeIdBelow, k, bitsPerBand,
-    * bands) → (q_id, rnk, vec_id, cos). Same engine as
+    * bands[, extraProbes]) → (q_id, rnk, vec_id, cos). Same engine as
     * `Similarity.lshSearch` (probe band keys broadcast, hot-bucket-capped
     * corpus band join, distinct candidates before the vector fetch), so a
     * SQL-only user reaches the sub-linear search path — and can compose
-    * it with graft_cosine_topk in pure SQL to measure its own recall. */
+    * it with graft_cosine_topk in pure SQL to measure its own recall.
+    * The optional 8th argument turns on multi-probe (extra lowest-margin
+    * bucket probes per band, query side only — see SignBandProbes). */
   private[graft] val lshTopkTvf = (
     FunctionIdentifier("graft_lsh_topk"),
     new ExpressionInfo(
       graft.operators.Similarity.getClass.getName, "graft_lsh_topk"),
     (children: Seq[Expression]) => {
       require(
-        children.length == 7,
-        s"graft_lsh_topk expects (table, idCol, vecCol, probeIdBelow, k, bitsPerBand, bands), got ${children.length}")
+        children.length == 7 || children.length == 8,
+        s"graft_lsh_topk expects (table, idCol, vecCol, probeIdBelow, k, bitsPerBand, bands[, extraProbes]), got ${children.length}")
       def str(i: Int, what: String): String = children(i) match {
         case e if e.foldable =>
           e.eval() match {
@@ -321,8 +342,10 @@ object GraftExtensions {
       val probes = t
         .filter(col("vec_id") < lit(num(3, "probeIdBelow")))
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val extraProbes = if (children.length == 8) num(7, "extraProbes") else 0
       graft.operators.Similarity
-        .lshSearch(t, probes, num(5, "bitsPerBand"), num(6, "bands"), num(4, "k"))
+        .lshSearch(t, probes, num(5, "bitsPerBand"), num(6, "bands"), num(4, "k"),
+          extraProbes = extraProbes)
         .queryExecution.analyzed
     }
   )
@@ -412,6 +435,8 @@ object GraftExtensions {
       cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       signBandKeysDescriptor._1, signBandKeysDescriptor._2, signBandKeysDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      signBandProbesDescriptor._1, signBandProbesDescriptor._2, signBandProbesDescriptor._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       similarityJoinTvf._1, similarityJoinTvf._2, similarityJoinTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(

@@ -438,14 +438,33 @@ object Similarity {
       bitsPerBand: Int,
       bands: Int,
       topK: Int,
-      cap: Int = 1000
+      cap: Int = 1000,
+      extraProbes: Int = 0
   ): DataFrame = {
     graft.functions.GraftExtensions.register(corpus.sparkSession)
     val ck = lshKeyed(corpus, bitsPerBand, bands, cap)
-    val pk = probes.select(
-      col("q_id"),
-      posexplode(graft.functions.SignBandKeys.keysColumn(col("qv"), bitsPerBand, bands, LshSeed))
-        .as(Seq("band_idx", "band_key")))
+    // extraProbes > 0 = MULTI-PROBE (graft.functions.SignBandProbes): per
+    // band, also probe the buckets reached by flipping the 1-2
+    // lowest-|margin| sign bits — recall rises at FIXED band count, so
+    // the corpus-side index (the n·b rows that dominate at scale) stays
+    // put and only the broadcast probe side grows by (1+extraProbes)×.
+    val pk =
+      if (extraProbes == 0)
+        probes.select(
+          col("q_id"),
+          posexplode(
+            graft.functions.SignBandKeys.keysColumn(col("qv"), bitsPerBand, bands, LshSeed))
+            .as(Seq("band_idx", "band_key")))
+      else
+        probes.select(
+          col("q_id"),
+          posexplode(graft.functions.SignBandProbes.keysColumn(
+            col("qv"), bitsPerBand, bands, LshSeed, extraProbes))
+            .as(Seq("pidx", "band_key")))
+          .select(
+            col("q_id"),
+            (col("pidx") / lit(1 + extraProbes)).cast("int").as("band_idx"),
+            col("band_key"))
     val cand = ck
       .join(broadcast(pk), Seq("band_idx", "band_key"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -909,18 +928,23 @@ object Similarity {
     // LSH-bucketed ANN (Similarity.lshSearch) — the index-free sibling
     // of sim_ann_ivf: same probe set, same recall-bound oracle scheme
     // (the hash-checkable output is the QUALITY BOUND; the mechanism is
-    // pinned by SimilaritySpec). Band params (6, 16) measured by
-    // tools/RecallProbe on the near-uniform fixture (ANN's worst case):
-    // mean recall@5 = 0.36 / 0.44 / 0.64 at sf0.001/0.01/0.1. The
-    // pinned 0.28 bound is ~80% of the measured minimum — a recall
-    // regression fails the gate — with a ~22% expected candidate
-    // fraction on random vectors (16 bands × 2^-6).
+    // pinned by SimilaritySpec). MULTI-PROBE (r11): per band, the query
+    // also probes the two buckets reached by flipping its lowest-margin
+    // sign bits (SignBandProbes — Lv et al.'s multi-probe LSH on sign
+    // projections), so recall rises at FIXED band count — the corpus
+    // index (the n·b rows that dominate at 100 TB) is untouched; only
+    // the broadcast probe side grows 3×. Measured by tools/RecallProbe
+    // on the near-uniform fixture (ANN's worst case), (6, 16, t=2):
+    // mean recall@5 = 0.84 / 0.80 / 0.88 at sf0.001/0.01/0.1 (vs
+    // 0.36/0.44/0.64 single-probe at the same bands), candidate
+    // fraction ~18% at sf0.1. The pinned 0.64 bound is ~80% of the
+    // measured minimum — a recall regression fails the gate.
     "sim_ann_lsh" -> { (spark, dir) =>
       val e = corpus(spark, dir)
       val probes = e
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val ann = lshSearch(e, probes, bitsPerBand = 6, bands = 16, topK = 5)
+      val ann = lshSearch(e, probes, bitsPerBand = 6, bands = 16, topK = 5, extraProbes = 2)
       val bf = bruteForceTopK(spark, dir, 5).select(col("q_id"), col("vec_id"))
       val hits = ann
         .join(bf, Seq("q_id", "vec_id"))
@@ -932,7 +956,7 @@ object Similarity {
         .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .agg(
           count(lit(1)).as("n_queries"),
-          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.28).as("recall_ok")
+          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.64).as("recall_ok")
         )
         .select(col("n_queries"), col("recall_ok"))
     },
@@ -941,14 +965,15 @@ object Similarity {
     // graft_lsh_topk (the sub-linear ANN path) composed with
     // graft_cosine_topk (the exact baseline) in one spark.sql text —
     // recall computed by the user, in SQL, with no Scala at all. Same
-    // band params and recall bound as sim_ann_lsh.
+    // band params, multi-probe setting, and recall bound as sim_ann_lsh
+    // (the TVF's optional 8th argument is the extra probes per band).
     "sql_ann_lsh" -> { (spark, dir) =>
       graft.functions.GraftExtensions.register(spark)
       Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
       spark.sql(
         """WITH ann AS (
           |  SELECT q_id, vec_id
-          |  FROM graft_lsh_topk('graft_embeddings', 'vec_id', 'embedding', 5, 5, 6, 16)),
+          |  FROM graft_lsh_topk('graft_embeddings', 'vec_id', 'embedding', 5, 5, 6, 16, 2)),
           |bf AS (
           |  SELECT q_id, vec_id
           |  FROM graft_cosine_topk('graft_embeddings', 'vec_id', 'embedding', 5, 5)),
@@ -958,7 +983,7 @@ object Similarity {
           |  GROUP BY ann.q_id),
           |probes AS (SELECT DISTINCT q_id FROM bf)
           |SELECT COUNT(*) AS n_queries,
-          |  (SUM(COALESCE(n_hits, 0)) / (COUNT(*) * 5.0) >= 0.28) AS recall_ok
+          |  (SUM(COALESCE(n_hits, 0)) / (COUNT(*) * 5.0) >= 0.64) AS recall_ok
           |FROM probes LEFT JOIN hits USING (q_id)""".stripMargin)
     }
   )

@@ -66,6 +66,59 @@ class SignBandKeysSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe keys: slot 0 is the base key, probes flip the lowest-margin bits") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val rows = fixture(50)
+    val T = 2
+    val got = rows
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.functions.SignBandProbes
+          .keysColumn(col("v"), Bits, Bands, SignBandKeys.DefaultSeed, T).as("ks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    val planes = SignBandKeys.planes(SignBandKeys.DefaultSeed, Bits * Bands)
+    rows.foreach { case (id, v) =>
+      val ks = got(id)
+      assert(ks.size === Bands * (1 + T))
+      val baseKeys = driverSideKeys(v)
+      (0 until Bands).foreach { b =>
+        val slot = ks.slice(b * (1 + T), (b + 1) * (1 + T))
+        assert(slot.head === baseKeys(b), s"vector $id band $b: slot 0 is not the base key")
+        // expected flip order: bits sorted by |v·h| ascending
+        val margins = (0 until Bits).map { i =>
+          math.abs(v.zip(planes(b * Bits + i)).map { case (x, y) => x * y }.sum)
+        }
+        val order = (0 until Bits).sortBy(margins)
+        (0 until T).foreach { t =>
+          assert(slot(1 + t) === (baseKeys(b) ^ (1L << order(t))),
+            s"vector $id band $b probe $t: wrong bit flipped")
+        }
+      }
+    }
+  }
+
+  test("multi-probe search candidates are a superset of single-probe's") {
+    val s = spark
+    import s.implicits._
+    val corpus = fixture(300).toDF("vec_id", "v")
+    val probes = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def cands(t: Int): Set[(Long, Long)] = operators.Similarity
+      .lshSearch(corpus, probes, bitsPerBand = 6, bands = 8, topK = 1000, extraProbes = t)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = cands(0)
+    val multi = cands(2)
+    assert(single.subsetOf(multi),
+      "multi-probe must only ADD candidate buckets (base keys are probed unchanged)")
+    assert(multi.size > single.size,
+      "multi-probe probed no extra bucket on 300 random vectors — flips are not reaching the join")
+  }
+
   test("null vector yields null signature; signature length = bands") {
     val s = spark
     import s.implicits._
