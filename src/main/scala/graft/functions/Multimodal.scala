@@ -8,11 +8,14 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   *
   * The real Spark-side machinery here — typed schemas, per-partition
   * batched processing, bounded memory, deterministic output — is
-  * production-shaped; ONLY the codec is stubbed (`decodeStub`: this
-  * container ships no image/audio libraries), clearly marked and
-  * deterministic so tests can pin the pipeline end-to-end. Swapping the
-  * stub for a real JNI/javacpp decoder changes no schema, partitioning,
-  * or call signature.
+  * production-shaped. The IMAGE codec is REAL (`decodeImageInfo`:
+  * javax.imageio parses actual PNG/JPEG/GIF/BMP containers and pixels;
+  * the oracle-gated `mm_image_decode` query round-trips generated PNGs
+  * through it). Only the audio/video codec remains stubbed
+  * (`decodeStub`: this container ships no such libraries), clearly
+  * marked and deterministic so tests can pin the pipeline end-to-end;
+  * swapping it for a real JNI/javacpp decoder changes no schema,
+  * partitioning, or call signature.
   *
   * Scale posture: `mapPartitions` (not per-row map) so a real decoder
   * amortizes codec init per partition — the Scala analog of
@@ -39,10 +42,55 @@ object Multimodal {
   implicit val mediaFileEnc: Encoder[MediaFile] = Encoders.product[MediaFile]
   implicit val mediaFeaturesEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
+  /** ======== REAL CODEC (image slice) ========
+    * Decode actual image bytes — any format the JDK's `javax.imageio`
+    * ships a reader for (PNG, JPEG, GIF, BMP) — into (width, height,
+    * channel count). This is the non-stubbed decode path: the bytes go
+    * through a real container parser + pixel decoder, so a truncated or
+    * mislabeled payload FAILS here instead of producing fake metadata.
+    * Call it from `mapPartitions` (the [[extractFeatures]] shape) so the
+    * reader-registry lookup amortizes per partition; `setUseCache(false)`
+    * keeps ImageIO off executor-local disk for in-memory payloads.
+    */
+  def decodeImageInfo(payload: Array[Byte]): (Int, Int, Int) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload (${payload.length} bytes)")
+    (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+  }
+
+  /** Deterministic REAL-format image bytes for fixtures/tests: a
+    * width×height PNG (grayscale when `gray`, else RGB) whose pixels are
+    * a pure function of `seed` — so a decode gate's oracle can recompute
+    * the expected dimensions from the generating expression while the
+    * payload itself still exercises the real PNG container + codec. */
+  def encodePng(width: Int, height: Int, seed: Long, gray: Boolean): Array[Byte] = {
+    val imgType =
+      if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(width, height, imgType)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val h = (seed * 31 + y) * 31 + x
+        img.setRGB(x, y, (h & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer available")
+    bos.toByteArray
+  }
+
   /** ======== STUB ========
     * Deterministic fake decode: derives (width, height, frameCount) from
-    * the payload bytes alone. A real implementation calls the codec
-    * (e.g. TwelveMonkeys/FFmpeg via JNI) — same signature, same caller.
+    * the payload bytes alone. Kept for the audio/video media types this
+    * container has no codec for; the IMAGE path is real — see
+    * [[decodeImageInfo]]. A real audio/video implementation calls the
+    * codec (e.g. FFmpeg via JNI) — same signature, same caller.
     */
   private[graft] def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
     val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))

@@ -69,6 +69,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG codec slice: encode→decode round trip, colorspaces, reject garbage") {
+    // RGB and grayscale round-trip to the generating dimensions/bands
+    val rgb = Multimodal.encodePng(23, 11, seed = 42L, gray = false)
+    assert(rgb.take(8).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "payload is not a real PNG container")
+    assert(Multimodal.decodeImageInfo(rgb) === ((23, 11, 3)))
+    val gray = Multimodal.encodePng(9, 17, seed = 7L, gray = true)
+    assert(Multimodal.decodeImageInfo(gray) === ((9, 17, 1)))
+    // deterministic bytes per (w, h, seed, colorspace)
+    assert(Multimodal.encodePng(23, 11, 42L, gray = false).sameElements(rgb))
+    // a real decoder rejects non-image bytes instead of inventing metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImageInfo("not an image at all".getBytes("UTF-8"))
+    }
+    // ... and truncated PNGs fail rather than decode partially
+    intercept[Exception] { Multimodal.decodeImageInfo(rgb.take(20)) }
+  }
+
   test("features compose with the similarity operators (array<float> downstream)") {
     val s = spark
     import s.implicits._
