@@ -2,9 +2,12 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, DedupClusters, Similarity, TextOps}
+import graft.streaming.CorpusMaintenance
 import graft.tools.ScaleRehearsal
 
 /** SCALING.md promoted to a regression gate: the cheap heavy operators
@@ -98,6 +101,59 @@ class ScaleRegressionSpec extends AnyFunSuite {
         .count(): Unit
     }
     assertBounded("embed_dedup_prod", t1, t10)
+  }
+
+  test("self-compacting sink soak: bounded committed listing, map rebuild-exact") {
+    // The slim promoted form of ScaleRehearsal's corpus_soak (SCALING.md):
+    // 2 ingests × compaction trigger × 2 more ingests through the ACTUAL
+    // self-compacting streaming sink, then two structural assertions —
+    // the committed listing stayed O(compactEvery) (not one dir per
+    // ingest forever, the reference's file-per-checkpoint growth), and
+    // the maintained cluster map is row-identical to a from-scratch
+    // rebuild over the same corpus.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = docs(1)
+    val nCorpus = 4000L
+    val st = s"$workDir/soak_state"; val ck = s"$workDir/soak_ckpt"
+    CorpusMaintenance.bootstrap(spark, d.filter(col("doc_id") < nCorpus), st)
+    val ms = MemoryStream[(Long, String)]
+    val q = CorpusMaintenance.sink(
+      ms.toDF().toDF("doc_id", "text"), st, ck,
+      trigger = Trigger.ProcessingTime(0), retainVersions = Some(2),
+      retainGraceMs = 0, compactEvery = Some(2))
+    def listing(): Int = {
+      def dirs(p: String, pfx: String): Int =
+        Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+          .count(f => f.isDirectory && f.getName.startsWith(pfx))
+      dirs(s"$st/docs", "epoch=") + dirs(st, "docs_base_v")
+    }
+    var maxListing = 0
+    for (i <- 0 until 4) {
+      val lo = nCorpus + i * 250
+      ms.addData(d.filter(col("doc_id") >= lo && col("doc_id") < lo + 250)
+        .as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      maxListing = math.max(maxListing, listing())
+    }
+    q.stop()
+    assert(maxListing <= 4,
+      s"committed listing reached $maxListing dirs — the compactEvery=2 sink " +
+        "should fold the tail before it grows past compactEvery + base")
+    assert(CorpusMaintenance.currentMapVersion(spark, st) == 5)
+    val maintained = CorpusMaintenance.currentMap(spark, st)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rebuild over the LANDED corpus (exact-dedup may legitimately have
+    // dropped batch docs whose text already landed — the loop's contract
+    // is maintained ≡ rebuild of what it admitted; the corpus_maintain
+    // oracle separately proves the admission rule itself)
+    val rebuilt = DedupClusters.connectedComponents(
+        TextOps.ngramJaccardPairs(CorpusMaintenance.corpus(spark, st), 3, 0.5)
+          .select(col("d1"), col("d2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(maintained === rebuilt,
+      "self-compacting sink's maintained map diverged from a from-scratch rebuild")
   }
 
   test("corpus-size-aware scaled embedding dedup stays near-linear at 10x") {
