@@ -262,7 +262,11 @@ object CorpusMaintenance {
     *   O(compactEvery) directories forever — no external maintenance
     *   job. Safe here BECAUSE foreachBatch serializes with ingest: the
     *   single-writer assumption compaction documents holds by
-    *   construction. */
+    *   construction.
+    * @param majorEvery tiered-compaction escalation: when set alongside
+    *   `compactEvery`, each fold is a cheap O(tail) MINOR generation and
+    *   only every `majorEvery`-th escalates to the O(corpus) base
+    *   rewrite — see [[maybeCompact]]. */
   def sink(
       stream: DataFrame,
       stateDir: String,
@@ -272,7 +276,8 @@ object CorpusMaintenance {
       trigger: Trigger = Trigger.AvailableNow(),
       retainVersions: Option[Int] = None,
       retainGraceMs: Long = 10 * 60 * 1000L,
-      compactEvery: Option[Int] = None
+      compactEvery: Option[Int] = None,
+      majorEvery: Option[Int] = None
   ): StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -282,28 +287,54 @@ object CorpusMaintenance {
         ingestBatch(b.sparkSession, b, stateDir, k, threshold)
         retainVersions.foreach(n => retain(b.sparkSession, stateDir, n, retainGraceMs))
         compactEvery.foreach { every =>
-          maybeCompact(b.sparkSession, stateDir, Stores, every, retainGraceMs)
+          maybeCompact(b.sparkSession, stateDir, Stores, every, retainGraceMs, majorEvery)
         }
         ()
       }
       .start()
 
   /** Fold + sweep when the committed epoch tail reached `every` — shared
-    * by both loops' sinks. */
+    * by both loops' sinks.
+    *
+    * Without `majorEvery` (the default), every fold is a MAJOR compact:
+    * the whole committed history rewrites into one base generation —
+    * O(corpus) every `every` batches, amortized corpus/every per ingest.
+    * With `majorEvery = Some(g)`, compaction is TIERED: the loose epoch
+    * tail folds into a MINOR generation (cost O(tail) — see
+    * [[EpochStore.minorFold]]) and only every g-th fold escalates to the
+    * major rewrite, so the O(corpus) cost amortizes to
+    * corpus/(every·g) per ingest while the committed listing stays
+    * bounded at O(every + g) dirs per store — the policy a loop whose
+    * corpus dwarfs its batches should run. */
   private[streaming] def maybeCompact(
       spark: SparkSession,
       stateDir: String,
       stores: Seq[String],
       every: Int,
-      graceMs: Long
+      graceMs: Long,
+      majorEvery: Option[Int] = None
   ): Unit = {
     require(every >= 1, s"compactEvery must be >= 1, got $every")
     val live = currentMapVersion(spark, stateDir)
     val base = EpochStore.baseEpoch(spark, stateDir)
-    if (live - base >= every) {
-      EpochStore.compact(spark, stateDir, stores, live)
-      EpochStore.retireCompacted(spark, stateDir, stores, graceMs)
-      ()
+    majorEvery match {
+      case None =>
+        if (live - base >= every) {
+          EpochStore.compact(spark, stateDir, stores, live)
+          EpochStore.retireCompacted(spark, stateDir, stores, graceMs)
+          ()
+        }
+      case Some(g) =>
+        require(g >= 1, s"majorEvery must be >= 1, got $g")
+        val covered = math.max(base,
+          EpochStore.minorFolds(spark, stateDir).lastOption.map(_._2).getOrElse(0))
+        if (live - covered >= every) {
+          EpochStore.minorFold(spark, stateDir, stores, covered + 1, live)
+          if (EpochStore.minorFolds(spark, stateDir).size >= g)
+            EpochStore.compact(spark, stateDir, stores, live)
+          EpochStore.retireCompacted(spark, stateDir, stores, graceMs)
+          ()
+        }
     }
   }
 }

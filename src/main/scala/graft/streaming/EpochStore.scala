@@ -21,20 +21,26 @@ import org.apache.spark.sql.functions._
   *                          later compaction writes `_base_v<B'>` beside
   *                          it and the old generation is retired by the
   *                          same mtime-graced sweep as cluster maps
+  *   <store>_minor_<a>_<b>/ MINOR generation (tiered compaction): the
+  *                          fold of loose epochs a..b only — O(tail)
+  *                          cost, see [[minorFold]]
   *   _CURRENT_MAP           live ingest epoch / cluster-map version
   *   _BASE_EPOCH            compacted-through pointer B (absent = 0)
+  *   _MINOR_FOLDS           committed minor ranges, "a-b" per line
   *   _PARAMS                index parameters pinned at bootstrap
   *   _WRITER_LEASE          writer fence: holder id + heartbeat mtime
   *                          (see [[fence]])
   *
-  * Committed view of a store = `<store>_base_v<B>` ∪ `epoch=N` for
-  * B < N ≤ pointer. Both pointers flip through the same temp-file +
-  * atomic-rename protocol, so compaction inherits the loops' crash
-  * contract verbatim: the staged `_base_v<B>` directories are invisible
-  * until the single `_BASE_EPOCH` flip; a crash anywhere before it
-  * leaves the old epoch listing live and the staged generations inert
-  * (a rerun overwrites them); after it, the superseded `epoch=N` dirs
-  * (N ≤ B) and older base generations are dead and reclaimed by
+  * Committed view of a store = `<store>_base_v<B>` ∪ live minor
+  * generations ∪ loose `epoch=N` for B < N ≤ pointer not covered by a
+  * minor. All pointers flip through the same temp-file + atomic-rename
+  * protocol, so both compaction tiers inherit the loops' crash contract
+  * verbatim: staged `_base_v<B>` / `_minor_a_b` directories are
+  * invisible until their single pointer flip (`_BASE_EPOCH` resp. the
+  * `_MINOR_FOLDS` rewrite); a crash anywhere before it leaves the old
+  * listing live and the staged generations inert (a rerun overwrites
+  * them); after it, the superseded `epoch=N` dirs, covered epochs,
+  * dead minors, and older base generations are reclaimed by
   * [[retireCompacted]] behind the usual mtime grace window.
   *
   * Single-writer: compaction, like ingest itself, assumes one maintainer
@@ -50,8 +56,11 @@ object EpochStore {
   private[streaming] def epochDir(base: String, v: Int) = s"$base/epoch=$v"
   private[streaming] def baseGenDir(stateDir: String, store: String, b: Int) =
     s"$stateDir/${store}_base_v$b"
+  private[graft] def minorGenDir(stateDir: String, store: String, a: Int, b: Int) =
+    s"$stateDir/${store}_minor_${a}_$b"
   private[streaming] def mainPointerPath(stateDir: String) = s"$stateDir/_CURRENT_MAP"
   private[streaming] def basePointerPath(stateDir: String) = s"$stateDir/_BASE_EPOCH"
+  private[graft] def minorFoldsPath(stateDir: String) = s"$stateDir/_MINOR_FOLDS"
   private def paramsPath(stateDir: String) = s"$stateDir/_PARAMS"
   private[streaming] def leasePath(stateDir: String) = s"$stateDir/_WRITER_LEASE"
 
@@ -158,18 +167,86 @@ object EpochStore {
   def baseEpoch(spark: SparkSession, stateDir: String): Int =
     readIntPointer(spark, basePointerPath(stateDir))
 
-  /** Remove the base pointer — called by the loops' `bootstrap` so
-    * re-bootstrapping a previously-compacted state dir restarts from
-    * scratch (pre-compaction semantics: stale epochs > 1 are
-    * staged-invisible debris; a stale base pointer would instead make
-    * every committed read resolve through a dead generation). Old
-    * `<store>_base_v*` dirs become inert debris the next compaction
-    * overwrites or supersedes. */
+  /** Remove the base + minor-fold pointers — called by the loops'
+    * `bootstrap` so re-bootstrapping a previously-compacted state dir
+    * restarts from scratch (pre-compaction semantics: stale epochs > 1
+    * are staged-invisible debris; a stale base/minor pointer would
+    * instead make every committed read resolve through dead
+    * generations). Old `<store>_base_v*` / `<store>_minor_*` dirs become
+    * inert debris the next fold overwrites or supersedes. */
   private[streaming] def clearBasePointer(spark: SparkSession, stateDir: String): Unit = {
-    val p = new Path(basePointerPath(stateDir))
+    Seq(basePointerPath(stateDir), minorFoldsPath(stateDir)).foreach { path =>
+      val p = new Path(path)
+      val fs = fsOf(spark, p)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+
+  /** Committed minor folds LIVE above the base epoch `b`: parsed from
+    * `_MINOR_FOLDS` ("a-b" per line), entries fully covered by the base
+    * generation filtered out (a major fold supersedes them; the file is
+    * pruned cosmetically by [[retireCompacted]], but the read path never
+    * depends on that). Ranges are disjoint and ascending by
+    * construction — [[minorFold]] always folds from the first uncovered
+    * epoch. */
+  private[graft] def minorFolds(spark: SparkSession, stateDir: String): Seq[(Int, Int)] = {
+    val p = new Path(minorFoldsPath(stateDir))
     val fs = fsOf(spark, p)
-    if (fs.exists(p)) fs.delete(p, false)
-    ()
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val b = baseEpoch(spark, stateDir)
+      readSmallFile(spark, p).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val i = line.indexOf('-')
+          (line.substring(0, i).toInt, line.substring(i + 1).toInt)
+        }
+        .filter { case (a, bb) => require(a <= bb, s"corrupt minor range $a-$bb"); bb > b }
+        .sorted
+    }
+  }
+
+  private def writeMinorFolds(
+      spark: SparkSession, stateDir: String, ranges: Seq[(Int, Int)]): Unit =
+    writeAtomic(spark, minorFoldsPath(stateDir),
+      ranges.map { case (a, b) => s"$a-$b" }.mkString("\n"))
+
+  /** MINOR fold (tiered compaction, L0→L1): fold the loose committed
+    * epoch tail `from..upTo` of each store into one
+    * `<store>_minor_<from>_<upTo>` generation — cost O(tail), NOT
+    * O(corpus) like the major [[compact]], so a long-running loop can
+    * keep its committed listing bounded without re-writing the whole
+    * base every few batches. The committed view is identical before and
+    * after. Crash contract inherited verbatim: the staged minor dirs are
+    * invisible until the single `_MINOR_FOLDS` rewrite (atomic rename);
+    * a crash before it leaves the loose epochs live and the staged dirs
+    * inert debris a rerun overwrites.
+    *
+    * Amortized ingest cost with the two-level policy
+    * ([[CorpusMaintenance.maybeCompact]]'s `majorEvery`): minor folds
+    * every K batches cost O(K·batch); the major fold runs once per G
+    * minors, so its O(corpus) rewrite amortizes to corpus/(K·G) per
+    * ingest instead of corpus/K — at 100 TB the difference between
+    * re-writing the corpus every 8 batches and every 64. Listing stays
+    * bounded at O(K + G) directories per store. */
+  private[graft] def minorFold(
+      spark: SparkSession, stateDir: String, stores: Seq[String], from: Int, upTo: Int): Unit = {
+    val live = readIntPointer(spark, mainPointerPath(stateDir))
+    val b = baseEpoch(spark, stateDir)
+    val existing = minorFolds(spark, stateDir)
+    val covered = math.max(b, existing.lastOption.map(_._2).getOrElse(0))
+    require(upTo <= live, s"minorFold upTo=$upTo beyond the committed pointer $live")
+    require(from == covered + 1,
+      s"minorFold must start at the first uncovered epoch ${covered + 1}, got $from " +
+        "(gaps or overlaps would corrupt the committed view)")
+    require(upTo >= from, s"minorFold empty range $from..$upTo")
+    stores.foreach { store =>
+      val base = s"$stateDir/$store"
+      spark.read.parquet((from to upTo).map(epochDir(base, _)): _*)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(minorGenDir(stateDir, store, from, upTo))
+    }
+    writeMinorFolds(spark, stateDir, existing :+ (from, upTo))
   }
 
   /** Committed view of a store: epochs ≤ `upTo` only, with everything at
@@ -189,7 +266,8 @@ object EpochStore {
   def committed(spark: SparkSession, stateDir: String, store: String, upTo: Int): DataFrame = {
     val base = s"$stateDir/$store"
     val b = baseEpoch(spark, stateDir)
-    if (b == 0) {
+    val minors = minorFolds(spark, stateDir)
+    if (b == 0 && minors.isEmpty) {
       spark.read.parquet(base).filter(col("epoch") <= upTo).drop("epoch")
     } else {
       require(upTo >= b,
@@ -197,8 +275,15 @@ object EpochStore {
           "compaction only folds COMMITTED epochs and the pointer never moves backwards " +
           "past it, so this indicates pointer/state corruption (or a gate-style pointer " +
           "reset into a compacted store, which is unsupported)")
+      minors.foreach { case (_, mb) =>
+        require(mb <= upTo,
+          s"committed($store) asked for epochs <= $upTo below a live minor fold ending at $mb " +
+            "— minor folds only cover COMMITTED epochs (a gate-style pointer reset into a " +
+            "tiered store is unsupported)")
+      }
       val fs = fsOf(spark, new Path(base))
-      val tail = (b + 1 to upTo).map { n =>
+      val minorCovered = minors.flatMap { case (a, mb) => a to mb }.toSet
+      val loose = (b + 1 to upTo).filterNot(minorCovered).map { n =>
         val d = epochDir(base, n)
         require(fs.exists(new Path(d)),
           s"committed($store): epoch dir $d is missing but the pointers commit epochs " +
@@ -206,7 +291,10 @@ object EpochStore {
             "refusing to serve a silently-shrunken view")
         d
       }
-      val paths = baseGenDir(stateDir, store, b) +: tail
+      val paths =
+        (if (b > 0) Seq(baseGenDir(stateDir, store, b)) else Seq.empty) ++
+          minors.map { case (a, mb) => minorGenDir(stateDir, store, a, mb) } ++
+          loose
       spark.read.parquet(paths: _*)
     }
   }
@@ -228,13 +316,28 @@ object EpochStore {
         .parquet(baseGenDir(stateDir, store, upTo))
     }
     commitIntPointer(spark, basePointerPath(stateDir), upTo)
+    // Prune minor folds the new base supersedes. GC-only cosmetics AFTER
+    // the one atomic commit above: the read path already ignores minors
+    // ending ≤ the base epoch, so a crash between the flip and this
+    // rewrite loses nothing.
+    val survivors = minorFolds(spark, stateDir)
+    val p = new Path(minorFoldsPath(stateDir))
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) {
+      if (survivors.isEmpty) fs.delete(p, false)
+      else writeMinorFolds(spark, stateDir, survivors)
+    }
+    ()
   }
 
   /** GC after compaction: delete each store's `epoch=N` dirs with
-    * N ≤ the committed base epoch, and base generations older than the
-    * live one — both behind the usual mtime grace window (a reader that
-    * resolved the pointers just before the flip finishes on what it
-    * started with). Returns the deleted paths. */
+    * N ≤ the committed base epoch, base generations older than the
+    * live one, AND superseded/covered minor-fold dirs — epoch dirs a
+    * LIVE minor fold covers (folded by [[minorFold]]) and minor dirs a
+    * major fold made dead (end ≤ the base epoch). All behind the usual
+    * mtime grace window (a reader that resolved the pointers just
+    * before a flip finishes on what it started with). Returns the
+    * deleted paths. */
   def retireCompacted(
       spark: SparkSession,
       stateDir: String,
@@ -242,13 +345,44 @@ object EpochStore {
       graceMs: Long = 10 * 60 * 1000L
   ): Seq[String] = {
     val b = baseEpoch(spark, stateDir)
-    if (b == 0) Seq.empty
-    else
-      stores.flatMap { store =>
-        Retention.retainEpochs(spark, s"$stateDir/$store", cut = b, graceMs = graceMs) ++
-          Retention.retainVersioned(
-            spark, stateDir, s"${store}_base_v", live = b, keep = 1, graceMs = graceMs)
+    val live = minorFolds(spark, stateDir)
+    val liveDirs = stores.flatMap(store =>
+      live.map { case (a, mb) => minorGenDir(stateDir, store, a, mb) }).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val minorSweep = stores.flatMap { store =>
+      // epoch dirs covered by a live minor fold (they read from the
+      // minor generation now) ...
+      live.flatMap { case (a, mb) =>
+        (a to mb).flatMap { n =>
+          val p = new Path(epochDir(s"$stateDir/$store", n))
+          val fs = fsOf(spark, p)
+          if (fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoff) {
+            fs.delete(p, true); Some(p.toString)
+          } else None
+        }
+      } ++ {
+        // ... and minor dirs no live fold references (superseded by a
+        // major, or debris of a crashed fold attempt)
+        val root = new Path(stateDir)
+        val fs = fsOf(spark, root)
+        if (!fs.exists(root)) Seq.empty
+        else
+          fs.listStatus(root).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${store}_minor_"))
+            .filter(st => !liveDirs.contains(s"$stateDir/${st.getPath.getName}"))
+            .filter(_.getModificationTime < cutoff)
+            .map { st => fs.delete(st.getPath, true); st.getPath.toString }
       }
+    }
+    val baseSweep =
+      if (b == 0) Seq.empty
+      else
+        stores.flatMap { store =>
+          Retention.retainEpochs(spark, s"$stateDir/$store", cut = b, graceMs = graceMs) ++
+            Retention.retainVersioned(
+              spark, stateDir, s"${store}_base_v", live = b, keep = 1, graceMs = graceMs)
+        }
+    minorSweep ++ baseSweep
   }
 
   /** Pin the loop's index parameters at bootstrap. The stored epochs are

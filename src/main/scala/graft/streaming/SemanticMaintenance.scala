@@ -218,7 +218,8 @@ object SemanticMaintenance {
       trigger: Trigger = Trigger.AvailableNow(),
       retainVersions: Option[Int] = None,
       retainGraceMs: Long = 10 * 60 * 1000L,
-      compactEvery: Option[Int] = None
+      compactEvery: Option[Int] = None,
+      majorEvery: Option[Int] = None
   ): StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -228,7 +229,8 @@ object SemanticMaintenance {
         ingestBatch(b.sparkSession, b, stateDir, threshold, bitsPerBand, bands)
         retainVersions.foreach(n => retain(b.sparkSession, stateDir, n, retainGraceMs))
         compactEvery.foreach { every =>
-          CorpusMaintenance.maybeCompact(b.sparkSession, stateDir, Stores, every, retainGraceMs)
+          CorpusMaintenance.maybeCompact(
+            b.sparkSession, stateDir, Stores, every, retainGraceMs, majorEvery)
         }
         ()
       }

@@ -456,6 +456,41 @@ object ScaleRehearsal {
         soakReport("corpus_soak_direct", times.result(), listings.result())
       }
 
+      // The sink soak under TIERED compaction (compactEvery=8 minors,
+      // every 6th escalating to the O(corpus) major): same batches as
+      // corpus_soak, so the per-ingest spike profile isolates what the
+      // tiering buys — O(tail) folds where corpus_soak pays the full
+      // base rewrite every 8 batches (SCALING.md).
+      if (wanted("corpus_soak_tiered")) {
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val nCorpus = 5000L * m
+        val all = genDocs(spark, nCorpus + SoakIngests * SoakBatch)
+        val st = s"$dir/corpus_soak_tier_state"; val ck = s"$dir/corpus_soak_tier_ckpt"
+        graft.Verify.deleteTree(new java.io.File(st))
+        graft.Verify.deleteTree(new java.io.File(ck))
+        CorpusMaintenance.bootstrap(spark, all.filter(col("doc_id") < nCorpus), st)
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val q = CorpusMaintenance.sink(
+          ms.toDF().toDF("doc_id", "text"), st, ck,
+          trigger = Trigger.ProcessingTime(0), retainVersions = Some(2),
+          retainGraceMs = 0, compactEvery = Some(8), majorEvery = Some(6))
+        val times = Seq.newBuilder[Double]; val listings = Seq.newBuilder[Int]
+        for (i <- 0 until SoakIngests) {
+          val batch = all
+            .filter(col("doc_id") >= nCorpus && soakBatchOf("doc_id") === i)
+            .as[(Long, String)].collect().toSeq
+          val t0 = System.nanoTime()
+          ms.addData(batch); q.processAllAvailable()
+          times += (System.nanoTime() - t0) / 1e9
+          listings += (committedListing(st, "docs") +
+            Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+              .count(f => f.isDirectory && f.getName.startsWith("docs_minor_")))
+        }
+        q.stop()
+        soakReport("corpus_soak_tiered", times.result(), listings.result())
+      }
+
       if (wanted("semantic_soak")) {
         import spark.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
