@@ -134,6 +134,9 @@ object CorpusMaintenance {
     val pairs = TextOps.ngramJaccardPairs(initial, k, threshold).select(col("d1"), col("d2"))
     DedupClusters.connectedComponents(pairs)
       .write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, 1))
+    // commit-point re-fence: bootstrap's full-graph CC is the longest
+    // mutation of all — see ingestBatch
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     commitPointer(spark, stateDir, 1)
   }
 
@@ -192,6 +195,10 @@ object CorpusMaintenance {
       if (v == 0) DedupClusters.connectedComponents(newPairs)
       else DedupClusters.augment(currentMap(spark, stateDir), newPairs)
     merged.write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, next))
+    // Commit-point re-fence: a batch slow enough to outlive the lease
+    // grace may have been legitimately taken over — fail here rather
+    // than clobber the successor's pointer (the staged epoch is inert).
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     commitPointer(spark, stateDir, next)
     IngestStats(nBatch, nAdmitted, nPairs, next)
   }
@@ -215,7 +222,7 @@ object CorpusMaintenance {
       leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): Unit = {
     EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
-    EpochStore.compact(spark, stateDir, Stores, upTo)
+    EpochStore.compact(spark, stateDir, Stores, upTo, writerId, leaseGraceMs)
   }
 
   /** GC for epoch dirs superseded by [[compactEpochs]] (and older base

@@ -230,7 +230,14 @@ object EpochStore {
     * re-writing the corpus every 8 batches and every 64. Listing stays
     * bounded at O(K + G) directories per store. */
   private[graft] def minorFold(
-      spark: SparkSession, stateDir: String, stores: Seq[String], from: Int, upTo: Int): Unit = {
+      spark: SparkSession,
+      stateDir: String,
+      stores: Seq[String],
+      from: Int,
+      upTo: Int,
+      writerId: Option[String] = None,
+      leaseGraceMs: Long = DefaultLeaseGraceMs
+  ): Unit = {
     val live = readIntPointer(spark, mainPointerPath(stateDir))
     val b = baseEpoch(spark, stateDir)
     val existing = minorFolds(spark, stateDir)
@@ -246,6 +253,8 @@ object EpochStore {
         .write.mode(SaveMode.Overwrite)
         .parquet(minorGenDir(stateDir, store, from, upTo))
     }
+    // commit-point re-fence — same contract as [[compact]]
+    fence(spark, stateDir, writerId, leaseGraceMs)
     writeMinorFolds(spark, stateDir, existing :+ (from, upTo))
   }
 
@@ -305,7 +314,14 @@ object EpochStore {
     * leaves the old listing live and a rerun overwrites the debris.
     * Superseded epoch dirs and older base generations stay on disk until
     * [[retireCompacted]] sweeps them. */
-  def compact(spark: SparkSession, stateDir: String, stores: Seq[String], upTo: Int): Unit = {
+  def compact(
+      spark: SparkSession,
+      stateDir: String,
+      stores: Seq[String],
+      upTo: Int,
+      writerId: Option[String] = None,
+      leaseGraceMs: Long = DefaultLeaseGraceMs
+  ): Unit = {
     val live = readIntPointer(spark, mainPointerPath(stateDir))
     val b0 = baseEpoch(spark, stateDir)
     require(upTo <= live, s"compact upTo=$upTo beyond the committed pointer $live")
@@ -315,6 +331,11 @@ object EpochStore {
         .write.mode(SaveMode.Overwrite)
         .parquet(baseGenDir(stateDir, store, upTo))
     }
+    // Commit-point re-fence: the fold above can outlive the lease grace
+    // window, and a successor may have legitimately taken the store
+    // over — this writer must then FAIL here, not clobber the
+    // successor's pointer (the staged generation stays inert debris).
+    fence(spark, stateDir, writerId, leaseGraceMs)
     commitIntPointer(spark, basePointerPath(stateDir), upTo)
     // Prune minor folds the new base supersedes. GC-only cosmetics AFTER
     // the one atomic commit above: the read path already ignores minors

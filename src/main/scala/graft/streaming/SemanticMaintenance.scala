@@ -110,6 +110,8 @@ object SemanticMaintenance {
       Similarity.embedNearDupLsh(initial, threshold, bitsPerBand, bands)
         .select(col("v1").as("d1"), col("v2").as("d2")))
       .write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, 1))
+    // commit-point re-fence — see CorpusMaintenance.bootstrap
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     CorpusMaintenance.commitPointer(spark, stateDir, 1)
   }
 
@@ -160,6 +162,8 @@ object SemanticMaintenance {
       if (v == 0) DedupClusters.connectedComponents(newPairs)
       else DedupClusters.augment(currentMap(spark, stateDir), newPairs)
     merged.write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, next))
+    // commit-point re-fence — see CorpusMaintenance.ingestBatch
+    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     CorpusMaintenance.commitPointer(spark, stateDir, next)
     IngestStats(nBatch, nAdmitted, nPairs, next)
   }
@@ -176,7 +180,7 @@ object SemanticMaintenance {
       leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): Unit = {
     EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
-    EpochStore.compact(spark, stateDir, Stores, upTo)
+    EpochStore.compact(spark, stateDir, Stores, upTo, writerId, leaseGraceMs)
   }
 
   /** GC for epoch dirs superseded by [[compactEpochs]] and older base

@@ -114,6 +114,30 @@ class WriterFenceSpec extends AnyFunSuite {
     assert(CorpusMaintenance.currentMapVersion(spark, st) == 2)
   }
 
+  test("commit-point re-fence: a fold that lost its lease mid-flight cannot commit") {
+    val st = freshDir()
+    val d = docs(20)
+    CorpusMaintenance.bootstrap(spark, d.filter(col("doc_id") < 10), st, writerId = Some("app-A"))
+    CorpusMaintenance.ingestBatch(spark, d.filter(col("doc_id") >= 10), st,
+      writerId = Some("app-A"))
+    // app-A's lease goes stale; app-B legitimately takes the store over
+    // (an empty ingest acquires the lease through the entry fence)
+    ageLease(st, ageMs = 100000)
+    CorpusMaintenance.ingestBatch(spark, d.filter(col("doc_id") < 0), st,
+      writerId = Some("app-B"), leaseGraceMs = 50000)
+    // app-A's long-running fold now reaches its COMMIT POINT: the
+    // pre-flip re-fence must reject — the staged base generation stays
+    // inert debris instead of clobbering app-B's store
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.EpochStore.compact(
+        spark, st, Seq("docs", "hashes", "shingles"), upTo = 2, writerId = Some("app-A"))
+    }
+    assert(ex.getMessage.contains("leased to writer 'app-B'"))
+    assert(graft.streaming.EpochStore.baseEpoch(spark, st) === 0,
+      "a fold that lost its lease must not advance the base pointer")
+    assert(CorpusMaintenance.corpus(spark, st).count() === 20)
+  }
+
   test("semantic loop fences identically") {
     val st = freshDir()
     val s = spark
