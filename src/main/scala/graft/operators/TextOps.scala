@@ -456,10 +456,12 @@ object TextOps {
     // documents arrive as three batches (doc_id % 3 — seed bootstrap +
     // two ingests) through the full CorpusMaintenance state machine —
     // exact dedup vs the hash store, epoch-staged appends, restricted
-    // pair generation, EPOCH COMPACTION mid-history (epochs 1-2 fold
-    // into a base generation and the superseded dirs are retired before
-    // the final ingest, so the oracle's proof covers the compacted read
-    // path), cluster-map augment, atomic pointer commits. The result is
+    // pair generation, TIERED COMPACTION mid-history (epochs 1-2 fold
+    // into a MINOR generation and the covered dirs are retired before
+    // the final ingest, so the oracle's proof covers the tiered read
+    // path — the MAJOR-fold-in-history twin lives in semantic_maintain,
+    // so both compaction tiers are oracle-gated), cluster-map augment,
+    // atomic pointer commits. The result is
     // the final maintained map's cluster summary; the oracle recomputes
     // the landed corpus (first-batch winner per text hash, min doc_id
     // within a batch) and runs the SAME recursive-CTE CC as
@@ -486,7 +488,8 @@ object TextOps {
             (dir + "_" + spark.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
           CorpusMaintenance.bootstrap(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 0), s)
           CorpusMaintenance.ingestBatch(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 1), s)
-          CorpusMaintenance.compactEpochs(spark, s, upTo = 2)
+          graft.streaming.EpochStore.minorFold(
+            spark, s, Seq("docs", "hashes", "shingles"), from = 1, upTo = 2)
           CorpusMaintenance.retireCompactedEpochs(spark, s, graceMs = 0)
           CorpusMaintenance.ingestBatch(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 2), s)
           s
