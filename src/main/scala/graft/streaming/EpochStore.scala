@@ -127,7 +127,10 @@ object EpochStore {
     * fence rejects the OPERATIONAL failure class (double-scheduled loops,
     * a forgotten old deployment), which is what a plain FS without
     * conditional writes can give. The atomic rename still guarantees the
-    * lease file itself is never half-written. */
+    * lease file itself is never half-written. Lease age compares this
+    * writer's clock against the FILESYSTEM's mtime (HDFS: namenode
+    * clock), so cross-machine writer clock skew should be budgeted into
+    * `graceMs` — the 10-minute default dwarfs NTP-managed skew. */
   private[streaming] def fence(
       spark: SparkSession,
       stateDir: String,
