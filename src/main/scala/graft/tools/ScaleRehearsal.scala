@@ -429,6 +429,44 @@ object ScaleRehearsal {
         soakReport("corpus_soak", times.result(), listings.result())
       }
 
+      // Same soak with the STREAMING QUERY RECYCLED every 10 ingests
+      // (each segment: fresh MemoryStream + checkpoint + sink on the
+      // SAME state dir — exactly-once is the state machine's, not the
+      // checkpoint's, so batch continuity is unaffected): if per-ingest
+      // cost resets at each segment boundary, the sink-mode drift is
+      // per-query accumulation and the operational fix for a long-lived
+      // loop is periodic query recycling (SCALING.md).
+      if (wanted("corpus_soak_restart")) {
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val nCorpus = 5000L * m
+        val all = genDocs(spark, nCorpus + SoakIngests * SoakBatch)
+        val st = s"$dir/corpus_soak_rst_state"
+        graft.Verify.deleteTree(new java.io.File(st))
+        CorpusMaintenance.bootstrap(spark, all.filter(col("doc_id") < nCorpus), st)
+        val times = Seq.newBuilder[Double]; val listings = Seq.newBuilder[Int]
+        for (seg <- 0 until SoakIngests / 10) {
+          val ck = s"$dir/corpus_soak_rst_ckpt_$seg"
+          graft.Verify.deleteTree(new java.io.File(ck))
+          val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val q = CorpusMaintenance.sink(
+            ms.toDF().toDF("doc_id", "text"), st, ck,
+            trigger = Trigger.ProcessingTime(0), retainVersions = Some(2),
+            retainGraceMs = 0, compactEvery = Some(8))
+          for (i <- seg * 10 until (seg + 1) * 10) {
+            val batch = all
+              .filter(col("doc_id") >= nCorpus && soakBatchOf("doc_id") === i)
+              .as[(Long, String)].collect().toSeq
+            val t0 = System.nanoTime()
+            ms.addData(batch); q.processAllAvailable()
+            times += (System.nanoTime() - t0) / 1e9
+            listings += committedListing(st, "docs")
+          }
+          q.stop()
+        }
+        soakReport("corpus_soak_restart", times.result(), listings.result())
+      }
+
       // Same 50-ingest series driven DIRECTLY (ingestBatch + the
       // compactEvery fold, no streaming query): separates state-machine
       // cost from micro-batch machinery. Measured (SCALING.md): direct is
