@@ -92,13 +92,32 @@ object CorpusMaintenance {
     committed(spark, stateDir, "docs", currentMapVersion(spark, stateDir))
 
   /** The live cluster map (doc_id, rep); empty if no version yet. */
-  def currentMap(spark: SparkSession, stateDir: String): DataFrame = {
-    val v = currentMapVersion(spark, stateDir)
+  def currentMap(spark: SparkSession, stateDir: String): DataFrame =
+    mapAt(spark, stateDir, currentMapVersion(spark, stateDir))
+
+  private def mapAt(spark: SparkSession, stateDir: String, v: Int): DataFrame =
     if (v == 0)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, rep LONG"))
     else spark.read.parquet(mapPath(stateDir, v))
+
+  /** A POINTER-CONSISTENT view of the whole state: the live epoch is
+    * resolved ONCE and every member serves from it, so a consumer that
+    * joins the corpus against the cluster map (the leakproof-split
+    * shape) can never straddle an ingest that commits between two
+    * accessor calls — `corpus`/`currentMap` each re-read the pointer,
+    * which is correct for single-surface reads and the single-writer
+    * loop itself, but hands a cross-surface reader corpus@v+1 against
+    * map@v for the instant of a commit. Generation/epoch paths resolve
+    * eagerly here; the retirement grace window protects them for the
+    * snapshot's lifetime, exactly as for any other reader. */
+  final case class StateSnapshot(version: Int, corpus: DataFrame, clusterMap: DataFrame)
+
+  def snapshot(spark: SparkSession, stateDir: String): StateSnapshot = {
+    val v = currentMapVersion(spark, stateDir)
+    require(v >= 1, s"no committed epoch at $stateDir — bootstrap first")
+    StateSnapshot(v, committed(spark, stateDir, "docs", v), mapAt(spark, stateDir, v))
   }
 
   /** Bootstrap the state from an initial corpus (runs the one full-graph

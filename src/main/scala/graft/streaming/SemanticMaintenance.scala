@@ -79,13 +79,26 @@ object SemanticMaintenance {
       CorpusMaintenance.currentMapVersion(spark, stateDir))
 
   /** The live cluster map (doc_id, rep); empty if no version yet. */
-  def currentMap(spark: SparkSession, stateDir: String): DataFrame = {
-    val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
+  def currentMap(spark: SparkSession, stateDir: String): DataFrame =
+    mapAt(spark, stateDir, CorpusMaintenance.currentMapVersion(spark, stateDir))
+
+  private def mapAt(spark: SparkSession, stateDir: String, v: Int): DataFrame =
     if (v == 0)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, rep LONG"))
     else spark.read.parquet(mapPath(stateDir, v))
+
+  /** Pointer-consistent (vectors, cluster map) view — the semantic twin
+    * of [[CorpusMaintenance.snapshot]]: one pointer read serves both
+    * surfaces, so a keep-one-per-cluster consumer can never join
+    * vectors@v+1 against map@v across a commit. */
+  final case class StateSnapshot(version: Int, vectors: DataFrame, clusterMap: DataFrame)
+
+  def snapshot(spark: SparkSession, stateDir: String): StateSnapshot = {
+    val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
+    require(v >= 1, s"no committed epoch at $stateDir — bootstrap first")
+    StateSnapshot(v, committed(spark, stateDir, "vecs", v), mapAt(spark, stateDir, v))
   }
 
   /** Bootstrap from an initial corpus — runs the one full banded
