@@ -79,6 +79,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageInfo(gray) === ((9, 17, 1)))
     // deterministic bytes per (w, h, seed, colorspace)
     assert(Multimodal.encodePng(23, 11, 42L, gray = false).sameElements(rgb))
+    // JPEG goes through the same decode path (dims exact despite lossy
+    // pixels) — the multi-format claim, not just PNG
+    val img = new java.awt.image.BufferedImage(31, 13, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer in this JDK")
+    assert(Multimodal.decodeImageInfo(bos.toByteArray) === ((31, 13, 3)))
     // a real decoder rejects non-image bytes instead of inventing metadata
     intercept[IllegalArgumentException] {
       Multimodal.decodeImageInfo("not an image at all".getBytes("UTF-8"))
