@@ -143,10 +143,11 @@ object GraftExtensions {
     }
   )
 
-  private def intArg(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(s"graft_sign_band_keys: $what must be an int literal, got $other")
-  }
+  private def intArg(e: Expression, what: String, fn: String = "graft_sign_band_keys"): Int =
+    e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"$fn: $what must be an int literal, got $other")
+    }
 
   private val signBandKeysDescriptor = (
     FunctionIdentifier("graft_sign_band_keys"),
@@ -177,9 +178,10 @@ object GraftExtensions {
         case Literal(v: Int, _)  => v.toLong
         case other => throw new IllegalArgumentException(s"graft_sign_band_probes: seed must be a literal, got $other")
       }
-      SignBandProbes(children.head, intArg(children(1), "bitsPerBand"),
-        intArg(children(2), "bands"), seed, intArg(children(4), "dim"),
-        intArg(children(5), "extraProbes"))
+      val fn = "graft_sign_band_probes"
+      SignBandProbes(children.head, intArg(children(1), "bitsPerBand", fn),
+        intArg(children(2), "bands", fn), seed, intArg(children(4), "dim", fn),
+        intArg(children(5), "extraProbes", fn))
     }
   )
 

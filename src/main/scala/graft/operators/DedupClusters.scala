@@ -38,13 +38,38 @@ object DedupClusters {
     *   checkpoint directory (caller must `setCheckpointDir` to a
     *   fault-tolerant FS — HDFS/S3 on a cluster): each round persists
     *   ~|V| labels, and the iteration survives executor loss — the
-    *   setting a 100 TB multi-hour dedup run should use. The protected
-    *   window is the ITERATION: once converged, the labels hand back as
-    *   a local checkpoint and ALL reliable files (edges + every label
-    *   generation) are reclaimed, so repeated runs in one application
-    *   leave nothing behind — callers wanting a durable RESULT write it
-    *   to storage, which every maintenance loop here does immediately.
+    *   setting a 100 TB multi-hour dedup run should use. Superseded
+    *   per-round label generations and the edges are reclaimed as the
+    *   loop goes; the CONVERGED labels stay reliable-backed in the
+    *   returned frame, so the caller's own durable write (parquet, the
+    *   maintenance loops' map store) still survives executor loss.
+    *   After that write, call [[reclaimCheckpoint]] on the result to
+    *   delete the last reliable generation — otherwise repeated runs in
+    *   one application accumulate one label set per run.
     */
+  /** Reliable-checkpoint paths backing `df`'s plan (local checkpoints
+    * have no file and are excluded). */
+  private def reliableCkptPaths(df: DataFrame): Seq[org.apache.hadoop.fs.Path] =
+    df.queryExecution.analyzed
+      .collect { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .flatMap(_.getCheckpointFile)
+      .map(new org.apache.hadoop.fs.Path(_))
+
+  private def deleteReliableCkpts(df: DataFrame): Unit =
+    reliableCkptPaths(df).foreach { p =>
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+
+  /** Delete the reliable checkpoint files backing a reliable-mode
+    * result. Call AFTER the result has been durably written (parquet,
+    * a maintenance map store): the files are the crash-recovery source
+    * for that write, and they are not reclaimed automatically
+    * (cleanCheckpoints is off by default and GC-timing-dependent when
+    * on), so a loop that skips this accumulates one converged label set
+    * per run. No-op for local-checkpoint-backed frames. */
+  def reclaimCheckpoint(result: DataFrame): Unit = deleteReliableCkpts(result)
+
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 20,
@@ -53,21 +78,15 @@ object DedupClusters {
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     // Reliable mode writes ~|V| labels to the checkpoint FS every round
-    // and Spark never deletes superseded generations on its own
-    // (cleaner.referenceTracking.cleanCheckpoints is off by default and
-    // GC-timing-dependent when on) — a 20-round run would hold 20 dead
-    // label sets until someone wipes the directory. Each round therefore
-    // deletes the PREVIOUS round's label checkpoint once the new one has
-    // materialized; `edges` and the final labels are never deleted.
-    def ckptPath(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
-      df.queryExecution.analyzed
-        .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-        .flatMap(r => r.getCheckpointFile)
-        .map(new org.apache.hadoop.fs.Path(_))
+    // and Spark never deletes superseded generations on its own — a
+    // 20-round run would hold 20 dead label sets until someone wipes
+    // the directory. Each round therefore deletes the PREVIOUS round's
+    // label checkpoint once the new one has materialized; the edges are
+    // reclaimed at convergence (the final labels' checkpoint no longer
+    // depends on them); the final labels' own reclamation is the
+    // CALLER's, after its durable write — see [[reclaimCheckpoint]].
     def deleteCkpt(df: DataFrame): Unit =
-      if (reliableCheckpoint) ckptPath(df).foreach { p =>
-        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
-      }
+      if (reliableCheckpoint) deleteReliableCkpts(df)
     val edges = ckpt(
       pairs
         .select(col("d1").as("src"), col("d2").as("dst"))
@@ -99,19 +118,11 @@ object DedupClusters {
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    val out = labels.select(col("node").as("doc_id"), col("lbl").as("rep"))
-    if (reliableCheckpoint) {
-      // Fault-tolerance is only needed while iterating; the converged
-      // |V|-scale labels move to local blocks (eager) and the last two
-      // reliable generations — edges and the final labels — are deleted,
-      // or a bench/loop that re-runs CC in one application accumulates a
-      // dead label set per run (cleanCheckpoints is off by default and
-      // GC-timing-dependent when on).
-      val materialized = out.localCheckpoint()
-      deleteCkpt(labels)
-      deleteCkpt(edges)
-      materialized
-    } else out
+    // The converged labels stay reliable-backed (the caller's durable
+    // write recovers from them on executor loss); only the edges — no
+    // longer in any surviving lineage — reclaim here.
+    deleteCkpt(edges)
+    labels.select(col("node").as("doc_id"), col("lbl").as("rep"))
   }
 
   /** Per-cluster summary: (rep, n_members), members ≥ 2 by construction
@@ -163,10 +174,14 @@ object DedupClusters {
     val touched = np.select(col("d1").as("doc_id"))
       .union(np.select(col("d2").as("doc_id")))
       .distinct()
+    // touchedReps is rep-cardinality small and feeds the final result
+    // lazily — materialize it so np's reliable files can reclaim below
+    // without waiting on the caller
     val touchedReps = oldMap
       .join(touched, Seq("doc_id"), "left_semi")
       .select(col("rep"))
       .distinct()
+      .localCheckpoint()
     val affectedOld = oldMap.join(touchedReps, Seq("rep"), "left_semi")
     val starEdges = affectedOld
       .filter(col("doc_id") =!= col("rep"))
@@ -174,23 +189,17 @@ object DedupClusters {
     val merged = connectedComponents(
       starEdges.unionByName(np),
       maxIter, reliableCheckpoint)
-    val out = oldMap
+    if (reliableCheckpoint) {
+      // merged's final labels are checkpoint-backed (CC materializes
+      // eagerly) and touchedReps is local — np's reliable files are out
+      // of every surviving lineage and reclaim now; the RESULT's
+      // reclamation stays with the caller ([[reclaimCheckpoint]] after
+      // its durable write), like connectedComponents'.
+      deleteReliableCkpts(np)
+    }
+    oldMap
       .join(touchedReps, Seq("rep"), "left_anti")
       .select(col("doc_id"), col("rep"))
       .unionByName(merged)
-    if (reliableCheckpoint) {
-      // Same reclamation as connectedComponents: materialize (touchedReps
-      // still reads np lazily), then delete np's reliable files — nothing
-      // accumulates across repeated augments in one application.
-      val materialized = out.localCheckpoint()
-      np.queryExecution.analyzed
-        .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
-        .flatMap(_.getCheckpointFile)
-        .map(new org.apache.hadoop.fs.Path(_))
-        .foreach { p =>
-          p.getFileSystem(np.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
-        }
-      materialized
-    } else out
   }
 }

@@ -115,9 +115,24 @@ object CorpusMaintenance {
   final case class StateSnapshot(version: Int, corpus: DataFrame, clusterMap: DataFrame)
 
   def snapshot(spark: SparkSession, stateDir: String): StateSnapshot = {
-    val v = currentMapVersion(spark, stateDir)
-    require(v >= 1, s"no committed epoch at $stateDir — bootstrap first")
-    StateSnapshot(v, committed(spark, stateDir, "docs", v), mapAt(spark, stateDir, v))
+    // The pointer and the base/minor metadata are separate reads, so a
+    // compaction committing between them can make committed() reject the
+    // just-read version as below the new base — a healthy store, stale
+    // resolve. Retry with a fresh pointer (bounded: each retry requires
+    // ANOTHER racing fold; persistent failure is real corruption and
+    // the last throw surfaces).
+    var attempt = 0
+    while (true) {
+      val v = currentMapVersion(spark, stateDir)
+      require(v >= 1, s"no committed epoch at $stateDir — bootstrap first")
+      try
+        return StateSnapshot(v, committed(spark, stateDir, "docs", v), mapAt(spark, stateDir, v))
+      catch {
+        case e: IllegalArgumentException if attempt < 5 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Bootstrap the state from an initial corpus (runs the one full-graph
@@ -144,18 +159,26 @@ object CorpusMaintenance {
     EpochStore.clearBasePointer(spark, stateDir)
     EpochStore.writeParams(spark, stateDir,
       Seq("k" -> k.toString, "threshold" -> threshold.toString))
-    initial.write.mode(SaveMode.Overwrite).parquet(docsDir(stateDir, 1))
+    // Writer-unique staging, promoted only after the commit-point
+    // re-fence: bootstrap's full-graph CC is the longest mutation of
+    // all, so a takeover mid-CC must leave the successor's store
+    // untouched — see ingestBatch.
+    val wid = writerId.getOrElse(spark.sparkContext.applicationId)
+    val stages = Seq(
+      docsDir(stateDir, 1), hashesDir(stateDir, 1),
+      shinglesDir(stateDir, 1), mapPath(stateDir, 1))
+      .map(dst => EpochStore.stagePath(stateDir, dst, wid) -> dst)
+    initial.write.mode(SaveMode.Overwrite).parquet(stages(0)._1)
     initial.select(md5(lower(trim(col("text")))).as("h"))
       .distinct()
-      .write.mode(SaveMode.Overwrite).parquet(hashesDir(stateDir, 1))
+      .write.mode(SaveMode.Overwrite).parquet(stages(1)._1)
     TextOps.hashedShingles(initial, k)
-      .write.mode(SaveMode.Overwrite).parquet(shinglesDir(stateDir, 1))
+      .write.mode(SaveMode.Overwrite).parquet(stages(2)._1)
     val pairs = TextOps.ngramJaccardPairs(initial, k, threshold).select(col("d1"), col("d2"))
     DedupClusters.connectedComponents(pairs)
-      .write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, 1))
-    // commit-point re-fence: bootstrap's full-graph CC is the longest
-    // mutation of all — see ingestBatch
+      .write.mode(SaveMode.Overwrite).parquet(stages(3)._1)
     EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    EpochStore.promoteStaged(spark, stages)
     commitPointer(spark, stateDir, 1)
   }
 
@@ -187,24 +210,34 @@ object CorpusMaintenance {
     val nAdmitted = admitted.count()
     if (nAdmitted == 0) return IngestStats(nBatch, 0, 0, v)
 
-    // Stage epoch v+1. Overwrite clears any debris a crashed prior
-    // attempt left at the same epoch; nothing is committed yet.
+    // Stage epoch v+1 under this WRITER's hidden staging dir (Overwrite
+    // clears the same writer's crashed debris); nothing is committed —
+    // or even visible at a final path — yet.
     val next = v + 1
+    val wid = writerId.getOrElse(spark.sparkContext.applicationId)
+    val stages = Seq(
+      docsDir(stateDir, next), hashesDir(stateDir, next),
+      shinglesDir(stateDir, next), mapPath(stateDir, next))
+      .map(dst => EpochStore.stagePath(stateDir, dst, wid) -> dst)
     admitted.drop("__hash")
-      .write.mode(SaveMode.Overwrite).parquet(docsDir(stateDir, next))
+      .write.mode(SaveMode.Overwrite).parquet(stages(0)._1)
     admitted.select(col("__hash").as("h"))
-      .write.mode(SaveMode.Overwrite).parquet(hashesDir(stateDir, next))
+      .write.mode(SaveMode.Overwrite).parquet(stages(1)._1)
     // Only the BATCH is shingled from text; its rows join the persisted
     // index (the whole point of the shingle store — ingest cost no
     // longer re-reads the landed corpus text, see SCALING.md).
     TextOps.hashedShingles(admitted.drop("__hash"), k)
-      .write.mode(SaveMode.Overwrite).parquet(shinglesDir(stateDir, next))
+      .write.mode(SaveMode.Overwrite).parquet(stages(2)._1)
 
     // Restricted (batch × corpus) candidate join over the committed
-    // shingle index plus the staged epoch (just written by THIS
-    // attempt). Batch membership joins onto the index as a flag — never
-    // a driver-side id literal, so any batch size is fine.
-    val idxNow = committed(spark, stateDir, "shingles", next)
+    // shingle index plus THIS attempt's staged rows (read back from the
+    // staging path — ≡ the former committed-through-next view). Batch
+    // membership joins onto the index as a flag — never a driver-side
+    // id literal, so any batch size is fine.
+    val idxNow =
+      if (v == 0) spark.read.parquet(stages(2)._1)
+      else committed(spark, stateDir, "shingles", v)
+        .unionByName(spark.read.parquet(stages(2)._1))
     val newPairs = TextOps
       .ngramJaccardPairsIncrFromIndex(idxNow, admitted.select(col("doc_id")), threshold)
       .select(col("d1"), col("d2")).localCheckpoint()
@@ -213,11 +246,13 @@ object CorpusMaintenance {
     val merged =
       if (v == 0) DedupClusters.connectedComponents(newPairs)
       else DedupClusters.augment(currentMap(spark, stateDir), newPairs)
-    merged.write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, next))
-    // Commit-point re-fence: a batch slow enough to outlive the lease
-    // grace may have been legitimately taken over — fail here rather
-    // than clobber the successor's pointer (the staged epoch is inert).
+    merged.write.mode(SaveMode.Overwrite).parquet(stages(3)._1)
+    // Commit-point re-fence THEN promote: a batch slow enough to outlive
+    // the lease grace may have been legitimately taken over — it must
+    // fail here with its staging inert, never having overwritten the
+    // successor's identically-numbered committed epoch.
     EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    EpochStore.promoteStaged(spark, stages)
     commitPointer(spark, stateDir, next)
     IngestStats(nBatch, nAdmitted, nPairs, next)
   }

@@ -155,6 +155,42 @@ object EpochStore {
     writeAtomic(spark, leasePath(stateDir), id)
   }
 
+  /** Writer-unique staging path for a final directory: mutators write
+    * their output HERE, and only [[promoteStaged]] — which runs strictly
+    * AFTER the commit-point re-[[fence]] — moves it into place. Writing
+    * directly to the final path would let a writer that lost its lease
+    * mid-batch clobber the successor's committed data with its Overwrite
+    * staging writes long before any pointer check runs (both writers
+    * compute the same `next` from the same pointer). Staging lives in a
+    * hidden `.staging_<writer>` dir at the state root — NEVER inside a
+    * store dir, where a non-numeric `epoch=N…` sibling would corrupt the
+    * Hive partition discovery the pre-compaction read path uses (leading
+    * dot also keeps every Spark file index ignoring it). */
+  private[streaming] def stagePath(stateDir: String, finalPath: String, writerId: String): String = {
+    val rel = finalPath.stripPrefix(stateDir).stripPrefix("/").replaceAll("[/=]", "_")
+    s"$stateDir/.staging_${writerId.replaceAll("[^A-Za-z0-9_-]", "_")}/$rel"
+  }
+
+  /** Move writer-unique staged dirs into their final paths. The caller
+    * must have passed [[fence]] immediately before: once the fence says
+    * this writer still owns the store, any pre-existing final dir is a
+    * prior crashed attempt's debris (nothing above the committed
+    * pointers is referenced), so delete + rename is safe — and a writer
+    * that lost the store throws at the fence with its staging left
+    * inert. A crash between renames leaves a mix of staged and final
+    * dirs, all invisible until the pointer flip; replay re-stages and
+    * re-promotes over both. */
+  private[streaming] def promoteStaged(
+      spark: SparkSession, pairs: Seq[(String, String)]): Unit =
+    pairs.foreach { case (tmp, dst) =>
+      val t = new Path(tmp)
+      val d = new Path(dst)
+      val fs = fsOf(spark, t)
+      require(fs.exists(t), s"staged dir $tmp missing at promote — staging did not run?")
+      if (fs.exists(d)) fs.delete(d, true)
+      require(fs.rename(t, d), s"promote rename $tmp -> $dst failed")
+    }
+
   /** Drop this writer's lease (clean shutdown of a maintenance loop).
     * No-op when absent or held by someone else — releasing must never
     * fence-break a successor that already took over. */
@@ -250,14 +286,18 @@ object EpochStore {
       s"minorFold must start at the first uncovered epoch ${covered + 1}, got $from " +
         "(gaps or overlaps would corrupt the committed view)")
     require(upTo >= from, s"minorFold empty range $from..$upTo")
-    stores.foreach { store =>
+    val wid = writerId.getOrElse(spark.sparkContext.applicationId)
+    val staged = stores.map { store =>
       val base = s"$stateDir/$store"
+      val dst = minorGenDir(stateDir, store, from, upTo)
+      val tmp = stagePath(stateDir, dst, wid)
       spark.read.parquet((from to upTo).map(epochDir(base, _)): _*)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(minorGenDir(stateDir, store, from, upTo))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      tmp -> dst
     }
     // commit-point re-fence — same contract as [[compact]]
     fence(spark, stateDir, writerId, leaseGraceMs)
+    promoteStaged(spark, staged)
     writeMinorFolds(spark, stateDir, existing :+ (from, upTo))
   }
 
@@ -329,28 +369,30 @@ object EpochStore {
     val b0 = baseEpoch(spark, stateDir)
     require(upTo <= live, s"compact upTo=$upTo beyond the committed pointer $live")
     require(upTo > b0, s"compact upTo=$upTo does not advance the base epoch $b0")
-    stores.foreach { store =>
+    val wid = writerId.getOrElse(spark.sparkContext.applicationId)
+    val staged = stores.map { store =>
+      val dst = baseGenDir(stateDir, store, upTo)
+      val tmp = stagePath(stateDir, dst, wid)
       committed(spark, stateDir, store, upTo)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(baseGenDir(stateDir, store, upTo))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      tmp -> dst
     }
     // Commit-point re-fence: the fold above can outlive the lease grace
     // window, and a successor may have legitimately taken the store
-    // over — this writer must then FAIL here, not clobber the
-    // successor's pointer (the staged generation stays inert debris).
+    // over — this writer must then FAIL here, with its writer-unique
+    // staging left inert (never having touched any final path).
     fence(spark, stateDir, writerId, leaseGraceMs)
+    promoteStaged(spark, staged)
     commitIntPointer(spark, basePointerPath(stateDir), upTo)
-    // Prune minor folds the new base supersedes. GC-only cosmetics AFTER
-    // the one atomic commit above: the read path already ignores minors
-    // ending ≤ the base epoch, so a crash between the flip and this
-    // rewrite loses nothing.
-    val survivors = minorFolds(spark, stateDir)
+    // Drop the minor-folds file the new base supersedes. GC-only
+    // cosmetics AFTER the one atomic commit above: the read path already
+    // ignores minors ending ≤ the base epoch, so a crash between the
+    // flip and this delete loses nothing. (Every live minor necessarily
+    // ended ≤ upTo — the staging read's committed() view required it —
+    // so post-flip there are no survivors to rewrite.)
     val p = new Path(minorFoldsPath(stateDir))
     val fs = fsOf(spark, p)
-    if (fs.exists(p)) {
-      if (survivors.isEmpty) fs.delete(p, false)
-      else writeMinorFolds(spark, stateDir, survivors)
-    }
+    if (fs.exists(p)) fs.delete(p, false)
     ()
   }
 
@@ -372,24 +414,43 @@ object EpochStore {
     val live = minorFolds(spark, stateDir)
     val liveDirs = stores.flatMap(store =>
       live.map { case (a, mb) => minorGenDir(stateDir, store, a, mb) }).toSet
-    val cutoff = System.currentTimeMillis() - graceMs
+    val now = System.currentTimeMillis()
+    val cutoff = now - graceMs
+    // Grace is measured from the SUPERSEDING COMMIT (the pointer file's
+    // mtime), not just the victim's own age: an epoch written hours ago
+    // is superseded only at the instant its fold's pointer flips, and a
+    // reader that resolved committed() seconds before that flip still
+    // holds the loose-epoch paths in its plan. Gating each sweep class
+    // on its justifying pointer's age keeps those readers alive for the
+    // full window; the victim-mtime check still guards anything
+    // mid-write.
+    def pointerOlderThanGrace(path: String): Boolean = graceMs <= 0 || {
+      val p = new Path(path)
+      val fs = fsOf(spark, p)
+      !fs.exists(p) || fs.getFileStatus(p).getModificationTime < cutoff
+    }
+    val minorCommitAged = pointerOlderThanGrace(minorFoldsPath(stateDir))
+    val baseCommitAged = pointerOlderThanGrace(basePointerPath(stateDir))
     val minorSweep = stores.flatMap { store =>
       // epoch dirs covered by a live minor fold (they read from the
-      // minor generation now) ...
-      live.flatMap { case (a, mb) =>
-        (a to mb).flatMap { n =>
-          val p = new Path(epochDir(s"$stateDir/$store", n))
-          val fs = fsOf(spark, p)
-          if (fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoff) {
-            fs.delete(p, true); Some(p.toString)
-          } else None
-        }
-      } ++ {
+      // minor generation now; justified by the _MINOR_FOLDS commit) ...
+      (if (!minorCommitAged) Seq.empty
+       else
+         live.flatMap { case (a, mb) =>
+           (a to mb).flatMap { n =>
+             val p = new Path(epochDir(s"$stateDir/$store", n))
+             val fs = fsOf(spark, p)
+             if (fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoff) {
+               fs.delete(p, true); Some(p.toString)
+             } else None
+           }
+         }) ++ {
         // ... and minor dirs no live fold references (superseded by a
-        // major, or debris of a crashed fold attempt)
+        // major — justified by the _BASE_EPOCH commit — or debris of a
+        // crashed fold attempt)
         val root = new Path(stateDir)
         val fs = fsOf(spark, root)
-        if (!fs.exists(root)) Seq.empty
+        if (!baseCommitAged || !fs.exists(root)) Seq.empty
         else
           fs.listStatus(root).toSeq
             .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${store}_minor_"))
@@ -398,15 +459,27 @@ object EpochStore {
             .map { st => fs.delete(st.getPath, true); st.getPath.toString }
       }
     }
+    // crashed writers' staging debris: never referenced by any reader,
+    // so the victim's own age is the right clock here
+    val stagingSweep = {
+      val root = new Path(stateDir)
+      val fs = fsOf(spark, root)
+      if (!fs.exists(root)) Seq.empty
+      else
+        fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging_"))
+          .filter(_.getModificationTime < cutoff)
+          .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+    }
     val baseSweep =
-      if (b == 0) Seq.empty
+      if (b == 0 || !baseCommitAged) Seq.empty
       else
         stores.flatMap { store =>
           Retention.retainEpochs(spark, s"$stateDir/$store", cut = b, graceMs = graceMs) ++
             Retention.retainVersioned(
               spark, stateDir, s"${store}_base_v", live = b, keep = 1, graceMs = graceMs)
         }
-    minorSweep ++ baseSweep
+    minorSweep ++ stagingSweep ++ baseSweep
   }
 
   /** Pin the loop's index parameters at bootstrap. The stored epochs are

@@ -96,9 +96,20 @@ object SemanticMaintenance {
   final case class StateSnapshot(version: Int, vectors: DataFrame, clusterMap: DataFrame)
 
   def snapshot(spark: SparkSession, stateDir: String): StateSnapshot = {
-    val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
-    require(v >= 1, s"no committed epoch at $stateDir — bootstrap first")
-    StateSnapshot(v, committed(spark, stateDir, "vecs", v), mapAt(spark, stateDir, v))
+    // bounded retry across a racing compaction — see
+    // [[CorpusMaintenance.snapshot]]
+    var attempt = 0
+    while (true) {
+      val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
+      require(v >= 1, s"no committed epoch at $stateDir — bootstrap first")
+      try
+        return StateSnapshot(v, committed(spark, stateDir, "vecs", v), mapAt(spark, stateDir, v))
+      catch {
+        case e: IllegalArgumentException if attempt < 5 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Bootstrap from an initial corpus — runs the one full banded
@@ -116,15 +127,20 @@ object SemanticMaintenance {
     EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.clearBasePointer(spark, stateDir)
     EpochStore.writeParams(spark, stateDir, params(threshold, bitsPerBand, bands))
-    initial.write.mode(SaveMode.Overwrite).parquet(vecsDir(stateDir, 1))
+    // writer-unique staging promoted after the commit-point re-fence —
+    // see CorpusMaintenance.bootstrap
+    val wid = writerId.getOrElse(spark.sparkContext.applicationId)
+    val stages = Seq(vecsDir(stateDir, 1), keysDir(stateDir, 1), mapPath(stateDir, 1))
+      .map(dst => EpochStore.stagePath(stateDir, dst, wid) -> dst)
+    initial.write.mode(SaveMode.Overwrite).parquet(stages(0)._1)
     Similarity.bandKeyRows(initial, bitsPerBand, bands)
-      .write.mode(SaveMode.Overwrite).parquet(keysDir(stateDir, 1))
+      .write.mode(SaveMode.Overwrite).parquet(stages(1)._1)
     DedupClusters.connectedComponents(
       Similarity.embedNearDupLsh(initial, threshold, bitsPerBand, bands)
         .select(col("v1").as("d1"), col("v2").as("d2")))
-      .write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, 1))
-    // commit-point re-fence — see CorpusMaintenance.bootstrap
+      .write.mode(SaveMode.Overwrite).parquet(stages(2)._1)
     EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    EpochStore.promoteStaged(spark, stages)
     CorpusMaintenance.commitPointer(spark, stateDir, 1)
   }
 
@@ -157,13 +173,20 @@ object SemanticMaintenance {
     if (nAdmitted == 0) return IngestStats(nBatch, 0, 0, v)
 
     val next = v + 1
-    admitted.write.mode(SaveMode.Overwrite).parquet(vecsDir(stateDir, next))
+    val wid = writerId.getOrElse(spark.sparkContext.applicationId)
+    val stages = Seq(vecsDir(stateDir, next), keysDir(stateDir, next), mapPath(stateDir, next))
+      .map(dst => EpochStore.stagePath(stateDir, dst, wid) -> dst)
+    admitted.write.mode(SaveMode.Overwrite).parquet(stages(0)._1)
     // Only the BATCH is signatured; the corpus index is read back.
     Similarity.bandKeyRows(admitted, bitsPerBand, bands)
-      .write.mode(SaveMode.Overwrite).parquet(keysDir(stateDir, next))
+      .write.mode(SaveMode.Overwrite).parquet(stages(1)._1)
 
-    val keysNow = committed(spark, stateDir, "keys", next)
-    val vecsNow = committed(spark, stateDir, "vecs", next)
+    // committed index/vectors ∪ this attempt's staged rows (read back
+    // from the staging paths — ≡ the former committed-through-next view)
+    val keysNow = committed(spark, stateDir, "keys", v)
+      .unionByName(spark.read.parquet(stages(1)._1))
+    val vecsNow = committed(spark, stateDir, "vecs", v)
+      .unionByName(spark.read.parquet(stages(0)._1))
     val newPairs = Similarity.verifyCosine(
         Similarity.lshCandidatesIncrFromKeys(keysNow, admitted.select(col("vec_id"))),
         vecsNow, threshold)
@@ -174,9 +197,10 @@ object SemanticMaintenance {
     val merged =
       if (v == 0) DedupClusters.connectedComponents(newPairs)
       else DedupClusters.augment(currentMap(spark, stateDir), newPairs)
-    merged.write.mode(SaveMode.Overwrite).parquet(mapPath(stateDir, next))
-    // commit-point re-fence — see CorpusMaintenance.ingestBatch
+    merged.write.mode(SaveMode.Overwrite).parquet(stages(2)._1)
+    // commit-point re-fence then promote — see CorpusMaintenance.ingestBatch
     EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    EpochStore.promoteStaged(spark, stages)
     CorpusMaintenance.commitPointer(spark, stateDir, next)
     IngestStats(nBatch, nAdmitted, nPairs, next)
   }

@@ -45,17 +45,19 @@ object RecallProbe {
       println(s"SQ8 $dir: mean recall@5 = ${hitsQ8.toDouble / (5.0 * q)} ($hitsQ8/${5 * q} hits)")
 
       // LSH-bucketed ANN recall vs the same brute force, per band params;
-      // t = extra multi-probe buckets per band (0 = single-probe)
+      // t = extra multi-probe buckets per band (0 = single-probe). One
+      // unbounded search per config serves both measures: the top-5 is
+      // its rnk <= 5 prefix, the candidate count its cardinality.
       for ((r, b, t) <- Seq(
           (4, 8, 0), (5, 8, 0), (6, 8, 0), (6, 16, 0), (8, 16, 0), (8, 32, 0),
           (6, 16, 1), (6, 16, 2), (6, 16, 3), (8, 32, 2))) {
-        val ann2 = graft.operators.Similarity
-          .lshSearch(e, probes, r, b, topK = 5, extraProbes = t)
-        val hits2 = ann2.join(bf, Seq("q_id", "vec_id")).count()
-        val cands = graft.operators.Similarity
-          .lshSearch(e, probes, r, b, topK = Int.MaxValue, extraProbes = t).count()
-        println(s"LSHANN $dir r=$r b=$b t=$t mean recall@5 = ${hits2.toDouble / (5.0 * q)} " +
-          s"candidates/probe = ${cands / math.max(q, 1)}")
+        val all2 = graft.operators.Similarity
+          .lshSearch(e, probes, r, b, topK = Int.MaxValue, extraProbes = t)
+          .localCheckpoint()
+        val hits2 = all2.filter(col("rnk") <= 5).join(bf, Seq("q_id", "vec_id")).count()
+        val cands = all2.count()
+        println(f"LSHANN $dir r=$r b=$b t=$t mean recall@5 = ${hits2.toDouble / (5.0 * q)} " +
+          f"candidates/probe = ${cands.toDouble / math.max(q, 1)}%.1f")
       }
 
       // LSH near-dup false negatives vs exact all-pairs at 0.4 (must be 0)

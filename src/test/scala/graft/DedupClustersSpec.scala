@@ -47,8 +47,8 @@ class DedupClustersSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
-    val reliable = DedupClusters
-      .connectedComponents(pairs, reliableCheckpoint = true)
+    val reliableDf = DedupClusters.connectedComponents(pairs, reliableCheckpoint = true)
+    val reliable = reliableDf
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
@@ -59,26 +59,24 @@ class DedupClustersSpec extends AnyFunSuite {
       .toMap
     assert(reliable === local)
     assert(reliable.values.toSet === Set(1L, 10L))
-    // reliable mode must have initialized the checkpoint dir (the UUID
-    // session subdir Spark creates for RDD checkpointing)
-    val persisted = new java.io.File(dir).listFiles()
-    assert(persisted != null && persisted.nonEmpty, "checkpoint dir was never initialized")
-    // ... and must fully reclaim its reliable files on convergence: the
-    // per-iteration generations are deleted as superseded, and the edges
-    // + final labels are deleted once the converged result moves to
-    // local blocks — repeated runs in one application (the bench's 5
-    // passes, a maintenance loop's many augments) must not accumulate
-    // one dead label set per run in the checkpoint FS
     def rddDirs(f: java.io.File): Seq[java.io.File] =
       Option(f.listFiles()).toSeq.flatten.flatMap {
         case d if d.isDirectory && d.getName.startsWith("rdd-") => Seq(d)
         case d if d.isDirectory                                 => rddDirs(d)
         case _                                                  => Nil
       }
+    // the per-iteration generations and edges reclaim as the loop goes;
+    // exactly the CONVERGED labels survive — they are the caller's
+    // crash-recovery source until its own durable write completes
     val survivors = rddDirs(new java.io.File(dir))
     assert(
-      survivors.isEmpty,
-      s"expected full checkpoint reclamation after convergence, got ${survivors.map(_.getName)}")
+      survivors.size == 1,
+      s"expected only the converged labels' checkpoint to survive, got ${survivors.map(_.getName)}")
+    // ... after which reclaimCheckpoint must leave the FS empty, so
+    // repeated runs in one application accumulate nothing
+    DedupClusters.reclaimCheckpoint(reliableDf)
+    assert(rddDirs(new java.io.File(dir)).isEmpty,
+      "reclaimCheckpoint left reliable label files behind")
   }
 
   test("augment equals full rebuild: bridge merges, new components, untouched passthrough, rep takeover") {

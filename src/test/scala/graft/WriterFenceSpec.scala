@@ -136,6 +136,15 @@ class WriterFenceSpec extends AnyFunSuite {
     assert(graft.streaming.EpochStore.baseEpoch(spark, st) === 0,
       "a fold that lost its lease must not advance the base pointer")
     assert(CorpusMaintenance.corpus(spark, st).count() === 20)
+    // and its staging never REACHED a final path: a lost-lease writer's
+    // Overwrite output must not clobber the identically-named generation
+    // a successor may have committed (writer-unique staging + promote
+    // strictly after the re-fence)
+    assert(!new java.io.File(s"$st/docs_base_v2").exists(),
+      "lost-lease fold's output appeared at the final generation path")
+    assert(Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+      .exists(f => f.getName.startsWith(".staging_")),
+      "expected the rejected fold's writer-unique staging debris")
   }
 
   test("semantic loop fences identically") {
