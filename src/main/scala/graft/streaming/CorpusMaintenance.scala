@@ -120,7 +120,9 @@ object CorpusMaintenance {
     // just-read version as below the new base — a healthy store, stale
     // resolve. Retry with a fresh pointer (bounded: each retry requires
     // ANOTHER racing fold; persistent failure is real corruption and
-    // the last throw surfaces).
+    // the last throw surfaces). ONLY that race retries — committed()
+    // types it as StaleViewException; bootstrap-missing and
+    // externally-deleted-epoch failures throw immediately.
     var attempt = 0
     while (true) {
       val v = currentMapVersion(spark, stateDir)
@@ -128,7 +130,7 @@ object CorpusMaintenance {
       try
         return StateSnapshot(v, committed(spark, stateDir, "docs", v), mapAt(spark, stateDir, v))
       catch {
-        case e: IllegalArgumentException if attempt < 5 =>
+        case _: EpochStore.StaleViewException if attempt < 5 =>
           attempt += 1
       }
     }
@@ -155,7 +157,7 @@ object CorpusMaintenance {
       writerId: Option[String] = None,
       leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): Unit = {
-    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    val entryGen = EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.clearBasePointer(spark, stateDir)
     EpochStore.writeParams(spark, stateDir,
       Seq("k" -> k.toString, "threshold" -> threshold.toString))
@@ -177,7 +179,8 @@ object CorpusMaintenance {
     val pairs = TextOps.ngramJaccardPairs(initial, k, threshold).select(col("d1"), col("d2"))
     DedupClusters.connectedComponents(pairs)
       .write.mode(SaveMode.Overwrite).parquet(stages(3)._1)
-    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    // generation-matched commit-point re-fence — never takes over
+    EpochStore.refence(spark, stateDir, writerId, entryGen)
     EpochStore.promoteStaged(spark, stages)
     commitPointer(spark, stateDir, 1)
   }
@@ -198,7 +201,7 @@ object CorpusMaintenance {
       writerId: Option[String] = None,
       leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): IngestStats = {
-    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    val entryGen = EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.requireParams(spark, stateDir,
       Seq("k" -> k.toString, "threshold" -> threshold.toString))
     val nBatch = batch.count()
@@ -250,8 +253,16 @@ object CorpusMaintenance {
     // Commit-point re-fence THEN promote: a batch slow enough to outlive
     // the lease grace may have been legitimately taken over — it must
     // fail here with its staging inert, never having overwritten the
-    // successor's identically-numbered committed epoch.
-    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    // successor's identically-numbered committed epoch. The re-fence is
+    // generation-matched and never takes over (a successor that committed
+    // and then crashed still fences this writer out); the pointer
+    // re-check below catches the one hole the lease can't — a concurrent
+    // SAME-ID mutation sharing this generation.
+    EpochStore.refence(spark, stateDir, writerId, entryGen)
+    require(currentMapVersion(spark, stateDir) == v,
+      s"ingest at $stateDir: the committed pointer moved from $v to " +
+        s"${currentMapVersion(spark, stateDir)} between entry and commit — a concurrent " +
+        "same-writer ingest is running (serialize mutations within one writer id)")
     EpochStore.promoteStaged(spark, stages)
     commitPointer(spark, stateDir, next)
     IngestStats(nBatch, nAdmitted, nPairs, next)

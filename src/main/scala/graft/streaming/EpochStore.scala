@@ -69,6 +69,17 @@ object EpochStore {
     * lease behind forever; a live loop refreshes it on every mutation). */
   val DefaultLeaseGraceMs: Long = 10 * 60 * 1000L
 
+  /** Thrown by [[committed]] when the requested epoch ceiling is below
+    * the compacted base / a live minor fold. For a HEALTHY store this is
+    * the signature of a stale pointer resolve racing a compaction —
+    * which `snapshot` retries with a fresh pointer — whereas every other
+    * failure of the committed view (bootstrap absent, an epoch dir
+    * externally deleted) is real corruption that must surface
+    * immediately, not be retried five times. Subclasses
+    * IllegalArgumentException so callers treating it as a plain require
+    * failure are unaffected. */
+  final class StaleViewException(msg: String) extends IllegalArgumentException(msg)
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -86,11 +97,16 @@ object EpochStore {
   }
 
   /** Temp file + rename(OVERWRITE) through FileContext: atomic on local
-    * and HDFS, never observable half-written. */
+    * and HDFS, never observable half-written. The temp name is
+    * per-call-unique so two writers racing the same pointer (possible
+    * only during a fence takeover race, where exactly one will win the
+    * CAS) can never rename each other's temp out from underneath — the
+    * loser's leftover `<name>.tmp.*` is inert (underscore/pointer-named,
+    * ignored by every reader). */
   private def writeAtomic(spark: SparkSession, path: String, body: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(path)
-    val tmp = new Path(path + ".tmp")
+    val tmp = new Path(path + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
     val fs = dst.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -108,10 +124,29 @@ object EpochStore {
   private[streaming] def commitIntPointer(spark: SparkSession, path: String, v: Int): Unit =
     writeAtomic(spark, path, v.toString)
 
+  /** Parse a lease body into (holderId, generation). A pre-generation
+    * lease file (single line, written by an older build) parses as
+    * generation 0 — the first takeover bumps it to 1. */
+  private def parseLease(body: String): (String, Long) = {
+    val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
+    (lines.headOption.getOrElse(""), if (lines.length > 1) lines(1).toLong else 0L)
+  }
+
+  /** Current lease generation, 0 when no lease file exists. Mutators that
+    * cannot call [[fence]] at their own entry (their caller already did)
+    * observe this at entry and hand it to the commit-point [[refence]]. */
+  private[streaming] def leaseGen(spark: SparkSession, stateDir: String): Long = {
+    val p = new Path(leasePath(stateDir))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) 0L else parseLease(readSmallFile(spark, p))._2
+  }
+
   /** WRITER FENCING for a maintenance state dir: assert this writer may
     * mutate it, then write/refresh the lease (`_WRITER_LEASE` — writer id
-    * as content, last heartbeat as mtime; every mutation of a live loop
-    * re-acquires, so the heartbeat rides the ingest cadence for free).
+    * on line 1, lease GENERATION on line 2, last heartbeat as mtime;
+    * every mutation of a live loop re-acquires, so the heartbeat rides
+    * the ingest cadence for free). Returns the generation now held — the
+    * token the commit-point [[refence]] must match.
     *
     * A DIFFERENT writer holding a lease younger than `graceMs` means two
     * maintainers are pointed at one state dir — the second REJECTS loudly
@@ -119,30 +154,33 @@ object EpochStore {
     * (the reference gets this isolation for free from Flink's
     * subtask-indexed filenames, RowOrcBucketingSink.java:125; a
     * shared-state-dir loop does not). A lease older than the grace window
-    * is a crashed writer's: takeover proceeds and the lease flips to the
-    * new id.
+    * is a crashed writer's: takeover proceeds through [[casTakeover]] —
+    * an atomic `create(overwrite=false)` on a generation-numbered claim
+    * file, so two acquirers racing for the same takeover deterministically
+    * get ONE winner (the loser throws), and the lease generation bumps so
+    * any still-running mutation of the previous holder fails its
+    * commit-point [[refence]] even if this winner later crashes too.
     *
-    * Scope, honestly stated: check-then-rename is not compare-and-swap,
-    * so two writers racing within one round-trip can both pass — the
-    * fence rejects the OPERATIONAL failure class (double-scheduled loops,
-    * a forgotten old deployment), which is what a plain FS without
-    * conditional writes can give. The atomic rename still guarantees the
-    * lease file itself is never half-written. Lease age compares this
-    * writer's clock against the FILESYSTEM's mtime (HDFS: namenode
-    * clock), so cross-machine writer clock skew should be budgeted into
-    * `graceMs` — the 10-minute default dwarfs NTP-managed skew. */
+    * Lease age compares this writer's clock against the FILESYSTEM's
+    * mtime (HDFS: namenode clock), so cross-machine writer clock skew
+    * should be budgeted into `graceMs` — the 10-minute default dwarfs
+    * NTP-managed skew. */
   private[streaming] def fence(
       spark: SparkSession,
       stateDir: String,
       writerId: Option[String] = None,
       graceMs: Long = DefaultLeaseGraceMs
-  ): Unit = {
+  ): Long = {
     val id = writerId.getOrElse(spark.sparkContext.applicationId)
     val p = new Path(leasePath(stateDir))
     val fs = fsOf(spark, p)
     if (fs.exists(p)) {
-      val held = readSmallFile(spark, p).trim
-      if (held != id) {
+      val (held, gen) = parseLease(readSmallFile(spark, p))
+      if (held == id) {
+        // heartbeat refresh — same holder keeps its generation
+        writeAtomic(spark, leasePath(stateDir), s"$id\n$gen")
+        gen
+      } else {
         val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
         if (age <= graceMs)
           throw new IllegalStateException(
@@ -150,9 +188,113 @@ object EpochStore {
               s"(heartbeat ${age / 1000}s ago, grace ${graceMs / 1000}s): a second concurrent " +
               s"maintainer '$id' would interleave pointer flips and corrupt the store — " +
               "stop the other loop, or wait out the grace window for a crashed writer")
+        casTakeover(spark, stateDir, id, expectedGen = gen, graceMs)
       }
-    }
-    writeAtomic(spark, leasePath(stateDir), id)
+    } else casTakeover(spark, stateDir, id, expectedGen = 0L, graceMs)
+  }
+
+  /** Compare-and-swap lease takeover. The acquire itself is made atomic
+    * by `FileSystem.create(overwrite = false)` on a claim file numbered
+    * with the TARGET generation (atomic on HDFS and local FS): of two
+    * writers racing to take over the same observed generation, exactly
+    * one creates the claim — the other throws. The winner then re-reads
+    * the lease before advancing it (a racer that already won AND released
+    * its claim shows up as an advanced generation, not a live claim) and
+    * finally drops the claim. A crashed winner's claim — created but the
+    * lease never advanced — is reclaimed once it ages past the grace
+    * window; a live claimant advances the lease within one round trip,
+    * never minutes. */
+  private def casTakeover(
+      spark: SparkSession,
+      stateDir: String,
+      id: String,
+      expectedGen: Long,
+      graceMs: Long
+  ): Long = {
+    val newGen = expectedGen + 1
+    val claim = new Path(s"${leasePath(stateDir)}.claim.$newGen")
+    val fs = fsOf(spark, claim)
+    if (fs.exists(claim) && (graceMs <= 0 ||
+        System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > graceMs))
+      fs.delete(claim, false)
+    // The exclusive create must be ATOMIC, or two racers both pass: on
+    // HDFS `create(overwrite=false)` is a single namenode op, but the
+    // Hadoop LOCAL filesystem implements it as exists()-then-open — a
+    // TOCTOU window a real thread race walks straight through (this
+    // spec-discovered race is pinned in CasLeaseSpec). For file:// the
+    // O_CREAT|O_EXCL guarantee comes from java.nio Files.createFile.
+    val created =
+      try {
+        if (fs.getScheme == "file") {
+          val f = new java.io.File(claim.toUri.getPath)
+          Option(f.getParentFile).foreach(_.mkdirs())
+          java.nio.file.Files.createFile(f.toPath)
+          java.nio.file.Files.write(f.toPath, id.getBytes("UTF-8"))
+          true
+        } else {
+          val out = fs.create(claim, false)
+          try out.write(id.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      } catch { case _: java.io.IOException => false }
+    if (!created)
+      throw new IllegalStateException(
+        s"maintenance state at $stateDir: takeover of lease generation $expectedGen is " +
+          s"already claimed by a racing writer ($claim exists) — writer '$id' loses the race " +
+          "deterministically; retry after the winner's heartbeat or its claim ages out")
+    try {
+      val pl = new Path(leasePath(stateDir))
+      if (fs.exists(pl)) {
+        val (heldNow, genNow) = parseLease(readSmallFile(spark, pl))
+        if (genNow != expectedGen)
+          throw new IllegalStateException(
+            s"maintenance state at $stateDir: lease advanced to generation $genNow " +
+              s"(holder '$heldNow') while writer '$id' raced to claim ${newGen} — takeover lost")
+      }
+      writeAtomic(spark, leasePath(stateDir), s"$id\n$newGen")
+      newGen
+    } finally { fs.delete(claim, false); () }
+  }
+
+  /** Commit-point RE-FENCE: assert this writer STILL holds the lease at
+    * the very generation it entered with, then refresh the heartbeat.
+    * Unlike [[fence]], this NEVER takes over — a stale foreign lease here
+    * means this writer lost the store mid-mutation to a successor that
+    * may have committed epochs, and "the successor has since crashed or
+    * gone idle" does not make committing entry-time values safe: the
+    * promote would delete the successor's committed generations and the
+    * pointer writes would move `_CURRENT_MAP`/`_BASE_EPOCH` BACKWARDS
+    * past its commits — exactly the regression the fence exists to
+    * prevent. The generation match additionally rejects the same-id ABA
+    * (this writer's own restart re-acquired the store while an old stuck
+    * mutation was still in flight). */
+  private[streaming] def refence(
+      spark: SparkSession,
+      stateDir: String,
+      writerId: Option[String],
+      entryGen: Long
+  ): Unit = {
+    val id = writerId.getOrElse(spark.sparkContext.applicationId)
+    val p = new Path(leasePath(stateDir))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"maintenance state at $stateDir: lease vanished before the commit point — writer " +
+          s"'$id' cannot prove it still owns the store; aborting with its staging left inert")
+    val (held, gen) = parseLease(readSmallFile(spark, p))
+    if (held != id)
+      throw new IllegalStateException(
+        s"maintenance state at $stateDir is leased to writer '$held' but '$id' reached its " +
+          "commit point — the store was taken over mid-mutation, and the commit-point " +
+          "re-fence never takes over (committing entry-time pointers would regress past " +
+          "the successor's commits); this writer's staging stays inert")
+    if (gen != entryGen)
+      throw new IllegalStateException(
+        s"maintenance state at $stateDir: writer '$id' entered at lease generation $entryGen " +
+          s"but the lease is now at generation $gen — the store was taken over (and " +
+          "re-acquired) mid-mutation; committing entry-time pointers would regress past the " +
+          "intervening commits, so this mutation aborts with its staging inert")
+    writeAtomic(spark, leasePath(stateDir), s"$id\n$gen")
   }
 
   /** Writer-unique staging path for a final directory: mutators write
@@ -198,13 +340,34 @@ object EpochStore {
     val id = writerId.getOrElse(spark.sparkContext.applicationId)
     val p = new Path(leasePath(stateDir))
     val fs = fsOf(spark, p)
-    if (fs.exists(p) && readSmallFile(spark, p).trim == id) fs.delete(p, false)
+    if (fs.exists(p) && parseLease(readSmallFile(spark, p))._1 == id) fs.delete(p, false)
     ()
   }
 
-  /** Compacted-through epoch B; 0 if this state was never compacted. */
-  def baseEpoch(spark: SparkSession, stateDir: String): Int =
-    readIntPointer(spark, basePointerPath(stateDir))
+  /** Compacted-through epoch B; 0 if this state was never compacted.
+    * The `_BASE_EPOCH` body is `"<B> <commitTimeMs>"` — the timestamp is
+    * what [[retireCompacted]] gates base-superseded victims on (see the
+    * starvation note there); a pre-timestamp file (bare int) parses fine
+    * and falls back to file mtime for the commit time. */
+  def baseEpoch(spark: SparkSession, stateDir: String): Int = {
+    val p = new Path(basePointerPath(stateDir))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) 0
+    else readSmallFile(spark, p).trim.split("\\s+")(0).toInt
+  }
+
+  /** When the live base generation committed (its `_BASE_EPOCH` flip);
+    * 0 when never compacted. Falls back to the pointer file's mtime for
+    * pre-timestamp files. */
+  private[streaming] def baseCommitTime(spark: SparkSession, stateDir: String): Long = {
+    val p = new Path(basePointerPath(stateDir))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) 0L
+    else {
+      val toks = readSmallFile(spark, p).trim.split("\\s+")
+      if (toks.length > 1) toks(1).toLong else fs.getFileStatus(p).getModificationTime
+    }
+  }
 
   /** Remove the base + minor-fold pointers — called by the loops'
     * `bootstrap` so re-bootstrapping a previously-compacted state dir
@@ -222,33 +385,42 @@ object EpochStore {
   }
 
   /** Committed minor folds LIVE above the base epoch `b`: parsed from
-    * `_MINOR_FOLDS` ("a-b" per line), entries fully covered by the base
-    * generation filtered out (a major fold supersedes them; the file is
-    * pruned cosmetically by [[retireCompacted]], but the read path never
-    * depends on that). Ranges are disjoint and ascending by
-    * construction — [[minorFold]] always folds from the first uncovered
-    * epoch. */
-  private[graft] def minorFolds(spark: SparkSession, stateDir: String): Seq[(Int, Int)] = {
+    * `_MINOR_FOLDS` ("a-b ts" per line, ts = that range's commit time —
+    * what [[retireCompacted]] gates its covered-epoch victims on),
+    * entries fully covered by the base generation filtered out (a major
+    * fold supersedes them; the file is pruned cosmetically by
+    * [[retireCompacted]], but the read path never depends on that).
+    * Ranges are disjoint and ascending by construction — [[minorFold]]
+    * always folds from the first uncovered epoch. Pre-timestamp lines
+    * (bare "a-b") fall back to the file's mtime. */
+  private[graft] def minorFolds(spark: SparkSession, stateDir: String): Seq[(Int, Int)] =
+    minorFoldsWithTs(spark, stateDir).map { case (a, b, _) => (a, b) }
+
+  private[streaming] def minorFoldsWithTs(
+      spark: SparkSession, stateDir: String): Seq[(Int, Int, Long)] = {
     val p = new Path(minorFoldsPath(stateDir))
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) Seq.empty
     else {
+      val mtime = fs.getFileStatus(p).getModificationTime
       val b = baseEpoch(spark, stateDir)
       readSmallFile(spark, p).split("\n").toSeq
         .map(_.trim).filter(_.nonEmpty)
         .map { line =>
-          val i = line.indexOf('-')
-          (line.substring(0, i).toInt, line.substring(i + 1).toInt)
+          val toks = line.split("\\s+")
+          val i = toks(0).indexOf('-')
+          val ts = if (toks.length > 1) toks(1).toLong else mtime
+          (toks(0).substring(0, i).toInt, toks(0).substring(i + 1).toInt, ts)
         }
-        .filter { case (a, bb) => require(a <= bb, s"corrupt minor range $a-$bb"); bb > b }
-        .sorted
+        .filter { case (a, bb, _) => require(a <= bb, s"corrupt minor range $a-$bb"); bb > b }
+        .sortBy { case (a, bb, _) => (a, bb) }
     }
   }
 
   private def writeMinorFolds(
-      spark: SparkSession, stateDir: String, ranges: Seq[(Int, Int)]): Unit =
+      spark: SparkSession, stateDir: String, ranges: Seq[(Int, Int, Long)]): Unit =
     writeAtomic(spark, minorFoldsPath(stateDir),
-      ranges.map { case (a, b) => s"$a-$b" }.mkString("\n"))
+      ranges.map { case (a, b, ts) => s"$a-$b $ts" }.mkString("\n"))
 
   /** MINOR fold (tiered compaction, L0→L1): fold the loose committed
     * epoch tail `from..upTo` of each store into one
@@ -277,9 +449,10 @@ object EpochStore {
       writerId: Option[String] = None,
       leaseGraceMs: Long = DefaultLeaseGraceMs
   ): Unit = {
+    val entryGen = leaseGen(spark, stateDir)
     val live = readIntPointer(spark, mainPointerPath(stateDir))
     val b = baseEpoch(spark, stateDir)
-    val existing = minorFolds(spark, stateDir)
+    val existing = minorFoldsWithTs(spark, stateDir)
     val covered = math.max(b, existing.lastOption.map(_._2).getOrElse(0))
     require(upTo <= live, s"minorFold upTo=$upTo beyond the committed pointer $live")
     require(from == covered + 1,
@@ -295,10 +468,17 @@ object EpochStore {
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       tmp -> dst
     }
-    // commit-point re-fence — same contract as [[compact]]
-    fence(spark, stateDir, writerId, leaseGraceMs)
+    // commit-point re-fence (generation-matched, never takes over) —
+    // same contract as [[compact]] — plus a belt-and-braces check that
+    // the fold metadata is exactly as read at entry (a SAME-ID concurrent
+    // mutation shares the lease generation and only this catches it)
+    refence(spark, stateDir, writerId, entryGen)
+    require(baseEpoch(spark, stateDir) == b && minorFoldsWithTs(spark, stateDir) == existing,
+      s"minorFold at $stateDir: fold metadata changed between entry and commit — a " +
+        "concurrent same-writer mutation is running against this store (the single-writer " +
+        "contract requires serializing mutations within one writer id too)")
     promoteStaged(spark, staged)
-    writeMinorFolds(spark, stateDir, existing :+ (from, upTo))
+    writeMinorFolds(spark, stateDir, existing :+ ((from, upTo, System.currentTimeMillis())))
   }
 
   /** Committed view of a store: epochs ≤ `upTo` only, with everything at
@@ -322,16 +502,22 @@ object EpochStore {
     if (b == 0 && minors.isEmpty) {
       spark.read.parquet(base).filter(col("epoch") <= upTo).drop("epoch")
     } else {
-      require(upTo >= b,
-        s"committed($store) asked for epochs <= $upTo below the compacted base epoch $b: " +
-          "compaction only folds COMMITTED epochs and the pointer never moves backwards " +
-          "past it, so this indicates pointer/state corruption (or a gate-style pointer " +
-          "reset into a compacted store, which is unsupported)")
+      // StaleViewException (not a plain require): on a healthy store this
+      // is what a pointer resolve racing a compaction looks like, and the
+      // snapshot() callers retry exactly this — nothing else.
+      if (upTo < b)
+        throw new StaleViewException(
+          s"committed($store) asked for epochs <= $upTo below the compacted base epoch $b: " +
+            "compaction only folds COMMITTED epochs and the pointer never moves backwards " +
+            "past it, so this indicates a stale pointer resolve racing a compaction, " +
+            "pointer/state corruption, or a gate-style pointer reset into a compacted " +
+            "store (unsupported)")
       minors.foreach { case (_, mb) =>
-        require(mb <= upTo,
-          s"committed($store) asked for epochs <= $upTo below a live minor fold ending at $mb " +
-            "— minor folds only cover COMMITTED epochs (a gate-style pointer reset into a " +
-            "tiered store is unsupported)")
+        if (mb > upTo)
+          throw new StaleViewException(
+            s"committed($store) asked for epochs <= $upTo below a live minor fold ending at $mb " +
+              "— minor folds only cover COMMITTED epochs (a stale pointer resolve racing a " +
+              "fold, or a gate-style pointer reset into a tiered store, which is unsupported)")
       }
       val fs = fsOf(spark, new Path(base))
       val minorCovered = minors.flatMap { case (a, mb) => a to mb }.toSet
@@ -365,6 +551,7 @@ object EpochStore {
       writerId: Option[String] = None,
       leaseGraceMs: Long = DefaultLeaseGraceMs
   ): Unit = {
+    val entryGen = leaseGen(spark, stateDir)
     val live = readIntPointer(spark, mainPointerPath(stateDir))
     val b0 = baseEpoch(spark, stateDir)
     require(upTo <= live, s"compact upTo=$upTo beyond the committed pointer $live")
@@ -380,10 +567,22 @@ object EpochStore {
     // Commit-point re-fence: the fold above can outlive the lease grace
     // window, and a successor may have legitimately taken the store
     // over — this writer must then FAIL here, with its writer-unique
-    // staging left inert (never having touched any final path).
-    fence(spark, stateDir, writerId, leaseGraceMs)
+    // staging left inert (never having touched any final path). The
+    // re-fence is GENERATION-matched and never takes over, so even a
+    // successor that committed and then itself crashed (its lease now
+    // stale) still fences this writer out — committing entry-time values
+    // would regress `_BASE_EPOCH` past its commits. The pointer re-reads
+    // below catch the one case the lease can't: a same-id concurrent
+    // mutation sharing this generation.
+    refence(spark, stateDir, writerId, entryGen)
+    require(baseEpoch(spark, stateDir) == b0 &&
+        readIntPointer(spark, mainPointerPath(stateDir)) == live,
+      s"compact at $stateDir: pointers moved between entry and commit (base " +
+        s"${baseEpoch(spark, stateDir)} vs $b0, live " +
+        s"${readIntPointer(spark, mainPointerPath(stateDir))} vs $live) — a concurrent " +
+        "same-writer mutation is running against this store")
     promoteStaged(spark, staged)
-    commitIntPointer(spark, basePointerPath(stateDir), upTo)
+    writeAtomic(spark, basePointerPath(stateDir), s"$upTo ${System.currentTimeMillis()}")
     // Drop the minor-folds file the new base supersedes. GC-only
     // cosmetics AFTER the one atomic commit above: the read path already
     // ignores minors ending ≤ the base epoch, so a crash between the
@@ -411,40 +610,39 @@ object EpochStore {
       graceMs: Long = 10 * 60 * 1000L
   ): Seq[String] = {
     val b = baseEpoch(spark, stateDir)
-    val live = minorFolds(spark, stateDir)
+    val liveTs = minorFoldsWithTs(spark, stateDir)
     val liveDirs = stores.flatMap(store =>
-      live.map { case (a, mb) => minorGenDir(stateDir, store, a, mb) }).toSet
+      liveTs.map { case (a, mb, _) => minorGenDir(stateDir, store, a, mb) }).toSet
     val now = System.currentTimeMillis()
     val cutoff = now - graceMs
-    // Grace is measured from the SUPERSEDING COMMIT (the pointer file's
-    // mtime), not just the victim's own age: an epoch written hours ago
-    // is superseded only at the instant its fold's pointer flips, and a
-    // reader that resolved committed() seconds before that flip still
-    // holds the loose-epoch paths in its plan. Gating each sweep class
-    // on its justifying pointer's age keeps those readers alive for the
-    // full window; the victim-mtime check still guards anything
+    // Grace is measured from EACH VICTIM'S OWN superseding commit — the
+    // per-range timestamp recorded in `_MINOR_FOLDS` (resp. the commit
+    // time inside `_BASE_EPOCH`) — NOT the shared pointer file's mtime:
+    // every later fold rewrites that file and refreshes its mtime, so a
+    // loop folding more often than the grace window would never reclaim
+    // anything and disk would grow despite compaction (GC starvation).
+    // An epoch written hours ago is superseded only at the instant ITS
+    // fold's commit lands, and a reader that resolved committed()
+    // seconds before that commit still holds the loose-epoch paths in
+    // its plan — the per-victim commit age keeps those readers alive for
+    // the full window; the victim-mtime check still guards anything
     // mid-write.
-    def pointerOlderThanGrace(path: String): Boolean = graceMs <= 0 || {
-      val p = new Path(path)
-      val fs = fsOf(spark, p)
-      !fs.exists(p) || fs.getFileStatus(p).getModificationTime < cutoff
-    }
-    val minorCommitAged = pointerOlderThanGrace(minorFoldsPath(stateDir))
-    val baseCommitAged = pointerOlderThanGrace(basePointerPath(stateDir))
+    val baseTs = baseCommitTime(spark, stateDir)
+    val baseCommitAged = graceMs <= 0 || baseTs == 0L || baseTs < cutoff
     val minorSweep = stores.flatMap { store =>
       // epoch dirs covered by a live minor fold (they read from the
-      // minor generation now; justified by the _MINOR_FOLDS commit) ...
-      (if (!minorCommitAged) Seq.empty
-       else
-         live.flatMap { case (a, mb) =>
-           (a to mb).flatMap { n =>
-             val p = new Path(epochDir(s"$stateDir/$store", n))
-             val fs = fsOf(spark, p)
-             if (fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoff) {
-               fs.delete(p, true); Some(p.toString)
-             } else None
-           }
-         }) ++ {
+      // minor generation now; justified by THAT range's commit time) ...
+      liveTs.flatMap { case (a, mb, ts) =>
+        if (graceMs > 0 && ts >= cutoff) Seq.empty
+        else
+          (a to mb).flatMap { n =>
+            val p = new Path(epochDir(s"$stateDir/$store", n))
+            val fs = fsOf(spark, p)
+            if (fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoff) {
+              fs.delete(p, true); Some(p.toString)
+            } else None
+          }
+      } ++ {
         // ... and minor dirs no live fold references (superseded by a
         // major — justified by the _BASE_EPOCH commit — or debris of a
         // crashed fold attempt)

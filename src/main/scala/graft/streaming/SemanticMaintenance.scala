@@ -96,8 +96,8 @@ object SemanticMaintenance {
   final case class StateSnapshot(version: Int, vectors: DataFrame, clusterMap: DataFrame)
 
   def snapshot(spark: SparkSession, stateDir: String): StateSnapshot = {
-    // bounded retry across a racing compaction — see
-    // [[CorpusMaintenance.snapshot]]
+    // bounded retry across a racing compaction — ONLY the typed
+    // stale-resolve race; see [[CorpusMaintenance.snapshot]]
     var attempt = 0
     while (true) {
       val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
@@ -105,7 +105,7 @@ object SemanticMaintenance {
       try
         return StateSnapshot(v, committed(spark, stateDir, "vecs", v), mapAt(spark, stateDir, v))
       catch {
-        case e: IllegalArgumentException if attempt < 5 =>
+        case _: EpochStore.StaleViewException if attempt < 5 =>
           attempt += 1
       }
     }
@@ -124,7 +124,7 @@ object SemanticMaintenance {
       writerId: Option[String] = None,
       leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): Unit = {
-    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    val entryGen = EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.clearBasePointer(spark, stateDir)
     EpochStore.writeParams(spark, stateDir, params(threshold, bitsPerBand, bands))
     // writer-unique staging promoted after the commit-point re-fence —
@@ -139,7 +139,8 @@ object SemanticMaintenance {
       Similarity.embedNearDupLsh(initial, threshold, bitsPerBand, bands)
         .select(col("v1").as("d1"), col("v2").as("d2")))
       .write.mode(SaveMode.Overwrite).parquet(stages(2)._1)
-    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    // generation-matched commit-point re-fence — never takes over
+    EpochStore.refence(spark, stateDir, writerId, entryGen)
     EpochStore.promoteStaged(spark, stages)
     CorpusMaintenance.commitPointer(spark, stateDir, 1)
   }
@@ -160,7 +161,7 @@ object SemanticMaintenance {
       writerId: Option[String] = None,
       leaseGraceMs: Long = EpochStore.DefaultLeaseGraceMs
   ): IngestStats = {
-    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    val entryGen = EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
     EpochStore.requireParams(spark, stateDir, params(threshold, bitsPerBand, bands))
     val nBatch = batch.count()
     val v = CorpusMaintenance.currentMapVersion(spark, stateDir)
@@ -198,8 +199,14 @@ object SemanticMaintenance {
       if (v == 0) DedupClusters.connectedComponents(newPairs)
       else DedupClusters.augment(currentMap(spark, stateDir), newPairs)
     merged.write.mode(SaveMode.Overwrite).parquet(stages(2)._1)
-    // commit-point re-fence then promote — see CorpusMaintenance.ingestBatch
-    EpochStore.fence(spark, stateDir, writerId, leaseGraceMs)
+    // generation-matched commit-point re-fence (never takes over) +
+    // pointer re-check — see CorpusMaintenance.ingestBatch
+    EpochStore.refence(spark, stateDir, writerId, entryGen)
+    require(CorpusMaintenance.currentMapVersion(spark, stateDir) == v,
+      s"ingest at $stateDir: the committed pointer moved from $v to " +
+        s"${CorpusMaintenance.currentMapVersion(spark, stateDir)} between entry and commit " +
+        "— a concurrent same-writer ingest is running (serialize mutations within one " +
+        "writer id)")
     EpochStore.promoteStaged(spark, stages)
     CorpusMaintenance.commitPointer(spark, stateDir, next)
     IngestStats(nBatch, nAdmitted, nPairs, next)

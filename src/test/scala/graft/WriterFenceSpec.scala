@@ -147,6 +147,43 @@ class WriterFenceSpec extends AnyFunSuite {
       "expected the rejected fold's writer-unique staging debris")
   }
 
+  test("stale-successor ABA: a fold whose successor committed AND then crashed still cannot commit") {
+    // The pointer-regression scenario: A loses its lease mid-fold, B
+    // takes over and COMMITS a new epoch, then B itself dies and its
+    // lease ages past the grace window. A's commit point must STILL
+    // reject — a grace-based re-acquire here would promote A's stale
+    // staging and move _BASE_EPOCH/_CURRENT_MAP backwards past B's
+    // commits. The generation-matched refence (which never takes over)
+    // is what closes this.
+    val st = freshDir()
+    val d = docs(30)
+    CorpusMaintenance.bootstrap(spark, d.filter(col("doc_id") < 10), st, writerId = Some("app-A"))
+    CorpusMaintenance.ingestBatch(spark, d.filter(col("doc_id").between(10, 19)), st,
+      writerId = Some("app-A"))
+    // A dies mid-fold; B legitimately takes over and commits epoch 3
+    ageLease(st, ageMs = 100000)
+    CorpusMaintenance.ingestBatch(spark, d.filter(col("doc_id") >= 20), st,
+      writerId = Some("app-B"), leaseGraceMs = 50000)
+    assert(CorpusMaintenance.currentMapVersion(spark, st) == 3)
+    // ... and B itself now crashes: its lease goes stale too
+    ageLease(st, ageMs = 100000)
+    // A's zombie fold reaches its commit point with B's lease STALE —
+    // the old grace-based re-fence would have passed as a "graced
+    // takeover" and regressed the store
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.EpochStore.compact(
+        spark, st, Seq("docs", "hashes", "shingles"), upTo = 2,
+        writerId = Some("app-A"), leaseGraceMs = 50000)
+    }
+    assert(ex.getMessage.contains("leased to writer 'app-B'"), ex.getMessage)
+    // nothing regressed: B's commit is intact, no base pointer appeared
+    assert(CorpusMaintenance.currentMapVersion(spark, st) == 3)
+    assert(graft.streaming.EpochStore.baseEpoch(spark, st) === 0)
+    assert(CorpusMaintenance.corpus(spark, st).count() === 30)
+    assert(new java.io.File(s"$st/docs/epoch=3").exists(),
+      "the successor's committed epoch dir must survive the zombie fold")
+  }
+
   test("semantic loop fences identically") {
     val st = freshDir()
     val s = spark
