@@ -1070,6 +1070,38 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // REAL audio decode through the multimodal plumbing, oracle-gated —
+    // the mm_image_decode recipe applied to the audio half of the former
+    // stub: each document becomes an ACTUAL WAV container (sample rate,
+    // channel count, and frame count derived from doc_id, 16-bit PCM
+    // samples a pure function of it — Multimodal.encodeWav) and the
+    // pipeline parses the real RIFF/WAVE header + PCM frames back via
+    // javax.sound.sampled (Multimodal.decodeAudio) inside one
+    // mapPartitions pass. The oracle recomputes the expected
+    // (sample_rate, channels, frames) from the generating expressions,
+    // so a pass proves a genuine encode→parse→decode round trip per
+    // row; stereo every other doc pins the channel-interleaving path.
+    "mm_audio_decode" -> { (spark, dir) =>
+      import spark.implicits._
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          (lit(8000) + lit(100) * pmod(col("doc_id"), lit(40))).cast("int").as("rate"),
+          (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
+          (lit(50) + pmod(col("doc_id"), lit(100))).cast("int").as("fr"))
+        .as[(Long, Int, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, rate, ch, fr) =>
+            val wav = graft.functions.Multimodal.encodeWav(rate, ch, fr, id)
+            val (dr, dc, df) = graft.functions.Multimodal.decodeAudioInfo(wav)
+            (id, dr.toLong, dc.toLong, df)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_channels", "n_frames")
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction (pipeline hygiene): scrub emails / URLs / IPv4
     // addresses from free text before training. The fixture corpus has
     // no PII, so each doc gets a deterministic synthetic tail derived
@@ -1558,6 +1590,15 @@ object TextOps {
         |  CAST(8 + doc_id % 24 AS BIGINT) AS width,
         |  CAST(8 + doc_id % 17 AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The audio decode gate's ground truth is likewise the generating
+    // expression: real WAV bytes must round-trip to exactly this rate /
+    // channel count / frame count.
+    "mm_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 + 100 * (doc_id % 40) AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+        |  CAST(50 + doc_id % 100 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """WITH p AS (

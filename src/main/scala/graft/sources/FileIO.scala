@@ -323,6 +323,53 @@ object FileIO {
         .orderBy(col("bucket"))
     },
 
+    // CATALOG-REGISTERED sink table — the reference's actual end state
+    // (committed files become a Hive-queryable warehouse TABLE, reference
+    // README.md:13,17, OrcSinkTest.java:23), end-to-end: the events
+    // fixture streams through the exactly-once partitioned ORC sink
+    // (file source → FileStreamSink manifest commit), the directory is
+    // PROMOTED to plain-listing visibility, registered as a partitioned
+    // external table in spark_catalog, and the query reads it BY NAME —
+    // `spark.table(...)` with a partition filter the catalog prunes at
+    // planning time. The oracle recomputes from the ORIGINAL parquet, so
+    // a pass proves the whole stream→commit→promote→register→SQL chain
+    // loses and invents nothing.
+    "catalog_sink_table" -> { (spark, dir) =>
+      val p = out(dir, "events_catalog_orc")
+      val ck = out(dir, "events_catalog_ckpt")
+      val landing = out(dir, "events_catalog_src")
+      // the gate owns these scratch dirs: rebuild fresh each run
+      Seq(p, ck, landing).foreach { d =>
+        val hp = new org.apache.hadoop.fs.Path(d)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      // stage the fixture into a LANDING directory (the file stream
+      // source consumes directories, the real ingestion shape; the ts
+      // column is skipped — its vintage dispatch lives in Tables.events
+      // and is irrelevant to the table-registration contract under test)
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode(SaveMode.Overwrite).parquet(landing)
+      val src = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .parquet(landing)
+      val q = graft.streaming.StreamSinks.orcSink(src, p, ck, Seq("event_type"))
+      q.awaitTermination()
+      graft.streaming.StreamSinks.promote(spark, p, "orc")
+      graft.streaming.StreamSinks.registerTable(
+        spark, "graft_sink_events", p, "orc", Seq("event_type"))
+      spark.table("graft_sink_events")
+        .filter(col("event_type") =!= "view") // catalog partition pruning
+        .groupBy(col("event_type"))
+        .agg(
+          dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_id"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // Parquet batch sink (the streaming twin is graft.streaming): write
     // partitioned parquet, re-read with a partition-pruning filter.
     "parquet_sink_roundtrip" -> { (spark, dir) =>
@@ -377,6 +424,16 @@ object FileIO {
     "parquet_sink_roundtrip" ->
       s"""SELECT o_orderpriority, ${sqlSum("o_totalprice")} AS sum_price, COUNT(*) AS n
          |FROM orders WHERE o_orderstatus = 'F'
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Ground truth for the stream→promote→register→SQL-by-name chain is
+    // the ORIGINAL events parquet.
+    "catalog_sink_table" ->
+      s"""SELECT event_type,
+         |  ${sqlSum("value")} AS sum_value,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+         |  COUNT(*) AS n
+         |FROM events WHERE event_type <> 'view'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

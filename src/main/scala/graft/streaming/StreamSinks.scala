@@ -252,6 +252,64 @@ object StreamSinks {
     PromoteReport(committed.size, swept)
   }
 
+  /** Register a promoted sink directory as a partitioned EXTERNAL table
+    * in `spark_catalog` — the LAST MILE of the reference's contract: its
+    * whole point is that committed files become a Hive-queryable
+    * warehouse table users address BY NAME with partition pruning
+    * (reference README.md:13,17 "hive can read them"; the demo sinks
+    * under a warehouse table path, OrcSinkTest.java:23). [[promote]]
+    * proves plain-listing visibility of the FILES; this registers the
+    * directory so a SQL user writes `SELECT ... FROM name WHERE
+    * <partition col> = ...` and the catalog prunes partition directories
+    * at planning time — no path, no manifest awareness needed.
+    *
+    * Mechanics: external `CREATE TABLE ... USING <format> PARTITIONED BY
+    * ... LOCATION` from the directory's inferred schema, then partition
+    * RECOVERY (`recoverPartitions`, i.e. MSCK REPAIR) to load the
+    * Hive-layout `col=value/` dirs into the catalog. Re-registering an
+    * existing name replaces the registration, never the data (external:
+    * DROP leaves the files).
+    *
+    * Call it AFTER a green [[promote]]: catalog readers list the
+    * directory through the catalog file index, NOT the streaming
+    * manifest, so the promote postcondition (listing ≡ committed set) is
+    * exactly what makes the registered table serve committed rows only.
+    * After more batches commit, re-run promote + `recoverPartitions` (or
+    * re-register) to surface the new files — the same "operator sweeps at
+    * a batch boundary" cadence as the reference's manual protocol.
+    * Returns the registered partition count (0 for an unpartitioned
+    * sink). */
+  def registerTable(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      format: String = "orc",
+      partitionCols: Seq[String] = Nil
+  ): Int = {
+    val schema = spark.read.format(format).load(path).schema
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"registerTable($name): partition column '$c' not in the sink schema " +
+        schema.fieldNames.mkString("[", ", ", "]")))
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // Register through the Catalog API with NO user-specified schema:
+    // for an external datasource table Spark then infers schema AND
+    // partition columns from the Hive-layout location at creation
+    // (passing an explicit schema instead registers the table
+    // unpartitioned and re-infers at runtime — the "overlapped data and
+    // partition columns" trap; the SQL form without a column list
+    // rejects PARTITIONED BY outright).
+    spark.catalog.createTable(name, format, Map("path" -> path))
+    val registered = spark.catalog.listColumns(name)
+      .collect().filter(_.isPartition).map(_.name).toSet
+    require(registered == partitionCols.toSet,
+      s"registerTable($name): location inferred partition columns $registered, " +
+        s"caller declared ${partitionCols.toSet} — layout and declaration disagree")
+    if (partitionCols.nonEmpty) {
+      spark.catalog.recoverPartitions(name)
+      spark.sql(s"SHOW PARTITIONS `$name`").count().toInt
+    } else 0
+  }
+
   /** Watermark gauge (reference parity R12): the reference exports the
     * last committed watermark as a metrics gauge, minus a hardcoded -8h
     * timezone shift (RowOrcBucketingSink.java:86,196-198). Here the same

@@ -6,10 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Multimodal
 import graft.functions.Multimodal._
 
-/** End-to-end test of the multimodal plumbing over real fixture bytes
-  * (documents.text as utf-8 payloads): schema, batch shape, determinism,
-  * and downstream composability (features → cosine ops) — everything
-  * except the codec, which is the clearly-marked deterministic stub.
+/** End-to-end test of the multimodal plumbing over REAL containers
+  * (PNG via javax.imageio, WAV via javax.sound.sampled, deterministic
+  * fake bytes for the one remaining stub, video): schema, batch shape,
+  * determinism, codec dispatch in the actual pipeline entry point
+  * (extractFeatures), and downstream composability (features → cosine
+  * ops).
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark: SparkSession = GraftSession
@@ -18,23 +20,32 @@ class MultimodalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** One media file per document: every third doc a real PNG, a real
+    * WAV, or a fake "video" payload — all pure functions of doc_id. */
   private def files = {
     val s = spark
     import s.implicits._
     Tables
       .documents(s, sf)
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video")
-          .as("media_type"),
-        encode(col("text"), "utf-8").as("payload")
-      )
-      .as[MediaFile]
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val mt = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        val payload = mt match {
+          case "image" =>
+            Multimodal.encodePng(
+              8 + (id % 24).toInt, 8 + (id % 17).toInt, seed = id, gray = id % 5 == 0)
+          case "audio" =>
+            Multimodal.encodeWav(
+              8000 + 100 * (id % 40).toInt, 1 + (id % 2).toInt, 50 + (id % 100).toInt, seed = id)
+          case _ =>
+            (s"video payload $id " + ("x" * (id % 64).toInt)).getBytes("UTF-8")
+        }
+        MediaFile(id, mt, payload)
+      }
   }
 
-  test("extractFeatures: fixed-width features, typed schema, deterministic") {
+  test("extractFeatures dispatches image/audio through the REAL codecs; schema + determinism") {
     val s = spark
     import s.implicits._
     val feats = Multimodal.extractFeatures(files, dim = 16)
@@ -43,8 +54,18 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = feats.collect()
     assert(rows.length === 500)
     assert(rows.forall(_.features.length == 16), "resize must fix feature width")
-    assert(rows.forall(r => r.width >= 16 && r.height >= 16))
-    assert(rows.filter(_.media_type == "image").forall(_.n_frames == 1))
+    // image metadata comes from the real decoder — must equal the
+    // generating expressions, frame count 1
+    rows.filter(_.media_type == "image").foreach { r =>
+      assert(r.width == 8 + (r.doc_id % 24).toInt && r.height == 8 + (r.doc_id % 17).toInt)
+      assert(r.n_frames == 1)
+    }
+    // audio: width := channels, height := sampleRateHz, n_frames := frames
+    rows.filter(_.media_type == "audio").foreach { r =>
+      assert(r.width == 1 + (r.doc_id % 2).toInt)
+      assert(r.height == 8000 + 100 * (r.doc_id % 40).toInt)
+      assert(r.n_frames == 50 + (r.doc_id % 100).toInt)
+    }
     assert(rows.filter(_.media_type == "video").forall(_.n_frames > 1))
     // determinism: identical second run
     val again = Multimodal.extractFeatures(files, dim = 16).collect()
@@ -53,6 +74,12 @@ class MultimodalSpec extends AnyFunSuite {
       a.width == b.width && a.height == b.height && a.n_frames == b.n_frames &&
       a.features.sameElements(b.features)
     })
+    // a payload MISLABELED as image must fail the real decoder, not
+    // silently yield fabricated metadata (the stub's old behavior)
+    val bad = Seq(MediaFile(1L, "image", "not an image".getBytes("UTF-8"))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad, dim = 4).collect()
+    }
   }
 
   test("sampleFrames explodes video payloads into strided fixed-size frames") {
@@ -91,6 +118,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // ... and truncated PNGs fail rather than decode partially
     intercept[Exception] { Multimodal.decodeImageInfo(rgb.take(20)) }
+  }
+
+  test("real WAV codec slice: encode→decode round trip, reject garbage and truncation") {
+    // mono and stereo round-trip to the generating metadata
+    val mono = Multimodal.encodeWav(8000, 1, 123, seed = 42L)
+    assert(new String(mono.take(4), "US-ASCII") === "RIFF", "payload is not a real WAV container")
+    assert(new String(mono.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(Multimodal.decodeAudioInfo(mono) === ((8000, 1, 123L)))
+    val stereo = Multimodal.encodeWav(11025, 2, 77, seed = 7L)
+    assert(Multimodal.decodeAudioInfo(stereo) === ((11025, 2, 77L)))
+    // deterministic bytes per (rate, channels, frames, seed)
+    assert(Multimodal.encodeWav(8000, 1, 123, 42L).sameElements(mono))
+    // decoded PCM is normalized and full-length (frames × channels)
+    val (_, ch, fr, pcm) = Multimodal.decodeAudio(stereo)
+    assert(pcm.length == ch * fr)
+    assert(pcm.forall(v => v >= -1.0f && v <= 1.0f))
+    // a real parser rejects non-audio bytes instead of inventing metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAudioInfo("certainly not audio".getBytes("UTF-8"))
+    }
+    // ... and a truncated container fails rather than decode partially
+    intercept[Exception] { Multimodal.decodeAudioInfo(mono.take(mono.length - 10)) }
   }
 
   test("features compose with the similarity operators (array<float> downstream)") {

@@ -268,6 +268,72 @@ class OrcStreamingSinkSpec extends AnyFunSuite {
     assert(spark.read.orc(compacted).count() === 5, "compaction after manifest drop changed rows")
   }
 
+  test("registered catalog table serves exactly the committed rows across crash-restart, with partition pruning") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val out = freshDir("catalog_out")
+    val ckpt = freshDir("catalog_ckpt")
+    val table = "graft_catalog_spec_events"
+    val stream = MemoryStream[Ev]
+
+    // Phase 1: commit a batch, plant crash debris, promote, register.
+    stream.addData(ev(1, "click"), ev(2, "view"), ev(3, "click"), ev(4, "view"))
+    val q1 = StreamSinks.orcSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q1.processAllAvailable(); q1.stop()
+    val clickDir = Paths.get(out, "etype=click")
+    val committedFile = Files.list(clickDir).iterator().asScala
+      .filter(_.toString.endsWith(".orc")).toSeq.head
+    Files.copy(committedFile, clickDir.resolve("part-99999-debris.orc"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    StreamSinks.promote(spark, out)
+    val nParts = StreamSinks.registerTable(spark, table, out, "orc", Seq("etype"))
+    assert(nParts === 2, "partition recovery must load both etype dirs")
+    // by NAME, no path, exactly the committed rows — the swept debris
+    // never shows (catalog readers list plainly, which promote verified)
+    assert(spark.table(table).count() === 4)
+    assert(spark.table(table).select(sum("id")).as[Double].head() === 10.0)
+
+    // PARTITION PRUNING: the partition filter must reach the scan as a
+    // PartitionFilter (planning-time directory pruning via the catalog,
+    // the reference's Hive-table read pattern) ...
+    val pruned = spark.table(table).filter(col("etype") === "click")
+    assert(pruned.count() === 2)
+    val scanMeta = pruned.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc.metadata
+    }.head
+    assert(scanMeta("PartitionFilters").contains("etype"),
+      s"partition filter not pushed to the scan: $scanMeta")
+    // ... and MEASURABLY: executing the pruned scan reads exactly ONE
+    // file (the click partition's), per the scan node's own metric — the
+    // other partition's directory is never opened.
+    val clickRows = spark.table(table).filter(col("etype") === "click").select("id")
+    clickRows.collect()
+    val scanExec = clickRows.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.head
+    assert(scanExec.metrics("numFiles").value === 1,
+      s"pruned scan read ${scanExec.metrics("numFiles").value} files, expected 1")
+
+    // Phase 2: crash-restart from the checkpoint, more commits; the
+    // operator re-runs promote + partition recovery at the batch
+    // boundary and the table serves the superset, still no dups.
+    stream.addData(ev(5, "click"), ev(6, "purchase"))
+    val q2 = StreamSinks.orcSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q2.processAllAvailable(); q2.stop()
+    StreamSinks.promote(spark, out)
+    spark.catalog.recoverPartitions(table)
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() === 6, "restart lost or duplicated rows through the table")
+    assert(spark.table(table).groupBy("id").count().filter(col("count") > 1).count() === 0)
+    assert(spark.sql(s"SHOW PARTITIONS `$table`").count() === 3)
+    // registration is EXTERNAL: dropping the table leaves the data
+    spark.sql(s"DROP TABLE `$table`")
+    assert(spark.read.orc(out).count() === 6, "DROP TABLE must not delete external sink files")
+  }
+
   test("parquet streaming sink commits through the manifest too") {
     val s = spark
     import s.implicits._
