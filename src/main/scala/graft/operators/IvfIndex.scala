@@ -165,6 +165,53 @@ object IvfIndex {
     if (model.k <= LiteralAssignMaxK) corpus.withColumn(outCol, assignExpr(model, col(vCol)))
     else assignBroadcast(corpus, model, vCol, outCol)
 
+  /** SPILLED (multi-)assignment — the corpus-side recall lever, the IVF
+    * analog of the LSH path's multi-probe: a vector whose SECOND-nearest
+    * centroid is within `spillMargin` cosine of its nearest is indexed
+    * under BOTH clusters. IVF's misses are boundary vectors (a query's
+    * true neighbor sits just across the Voronoi edge of an unprobed
+    * cluster); replicating exactly those vectors into their runner-up
+    * cluster recovers them while the probed-PARTITION count (nProbe,
+    * the planning-time pruning) stays unchanged. Costs, honestly:
+    * storage and per-query scanned rows both grow by the spill fraction
+    * — margin-controlled, and TARGETED at boundary vectors, which is
+    * why it beats raising nProbe on clustered data (real clusters have
+    * thin boundaries; the near-uniform fixture is the worst case and
+    * spills ~1.4–1.7× at margin 0.05–0.1, see tools/RecallProbe's
+    * IVFGRID). Same trade the published IVF-spill/SPANN family makes.
+    *
+    * One codegen'd expression: k fused cosine structs → `array_sort` →
+    * top-2 → conditional explode. Rows: (corpus columns ++ `cl`), 1 or 2
+    * rows per vector. Ties and quantization follow [[assignExpr]]'s
+    * lattice, so the PRIMARY assignment is bit-identical to it
+    * (spec-pinned); k is capped at [[LiteralAssignMaxK]] (auto-sized
+    * indexes always are — a broadcast twin is mechanical if ever
+    * needed). */
+  def assignSpilled(
+      corpus: DataFrame,
+      model: Model,
+      spillMargin: Double,
+      vCol: String = "v",
+      outCol: String = "cl"
+  ): DataFrame = {
+    require(model.k <= LiteralAssignMaxK,
+      s"assignSpilled is codegen-only (k <= $LiteralAssignMaxK), got k=${model.k}")
+    require(model.k >= 2, "spilled assignment needs at least 2 centroids")
+    val v = col(vCol)
+    val arr = sort_array(array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-CosineSimilarity.column(v, typedLit(c))).as("d"), lit(i).as("cl"))
+    }: _*))
+    val best = element_at(arr, 1)
+    val second = element_at(arr, 2)
+    corpus
+      .withColumn("__cls",
+        when(second.getField("d") - best.getField("d") <= lit(spillMargin),
+          array(best.getField("cl"), second.getField("cl")))
+          .otherwise(array(best.getField("cl"))))
+      .withColumn(outCol, explode(col("__cls")))
+      .drop("__cls")
+  }
+
   /** Train a k-means codebook on a deterministic hash-sample of `corpus`
     * (expects columns `vec_id`, `v: array<double>`).
     *
@@ -262,6 +309,18 @@ object IvfIndex {
       .partitionBy("cl")
       .parquet(path)
 
+  /** [[writeIndexed]] with spilled multi-assignment — the high-recall
+    * materialized layout ([[assignSpilled]]); [[searchIndexed]] reads it
+    * unchanged apart from deduping pairs (a vector can sit in two probed
+    * partitions). */
+  def writeIndexedSpilled(
+      corpus: DataFrame, model: Model, path: String, spillMargin: Double): Unit =
+    assignSpilled(corpus, model, spillMargin)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cl")
+      .parquet(path)
+
   /** Search a materialized index: the probed cluster ids (a metadata-
     * scale driver-side set, like the centroids themselves) become an
     * `IN` filter on the partition column, so the scan PRUNES to nProbe
@@ -274,23 +333,14 @@ object IvfIndex {
       probes: DataFrame,
       model: Model,
       nProbe: Int,
-      topK: Int
+      topK: Int,
+      spilled: Boolean = false
   ): DataFrame = {
     val spark = probes.sparkSession
     graft.functions.GraftExtensions.register(spark)
     import spark.implicits._
 
-    val centDf = model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }
-      .toSeq
-      .toDF("cl", "cv")
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cl").asc)
-    val probed = probes
-      .crossJoin(broadcast(centDf))
-      .withColumn("d", -CosineSimilarity.column(col("qv"), col("cv")))
-      .withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cl"))
+    val probed = probedClustersDf(probes, model, nProbe)
 
     // Q × nProbe cluster ids — metadata-scale, safe to collect for the
     // planning-time partition filter (same class of driver-side state as
@@ -301,9 +351,65 @@ object IvfIndex {
       .parquet(indexPath)
       .filter(col("cl").isin(probedClusters: _*))
     val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    assigned
+    val joined = assigned
       .join(broadcast(probed), Seq("cl"))
       .filter(col("vec_id") =!= col("q_id"))
+    // a spilled layout ([[writeIndexedSpilled]]) can surface one vector
+    // through two probed partitions — dedupe before ranking
+    val cands =
+      if (spilled)
+        joined.select(col("q_id"), col("vec_id"), col("qv"), col("v"))
+          .dropDuplicates("q_id", "vec_id")
+      else joined
+    cands
+      .withColumn("cos", CosineSimilarity.column(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /** The nProbe nearest clusters per query: (q_id, qv, cl), Q × nProbe
+    * rows — driver/broadcast-scale. */
+  private def probedClustersDf(probes: DataFrame, model: Model, nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val centDf = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toSeq
+      .toDF("cl", "cv")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cl").asc)
+    probes
+      .crossJoin(broadcast(centDf))
+      .withColumn("d", -CosineSimilarity.column(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cl"))
+  }
+
+  /** Probe `nProbe` clusters of a pre-assigned corpus (vec_id, v, cl) and
+    * rank exact cosine inside them. A SPILLED corpus can surface the same
+    * (q_id, vec_id) through two probed clusters — deduped before the
+    * ranking window, so top-K semantics are identical to the unspilled
+    * index. */
+  private def searchAssigned(
+      assigned: DataFrame,
+      probes: DataFrame,
+      model: Model,
+      nProbe: Int,
+      topK: Int,
+      dedupe: Boolean = false
+  ): DataFrame = {
+    graft.functions.GraftExtensions.register(assigned.sparkSession)
+    val probed = probedClustersDf(probes, model, nProbe)
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val joined = assigned
+      .join(broadcast(probed), Seq("cl"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qv"), col("v"))
+    // spilled corpora only — the plain index can't duplicate a pair, so
+    // it skips the extra (q_id, vec_id) exchange entirely
+    val cands = if (dedupe) joined.dropDuplicates("q_id", "vec_id") else joined
+    cands
       .withColumn("cos", CosineSimilarity.column(col("qv"), col("v")))
       .withColumn("rnk", row_number().over(wr).cast("long"))
       .filter(col("rnk") <= topK)
@@ -319,34 +425,22 @@ object IvfIndex {
       model: Model,
       nProbe: Int,
       topK: Int
-  ): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.functions.GraftExtensions.register(spark)
-    import spark.implicits._
+  ): DataFrame =
+    searchAssigned(assignAuto(corpus, model), probes, model, nProbe, topK)
 
-    val centDf = model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }
-      .toSeq
-      .toDF("cl", "cv")
-    // Q × k rows — driver-scale; nearest nProbe centroids per query.
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cl").asc)
-    val probed = probes
-      .crossJoin(broadcast(centDf))
-      .withColumn("d", -CosineSimilarity.column(col("qv"), col("cv")))
-      .withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cl"))
-
-    val assigned = assignAuto(corpus, model)
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    assigned
-      .join(broadcast(probed), Seq("cl"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", CosineSimilarity.column(col("qv"), col("v")))
-      .withColumn("rnk", row_number().over(wr).cast("long"))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
-  }
+  /** [[search]] over a SPILL-assigned corpus ([[assignSpilled]]): same
+    * probe set and per-query cost, higher recall — boundary vectors are
+    * reachable through their runner-up cluster too. */
+  def searchSpilled(
+      corpus: DataFrame,
+      probes: DataFrame,
+      model: Model,
+      nProbe: Int,
+      topK: Int,
+      spillMargin: Double
+  ): DataFrame =
+    searchAssigned(
+      assignSpilled(corpus, model, spillMargin), probes, model, nProbe, topK, dedupe = true)
 
   /** Persist the trained codebook next to its data — the missing third
     * of the index lifecycle (writeIndexed persists the LAYOUT, this

@@ -889,24 +889,27 @@ object Similarity {
     // in-engine brute-force top-5 as a boolean whose oracle is constant
     // TRUE (same scheme as agg_approx_distinct's ±5% bound). The fixture
     // embeddings are near-uniform random — ANN's worst case, where
-    // expected recall is the scanned fraction (~0.3) plus the
-    // constructed near-duplicate pairs that k-means co-clusters — so the
-    // pinned bound is mean-recall ≥ 0.55 over the probe set
-    // (graft.tools.RecallProbe measures 0.72 / 0.68 / 0.76 at
-    // sf0.001/0.01/0.1 with autoParams k=22/22/45, nProbe=7/7/14; the
-    // bound is ~80% of the measured minimum — tight enough that a
-    // recall regression fails the gate, loose enough to absorb the
-    // binomial noise of a different fixture draw). The neighbor-list
-    // mechanism itself (exact top-5 within the probed clusters) is
-    // pinned by SimilaritySpec.
+    // expected recall tracks the scanned fraction. r12 raised the
+    // measured floor with BOTH levers (tools/RecallProbe's IVFGRID):
+    // probe fraction 0.3 → 0.45 AND spilled corpus multi-assignment at
+    // margin 0.1 (IvfIndex.assignSpilled — boundary vectors indexed
+    // under their runner-up cluster too, the SPANN-style trade). Mean
+    // recall@5 measured 0.92 / 0.88 / 0.96 at sf0.001/0.01/0.1 (was
+    // 0.72/0.68/0.76 at the old 0.3-fraction single assignment); the
+    // pinned bound 0.70 is ~80% of the measured minimum — tight enough
+    // that a recall regression fails the gate, loose enough to absorb
+    // the binomial noise of a different fixture draw. The neighbor-list
+    // mechanism (exact top-5 within probed clusters, spill dedupe) is
+    // pinned by SimilaritySpec/IvfIndexLayoutSpec.
     "sim_ann_ivf" -> { (spark, dir) =>
       val e = corpus(spark, dir)
-      val (k, nProbe) = IvfIndex.autoParams(e.count())
+      val (k, nProbe) = IvfIndex.autoParams(e.count(), targetScanFrac = 0.45)
       val model = IvfIndex.train(e, k = k, iters = 3)
       val probes = e
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val ann = IvfIndex.search(e, probes, model, nProbe = nProbe, topK = 5)
+      val ann = IvfIndex.searchSpilled(
+        e, probes, model, nProbe = nProbe, topK = 5, spillMargin = 0.1)
       val bf = bruteForceTopK(spark, dir, 5).select(col("q_id"), col("vec_id"))
       val hits = ann
         .join(bf, Seq("q_id", "vec_id"))
@@ -920,7 +923,7 @@ object Similarity {
           count(lit(1)).as("n_queries"),
           // mean recall@5 = Σ n_hits / (5·Q) — all-integer numerator, so
           // the comparison is exact (no float-sum order dependence)
-          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.55).as("recall_ok")
+          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.70).as("recall_ok")
         )
         .select(col("n_queries"), col("recall_ok"))
     },

@@ -7,7 +7,9 @@ import graft.operators.IvfIndex
 
 /** Diagnostic CLI: measured mean recall@5 of the IVF index vs exact
   * brute force, per SF dir — the evidence behind sim_ann_ivf's declared
-  * ≥ 0.2 bound. Run: `runMain graft.tools.RecallProbe <sfDir>...` */
+  * ≥ 0.70 bound (measured 0.92/0.88/0.96 at the gate's frac=0.45 +
+  * spillMargin=0.1 config, the IVFGRID rows) and sim_ann_lsh's ≥ 0.64.
+  * Run: `runMain graft.tools.RecallProbe <sfDir>...` */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder().getOrCreate()
@@ -34,6 +36,26 @@ object RecallProbe {
       val hits = ann.join(bf, Seq("q_id", "vec_id")).count()
       val q = probes.count()
       println(s"RECALL $dir: mean recall@5 = ${hits.toDouble / (5.0 * q)} ($hits/${5 * q} hits)")
+
+      // IVF recall levers on the SAME trained model: spilled corpus
+      // multi-assignment (margin-controlled boundary replication — query
+      // cost unchanged, storage × (1 + spill frac)) vs simply probing
+      // more clusters (query cost × frac/0.3). Rows = the spilled index
+      // size; recall per (scanFrac, margin).
+      for ((frac, margin) <- Seq(
+          (0.3, 0.0), (0.3, 0.05), (0.3, 0.1), (0.3, 0.2),
+          (0.45, 0.0), (0.45, 0.1), (0.6, 0.0))) {
+        val np = math.max(1, math.min(k, math.ceil(k * frac).toInt))
+        val annX =
+          if (margin > 0) IvfIndex.searchSpilled(e, probes, model, np, 5, margin)
+          else IvfIndex.search(e, probes, model, np, 5)
+        val hitsX = annX.join(bf, Seq("q_id", "vec_id")).count()
+        val idxRows =
+          if (margin > 0) IvfIndex.assignSpilled(e, model, margin).count() else n
+        println(f"IVFGRID $dir frac=$frac margin=$margin nProbe=$np " +
+          f"recall@5=${hitsX.toDouble / (5.0 * q)}%.3f indexRows=$idxRows " +
+          f"(x${idxRows.toDouble / n}%.2f)")
+      }
 
       // SQ8 (int8-quantized corpus) top-K recall vs the same brute force
       val deq = graft.operators.Quantize

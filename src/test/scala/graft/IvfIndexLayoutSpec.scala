@@ -77,6 +77,50 @@ class IvfIndexLayoutSpec extends AnyFunSuite {
     assert(viaAuto.values.toSet.size > 1, "degenerate fixture: every vector in one cluster")
   }
 
+  test("spilled assignment: primary cluster identical to assignExpr, 1-2 rows per vector, search dedupes") {
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val model = IvfIndex.train(e, k = 10, iters = 3)
+
+    val plain = e
+      .withColumn("cl", IvfIndex.assignExpr(model, col("v")))
+      .select("vec_id", "cl").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val spilled = IvfIndex.assignSpilled(e, model, spillMargin = 0.1)
+      .select("vec_id", "cl").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byVec = spilled.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    assert(byVec.keySet == plain.keySet, "spill must not add or drop vectors")
+    byVec.foreach { case (id, cls) =>
+      assert(cls.size >= 1 && cls.size <= 2, s"vec $id spilled to ${cls.size} clusters")
+      assert(cls.contains(plain(id)),
+        s"vec $id lost its primary cluster ${plain(id)} (got $cls) — spill must be a superset")
+    }
+    val spillFrac = byVec.values.count(_.size == 2).toDouble / byVec.size
+    assert(spillFrac > 0.0 && spillFrac < 1.0,
+      s"degenerate spill fraction $spillFrac — margin fixture is vacuous")
+
+    // searchSpilled: no duplicate pairs, dense per-query ranks, and
+    // recall vs brute force at least the unspilled search's (the point)
+    val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val annS = IvfIndex.searchSpilled(e, probes, model, nProbe = 3, topK = 5, spillMargin = 0.1)
+      .collect()
+    val pairs = annS.map(r => (r.getLong(0), r.getLong(2)))
+    assert(pairs.distinct.length == pairs.length, "spilled search surfaced duplicate pairs")
+    annS.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"query $q ranks not dense")
+    }
+    val bf = graft.operators.Similarity.cosineTopK(e, probes, 5)
+      .select(col("q_id"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annP = IvfIndex.search(e, probes, model, nProbe = 3, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hitsS = pairs.count(bf.contains)
+    val hitsP = annP.count(bf.contains)
+    assert(hitsS >= hitsP,
+      s"spill lowered recall: $hitsS spilled hits vs $hitsP plain — boundary replication broken")
+  }
+
   test("indexed search ≡ in-memory search, and the scan prunes to the probed partitions") {
     val e = Tables
       .embeddings(spark, sf)
