@@ -560,6 +560,44 @@ object ScaleRehearsal {
         soakReport("semantic_soak", times.result(), listings.result())
       }
 
+      // The semantic sink soak under TIERED compaction — the vecs/keys
+      // twin of corpus_soak_tiered (same batches as semantic_soak, so
+      // the delta isolates what the tiering buys the loop whose
+      // single-tier curve was the worst of the four measured in r11,
+      // 1.55× last/first at m=10 — SCALING.md).
+      if (wanted("semantic_soak_tiered")) {
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val nCorpus = 2000L * m
+        val all = genEmbeddingsPlanted(spark, nCorpus + SoakIngests * SoakBatch)
+        val st = s"$dir/sem_soak_tier_state"; val ck = s"$dir/sem_soak_tier_ckpt"
+        graft.Verify.deleteTree(new java.io.File(st))
+        graft.Verify.deleteTree(new java.io.File(ck))
+        graft.streaming.SemanticMaintenance.bootstrap(
+          spark, all.filter(col("vec_id") < nCorpus), st,
+          threshold = 0.9, bitsPerBand = 10, bands = 25)
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+        val q = graft.streaming.SemanticMaintenance.sink(
+          ms.toDF().toDF("vec_id", "v"), st, ck,
+          threshold = 0.9, bitsPerBand = 10, bands = 25,
+          trigger = Trigger.ProcessingTime(0), retainVersions = Some(2),
+          retainGraceMs = 0, compactEvery = Some(8), majorEvery = Some(6))
+        val times = Seq.newBuilder[Double]; val listings = Seq.newBuilder[Int]
+        for (i <- 0 until SoakIngests) {
+          val batch = all
+            .filter(col("vec_id") >= nCorpus && soakBatchOf("vec_id") === i)
+            .as[(Long, Array[Double])].collect().toSeq
+          val t0 = System.nanoTime()
+          ms.addData(batch); q.processAllAvailable()
+          times += (System.nanoTime() - t0) / 1e9
+          listings += (committedListing(st, "vecs") +
+            Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+              .count(f => f.isDirectory && f.getName.startsWith("vecs_minor_")))
+        }
+        q.stop()
+        soakReport("semantic_soak_tiered", times.result(), listings.result())
+      }
+
       // AQE-skew rehearsal: the same 40%-hot-key shuffle join measured
       // three ways — AQE skew-split on (the session default), skew-split
       // off (what the hot key costs un-mitigated), and the explicit
