@@ -166,6 +166,67 @@ object FileIO {
     (dataFiles.length, nOut)
   }
 
+  /** What [[upsertByKey]] rewrote. */
+  final case class UpsertReport(partitionsRewritten: Int, nUpserts: Long)
+
+  /** Partition-scoped MERGE/upsert into a Hive-partitioned table — the
+    * lakehouse mutation primitive, without a table format: update rows
+    * REPLACE base rows sharing their key, new keys append, and ONLY the
+    * partitions the updates touch are rewritten. At 100 TB this is the
+    * difference between rewriting a few date partitions and the table.
+    *
+    * Mechanics: the updates' distinct partition values (METADATA-scale —
+    * an upsert batch touches few partitions; same driver-side class as
+    * IVF's probed-cluster ids) become a planning-time partition filter
+    * on the base scan; affected base rows anti-join the update keys
+    * (broadcast when small) and union the updates; the write-back uses
+    * DYNAMIC partition overwrite, which replaces exactly the partitions
+    * present in the merged frame — untouched partitions' files are never
+    * read or written (spec-pinned byte-identical).
+    *
+    * Contract: `updates` must be unique per key (enforced), must carry
+    * the partition column, and the partition value of a key must be
+    * STABLE (a key never moves partitions) — the usual warehouse layout
+    * (partition derived from immutable attributes: creation date, id
+    * hash). A moving key would strand its old row in an untouched
+    * partition; detecting that requires a key index or bloom over the
+    * full table — the documented scale path if ever needed, not silently
+    * half-done here.
+    */
+  def upsertByKey(
+      spark: SparkSession,
+      basePath: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      format: String = "parquet"
+  ): UpsertReport = {
+    require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
+    require(updates.columns.contains(partitionCol),
+      s"updates must carry the partition column '$partitionCol'")
+    val nUpd = updates.count()
+    require(updates.select(keyCols.map(col): _*).distinct().count() == nUpd,
+      "updates must be unique per key — collapse them (e.g. keep-latest) before the upsert")
+    val partVals = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    val base = spark.read.format(format).load(basePath)
+    val affectedBase = base.filter(col(partitionCol).isin(partVals: _*))
+    // size-gated broadcast on the MEASURED row count (already paid by the
+    // uniqueness check): typical upsert batches broadcast; a bulk
+    // backfill falls back to the shuffle anti-join
+    val keyDf = updates.select(keyCols.map(col): _*)
+    val keySide = if (nUpd <= 1000000L) broadcast(keyDf) else keyDf
+    val survivors = affectedBase.join(keySide, keyCols, "left_anti")
+    survivors
+      .unionByName(updates.select(base.columns.map(col): _*))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .format(format)
+      .partitionBy(partitionCol)
+      .save(basePath)
+    UpsertReport(partVals.length, nUpd)
+  }
+
   val queries: Map[String, Q] = Map(
     // Batch partitioned ORC sink (reference parity R5+R7) + ORC scan +
     // partition pruning on the re-read.
@@ -370,6 +431,73 @@ object FileIO {
         .orderBy(col("event_type"))
     },
 
+    // SCHEMA EVOLUTION on a live table — the other mutation every
+    // long-lived warehouse table suffers: a producer starts shipping an
+    // extra column mid-stream. Batch 1 lands WITHOUT `c_nationkey`,
+    // batch 2 WITH it; a `mergeSchema` read serves the union schema with
+    // nulls for the legacy files, and the aggregate separates legacy
+    // from evolved rows. The oracle recomputes from the original parquet
+    // (which always had the column) using the SAME even/odd split, so a
+    // pass proves no row, value, or null was invented by the merge.
+    "schema_evolution" -> { (spark, dir) =>
+      val p = out(dir, "customer_evolve")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      val src = Tables.customer(spark, dir)
+      src.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode(SaveMode.Overwrite).parquet(p)
+      src.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"), col("c_nationkey"))
+        .write.mode(SaveMode.Append).parquet(p)
+      spark.read
+        .option("mergeSchema", "true")
+        .parquet(p)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("c_nationkey").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          sum(coalesce(col("c_nationkey"), lit(0L))).as("sum_nation"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Partition-scoped MERGE/upsert (upsertByKey): a partitioned orders
+    // table takes one upsert batch — ~1% of keys get a price bump
+    // (update-in-place) and a disjoint set of NEW keys appends — with
+    // only the touched status partitions rewritten (dynamic partition
+    // overwrite; the untouched-partition byte-identity is spec-pinned in
+    // TableUpsertSpec). The oracle recomputes the merged table from the
+    // ORIGINAL parquet with the same expressions, so a pass proves the
+    // anti-join + union + selective rewrite lost and invented nothing.
+    "merge_upsert" -> { (spark, dir) =>
+      val p = out(dir, "orders_upsert")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      val src = Tables
+        .orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      src.write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(p)
+      val updates = src
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .unionByName(src
+          .filter(pmod(col("o_orderkey"), lit(499)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_totalprice", lit(42.5)))
+      upsertByKey(spark, p, updates, Seq("o_orderkey"), "o_orderstatus")
+      spark.read
+        .parquet(p)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Parquet batch sink (the streaming twin is graft.streaming): write
     // partitioned parquet, re-read with a partition-pruning filter.
     "parquet_sink_roundtrip" -> { (spark, dir) =>
@@ -425,6 +553,34 @@ object FileIO {
       s"""SELECT o_orderpriority, ${sqlSum("o_totalprice")} AS sum_price, COUNT(*) AS n
          |FROM orders WHERE o_orderstatus = 'F'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Ground truth for the evolved table: the original parquet always
+    // had the column; the even/odd split decides which rows read as
+    // legacy (null) after the merge.
+    "schema_evolution" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+         |  ${sqlSum("c_acctbal")} AS sum_bal,
+         |  CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN c_nationkey ELSE 0 END) AS BIGINT)
+         |    AS sum_nation
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Ground truth for the upsert: the merged table recomputed from the
+    // original parquet with the same update/insert expressions.
+    "merge_upsert" ->
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+         |m AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END
+         |      AS o_totalprice,
+         |    o_orderstatus
+         |  FROM src
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, 42.5, o_orderstatus
+         |  FROM src WHERE o_orderkey % 499 = 0)
+         |SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sqlSum("o_totalprice")} AS sum_price,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Ground truth for the stream→promote→register→SQL-by-name chain is
     // the ORIGINAL events parquet.
     "catalog_sink_table" ->

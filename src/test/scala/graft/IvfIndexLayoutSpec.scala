@@ -167,6 +167,32 @@ class IvfIndexLayoutSpec extends AnyFunSuite {
       s"scan read all $populated partitions — no pruning (selected=$selected)")
   }
 
+  test("spilled materialized layout: searchIndexed(spilled) ≡ in-memory searchSpilled") {
+    val e = Tables
+      .embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val model = IvfIndex.train(e, k = 10, iters = 3)
+    val path = s"/root/repo/tmp/graft_io/ivf_index_spilled_spec"
+    IvfIndex.writeIndexedSpilled(e, model, path, spillMargin = 0.1)
+    // the layout genuinely spilled: more rows on disk than vectors
+    val n = e.count()
+    assert(spark.read.parquet(path).count() > n, "spilled layout holds no replicas")
+
+    val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val indexed =
+      IvfIndex.searchIndexed(path, probes, model, nProbe = 3, topK = 5, spilled = true)
+    val inMem = IvfIndex.searchSpilled(e, probes, model, nProbe = 3, topK = 5, spillMargin = 0.1)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rnk", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(key(indexed) === key(inMem))
+    // dedupe held on the materialized path too
+    val pairs = indexed.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length, "indexed spilled search surfaced duplicates")
+  }
+
   test("saved codebook loads bit-exactly and searches identically") {
     val e = Tables
       .embeddings(spark, sf)

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.FileIO
+
+/** Partition-scoped upsert (FileIO.upsertByKey): updates replace, new
+  * keys append, and — the scale property — ONLY the touched partitions
+  * are rewritten: untouched partitions' data files stay byte-identical
+  * (same names, sizes, mtimes). Plus the contract guards (duplicate
+  * update keys reject, partition column required).
+  */
+class TableUpsertSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def freshDir(): String = {
+    val p = Files.createTempDirectory("graft_upsert")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def base(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n)
+      .map(i => (i.toLong, s"v$i", if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "payload", "part")
+  }
+
+  private def fileState(dir: String, part: String): Set[(String, Long, Long)] =
+    Option(new java.io.File(s"$dir/part=$part").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(f => (f.getName, f.length, f.lastModified))
+      .toSet
+
+  test("updates replace, inserts append, untouched partitions byte-identical") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    base(30).write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    val cBefore = fileState(dir, "c")
+    assert(cBefore.nonEmpty, "fixture wrote no files for partition c")
+
+    // touch partitions a and b only: update two existing keys, add one new
+    val updates = Seq(
+      (0L, "UPDATED0", "a"),
+      (4L, "UPDATED4", "b"),
+      (1000L, "NEW", "a")
+    ).toDF("id", "payload", "part")
+    val report = FileIO.upsertByKey(spark, dir, updates, Seq("id"), "part")
+    assert(report.partitionsRewritten === 2 && report.nUpserts === 3)
+
+    val after = spark.read.parquet(dir).select("id", "payload", "part")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after.size === 31, "30 base rows + 1 insert")
+    assert(after.contains((0L, "UPDATED0", "a")) && !after.exists(r => r._1 == 0L && r._2 == "v0"))
+    assert(after.contains((4L, "UPDATED4", "b")))
+    assert(after.contains((1000L, "NEW", "a")))
+    assert(after.count(_._3 == "c") === 10, "partition c rows changed")
+    assert(fileState(dir, "c") === cBefore,
+      "untouched partition c was rewritten — the selective-rewrite contract broke")
+  }
+
+  test("contract guards: duplicate update keys and missing partition column reject") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    base(9).write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    intercept[IllegalArgumentException] {
+      FileIO.upsertByKey(spark, dir,
+        Seq((1L, "x", "b"), (1L, "y", "b")).toDF("id", "payload", "part"),
+        Seq("id"), "part")
+    }
+    intercept[IllegalArgumentException] {
+      FileIO.upsertByKey(spark, dir,
+        Seq((1L, "x")).toDF("id", "payload"), Seq("id"), "part")
+    }
+  }
+
+  test("idempotence: re-applying the same upsert changes nothing") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    base(12).write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    val updates = Seq((2L, "U2", "c"), (500L, "NEW", "b")).toDF("id", "payload", "part")
+    FileIO.upsertByKey(spark, dir, updates, Seq("id"), "part")
+    val once = spark.read.parquet(dir).collect().map(_.toString).sorted
+    FileIO.upsertByKey(spark, dir, updates, Seq("id"), "part")
+    val twice = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(once.toSeq === twice.toSeq, "upsert is not idempotent")
+  }
+}

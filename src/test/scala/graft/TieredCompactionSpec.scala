@@ -121,6 +121,51 @@ class TieredCompactionSpec extends AnyFunSuite {
     assert(corpusRows(st) === before)
   }
 
+  test("no GC starvation: retirement is gated on each victim's OWN fold commit, not the shared file's mtime") {
+    // The starvation scenario: a loop folding MORE OFTEN than the grace
+    // window rewrites _MINOR_FOLDS every fold, refreshing its mtime —
+    // under mtime-of-the-shared-file gating, covered epochs would never
+    // age out and disk would grow forever. The fix records a commit
+    // timestamp PER RANGE; an old fold's victims are reclaimable even
+    // while the file itself is seconds old.
+    val st = freshDir()
+    val d = docs(40)
+    CorpusMaintenance.bootstrap(spark, d.filter(col("doc_id") < 10), st)
+    (1 to 3).foreach { i =>
+      CorpusMaintenance.ingestBatch(
+        spark, d.filter(col("doc_id") >= i * 10 && col("doc_id") < (i + 1) * 10), st)
+    }
+    EpochStore.minorFold(spark, st, Seq("docs", "hashes", "shingles"), from = 1, upTo = 2)
+    // a FRESH fold under a long grace: nothing reclaimable yet
+    assert(CorpusMaintenance.retireCompactedEpochs(spark, st, graceMs = 600000L).isEmpty,
+      "grace window failed to protect a fresh fold's victims")
+    // age ONLY the fold's recorded commit time (rewrite its line with an
+    // old ts), then refresh the file's mtime to NOW — the starvation
+    // setup: old commit, fresh file
+    val f = new java.io.File(s"$st/_MINOR_FOLDS")
+    val lines = scala.io.Source.fromFile(f).getLines().toSeq
+    val aged = lines.map { l =>
+      val range = l.split("\\s+")(0)
+      s"$range ${System.currentTimeMillis() - 3600 * 1000L}"
+    }
+    java.nio.file.Files.write(f.toPath, aged.mkString("\n").getBytes("UTF-8"))
+    assert(f.setLastModified(System.currentTimeMillis()))
+    // the raw rewrite invalidates Hadoop LocalFileSystem's checksum sidecar
+    new java.io.File(s"$st/._MINOR_FOLDS.crc").delete()
+    // victims' own dir mtimes must also be past the grace (they are the
+    // mid-write guard) — age them explicitly
+    for (store <- Seq("docs", "hashes", "shingles"); n <- 1 to 2) {
+      val dir = new java.io.File(s"$st/$store/epoch=$n")
+      if (dir.exists()) assert(dir.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    }
+    val before = corpusRows(st)
+    val swept = CorpusMaintenance.retireCompactedEpochs(spark, st, graceMs = 600000L)
+    assert(swept.exists(_.contains("epoch=1")),
+      s"old fold's covered epochs must be reclaimable despite the fresh _MINOR_FOLDS mtime, got $swept")
+    assert(!new java.io.File(s"$st/docs/epoch=1").exists())
+    assert(corpusRows(st) === before, "starvation-fix sweep changed the committed view")
+  }
+
   test("tiered sink end-to-end: bounded listing, majors rare, map rebuild-exact") {
     val s = spark
     import s.implicits._
