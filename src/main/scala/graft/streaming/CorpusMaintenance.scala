@@ -137,6 +137,50 @@ object CorpusMaintenance {
     throw new IllegalStateException("unreachable")
   }
 
+  /** TIME-TRAVEL read: the corpus exactly as committed at `version` — a
+    * training run pinned to corpus@v stays reproducible while the loop
+    * keeps ingesting. The horizon is bounded by COMPACTION, exactly like
+    * table-format time travel is bounded by VACUUM: epochs folded into
+    * the base generation (or covered by a minor fold ending past `v`)
+    * can no longer be separated, and [[EpochStore.committed]] rejects
+    * such a version loudly (StaleViewException) instead of serving an
+    * approximation. Choose `compactEvery` with the travel horizon in
+    * mind. */
+  def corpusAt(spark: SparkSession, stateDir: String, version: Int): DataFrame = {
+    val live = currentMapVersion(spark, stateDir)
+    require(version >= 1 && version <= live,
+      s"corpusAt($version): committed versions are 1..$live")
+    committed(spark, stateDir, "docs", version)
+  }
+
+  /** TIME-TRAVEL read of the cluster map at `version`. Map versions are
+    * retained per [[retain]]'s `keep` policy — a swept version fails
+    * loudly here, naming the policy that reclaimed it. */
+  def clusterMapAt(spark: SparkSession, stateDir: String, version: Int): DataFrame = {
+    val live = currentMapVersion(spark, stateDir)
+    require(version >= 1 && version <= live,
+      s"clusterMapAt($version): committed versions are 1..$live")
+    val p = new org.apache.hadoop.fs.Path(mapPath(stateDir, version))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"cluster map v$version was reclaimed by the retention policy (retain/keep) — " +
+        "only versions the policy kept are time-travelable")
+    spark.read.parquet(mapPath(stateDir, version))
+  }
+
+  /** Register the loop's state as POINTER-CONSISTENT temp views
+    * (`<prefix>_corpus`, `<prefix>_clusters`) so SQL users query the
+    * maintained state by NAME — both views resolve from ONE
+    * [[snapshot]], so a SQL join between them can never straddle a
+    * commit. Re-run after ingests to advance; returns the snapshot
+    * version the views serve. */
+  def registerViews(spark: SparkSession, stateDir: String, prefix: String): Int = {
+    val snap = snapshot(spark, stateDir)
+    snap.corpus.createOrReplaceTempView(s"${prefix}_corpus")
+    snap.clusterMap.createOrReplaceTempView(s"${prefix}_clusters")
+    snap.version
+  }
+
   /** Bootstrap the state from an initial corpus (runs the one full-graph
     * CC the maintenance loop exists to never run again). Epoch 1.
     *

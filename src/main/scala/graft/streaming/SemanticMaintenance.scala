@@ -112,6 +112,26 @@ object SemanticMaintenance {
     throw new IllegalStateException("unreachable")
   }
 
+  /** TIME-TRAVEL read: the vector store exactly as committed at
+    * `version` — same horizon contract as [[CorpusMaintenance.corpusAt]]
+    * (bounded by compaction; a folded-away version rejects loudly). */
+  def vectorsAt(spark: SparkSession, stateDir: String, version: Int): DataFrame = {
+    val live = CorpusMaintenance.currentMapVersion(spark, stateDir)
+    require(version >= 1 && version <= live,
+      s"vectorsAt($version): committed versions are 1..$live")
+    committed(spark, stateDir, "vecs", version)
+  }
+
+  /** Register the loop's state as pointer-consistent temp views
+    * (`<prefix>_vectors`, `<prefix>_clusters`) — the semantic twin of
+    * [[CorpusMaintenance.registerViews]]. Returns the served version. */
+  def registerViews(spark: SparkSession, stateDir: String, prefix: String): Int = {
+    val snap = snapshot(spark, stateDir)
+    snap.vectors.createOrReplaceTempView(s"${prefix}_vectors")
+    snap.clusterMap.createOrReplaceTempView(s"${prefix}_clusters")
+    snap.version
+  }
+
   /** Bootstrap from an initial corpus — runs the one full banded
     * pair-join the loop exists to never run again. Epoch 1. */
   def bootstrap(
