@@ -77,6 +77,34 @@ object Chunking {
            |ORDER BY doc_id""".stripMargin)
     },
 
+    // SEQUENCE-LENGTH BUCKETED BATCHING — the other half of training
+    // batch layout next to packing: group documents into length buckets
+    // (32-token bands) so each training batch pads to a similar length
+    // (padding waste ∝ in-batch length spread), then number fixed-size
+    // batches WITHIN each bucket by a deterministic doc order. Per
+    // batch: size, token sum, and the padded-token cost at the batch's
+    // max length — the quantity this layout exists to minimize. Shape:
+    // one bucket-partitioned window (never global) + one hash agg; at
+    // 100 TB the bucket key is the shuffle key and batches stay local.
+    "batch_by_length" -> { (spark, dir) =>
+      val docs = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 32"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      docs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("batch_id", expr("(rn - 1) div 8"))
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          (count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens"))).as("pad_tokens"))
+        .orderBy(col("bucket"), col("batch_id"))
+    },
+
     // Sliding-window chunks with overlap; md5 of the chunk text makes
     // the cut positions (not just the counts) hash-checkable.
     "chunk_docs" -> { (spark, dir) =>
@@ -102,6 +130,20 @@ object Chunking {
   )
 
   val oracles: Map[String, String] = Map(
+    "batch_by_length" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY n_tokens // 32 ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT bucket, (rn - 1) // 8 AS batch_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  MAX(n_tokens) AS max_tokens,
+        |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_tokens
+        |FROM b GROUP BY bucket, (rn - 1) // 8
+        |ORDER BY bucket, batch_id""".stripMargin,
     "pack_chunks" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -227,6 +227,61 @@ object FileIO {
     UpsertReport(partVals.length, nUpd)
   }
 
+  /** Streaming CDC APPLY: every micro-batch [[upsertByKey]]s into the
+    * partitioned table — the classic "apply the change stream to the
+    * warehouse table" loop, composed from the batch primitive.
+    *
+    * Exactly-once BY IDEMPOTENCE: foreachBatch delivery is
+    * at-least-once, and re-applying an upsert batch is a no-op
+    * (TableUpsertSpec pins it), so a crash-replayed batch converges to
+    * the same table — the same argument the maintenance loops make via
+    * their epoch pointers, here for free from the upsert's semantics.
+    *
+    * In-batch collapse: a CDC stream can carry several versions of one
+    * key per micro-batch; `versionCol` (when set) keeps the row with the
+    * HIGHEST version per key (deterministic; ties broken by the max
+    * struct comparison across remaining columns). Without it, the batch
+    * must already be unique per key — [[upsertByKey]] enforces. */
+  def upsertSink(
+      stream: DataFrame,
+      basePath: String,
+      keyCols: Seq[String],
+      partitionCol: String,
+      checkpoint: String,
+      versionCol: Option[String] = None,
+      format: String = "parquet",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val collapsed = versionCol match {
+          case None => b
+          case Some(v) =>
+            val others = b.columns.filterNot(keyCols.contains)
+            b.groupBy(keyCols.map(col): _*)
+              .agg(max_by(struct(others.map(col): _*), col(v)).as("__r"))
+              .select((keyCols.map(col) ++ others.map(c => col(s"__r.$c").as(c))): _*)
+        }
+        if (!collapsed.isEmpty) {
+          val hp = new org.apache.hadoop.fs.Path(basePath)
+          val fs = hp.getFileSystem(b.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.exists(hp)) {
+            // first batch bootstraps the table (replay-safe: a re-run of
+            // the same batch finds the path and upserts — a no-op)
+            collapsed.write.mode(SaveMode.Overwrite)
+              .format(format).partitionBy(partitionCol).save(basePath)
+          } else {
+            upsertByKey(b.sparkSession, basePath, collapsed, keyCols, partitionCol, format)
+            ()
+          }
+        }
+      }
+      .start()
+
   val queries: Map[String, Q] = Map(
     // Batch partitioned ORC sink (reference parity R5+R7) + ORC scan +
     // partition pruning on the re-read.
