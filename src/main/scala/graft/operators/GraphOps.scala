@@ -98,6 +98,41 @@ object GraphOps {
     scores
   }
 
+  /** BFS hop distance from a source set: (id, depth) for every node
+    * reachable within `maxDepth` hops, depth = the MINIMUM hop count —
+    * the link-distance primitive (crawl-frontier pruning, "within N hops
+    * of a seed set" filters). Exact integers, so hash-checkable against
+    * a recursive-CTE oracle.
+    *
+    * Shape per round: one equi-join of the frontier onto the (once
+    * materialized, src-partitioned) edge list + an anti-join against the
+    * visited set — frontier-sized work, not graph-sized; lineage
+    * truncated per round like [[pageRank]]/[[DedupClusters]]. Early-exits
+    * when a frontier empties (the count is a per-round driver scalar,
+    * same class as CC's convergence check). */
+  def bfsDepths(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.repartition(parts, col("src")).localCheckpoint()
+    var frontier = sources.select(col("id")).distinct()
+      .withColumn("depth", lit(0L)).localCheckpoint()
+    var visited = frontier
+    var d = 1
+    var done = false
+    while (d <= maxDepth && !done) {
+      frontier = e
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint()
+      if (frontier.isEmpty) done = true
+      else visited = visited.unionByName(frontier).localCheckpoint()
+      d += 1
+    }
+    visited
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation.
     *
     * `und` is an undirected simple graph as canonical (a < b) distinct
@@ -226,6 +261,22 @@ object GraphOps {
         .limit(20)
     },
 
+    // BFS hop distance over the same part↔supplier graph: seeds = the
+    // graph nodes with id < 10, depths within 4 hops, minimum-hop
+    // semantics. The oracle is a recursive CTE taking MIN(depth) over
+    // all ≤4-hop paths — a green hash proves the frontier/anti-join
+    // loop IS the sequential BFS definition.
+    "graph_bfs_depth" -> { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      val fwd = li.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val sources = edges.select(col("src").as("id")).distinct().filter(col("id") < 10)
+      bfsDepths(edges, sources, maxDepth = 4)
+        .orderBy(col("id"))
+    },
+
     // "Also bought" top-3 recommendations from the same co-occurrence
     // graph: weighted edges (number of orders containing both parts),
     // symmetrized, top 3 per part by (count desc, part asc) — a
@@ -284,6 +335,16 @@ object GraphOps {
     "graph_pagerank" -> pagerankOracle,
     // reliable-checkpoint mode must land the IDENTICAL scores
     "graph_pagerank_ckpt" -> pagerankOracle,
+    "graph_bfs_depth" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+        |bfs(id, depth) AS (
+        |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS depth FROM e WHERE src < 10
+        |  UNION
+        |  SELECT e.dst, bfs.depth + 1 FROM bfs JOIN e ON e.src = bfs.id
+        |  WHERE bfs.depth < 4)
+        |SELECT id, MIN(depth) AS depth FROM bfs GROUP BY id ORDER BY id""".stripMargin,
     "graph_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
