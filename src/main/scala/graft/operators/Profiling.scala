@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Exact._
 
 /** Warehouse-side table maintenance queries: column statistics profiling
   * (the input to any cost-based optimizer), declarative data-quality
@@ -32,6 +33,29 @@ import graft.Tables
   */
 object Profiling {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Tag every row with the names of the DQ rules it VIOLATES: each rule
+    * is (name, predicate-that-must-hold); the added `violations` column
+    * is the ordered array of failed rule names (empty = valid). One
+    * codegen'd per-row map — rules compose as plain Columns, no UDF. */
+  def withViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    df.withColumn("violations",
+      array_remove(
+        array(rules.map { case (n, mustHold) =>
+          when(!mustHold, lit(n)).otherwise(lit(""))
+        }: _*),
+        ""))
+
+  /** The ENFORCEMENT split: (valid rows, quarantined rows carrying their
+    * `violations` reasons) — write the second to the dead-letter table.
+    * Both sides derive from one tagged frame; Spark scans it once per
+    * materialized side (or twice — cache the tagged frame when both
+    * sides are written in one job). */
+  def quarantineSplit(df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val tagged = withViolations(df, rules)
+    (tagged.filter(size(col("violations")) === 0).drop("violations"),
+      tagged.filter(size(col("violations")) > 0))
+  }
 
   /** One profile row per column: nulls, exact ndv, min/max rendered
     * deterministically (integers verbatim; doubles as integer cents;
@@ -117,6 +141,41 @@ object Profiling {
 
       fk.unionAll(pk).unionAll(rng).unionAll(txt).unionAll(vnn)
         .orderBy(col("check_name"))
+    },
+
+    // DQ ENFORCEMENT (quarantine split) — dq_checks REPORTS, this one
+    // ACTS: every row is tagged with the names of the rules it violates
+    // ([[withViolations]]); valid rows pass through, violating rows
+    // quarantine with machine-readable reasons (the split a pipeline
+    // writes to its dead-letter table). The fixture is all-valid, so
+    // violations are INJECTED deterministically (negative price for
+    // keys ≡ 0 mod 101, an invalid status for keys ≡ 0 mod 89 — same
+    // expressions on both engines, the text_redact recipe), and the
+    // gate aggregates per reason-combination so multi-rule rows pin the
+    // reason-ordering too. Pure per-row map + one hash agg — no
+    // shuffle before the agg, trivially parallel at 100 TB.
+    "dq_quarantine" -> { (spark, dir) =>
+      val src = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey").as("k"),
+          when(pmod(col("o_orderkey"), lit(101)) === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("price"),
+          when(pmod(col("o_orderkey"), lit(89)) === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("st"))
+      val tagged = withViolations(src, Seq(
+        "nonpositive_price" -> (col("price") > 0),
+        "invalid_status" -> col("st").isin("F", "O", "P")))
+      tagged
+        .withColumn("status",
+          when(size(col("violations")) === 0, lit("valid"))
+            .otherwise(concat_ws("+", col("violations"))))
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_key"),
+          dsum(col("price")).as("sum_price"))
+        .orderBy(col("status"))
     },
 
     // Equal-width 10-bucket histogram of l_extendedprice, all math in
@@ -340,6 +399,25 @@ object Profiling {
   )
 
   val oracles: Map[String, String] = Map(
+    // concat_ws skips NULL branches on both engines; the CASE order
+    // mirrors the Scala rule order, so multi-violation strings agree.
+    "dq_quarantine" ->
+      s"""WITH src AS (
+         |  SELECT o_orderkey AS k,
+         |    CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS price,
+         |    CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS st
+         |  FROM orders),
+         |c AS (
+         |  SELECT k, price,
+         |    concat_ws('+',
+         |      CASE WHEN NOT (price > 0) THEN 'nonpositive_price' END,
+         |      CASE WHEN st NOT IN ('F', 'O', 'P') THEN 'invalid_status' END) AS viol
+         |  FROM src)
+         |SELECT CASE WHEN viol = '' THEN 'valid' ELSE viol END AS status,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(k) AS BIGINT) AS sum_key,
+         |  ${sqlSum("price")} AS sum_price
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "stats_profile" -> {
       def row(c: String, minmax: String => String) =
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
