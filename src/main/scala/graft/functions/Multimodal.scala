@@ -8,18 +8,21 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   *
   * The real Spark-side machinery here — typed schemas, per-partition
   * batched processing, bounded memory, deterministic output — is
-  * production-shaped. The IMAGE codec is REAL (`decodeImage`:
-  * javax.imageio parses actual PNG/JPEG/GIF/BMP containers and pixels)
-  * and the AUDIO codec is REAL (`decodeAudio`: javax.sound.sampled
-  * parses actual WAV/AIFF containers and PCM frames); BOTH are what
-  * [[extractFeatures]] — the pipeline entry point — dispatches those
-  * media types through, and each is oracle-gated end-to-end
-  * (`mm_image_decode`, `mm_audio_decode` round-trip generated real
-  * containers). Only the VIDEO codec remains stubbed (`decodeStub`:
-  * this container ships no video library), clearly marked and
-  * deterministic so tests can pin the pipeline end-to-end; swapping it
-  * for a real JNI/javacpp decoder changes no schema, partitioning, or
-  * call signature.
+  * production-shaped, and ALL THREE codecs are real:
+  *  - IMAGE (`decodeImage`): javax.imageio parses actual PNG/JPEG/GIF/
+  *    BMP containers and pixels;
+  *  - AUDIO (`decodeAudio`): javax.sound.sampled parses actual WAV/AIFF
+  *    containers and PCM frames;
+  *  - VIDEO (`decodeVideo`): a RIFF/AVI container parser (chunk walk,
+  *    `avih` main header, `movi` frame chunks) whose MJPEG frames are
+  *    decoded by the real image codec — pure JDK, no external library.
+  * Each is what [[extractFeatures]] — the pipeline entry point —
+  * dispatches its media type through, and each is oracle-gated
+  * end-to-end (`mm_image_decode`, `mm_audio_decode`, `mm_video_decode`
+  * round-trip generated real containers). An UNKNOWN media type fails
+  * loudly instead of yielding fabricated metadata. Swapping the MJPEG
+  * frame codec for a broader one (e.g. H.264 via JNI/javacpp) changes
+  * no schema, partitioning, or call signature.
   *
   * Scale posture: `mapPartitions` (not per-row map) so a real decoder
   * amortizes codec init per partition — the Scala analog of
@@ -192,47 +195,149 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** ======== STUB (video only) ========
-    * Deterministic fake decode: derives (width, height, frameCount) from
-    * the payload bytes alone. Kept ONLY for the video media type this
-    * container has no codec for; the IMAGE and AUDIO paths are real —
-    * see [[decodeImage]] / [[decodeAudio]]. A real video implementation
-    * calls the codec (e.g. FFmpeg via JNI) — same signature, same caller.
-    */
-  private[graft] def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
-    val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-    val w = 16 + (math.abs(h) % 1920).toInt
-    val ht = 16 + (math.abs(h / 7) % 1080).toInt
-    val frames = mediaType match {
-      case "video" => 2 + (payload.length / 64)
-      case "audio" => 1 + (payload.length / 256)
-      case _       => 1
-    }
-    (w, ht, frames)
+  /** ======== REAL CODEC (video slice) ========
+    * Decode actual video bytes — a RIFF/AVI container with MJPEG frames,
+    * the classic pre-H.264 interchange format — into (width, height,
+    * frameCount). A real container parser: the RIFF chunk tree is
+    * walked (LIST `hdrl` → `avih` main header; LIST `movi` → `..dc`/
+    * `..db` frame chunks), every frame is decoded by the REAL image
+    * codec ([[decodeImage]]) and its dimensions checked against the
+    * header, and the frame count found in the stream is checked against
+    * the header's declared total — so garbage FAILS at the magic bytes,
+    * a truncated container fails at the RIFF size or frame count, and a
+    * mislabeled payload fails in the frame codec, instead of any of them
+    * producing fake metadata. Pure JDK (the MJPEG frames ride
+    * javax.imageio's JPEG reader); a broader codec (H.264 via JNI)
+    * would slot in at the frame-decode call with no interface change. */
+  def decodeVideoInfo(payload: Array[Byte]): (Int, Int, Int) = {
+    val (w, h, frames, _) = decodeVideo(payload)
+    (w, h, frames)
   }
 
-  /** ======== STUB (video only) ========
-    * Deterministic fake pixel decode for resize/pooling: byte stream
-    * interpreted as luma samples. Real impl: decoded frame buffers.
-    */
-  private def lumaSamples(payload: Array[Byte]): Array[Float] =
-    payload.map(b => (b & 0xff) / 255.0f)
+  /** Real video decode to metadata + concatenated per-frame luma planes
+    * (the sample stream [[extractFeatures]] pools — REAL decoded
+    * pixels across time, so the pooled features carry a temporal
+    * signature). */
+  private[graft] def decodeVideo(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"undecodable video payload: $msg (${payload.length} bytes)")
+    def fcc(off: Int) = new String(payload, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    if (payload.length < 12) fail("too short for a RIFF header")
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") fail("not a RIFF/AVI container")
+    val declaredLen = 8 + u32(4)
+    if (declaredLen > payload.length)
+      fail(s"truncated container: header declares $declaredLen bytes")
+    var w = -1; var h = -1; var declaredFrames = -1
+    val lumas = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fcc(off)
+        val sz = u32(off + 4).toInt
+        val body = off + 8
+        if (sz < 0 || body + sz > to) fail(s"chunk '$id' overruns its container")
+        if (id == "LIST") {
+          if (sz < 4) fail("malformed LIST chunk")
+          walk(body + 4, body + sz) // list type fourcc, then sub-chunks
+        } else if (id == "avih") {
+          if (sz < 40) fail("malformed avih main header")
+          declaredFrames = u32(body + 16).toInt // dwTotalFrames
+          w = u32(body + 32).toInt              // dwWidth
+          h = u32(body + 36).toInt              // dwHeight
+        } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+          if (w <= 0 || h <= 0) fail("frame chunk before the avih header")
+          val img = decodeImage(java.util.Arrays.copyOfRange(payload, body, body + sz))
+          require(img.getWidth == w && img.getHeight == h,
+            s"frame is ${img.getWidth}x${img.getHeight}, header declares ${w}x$h")
+          lumas += imageLuma(img)
+        }
+        off = body + sz + (sz & 1) // RIFF pads odd-length chunks
+      }
+    }
+    walk(12, declaredLen.toInt)
+    if (w <= 0 || h <= 0 || declaredFrames < 0) fail("missing avih main header")
+    if (lumas.length != declaredFrames)
+      fail(s"truncated movi list: header declares $declaredFrames frames, " +
+        s"stream holds ${lumas.length}")
+    (w, h, declaredFrames, Array.concat(lumas.toSeq: _*))
+  }
+
+  /** Deterministic REAL-format video bytes for fixtures/tests: a
+    * RIFF/AVI container (avih + vids/MJPG stream headers + movi list)
+    * holding `nFrames` REAL JPEG frames whose pixels are a pure function
+    * of `seed` and the frame index — so a decode gate's oracle can
+    * recompute the expected (width, height, frames) from the generating
+    * expression while the payload exercises the real chunk walker AND
+    * the real per-frame image codec (the video twin of [[encodePng]] /
+    * [[encodeWav]]). */
+  def encodeAvi(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(listType) ++ body)
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val hh = ((seed * 31 + f) * 31 + y) * 31 + x
+          img.setRGB(x, y, (hh & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer available")
+      bos.toByteArray
+    }
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0) ++ // µs/frame, maxBps, pad, flags
+      le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++  // totalFrames, initial, streams, sugBuf
+      le32(width.toLong) ++ le32(height.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)                  // dwReserved[4]
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames.toLong) ++
+      le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height) // rcFrame
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le16(1) ++ le16(24) ++ fcc("MJPG") ++ le32(width.toLong * height * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(j => chunk("00dc", j)).fold(Array.emptyByteArray)(_ ++ _))
+    val payload = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(payload.length.toLong) ++ payload
+  }
 
   /** Decode + featurize each partition's files in one pass: mean-pooled
     * `dim`-bucket features over the decoded sample stream (fixed width
     * regardless of payload size — the "resize" step).
     *
-    * Dispatch is per media type, and image/audio go through the REAL
-    * codecs — a mislabeled or corrupt payload FAILS here rather than
-    * yielding fabricated metadata:
+    * Dispatch is per media type, and EVERY type goes through a REAL
+    * codec — a mislabeled, corrupt, or unknown-typed payload FAILS here
+    * rather than yielding fabricated metadata:
     *  - `image` → [[decodeImage]]: (width, height) real, n_frames = 1,
     *    samples = decoded luma plane;
     *  - `audio` → [[decodeAudio]]: width := channels, height :=
     *    sampleRateHz, n_frames := PCM frame count, samples = normalized
     *    PCM (the schema reuses the two spatial slots for the two audio
     *    shape parameters — documented here, stable for downstream ops);
-    *  - `video` (and anything else) → [[decodeStub]], the one remaining
-    *    declared stub.
+    *  - `video` → [[decodeVideo]]: (width, height, n_frames) from the
+    *    real AVI header (cross-checked against every decoded frame),
+    *    samples = concatenated per-frame luma planes;
+    *  - anything else → IllegalArgumentException.
     */
   def extractFeatures(files: Dataset[MediaFile], dim: Int): Dataset[MediaFeatures] =
     files.mapPartitions { it =>
@@ -245,9 +350,11 @@ object Multimodal {
           case "audio" =>
             val (rate, ch, fr, pcm) = decodeAudio(f.payload)
             (ch, rate, fr.toInt, pcm)
-          case _ =>
-            val (sw, sh, fr) = decodeStub(f.media_type, f.payload)
-            (sw, sh, fr, lumaSamples(f.payload))
+          case "video" =>
+            decodeVideo(f.payload)
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown media type '$other' — expected image|audio|video")
         }
         val feat = new Array[Float](dim)
         val cnt = new Array[Int](dim)

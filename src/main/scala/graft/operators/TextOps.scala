@@ -1102,6 +1102,40 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // REAL video decode through the multimodal plumbing, oracle-gated —
+    // the decode-gate recipe applied to the LAST formerly-stubbed media
+    // type: each document becomes an ACTUAL RIFF/AVI container whose
+    // MJPEG frames are real JPEGs (dims and frame count derived from
+    // doc_id, pixels a pure function of it — Multimodal.encodeAvi), and
+    // the pipeline walks the real chunk tree, parses the avih header,
+    // and decodes every frame through the real image codec back
+    // (Multimodal.decodeVideoInfo) inside one mapPartitions pass. The
+    // oracle recomputes the expected (width, height, frames) from the
+    // generating expressions, so a pass proves a genuine
+    // encode→parse→decode round trip per row — header metadata AND
+    // per-frame pixel decode, since decodeVideo cross-checks each
+    // frame's decoded dims against the header.
+    "mm_video_decode" -> { (spark, dir) =>
+      import spark.implicits._
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(17))).cast("int").as("h"),
+          (lit(2) + pmod(col("doc_id"), lit(4))).cast("int").as("fr"))
+        .as[(Long, Int, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, w, h, fr) =>
+            val avi = graft.functions.Multimodal.encodeAvi(w, h, fr, id)
+            val (dw, dh, df) = graft.functions.Multimodal.decodeVideoInfo(avi)
+            (id, dw.toLong, dh.toLong, df.toLong)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames")
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction (pipeline hygiene): scrub emails / URLs / IPv4
     // addresses from free text before training. The fixture corpus has
     // no PII, so each doc gets a deterministic synthetic tail derived
@@ -1599,6 +1633,16 @@ object TextOps {
         |  CAST(8000 + 100 * (doc_id % 40) AS BIGINT) AS sample_rate,
         |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
         |  CAST(50 + doc_id % 100 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The video decode gate's ground truth is likewise the generating
+    // expression: real AVI/MJPEG bytes must round-trip to exactly these
+    // dims and frame counts (each frame's decoded dims are additionally
+    // cross-checked against the header inside decodeVideo).
+    "mm_video_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 24 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 17 AS BIGINT) AS height,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """WITH p AS (

@@ -7,11 +7,11 @@ import graft.functions.Multimodal
 import graft.functions.Multimodal._
 
 /** End-to-end test of the multimodal plumbing over REAL containers
-  * (PNG via javax.imageio, WAV via javax.sound.sampled, deterministic
-  * fake bytes for the one remaining stub, video): schema, batch shape,
-  * determinism, codec dispatch in the actual pipeline entry point
-  * (extractFeatures), and downstream composability (features → cosine
-  * ops).
+  * (PNG via javax.imageio, WAV via javax.sound.sampled, AVI/MJPEG via
+  * the RIFF chunk walker + javax.imageio frame decode): schema, batch
+  * shape, determinism, codec dispatch in the actual pipeline entry
+  * point (extractFeatures), and downstream composability (features →
+  * cosine ops).
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark: SparkSession = GraftSession
@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** One media file per document: every third doc a real PNG, a real
-    * WAV, or a fake "video" payload — all pure functions of doc_id. */
+    * WAV, or a real AVI/MJPEG — all pure functions of doc_id. */
   private def files = {
     val s = spark
     import s.implicits._
@@ -39,13 +39,14 @@ class MultimodalSpec extends AnyFunSuite {
             Multimodal.encodeWav(
               8000 + 100 * (id % 40).toInt, 1 + (id % 2).toInt, 50 + (id % 100).toInt, seed = id)
           case _ =>
-            (s"video payload $id " + ("x" * (id % 64).toInt)).getBytes("UTF-8")
+            Multimodal.encodeAvi(
+              8 + (id % 24).toInt, 8 + (id % 17).toInt, 2 + (id % 4).toInt, seed = id)
         }
         MediaFile(id, mt, payload)
       }
   }
 
-  test("extractFeatures dispatches image/audio through the REAL codecs; schema + determinism") {
+  test("extractFeatures dispatches ALL media types through the REAL codecs; schema + determinism") {
     val s = spark
     import s.implicits._
     val feats = Multimodal.extractFeatures(files, dim = 16)
@@ -66,7 +67,12 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.height == 8000 + 100 * (r.doc_id % 40).toInt)
       assert(r.n_frames == 50 + (r.doc_id % 100).toInt)
     }
-    assert(rows.filter(_.media_type == "video").forall(_.n_frames > 1))
+    // video metadata comes from the real AVI header (cross-checked
+    // against every decoded MJPEG frame inside decodeVideo)
+    rows.filter(_.media_type == "video").foreach { r =>
+      assert(r.width == 8 + (r.doc_id % 24).toInt && r.height == 8 + (r.doc_id % 17).toInt)
+      assert(r.n_frames == 2 + (r.doc_id % 4).toInt)
+    }
     // determinism: identical second run
     val again = Multimodal.extractFeatures(files, dim = 16).collect()
     assert(rows.sortBy(_.doc_id).zip(again.sortBy(_.doc_id)).forall { case (a, b) =>
@@ -79,6 +85,37 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = Seq(MediaFile(1L, "image", "not an image".getBytes("UTF-8"))).toDS()
     intercept[org.apache.spark.SparkException] {
       Multimodal.extractFeatures(bad, dim = 4).collect()
+    }
+    // an UNKNOWN media type fails loudly — no fabricated-metadata path left
+    val unk = Seq(MediaFile(1L, "hologram", Array[Byte](1, 2, 3))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(unk, dim = 4).collect()
+    }
+  }
+
+  test("real AVI/MJPEG codec slice: encode→decode round trip, reject garbage and truncation") {
+    // round trip to the generating dims + frame count; real RIFF magic
+    val avi = Multimodal.encodeAvi(23, 11, 4, seed = 42L)
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF", "payload is not a real RIFF container")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    assert(Multimodal.decodeVideoInfo(avi) === ((23, 11, 4)))
+    // deterministic bytes per (w, h, frames, seed)
+    assert(Multimodal.encodeAvi(23, 11, 4, 42L).sameElements(avi))
+    // decoded samples are the concatenated per-frame luma planes
+    val (_, _, fr, luma) = Multimodal.decodeVideo(avi)
+    assert(luma.length == 23 * 11 * fr)
+    assert(luma.forall(v => v >= 0.0f && v <= 1.0f))
+    // distinct frames: the luma planes differ across frame indices
+    assert(luma.slice(0, 23 * 11).toSeq != luma.slice(23 * 11, 2 * 23 * 11).toSeq)
+    // a real parser rejects non-video bytes instead of inventing metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoInfo("definitely not a video".getBytes("UTF-8"))
+    }
+    // ... a truncated container fails at the RIFF size check
+    intercept[IllegalArgumentException] { Multimodal.decodeVideoInfo(avi.take(avi.length - 10)) }
+    // ... and a WAV mislabeled as video fails (RIFF but not AVI)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoInfo(Multimodal.encodeWav(8000, 1, 10, 1L))
     }
   }
 
