@@ -116,7 +116,88 @@ object Dedup {
     verified(cands, hashArrays(hr), threshold)
   }
 
+  /** SPAN-LEVEL exact dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove every TOKEN SPAN that
+    * appears verbatim elsewhere in the corpus, not just whole-document
+    * duplicates — cross-document boilerplate, license headers, and
+    * quoted passages survive every doc-level dedup above, and this is
+    * the published fix). A token is duplicated iff some k-token window
+    * containing it occurs in ≥2 distinct documents.
+    *
+    * Returns (doc_id, pos) for every duplicated token position. Shape:
+    *   per-doc positional k-shingles (pure array map — sequence +
+    *   slice + array_join, whole-stage codegen, no window, no shuffle)
+    *     → duplicated-shingle set via one partial-aggregated groupBy
+    *     → occurrences ⋈ dup-set equi-join (1 row per dup shingle on
+    *       the build side — linear, never a self-join)
+    *     → explode each hit's k covered positions, dedup in the per-doc
+    *       collect_set downstream.
+    * At 100 TB: group/join on a 64-bit shingle fingerprint instead of
+    * the string to halve shuffle width (collision odds ~n²/2⁶⁵; the
+    * fixture gate keeps the exact string so the oracle is
+    * collision-free by construction), and a stop-shingle cap à la
+    * [[SkewTools.dropHotKeys]] is unnecessary — the dup-set side is one
+    * row per shingle value, so hot shingles cost a skewed-but-linear
+    * probe, which AQE skew-split handles. */
+  def duplicateSpanPositions(docs: DataFrame, k: Int): DataFrame = {
+    val ts = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val sh = ts
+      .filter(size(col("ts")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("ts")) - k),
+            p => array_join(slice(col("ts"), p + 1, lit(k)), " "))).as(Seq("pos", "shingle")))
+    val dup = sh
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("shingle"))
+    sh.join(dup, Seq("shingle"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+  }
+
+  /** The REMOVAL composed on top: per doc, the token count, the count of
+    * duplicated token positions, and the cleaned text with every
+    * duplicated span's tokens dropped (single-space re-join — the
+    * Lee-et-al. output contract). Covered positions collapse into one
+    * per-doc set (collect_set — spans overlap, the set dedups), then the
+    * token array is filtered BY INDEX in one codegen'd higher-order
+    * filter — no per-token shuffle, no ordered string_agg. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int): DataFrame = {
+    val covSets = duplicateSpanPositions(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("cps"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .join(covSets, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("cps")), lit(0)).cast("long").as("n_dup_tokens"),
+        array_join(
+          filter(col("ts"), (_, i) => !array_contains(coalesce(col("cps"), array()), i)),
+          " ").as("clean_text"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Span-level exact dedup at k=8 (see removeDuplicateSpans): the
+    // gate hashes the CLEANED TEXT per doc, so the oracle round-trips
+    // the whole pipeline — shingle extraction, dup-set, coverage,
+    // reconstruction — not just the counts. ~1000 duplicated shingles
+    // exist in the fixture corpus (measured), so the gate exercises
+    // real cross-doc span removal, overlapping spans included.
+    "dedup_span_exact" -> { (spark, dir) =>
+      removeDuplicateSpans(Tables.documents(spark, dir), k = 8)
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_dup_tokens"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // MinHash-LSH near-dup, J ≥ 0.6 — see minhashPairs above.
     "dedup_minhash_lsh" -> { (spark, dir) =>
       minhashPairs(Tables.documents(spark, dir), 0.6)
@@ -208,6 +289,37 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Span dedup ground truth: the same k=8 positional shingles,
+    // duplicated-shingle set, covered-position union, and index-filtered
+    // reconstruction — computed set-theoretically in DuckDB (ordered
+    // string_agg re-join). clean_hash matching proves the engines
+    // removed EXACTLY the same token positions from every document.
+    "dedup_span_exact" ->
+      """WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u.pos, array_to_string(list_slice(ts, u.pos + 1, u.pos + 8), ' ') AS shingle
+        |  FROM docs, LATERAL (SELECT unnest(range(0, len(ts) - 7)) AS pos) u
+        |  WHERE len(ts) >= 8),
+        |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, v.p
+        |  FROM sh s JOIN dup USING (shingle),
+        |    LATERAL (SELECT unnest(range(s.pos, s.pos + 8)) AS p) v),
+        |per AS (SELECT doc_id, COUNT(*) AS ndup FROM cov GROUP BY doc_id),
+        |toks AS (
+        |  SELECT doc_id, u.pos, ts[u.pos + 1] AS tok
+        |  FROM docs, LATERAL (SELECT unnest(range(0, len(ts))) AS pos) u),
+        |keep AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+        |  WHERE c.doc_id IS NULL),
+        |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(per.ndup, 0) AS BIGINT) AS n_dup_tokens,
+        |  md5(COALESCE(clean.ct, '')) AS clean_hash
+        |FROM docs d LEFT JOIN per USING (doc_id) LEFT JOIN clean USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> exactPairsSql("0.6"),
     "sql_minhash_pairs" -> exactPairsSql("0.6"),
     "dedup_simhash" -> exactPairsSql("0.9")

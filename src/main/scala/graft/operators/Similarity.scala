@@ -113,6 +113,44 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
   }
 
+  /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval combiner
+    * (Cormack/Clarke/Buettcher SIGIR'09; the default in every current
+    * lexical+vector search stack): each leg contributes 1/(k + rank) for
+    * the ids it ranked, missing ids contribute 0, and the fused ordering
+    * needs NO score calibration between legs — only ranks.
+    *
+    * Exactness: the contribution is computed in scaled INTEGER math —
+    * `1e9 div (k + rank)` — so the fused score is a BIGINT that
+    * hash-matches any engine's integer floor division (double division +
+    * floor could round differently in the half-ulp-below-integer cases).
+    *
+    * Scale posture: each leg is already a top-N list (RRF is DEFINED
+    * over ranked lists, so N is bounded by construction — candidate
+    * generation, not this combiner, touches the corpus); fusing is a
+    * full-outer join of tiny frames. With L legs of N rows the whole
+    * fuse is O(L·N) rows regardless of corpus size.
+    *
+    * @param legs (legName, (id, rank 1..N)) per retrieval leg; the leg
+    *             name becomes the output's `<name>_rank` column
+    * @param rrfK the RRF damping constant (60 in the original paper)
+    * @return (id, <name>_rank ... per leg, rrf_score) — unordered; the
+    *         caller applies its own ORDER BY / LIMIT
+    */
+  def rrfFuse(legs: Seq[(String, DataFrame)], rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    require(legs.map(_._1).distinct.size == legs.size, "leg names must be unique")
+    val tagged = legs.map { case (name, df) =>
+      df.select(col("id"), col("rank").cast("long").as(s"${name}_rank"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = legs
+      .map { case (name, _) =>
+        coalesce(expr(s"1000000000L div (${rrfK}L + ${name}_rank)"), lit(0L))
+      }
+      .reduce(_ + _)
+    joined.withColumn("rrf_score", score)
+  }
+
   // --- sign-LSH (random hyperplane) candidate generation ----------------
   // Deterministic Gaussian hyperplanes (fixed seed — same family every
   // run, so candidates are a pure function of the data and the all-pairs
@@ -491,6 +529,44 @@ object Similarity {
     // oracle and CosineSimilaritySpec both pin.
     "sim_topk_cosine" -> { (spark, dir) =>
       bruteForceTopK(spark, dir, 5).orderBy(col("q_id"), col("rnk"))
+    },
+
+    // HYBRID RETRIEVAL via reciprocal-rank fusion ([[rrfFuse]]): a
+    // lexical leg (term-frequency score over two query terms, OR
+    // semantics) and a vector leg (exact cosine against vec 0's
+    // embedding — doc_id = vec_id in the fixtures) each produce a
+    // deterministic top-100 ranked list; RRF combines them with
+    // integer-exact 1e9 div (60+rank) contributions, no score
+    // calibration. Each leg's candidate generation is the
+    // already-gated distributed shape (explode+agg resp. broadcast-
+    // probe corpus scan + take-ordered limit); the fuse itself joins
+    // two ≤100-row frames — corpus-size-independent. The oracle
+    // recomputes both legs and the fused ordering in DuckDB.
+    "search_hybrid_rrf" -> { (spark, dir) =>
+      // ranks are per-query (q_id-partitioned window — the cosineTopK
+      // idiom; q_id comes from DATA, not a literal, so constant folding
+      // cannot collapse the partition spec into a global window); the
+      // lex candidate list is already capped at 100 by the distributed
+      // take-ordered limit, so its rank task is tiny
+      val e = corpus(spark, dir)
+      val probe = e.filter(col("vec_id") < 1).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val lexW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id").asc)
+      val lex = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin("window", "merge"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(100)
+        .crossJoin(broadcast(probe.select(col("q_id"))))
+        .select(col("doc_id").as("id"), row_number().over(lexW).cast("long").as("rank"))
+      val vec = cosineTopK(e, probe, 100)
+        .select(col("vec_id").as("id"), col("rnk").as("rank"))
+      rrfFuse(Seq("lex" -> lex, "vec" -> vec), rrfK = 60)
+        .select(col("id").as("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        .limit(20)
     },
 
     // Quantized-corpus top-K (the FAISS-SQ8 pattern composed from
@@ -1057,6 +1133,35 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine" -> topkCosineOracle,
     "sql_cosine_topk" -> topkCosineOracle,
+    // Hybrid-retrieval ground truth: both legs recomputed (lexical term
+    // counts; exact quantized cosine vs vec 0), ranked with the same
+    // deterministic tiebreaks, fused with the same integer floor
+    // division (DuckDB `//` ≡ Spark `div` — no double rounding).
+    "search_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |lexs AS (
+         |  SELECT doc_id, COUNT(*) AS score FROM tok
+         |  WHERE w IN ('window', 'merge') GROUP BY doc_id),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |  FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id ASC LIMIT 100)),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e),
+         |scored AS (
+         |  SELECT a.vec_id, ${duckQdot("q.v", "a.v")} / sqrt(q.n2 * a.n2) AS cos
+         |  FROM n q JOIN n a ON q.vec_id = 0 AND a.vec_id <> 0),
+         |vecl AS (
+         |  SELECT vec_id AS id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
+         |  FROM (SELECT * FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 100)),
+         |f AS (
+         |  SELECT COALESCE(lex.id, vecl.id) AS doc_id, lex.lex_rank, vecl.vec_rank,
+         |    COALESCE(1000000000 // (60 + lex.lex_rank), 0)
+         |      + COALESCE(1000000000 // (60 + vecl.vec_rank), 0) AS rrf_score
+         |  FROM lex FULL OUTER JOIN vecl ON lex.id = vecl.id)
+         |SELECT doc_id, lex_rank, vec_rank, CAST(rrf_score AS BIGINT) AS rrf_score
+         |FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "dedup_embed_cosine" -> allPairsCosineOracle,
     // Scale-regime gate: the oracle recomputes the planted lattice
     // perturbation and the exact quantized pair cosines (so n_eligible
