@@ -118,6 +118,42 @@ object StreamSinks {
   ): StreamingQuery =
     orcSink(withBucket(df, bucketName, bucketExpr), path, checkpoint, Seq(bucketName), trigger)
 
+  /** Streaming DQ-ENFORCEMENT sink — the dead-letter routing Flink
+    * spells as a side output, spelled Spark-first as ONE partitioned
+    * exactly-once sink: every row is tagged with the rules it violates
+    * ([[graft.operators.Profiling.withViolations]], the same codegen'd
+    * per-row map the batch `dq_quarantine` gate uses), the machine-
+    * readable reasons collapse into a `violation_reasons` string, and
+    * `is_quarantined` becomes a PARTITION column — so the clean table
+    * and the dead-letter table are the two partitions of one
+    * manifest-committed sink. Compared to a foreachBatch dual write,
+    * this keeps exactly-once for free (the native file sink's manifest
+    * covers both sides in one commit — no cross-sink atomicity gap) and
+    * makes "read only clean rows" a pruned scan
+    * (`is_quarantined=false/`), not a filter.
+    *
+    * Extra partition columns (time buckets etc.) compose by passing
+    * them in `partitionCols`; `is_quarantined` is always the last
+    * partition level so reason-carrying rows stay co-located per
+    * bucket. */
+  def quarantineSink(
+      df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      path: String,
+      checkpoint: String,
+      format: String = "parquet",
+      partitionCols: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val tagged = graft.operators.Profiling
+      .withViolations(df, rules)
+      .withColumn("violation_reasons", concat_ws("+", col("violations")))
+      .withColumn("is_quarantined", size(col("violations")) > 0)
+      .drop("violations")
+    fileSink(tagged, format, path, checkpoint, partitionCols :+ "is_quarantined", trigger)
+  }
+
   /** The files a committed-only reader actually sees — resolved through
     * the `_spark_metadata` manifest, NOT a raw directory listing. This is
     * the observable half of the exactly-once contract (the reference's

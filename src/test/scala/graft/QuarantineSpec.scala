@@ -60,4 +60,44 @@ class QuarantineSpec extends AnyFunSuite {
     val (v2, q2) = Profiling.quarantineSplit(allBad, rules)
     assert(v2.count() === 0 && q2.count() === 1)
   }
+
+  test("streaming quarantine sink: one exactly-once partitioned sink, dead-letter prunable") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("quarantine_sink").toString
+    val in = MemoryStream[(Long, Double, String)]
+    in.addData((1L, 10.0, "F"), (2L, -5.0, "O"), (3L, 3.0, "X"), (4L, -1.0, "Z"))
+    val q = graft.streaming.StreamSinks.quarantineSink(
+      in.toDF().toDF("k", "price", "st"), rules,
+      s"$dir/out", s"$dir/ckpt")
+    q.awaitTermination()
+    // second batch through the SAME checkpoint: appends exactly once
+    val q2 = graft.streaming.StreamSinks.quarantineSink(
+      in.toDF().toDF("k", "price", "st"), rules,
+      s"$dir/out", s"$dir/ckpt")
+    in.addData((5L, 0.0, "P"), (6L, 6.0, "O"))
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 6)
+    // partition values read back as strings (no boolean partition-type inference)
+    val clean = out.filter(col("is_quarantined") === "false")
+    assert(clean.select("k").collect().map(_.getLong(0)).toSet === Set(1L, 6L))
+    assert(clean.select("violation_reasons").collect().forall(_.getString(0) == ""))
+    val dead = out.filter(col("is_quarantined") === "true")
+      .select(col("k"), col("violation_reasons")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dead === Map(
+      2L -> "nonpositive_price",
+      3L -> "invalid_status",
+      4L -> "nonpositive_price+invalid_status",
+      5L -> "nonpositive_price"))
+    // the clean-side read is partition-PRUNED, not filtered: the
+    // is_quarantined predicate reaches the scan as a PartitionFilter
+    val scanMeta = clean.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc.metadata
+    }.head
+    assert(scanMeta("PartitionFilters").contains("is_quarantined"),
+      s"partition filter not pushed to the scan: $scanMeta")
+  }
 }
