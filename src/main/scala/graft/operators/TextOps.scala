@@ -839,6 +839,53 @@ object TextOps {
     // with no RNG state (same contract as split_train_holdout). The
     // rank windows are per-lang PARTITIONED (never a global funnel);
     // the min count joins in as a one-row broadcast.
+    // TEMPERATURE-based data-mixture resampling (the multilingual-LM
+    // sampling step — pick group g with p_g ∝ n_g^α, α<1 flattening the
+    // head so low-resource groups aren't drowned; published in the
+    // XLM/mT5/LLaMA pretraining recipes). α = 0.5 here, spelled as
+    // sqrt — IEEE-correctly-rounded on BOTH engines, unlike pow(x, α),
+    // whose libm rounding differs cross-engine (production API takes
+    // any α; the GATE pins the exactly-reproducible exponent). All
+    // downstream math is integer-exact: per-group weight qs =
+    // floor(sqrt(n)·1e6) as BIGINT, quota = (N_target · qs) div Σqs
+    // capped at n (without-replacement regime), and the sampled SET is
+    // pinned by sum(doc_id) of the kept rows — the md5-ordered
+    // per-group rank is the same deterministic shuffle as
+    // select_balanced_mix. Shape: two metadata-scale aggregates
+    // broadcast back + one per-group rank window — one data shuffle.
+    "select_temperature_mix" -> { (spark, dir) =>
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"))
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val q = counts.withColumn("qs", floor(sqrt(col("n")) * lit(1000000)).cast("long"))
+      val tot = q.agg(sum(col("qs")).as("tq"), sum(col("n")).as("tn"))
+      val quota = q
+        .crossJoin(broadcast(tot))
+        .withColumn("c_g", least(expr("((tn div 2) * qs) div tq"), col("n")))
+        .select(col("lang"), col("n"), col("c_g"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc, col("doc_id").asc)
+      val kept = d
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(quota), Seq("lang"))
+        .filter(col("rn") <= col("c_g"))
+      quota
+        .join(
+          kept
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids")),
+          Seq("lang"), "left")
+        .select(
+          col("lang"),
+          col("n").cast("long").as("n_docs"),
+          col("c_g").cast("long").as("quota"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
+        .orderBy(col("lang"))
+    },
+
     "select_balanced_mix" -> { (spark, dir) =>
       val d = Tables
         .documents(spark, dir)
@@ -1436,6 +1483,29 @@ object TextOps {
          |FROM ov o JOIN sz z USING (doc_id)
          |WHERE CAST(o.n_shared AS DOUBLE) / z.n_own >= 0.5
          |ORDER BY doc_id""".stripMargin,
+    // Temperature-mix ground truth: same integer-exact quota formula
+    // (sqrt is correctly rounded on both engines; everything after it
+    // is BIGINT arithmetic — DuckDB // ≡ Spark div) and the same
+    // md5-ordered deterministic sample, so sum_kept_ids pins the exact
+    // sampled set per group.
+    "select_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |q AS (SELECT lang, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS qs FROM c),
+        |t AS (SELECT SUM(qs) AS tq, SUM(n) AS tn FROM q),
+        |quota AS (
+        |  SELECT lang, n, LEAST(((tn // 2) * qs) // tq, n) AS c_g FROM q, t),
+        |r AS (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents),
+        |k AS (
+        |  SELECT r.lang, COUNT(*) AS n_kept, SUM(r.doc_id) AS sum_kept_ids
+        |  FROM r JOIN quota USING (lang) WHERE r.rn <= quota.c_g GROUP BY r.lang)
+        |SELECT quota.lang, CAST(quota.n AS BIGINT) AS n_docs,
+        |  CAST(quota.c_g AS BIGINT) AS quota,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(k.sum_kept_ids, 0) AS BIGINT) AS sum_kept_ids
+        |FROM quota LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
     "select_balanced_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
         |m AS (SELECT MIN(n_before) AS n_min FROM c),
