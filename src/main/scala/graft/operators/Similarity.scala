@@ -151,6 +151,42 @@ object Similarity {
     joined.withColumn("rrf_score", score)
   }
 
+  /** LATE-INTERACTION MaxSim scoring (Khattab & Zaharia, ColBERT,
+    * SIGIR'20): documents and queries are MULTI-vector — one embedding
+    * per token — and score(q, d) = Σ_{query token} max_{doc token}
+    * cos(qt, dt). The published reranking step between single-vector
+    * ANN recall and a full cross-encoder; single-vector cosine cannot
+    * express it (the max is per query token).
+    *
+    * Shape: query tokens broadcast (Q·dim floats — tiny by
+    * definition), doc token vectors STREAM through one scoring pass
+    * (the codegen'd [[graft.functions.CosineSimilarity]] expression),
+    * then two partial-aggregated reductions (max per (doc, qtok), sum
+    * per doc) — no shuffle of vectors, O(N·Q) score evaluations, the
+    * exact brute-force baseline an ANN-prefiltered rerank is measured
+    * against. At scale, run it on the ANN candidate set instead of the
+    * full corpus: same plan, the scan swaps for the candidate join.
+    *
+    * @param docTokens   (m_doc, v: array<double>) one row per doc token
+    * @param queryTokens (qtok, qv: array<double>) one row per query token
+    * @return (m_doc, maxsim) — cross-engine exact: MAX picks from
+    *         identical doubles; each max is then RE-quantized to an
+    *         integral 1e-6 grid before the per-doc SUM (cos itself is
+    *         qdot/√norms — NOT integral — so summing it raw would be
+    *         order-dependent in the last ulp)
+    */
+  def maxSimScores(docTokens: DataFrame, queryTokens: DataFrame): DataFrame =
+    docTokens
+      .crossJoin(broadcast(queryTokens))
+      .select(
+        col("m_doc"),
+        col("qtok"),
+        graft.functions.CosineSimilarity.column(col("qv"), col("v")).as("cos"))
+      .groupBy(col("m_doc"), col("qtok"))
+      .agg(max(col("cos")).as("mx"))
+      .groupBy(col("m_doc"))
+      .agg((sum(floor(col("mx") * lit(1000000.0) + lit(0.5))) / lit(1000000.0)).as("maxsim"))
+
   // --- sign-LSH (random hyperplane) candidate generation ----------------
   // Deterministic Gaussian hyperplanes (fixed seed — same family every
   // run, so candidates are a pure function of the data and the all-pairs
@@ -529,6 +565,21 @@ object Similarity {
     // oracle and CosineSimilaritySpec both pin.
     "sim_topk_cosine" -> { (spark, dir) =>
       bruteForceTopK(spark, dir, 5).orderBy(col("q_id"), col("rnk"))
+    },
+
+    // MaxSim late-interaction top-10 ([[maxSimScores]]): the fixture's
+    // embeddings become multi-vector docs — vec_id div 5 = doc, 5 token
+    // vectors each — and doc 0's tokens are the query. Every cos is
+    // 1e-6-quantized, so max-per-qtok and sum-per-doc are
+    // order-independent and the oracle (same grouping in DuckDB)
+    // hash-matches the scores exactly.
+    "sim_maxsim_topk" -> { (spark, dir) =>
+      val t = corpus(spark, dir)
+        .select(expr("vec_id div 5").as("m_doc"), pmod(col("vec_id"), lit(5)).as("tok"), col("v"))
+      val q = t.filter(col("m_doc") < 1).select(col("tok").as("qtok"), col("v").as("qv"))
+      maxSimScores(t.filter(col("m_doc") >= 1).select(col("m_doc"), col("v")), q)
+        .orderBy(col("maxsim").desc, col("m_doc").asc)
+        .limit(10)
     },
 
     // HYBRID RETRIEVAL via reciprocal-rank fusion ([[rrfFuse]]): a
@@ -1133,6 +1184,25 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine" -> topkCosineOracle,
     "sql_cosine_topk" -> topkCosineOracle,
+    // MaxSim ground truth: the same multi-vector grouping (vec_id div 5
+    // = doc, mod 5 = token), the same quantized cosine, max per (doc,
+    // query-token), then each max RE-quantized to the integral 1e-6
+    // grid before the per-doc sum — integral doubles sum exactly in
+    // any order, so the DOUBLE scores hash-match.
+    "sim_maxsim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |t AS (SELECT vec_id // 5 AS m_doc, vec_id % 5 AS tok, v,
+         |        ${duckQdot("v", "v")} AS n2 FROM e),
+         |q AS (SELECT tok AS qtok, v AS qv, n2 AS qn2 FROM t WHERE m_doc = 0),
+         |s AS (
+         |  SELECT t.m_doc, q.qtok,
+         |    MAX(${duckQdot("q.qv", "t.v")} / sqrt(q.qn2 * t.n2)) AS mx
+         |  FROM t, q WHERE t.m_doc >= 1 GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT m_doc, SUM(floor(mx * 1000000.0 + 0.5)) / 1000000.0 AS maxsim
+         |  FROM s GROUP BY m_doc)
+         |SELECT m_doc, maxsim FROM sc
+         |ORDER BY maxsim DESC, m_doc ASC LIMIT 10""".stripMargin,
     // Hybrid-retrieval ground truth: both legs recomputed (lexical term
     // counts; exact quantized cosine vs vec 0), ranked with the same
     // deterministic tiebreaks, fused with the same integer floor
