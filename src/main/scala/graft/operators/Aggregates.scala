@@ -41,6 +41,35 @@ object Aggregates {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // INCREMENTAL MATERIALIZED AGGREGATE VIEW (graft.streaming.AggView —
+    // the warehouse IVM): orders arrive as three deterministic batches
+    // (o_orderkey mod 3), each folded into a per-status totals table
+    // through the pointer-versioned merge protocol, WITH batch 1
+    // REPLAYED mid-history — at-least-once redelivery whose additive
+    // double-apply the batchId ledger must refuse. The oracle
+    // recomputes the totals from the full table in one pass, so a pass
+    // proves maintained ≡ recomputed INCLUDING replay immunity. All
+    // maintained sums are integer cents (BIGINT end to end).
+    "agg_view_maintain" -> { (spark, dir) =>
+      val base = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          pmod(col("o_orderkey"), lit(3)).as("b"))
+      val viewDir = java.nio.file.Files.createTempDirectory("agg_view_gate").toString
+      def batch(i: Int) = base.filter(col("b") === i).drop("b")
+      graft.streaming.AggView.applyBatch(spark, viewDir, 0L, batch(0), Seq("status"), Seq("cents"))
+      graft.streaming.AggView.applyBatch(spark, viewDir, 1L, batch(1), Seq("status"), Seq("cents"))
+      // the redelivery: same batchId — must be a structural no-op
+      graft.streaming.AggView.applyBatch(spark, viewDir, 1L, batch(1), Seq("status"), Seq("cents"))
+      graft.streaming.AggView.applyBatch(spark, viewDir, 2L, batch(2), Seq("status"), Seq("cents"))
+      graft.streaming.AggView
+        .read(spark, viewDir)
+        .select(col("status"), col("n"), col("sum_cents"))
+        .orderBy(col("status"))
+    },
+
     // distinct + count-distinct (exact; shuffles on (group, distinct key)
     // first — Spark expands this to a two-phase agg automatically).
     "agg_count_distinct" -> { (spark, dir) =>
@@ -597,6 +626,13 @@ object Aggregates {
        |  COUNT(*) AS count_order""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The maintained view's ground truth is the one-pass recomputation:
+    // identical totals through three incremental merges + a replayed
+    // batch prove the maintenance protocol, not just the arithmetic.
+    "agg_view_maintain" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $pricingCols
