@@ -375,4 +375,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sh.subsetOf(mh), s"simhash pairs not within minhash pairs: ${sh -- mh}")
     assert(mh.nonEmpty, "fixture has constructed near-duplicates; minhash found none")
   }
+
+  test("rrfFuse: n-leg fusion with missing ids, integer-exact contributions") {
+    import spark.implicits._
+    // three legs over ids 1..4; id 4 appears in one leg only, id 1 in all
+    def leg(rows: (Long, Long)*) = rows.toSeq.toDF("id", "rank")
+    val fused = graft.operators.Similarity
+      .rrfFuse(
+        Seq(
+          "a" -> leg(1L -> 1L, 2L -> 2L, 3L -> 3L),
+          "b" -> leg(1L -> 2L, 3L -> 1L),
+          "c" -> leg(1L -> 3L, 4L -> 1L)),
+        rrfK = 60)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[java.lang.Long]("a_rank")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("b_rank")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("c_rank")).map(_.toLong),
+          r.getAs[Long]("rrf_score"))))
+      .toMap
+    def c(rank: Long) = 1000000000L / (60L + rank) // JVM integer division ≡ the div contract
+    assert(fused(1L) === ((Some(1L), Some(2L), Some(3L), c(1) + c(2) + c(3))))
+    assert(fused(2L) === ((Some(2L), None, None, c(2))))
+    assert(fused(3L) === ((Some(3L), Some(1L), None, c(3) + c(1))))
+    assert(fused(4L) === ((None, None, Some(1L), c(1))))
+    // all-leg presence dominates: id 1 outranks every partial-presence id
+    assert(fused(1L)._4 > fused(3L)._4 && fused(3L)._4 > fused(2L)._4)
+  }
 }
