@@ -166,6 +166,100 @@ object FileIO {
     (dataFiles.length, nOut)
   }
 
+  /** BLOOM-FILTER FILE-SKIPPING INDEX (table maintenance — the
+    * Delta/Iceberg bloom sidecar): point lookups on a NON-clustering
+    * key normally open every file (min/max row-group stats are useless
+    * when the key is scattered); a per-file Bloom filter lets the
+    * planner drop files that definitely lack the key — false positives
+    * cost one wasted file read, false negatives are impossible.
+    *
+    * Index build: one pass over the table keyed by `input_file_name`,
+    * per-file sketches merged with `aggregateByKey` — sketch-merge is
+    * genuine per-partition imperative logic (the RDD-last-resort
+    * carve-out): the shuffle carries one PARTIAL BLOOM per (partition,
+    * file), never data rows. The sidecar lands under
+    * `_bloom_<key>/` — an underscore-prefixed dir Spark's readers
+    * already hide from table scans (the `_spark_metadata` convention).
+    *
+    * Scale posture: the sidecar is one row per data file. The lookup
+    * below collects it (justified: metadata-scale by construction, the
+    * same class as the manifest read). At millions of files,
+    * partition the sidecar by the table's partition columns and prune
+    * it before the collect — or join the candidate file list instead
+    * of collecting — same layout, no interface change.
+    *
+    * @return number of files indexed */
+  def buildBloomIndex(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      fpp: Double = 0.01,
+      format: String = "parquet"
+  ): Int = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val rows = spark.read
+      .format(format)
+      .load(path)
+      .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+    // expected items per file: one metadata-scale count (2× headroom
+    // keeps fpp honest on skewed file sizes)
+    val Array(stats) = rows.groupBy(col("f")).count().agg(max("count"), count(lit(1))).collect()
+    val perFileCap = math.max(64L, stats.getLong(0) * 2)
+    val nFiles = stats.getLong(1).toInt
+    val sidecar = rows.rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .aggregateByKey(BloomFilter.create(perFileCap, fpp))(
+        (bf, k) => { bf.putLong(k); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+      .map { case (f, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }
+    spark
+      .createDataFrame(sidecar)
+      .toDF("file", "bloom")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/_bloom_$keyCol")
+    nFiles
+  }
+
+  /** Point lookup through the bloom sidecar: returns (matching rows,
+    * candidate file count, total file count) — the caller's pruning
+    * telemetry. Results are EXACTLY the full-scan filter's (a bloom
+    * has no false negatives); only the file set read differs. */
+  def bloomPointLookup(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      key: Long,
+      format: String = "parquet"
+  ): (DataFrame, Int, Int) = {
+    import org.apache.spark.util.sketch.BloomFilter
+    // one row per data file — metadata-scale by construction (see
+    // buildBloomIndex's scale note)
+    val entries = spark.read.parquet(s"$path/_bloom_$keyCol").collect()
+    val candidates = entries
+      .filter { r =>
+        BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .mightContainLong(key)
+      }
+      .map(_.getAs[String]("file"))
+    val result =
+      if (candidates.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.format(format).load(path).schema)
+      else
+        spark.read
+          .format(format)
+          .load(candidates.toIndexedSeq: _*)
+          .filter(col(keyCol).cast("long") === key)
+    (result, candidates.length, entries.length)
+  }
+
   /** What [[upsertByKey]] rewrote. */
   final case class UpsertReport(partitionsRewritten: Int, nUpserts: Long)
 
@@ -555,6 +649,41 @@ object FileIO {
 
     // Parquet batch sink (the streaming twin is graft.streaming): write
     // partitioned parquet, re-read with a partition-pruning filter.
+    // Bloom file-skipping round trip ([[buildBloomIndex]] /
+    // [[bloomPointLookup]]): orders land hash-clustered by CUSTOMER (16
+    // files) so the ORDER-key lookup has no layout help — exactly the
+    // scattered-key case the sidecar exists for — then the minimum
+    // order key is looked up THROUGH the index. The oracle recomputes
+    // the row from the raw table; `pruned_ok` pins that the bloom
+    // actually skipped files (candidates < total — with fpp 0.01 and 16
+    // files the expected candidate count is 1, and a no-op index that
+    // reads everything fails the gate).
+    "bloom_point_lookup" -> { (spark, dir) =>
+      val p = out(dir, "orders_bloom")
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+        .repartition(16, pmod(col("o_custkey"), lit(16)))
+        .write
+        .mode(SaveMode.Overwrite)
+        .parquet(p)
+      buildBloomIndex(spark, p, "o_orderkey")
+      // one scalar — metadata-scale, the oracle's scalar subquery twin
+      val key = Tables.orders(spark, dir).agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+      val (rows, cand, total) = bloomPointLookup(spark, p, "o_orderkey", key)
+      rows
+        .select(
+          col("o_orderkey"),
+          col("cents"),
+          col("o_orderstatus"),
+          lit(cand < total).as("pruned_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "parquet_sink_roundtrip" -> { (spark, dir) =>
       val p = out(dir, "orders_parquet")
       Tables
@@ -573,6 +702,14 @@ object FileIO {
   )
 
   val oracles: Map[String, String] = Map(
+    // The looked-up row recomputed from the raw table; pruned_ok is the
+    // constant-TRUE quality-bound scheme (sim_ann_ivf precedent).
+    "bloom_point_lookup" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  o_orderstatus, TRUE AS pruned_ok
+        |FROM orders WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "orc_sink_roundtrip" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSum("l_extendedprice")} AS sum_price,

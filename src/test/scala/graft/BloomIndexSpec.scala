@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.FileIO
+
+/** The bloom file-skipping sidecar (`FileIO.buildBloomIndex` /
+  * `bloomPointLookup`): no false negatives (every present key found,
+  * result ≡ full-scan filter), real pruning (candidate files well below
+  * total on scattered keys), absent keys prune to ~zero reads, and the
+  * sidecar dir stays invisible to plain table scans. */
+class BloomIndexSpec extends AnyFunSuite {
+  private lazy val spark =
+    GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+
+  private def setup(): (String, Int) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom_idx").toString + "/t"
+    // keys 0..1999 scattered across 16 files by an UNRELATED clustering
+    (0L until 2000L)
+      .map(k => (k, k % 37, s"v$k"))
+      .toDF("k", "grp", "payload")
+      .repartition(16, pmod(col("grp"), lit(16)))
+      .write
+      .parquet(dir)
+    val n = FileIO.buildBloomIndex(spark, dir, "k")
+    (dir, n)
+  }
+
+  test("no false negatives and exact results; present keys prune hard") {
+    val (dir, total) = setup()
+    // hash partitioning leaves some of the 16 target partitions empty
+    // (37 grp values → 16 hash slots); the index covers whatever landed
+    assert(total >= 8, s"expected a multi-file layout, got $total files")
+    var worst = 0
+    (0L until 2000L by 97L).foreach { key =>
+      val (rows, cand, tot) = FileIO.bloomPointLookup(spark, dir, "k", key)
+      val got = rows.collect()
+      assert(got.length === 1, s"key $key not found exactly once")
+      assert(got.head.getAs[String]("payload") === s"v$key")
+      assert(tot === total)
+      worst = math.max(worst, cand)
+    }
+    // fpp 0.01 over 16 files: expected candidates ≈ 1 + 0.15; a scan
+    // that stopped pruning (candidates = 16) is broken
+    assert(worst <= 4, s"bloom barely prunes: worst candidate count $worst of $total")
+  }
+
+  test("absent key: near-zero candidate files, empty exact result") {
+    val (dir, total) = setup()
+    val (rows, cand, tot) = FileIO.bloomPointLookup(spark, dir, "k", 999999L)
+    assert(rows.count() === 0)
+    assert(tot === total)
+    assert(cand <= 2, s"absent key should prune to ~0 files, got $cand")
+  }
+
+  test("sidecar is invisible to plain table scans") {
+    val (dir, _) = setup()
+    val plain = spark.read.parquet(dir)
+    assert(plain.count() === 2000)
+    assert(plain.columns.toSet === Set("k", "grp", "payload"),
+      "the _bloom_* sidecar leaked into the table scan")
+  }
+}
