@@ -598,6 +598,37 @@ object ScaleRehearsal {
         soakReport("semantic_soak_tiered", times.result(), listings.result())
       }
 
+      // AggView soak (r12): 50 sink-driven incremental merges into the
+      // materialized aggregate view, key domain bounded (37 keys — the
+      // IVM regime: totals stay one-row-per-key no matter how many
+      // batches fold in). Per-apply cost should be FLAT — each apply is
+      // one batch groupBy + a merge join against a constant-size totals
+      // table + a pointer flip — and the version listing bounded at ≤ 2
+      // by the post-commit GC. The "listing" column counts v=N dirs.
+      if (wanted("agg_view_soak")) {
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val viewDir = s"$dir/agg_view_soak"
+        graft.Verify.deleteTree(new java.io.File(viewDir))
+        graft.Verify.deleteTree(new java.io.File(s"$dir/agg_view_soak_ckpt"))
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+        val q = graft.streaming.AggView.sink(
+          ms.toDF().toDF("k", "x"), viewDir, Seq("k"), Seq("x"), s"$dir/agg_view_soak_ckpt",
+          trigger = Trigger.ProcessingTime(0))
+        val times = Seq.newBuilder[Double]; val listings = Seq.newBuilder[Int]
+        for (i <- 0 until SoakIngests) {
+          val batch = (0 until SoakBatch.toInt)
+            .map(j => (s"k${(i * 31 + j) % 37}", (i * SoakBatch + j).toLong))
+          val t0 = System.nanoTime()
+          ms.addData(batch); q.processAllAvailable()
+          times += (System.nanoTime() - t0) / 1e9
+          listings += Option(new java.io.File(viewDir).listFiles()).getOrElse(Array.empty)
+            .count(f => f.isDirectory && f.getName.startsWith("v="))
+        }
+        q.stop()
+        soakReport("agg_view_soak", times.result(), listings.result())
+      }
+
       // AQE-skew rehearsal: the same 40%-hot-key shuffle join measured
       // three ways — AQE skew-split on (the session default), skew-split
       // off (what the hot key costs un-mitigated), and the explicit
