@@ -174,6 +174,39 @@ object TimeWindows {
         .limit(15)
     },
 
+    // CEP-LITE EVENT PATTERN MATCHING (the SQL:2016 MATCH_RECOGNIZE /
+    // Flink-CEP shape — the reference's own ecosystem spells this as a
+    // CEP pattern over the stream): each user's full event history
+    // becomes an ordered SYMBOL STRING (first letter of the event type
+    // — the five fixture types are first-letter distinct) and sequence
+    // patterns become REGEXES over it: the conversion funnel "view,
+    // then anything but a purchase, then purchase" is v[^p]*p, an
+    // error burst is ee+. Leftmost non-overlapping greedy semantics are
+    // identical in Java regex and RE2, so match COUNTS are
+    // cross-engine exact. Shape: one groupBy-user with an ordered
+    // collect (the evt_top_paths precedent — journeys are per-user
+    // bounded), then pure per-row regex — no second shuffle; at 100 TB
+    // bound the journey with a session window or time range first,
+    // exactly like evt_top_paths does.
+    "evt_pattern_match" -> { (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .select(
+          col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("sym"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("concat_ws('', transform(array_sort(collect_list(struct(ts, event_id, sym))), s -> s.sym))")
+            .as("j"))
+        .select(
+          col("user_id"),
+          col("n_events"),
+          regexp_count(col("j"), lit("v[^p]*p")).cast("long").as("n_funnel_matches"),
+          (regexp_count(col("j"), lit("ee+")) > 0).as("error_burst"))
+        .orderBy(col("user_id"))
+    },
+
     // RFM SEGMENTATION (recency / frequency / monetary): per-user metrics
     // → three SQL-exact quintile scores → segment cells. Each quintile is
     // a GLOBAL ranking over the user table, so each rides
@@ -451,6 +484,18 @@ object TimeWindows {
         |  CASE WHEN prev_q IS NULL THEN NULL
         |       ELSE CAST((day_q - prev_q) * 1000000 // prev_q AS BIGINT) END AS pct_change_micro
         |FROM l ORDER BY d""".stripMargin,
+    // Pattern-match ground truth: the same ordered symbol string
+    // (string_agg ORDER BY ts, event_id) and the same regexes — Java
+    // regex and RE2 agree on leftmost non-overlapping greedy counts.
+    "evt_pattern_match" ->
+      """WITH j AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS jn
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(jn, 'v[^p]*p')) AS BIGINT) AS n_funnel_matches,
+        |  (len(regexp_extract_all(jn, 'ee+')) > 0) AS error_burst
+        |FROM j ORDER BY user_id""".stripMargin,
     "evt_top_paths" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,
