@@ -122,6 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.signBandProbesDescriptor)
     ext.injectTableFunction(GraftExtensions.similarityJoinTvf)
     ext.injectTableFunction(GraftExtensions.minhashPairsTvf)
+    ext.injectTableFunction(GraftExtensions.spanDedupTvf)
     ext.injectTableFunction(GraftExtensions.cosineTopkTvf)
     ext.injectTableFunction(GraftExtensions.asofJoinTvf)
     ext.injectTableFunction(GraftExtensions.lshTopkTvf)
@@ -235,6 +236,48 @@ object GraftExtensions {
           org.apache.spark.sql.functions.col(str(1, "docIdCol")).as("doc_id"),
           org.apache.spark.sql.functions.col(str(2, "textCol")).as("text"))
       graft.operators.Dedup.minhashPairs(d, threshold).queryExecution.analyzed
+    }
+  )
+
+  /** SQL surface for span-level exact dedup (Lee et al. 2022):
+    * graft_span_dedup(table, docIdCol, textCol, k) →
+    * (doc_id, n_tokens, n_dup_tokens, clean_text), the same
+    * positional-shingle plan as the Scala operator. */
+  private[graft] val spanDedupTvf = (
+    FunctionIdentifier("graft_span_dedup"),
+    new ExpressionInfo(
+      graft.operators.Dedup.getClass.getName, "graft_span_dedup"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 4,
+        s"graft_span_dedup expects (table, docIdCol, textCol, k), got ${children.length}")
+      def str(i: Int, what: String): String = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other =>
+              throw new IllegalArgumentException(s"graft_span_dedup: $what must be a string literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_span_dedup: $what must be a literal, got $other")
+      }
+      val k = children(3) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other =>
+              throw new IllegalArgumentException(s"graft_span_dedup: k must be an int literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_span_dedup: k must be a literal, got $other")
+      }
+      val spark = SparkSession.active
+      val d = spark
+        .table(str(0, "table"))
+        .select(
+          org.apache.spark.sql.functions.col(str(1, "docIdCol")).as("doc_id"),
+          org.apache.spark.sql.functions.col(str(2, "textCol")).as("text"))
+      graft.operators.Dedup.removeDuplicateSpans(d, k).queryExecution.analyzed
     }
   )
 
@@ -443,6 +486,8 @@ object GraftExtensions {
       similarityJoinTvf._1, similarityJoinTvf._2, similarityJoinTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       minhashPairsTvf._1, minhashPairsTvf._2, minhashPairsTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      spanDedupTvf._1, spanDedupTvf._2, spanDedupTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       cosineTopkTvf._1, cosineTopkTvf._2, cosineTopkTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(

@@ -198,6 +198,19 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // The SQL spelling: the same span-removal plan reached through the
+    // graft_span_dedup TABLE FUNCTION (GraftExtensions), same oracle by
+    // reference — a SQL-only user gets Lee-et-al. span dedup without
+    // touching the Scala API.
+    "sql_span_dedup" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables.documents(spark, dir).createOrReplaceTempView("graft_docs")
+      spark.sql(
+        """SELECT doc_id, n_tokens, n_dup_tokens, md5(clean_text) AS clean_hash
+          |FROM graft_span_dedup('graft_docs', 'doc_id', 'text', 8)
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     // MinHash-LSH near-dup, J ≥ 0.6 — see minhashPairs above.
     "dedup_minhash_lsh" -> { (spark, dir) =>
       minhashPairs(Tables.documents(spark, dir), 0.6)
@@ -288,14 +301,15 @@ object Dedup {
        |WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= $threshold
        |ORDER BY d1, d2""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // Span dedup ground truth: the same k=8 positional shingles,
-    // duplicated-shingle set, covered-position union, and index-filtered
-    // reconstruction — computed set-theoretically in DuckDB (ordered
-    // string_agg re-join). clean_hash matching proves the engines
-    // removed EXACTLY the same token positions from every document.
-    "dedup_span_exact" ->
-      """WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+  // Span dedup ground truth: the same k=8 positional shingles,
+  // duplicated-shingle set, covered-position union, and index-filtered
+  // reconstruction — computed set-theoretically in DuckDB (ordered
+  // string_agg re-join). clean_hash matching proves the engines removed
+  // EXACTLY the same token positions from every document. Shared BY
+  // REFERENCE with the TVF spelling — one contract, divergence
+  // impossible.
+  private val spanDedupOracle: String =
+    """WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
         |sh AS (
         |  SELECT doc_id, u.pos, array_to_string(list_slice(ts, u.pos + 1, u.pos + 8), ' ') AS shingle
         |  FROM docs, LATERAL (SELECT unnest(range(0, len(ts) - 7)) AS pos) u
@@ -319,7 +333,11 @@ object Dedup {
         |  CAST(COALESCE(per.ndup, 0) AS BIGINT) AS n_dup_tokens,
         |  md5(COALESCE(clean.ct, '')) AS clean_hash
         |FROM docs d LEFT JOIN per USING (doc_id) LEFT JOIN clean USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_span_exact" -> spanDedupOracle,
+    "sql_span_dedup" -> spanDedupOracle,
     "dedup_minhash_lsh" -> exactPairsSql("0.6"),
     "sql_minhash_pairs" -> exactPairsSql("0.6"),
     "dedup_simhash" -> exactPairsSql("0.9")
