@@ -260,6 +260,41 @@ object FileIO {
     (result, candidates.length, entries.length)
   }
 
+  /** BUCKETED TABLE write — the canonical shuffle-ELIMINATION layout
+    * for repeated big-big joins at 100 TB: both sides hash-bucketed
+    * into the same bucket count on the join key (`bucketBy`) and
+    * sorted within buckets (`sortBy`), so a sort-merge join reads
+    * bucket i against bucket i directly — NO Exchange, NO per-query
+    * Sort, on EVERY subsequent join against the table. One write-time
+    * shuffle amortized over every downstream join, vs `repartition`
+    * which pays it per query. Bucketing requires a catalog table
+    * (the bucket spec lives in table metadata — a bare parquet path
+    * cannot carry it), which is also the reference's end state:
+    * committed files queryable by NAME. */
+  def writeBucketedTable(
+      df: DataFrame,
+      table: String,
+      keyCol: String,
+      buckets: Int,
+      format: String = "parquet"
+  ): Unit = {
+    val spark = df.sparkSession
+    // Overwrite replaces a REGISTERED table, but an orphan managed-table
+    // directory left by a previous SESSION (in-memory catalog gone, dir
+    // still on disk) hard-fails creation — drop both, idempotently.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(warehouse)) fs.delete(warehouse, true)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format(format)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
+  }
+
   /** What [[upsertByKey]] rewrote. */
   final case class UpsertReport(partitionsRewritten: Int, nUpserts: Long)
 
@@ -684,6 +719,37 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // Co-located BUCKETED join ([[writeBucketedTable]]): orders and
+    // customer both bucketed ×16 on the customer key, then sort-merge
+    // joined — the plan reads bucket i ⋈ bucket i with NO Exchange on
+    // either side (spec-pinned in BucketedJoinSpec; the oracle pins the
+    // VALUES by recomputing the join from the raw parquet). The
+    // one-time write shuffle is the amortized cost every repeated
+    // big-big join saves at 100 TB.
+    "bucketed_join" -> { (spark, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ot = s"graft_bkt_orders_$tag"
+      val ct = s"graft_bkt_customer_$tag"
+      writeBucketedTable(
+        Tables
+          .orders(spark, dir)
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents")),
+        ot, "o_custkey", 16)
+      writeBucketedTable(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        ct, "c_custkey", 16)
+      spark
+        .table(ot)
+        .hint("merge")
+        .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     "parquet_sink_roundtrip" -> { (spark, dir) =>
       val p = out(dir, "orders_parquet")
       Tables
@@ -710,6 +776,11 @@ object FileIO {
         |  o_orderstatus, TRUE AS pruned_ok
         |FROM orders WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "orc_sink_roundtrip" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSum("l_extendedprice")} AS sum_price,
