@@ -123,6 +123,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.similarityJoinTvf)
     ext.injectTableFunction(GraftExtensions.minhashPairsTvf)
     ext.injectTableFunction(GraftExtensions.spanDedupTvf)
+    ext.injectTableFunction(GraftExtensions.rrfFuseTvf)
     ext.injectTableFunction(GraftExtensions.cosineTopkTvf)
     ext.injectTableFunction(GraftExtensions.asofJoinTvf)
     ext.injectTableFunction(GraftExtensions.lshTopkTvf)
@@ -278,6 +279,47 @@ object GraftExtensions {
           org.apache.spark.sql.functions.col(str(1, "docIdCol")).as("doc_id"),
           org.apache.spark.sql.functions.col(str(2, "textCol")).as("text"))
       graft.operators.Dedup.removeDuplicateSpans(d, k).queryExecution.analyzed
+    }
+  )
+
+  /** SQL surface for reciprocal-rank fusion:
+    * graft_rrf_fuse(tableA, tableB, rrfK) over two (id, rank) ranked
+    * lists → (id, leg1_rank, leg2_rank, rrf_score), the same
+    * integer-exact full-outer fuse as the Scala operator. */
+  private[graft] val rrfFuseTvf = (
+    FunctionIdentifier("graft_rrf_fuse"),
+    new ExpressionInfo(
+      graft.operators.Similarity.getClass.getName, "graft_rrf_fuse"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 3,
+        s"graft_rrf_fuse expects (tableA, tableB, rrfK), got ${children.length}")
+      def str(i: Int, what: String): String = children(i) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other =>
+              throw new IllegalArgumentException(s"graft_rrf_fuse: $what must be a string literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_rrf_fuse: $what must be a literal, got $other")
+      }
+      val k = children(2) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other =>
+              throw new IllegalArgumentException(s"graft_rrf_fuse: rrfK must be an int literal, got $other")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"graft_rrf_fuse: rrfK must be a literal, got $other")
+      }
+      val spark = SparkSession.active
+      graft.operators.Similarity
+        .rrfFuse(
+          Seq("leg1" -> spark.table(str(0, "tableA")), "leg2" -> spark.table(str(1, "tableB"))),
+          rrfK = k)
+        .queryExecution.analyzed
     }
   )
 
@@ -488,6 +530,8 @@ object GraftExtensions {
       minhashPairsTvf._1, minhashPairsTvf._2, minhashPairsTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       spanDedupTvf._1, spanDedupTvf._2, spanDedupTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      rrfFuseTvf._1, rrfFuseTvf._2, rrfFuseTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       cosineTopkTvf._1, cosineTopkTvf._2, cosineTopkTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(

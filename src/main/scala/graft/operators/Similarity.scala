@@ -187,6 +187,33 @@ object Similarity {
       .groupBy(col("m_doc"))
       .agg((sum(floor(col("mx") * lit(1000000.0) + lit(0.5))) / lit(1000000.0)).as("maxsim"))
 
+  /** The two retrieval legs of the hybrid-search gates, as (id, rank)
+    * ranked lists: a lexical term-frequency leg over two query terms
+    * (rank is per-query — the q_id-partitioned window comes from DATA
+    * via the vec-0 probe, not a literal, so constant folding cannot
+    * collapse it into a global window; the candidate list is already
+    * capped at 100 by the distributed take-ordered limit) and an exact
+    * cosine leg against vec 0's embedding (doc_id = vec_id in the
+    * fixtures). Shared by `search_hybrid_rrf` and its TVF spelling. */
+  private def hybridLegs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = corpus(spark, dir)
+    val probe = e.filter(col("vec_id") < 1).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val lexW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val lex = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").isin("window", "merge"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(100)
+      .crossJoin(broadcast(probe.select(col("q_id"))))
+      .select(col("doc_id").as("id"), row_number().over(lexW).cast("long").as("rank"))
+    val vec = cosineTopK(e, probe, 100)
+      .select(col("vec_id").as("id"), col("rnk").as("rank"))
+    (lex, vec)
+  }
+
   // --- sign-LSH (random hyperplane) candidate generation ----------------
   // Deterministic Gaussian hyperplanes (fixed seed — same family every
   // run, so candidates are a pure function of the data and the all-pairs
@@ -594,30 +621,26 @@ object Similarity {
     // two ≤100-row frames — corpus-size-independent. The oracle
     // recomputes both legs and the fused ordering in DuckDB.
     "search_hybrid_rrf" -> { (spark, dir) =>
-      // ranks are per-query (q_id-partitioned window — the cosineTopK
-      // idiom; q_id comes from DATA, not a literal, so constant folding
-      // cannot collapse the partition spec into a global window); the
-      // lex candidate list is already capped at 100 by the distributed
-      // take-ordered limit, so its rank task is tiny
-      val e = corpus(spark, dir)
-      val probe = e.filter(col("vec_id") < 1).select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val lexW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id").asc)
-      val lex = Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(col("w").isin("window", "merge"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(100)
-        .crossJoin(broadcast(probe.select(col("q_id"))))
-        .select(col("doc_id").as("id"), row_number().over(lexW).cast("long").as("rank"))
-      val vec = cosineTopK(e, probe, 100)
-        .select(col("vec_id").as("id"), col("rnk").as("rank"))
+      val (lex, vec) = hybridLegs(spark, dir)
       rrfFuse(Seq("lex" -> lex, "vec" -> vec), rrfK = 60)
         .select(col("id").as("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_score"))
         .orderBy(col("rrf_score").desc, col("doc_id").asc)
         .limit(20)
+    },
+
+    // The SQL spelling: the same two legs fused through the
+    // graft_rrf_fuse TABLE FUNCTION (GraftExtensions) over temp views —
+    // same oracle by reference, so a SQL-only user gets hybrid
+    // retrieval by registering their ranked lists as tables.
+    "sql_rrf_fuse" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val (lex, vec) = hybridLegs(spark, dir)
+      lex.createOrReplaceTempView("graft_rrf_lex")
+      vec.createOrReplaceTempView("graft_rrf_vec")
+      spark.sql(
+        """SELECT id AS doc_id, leg1_rank AS lex_rank, leg2_rank AS vec_rank, rrf_score
+          |FROM graft_rrf_fuse('graft_rrf_lex', 'graft_rrf_vec', 60)
+          |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin)
     },
 
     // Quantized-corpus top-K (the FAISS-SQ8 pattern composed from
@@ -1155,6 +1178,37 @@ object Similarity {
        |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Hybrid-retrieval ground truth — shared BY REFERENCE by the operator
+    * gate and its graft_rrf_fuse TVF spelling: both legs recomputed
+    * (lexical term counts; exact quantized cosine vs vec 0), ranked
+    * with the same deterministic tiebreaks, fused with the same integer
+    * floor division (DuckDB `//` ≡ Spark `div` — no double rounding). */
+  private val hybridRrfOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |lexs AS (
+       |  SELECT doc_id, COUNT(*) AS score FROM tok
+       |  WHERE w IN ('window', 'merge') GROUP BY doc_id),
+       |lex AS (
+       |  SELECT doc_id AS id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+       |  FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id ASC LIMIT 100)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e),
+       |scored AS (
+       |  SELECT a.vec_id, ${duckQdot("q.v", "a.v")} / sqrt(q.n2 * a.n2) AS cos
+       |  FROM n q JOIN n a ON q.vec_id = 0 AND a.vec_id <> 0),
+       |vecl AS (
+       |  SELECT vec_id AS id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
+       |  FROM (SELECT * FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 100)),
+       |f AS (
+       |  SELECT COALESCE(lex.id, vecl.id) AS doc_id, lex.lex_rank, vecl.vec_rank,
+       |    COALESCE(1000000000 // (60 + lex.lex_rank), 0)
+       |      + COALESCE(1000000000 // (60 + vecl.vec_rank), 0) AS rrf_score
+       |  FROM lex FULL OUTER JOIN vecl ON lex.id = vecl.id)
+       |SELECT doc_id, lex_rank, vec_rank, CAST(rrf_score AS BIGINT) AS rrf_score
+       |FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Semantic dedup ground truth: the exact all-pairs cosine ≥ 0.4 graph,
     * components via the same recursive-CTE CC as dedup_clusters, rep =
     * MIN id, singletons keeping themselves. */
@@ -1207,31 +1261,9 @@ object Similarity {
     // counts; exact quantized cosine vs vec 0), ranked with the same
     // deterministic tiebreaks, fused with the same integer floor
     // division (DuckDB `//` ≡ Spark `div` — no double rounding).
-    "search_hybrid_rrf" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |lexs AS (
-         |  SELECT doc_id, COUNT(*) AS score FROM tok
-         |  WHERE w IN ('window', 'merge') GROUP BY doc_id),
-         |lex AS (
-         |  SELECT doc_id AS id,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
-         |  FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id ASC LIMIT 100)),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e),
-         |scored AS (
-         |  SELECT a.vec_id, ${duckQdot("q.v", "a.v")} / sqrt(q.n2 * a.n2) AS cos
-         |  FROM n q JOIN n a ON q.vec_id = 0 AND a.vec_id <> 0),
-         |vecl AS (
-         |  SELECT vec_id AS id,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
-         |  FROM (SELECT * FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 100)),
-         |f AS (
-         |  SELECT COALESCE(lex.id, vecl.id) AS doc_id, lex.lex_rank, vecl.vec_rank,
-         |    COALESCE(1000000000 // (60 + lex.lex_rank), 0)
-         |      + COALESCE(1000000000 // (60 + vecl.vec_rank), 0) AS rrf_score
-         |  FROM lex FULL OUTER JOIN vecl ON lex.id = vecl.id)
-         |SELECT doc_id, lex_rank, vec_rank, CAST(rrf_score AS BIGINT) AS rrf_score
-         |FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // Shared BY REFERENCE with the graft_rrf_fuse TVF spelling.
+    "search_hybrid_rrf" -> hybridRrfOracle,
+    "sql_rrf_fuse" -> hybridRrfOracle,
     "dedup_embed_cosine" -> allPairsCosineOracle,
     // Scale-regime gate: the oracle recomputes the planted lattice
     // perturbation and the exact quantized pair cosines (so n_eligible
