@@ -189,6 +189,52 @@ object FileIO {
     * of collecting — same layout, no interface change.
     *
     * @return number of files indexed */
+  /** Recursive data-file basenames under a table path, skipping
+    * underscore/dot-prefixed metadata (sidecars, _SUCCESS, .crc). The
+    * staleness fingerprint [[bloomPointLookup]] validates against —
+    * part-file names carry task UUIDs, so basenames identify files
+    * uniquely across partition directories. */
+  private def dataFileNames(spark: SparkSession, path: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[String] =
+      fs.listStatus(p).iterator.flatMap { s =>
+        if (hidden(s.getPath.getName)) Iterator.empty
+        else if (s.isDirectory) walk(s.getPath)
+        else Iterator.single(s.getPath.getName)
+      }
+    walk(root).toSet
+  }
+
+  /** The sidecar's build-time table fingerprint: every data-file basename
+    * present when the index was built (INCLUDING files whose keys were
+    * all null and so carry no bloom entry). [[bloomPointLookup]] refuses
+    * to prune against a listing that no longer matches — a rewritten
+    * table would otherwise be pruned against vanished file names with no
+    * error (stale-sidecar hazard). */
+  private def fingerprintPath(path: String, keyCol: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_bloom_$keyCol/_FINGERPRINT")
+
+  private def writeFingerprint(spark: SparkSession, path: String, keyCol: String): Unit = {
+    val fp = fingerprintPath(path, keyCol)
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fp, true)
+    try out.write(dataFileNames(spark, path).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readFingerprint(spark: SparkSession, path: String, keyCol: String): Set[String] = {
+    val fp = fingerprintPath(path, keyCol)
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(fp),
+      s"bloom sidecar at $path/_bloom_$keyCol has no _FINGERPRINT — rebuild the index " +
+        "(buildBloomIndex) before point lookups")
+    val in = fs.open(fp)
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
   def buildBloomIndex(
       spark: SparkSession,
       path: String,
@@ -197,13 +243,33 @@ object FileIO {
       format: String = "parquet"
   ): Int = {
     import org.apache.spark.util.sketch.BloomFilter
+    // null keys (and values the long cast nulls out) are EXCLUDED from the
+    // sketches explicitly: a bloom cannot carry null, point lookups take a
+    // concrete Long, and dropping nulls here cannot false-negative any
+    // non-null probe
     val rows = spark.read
       .format(format)
       .load(path)
       .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
     // expected items per file: one metadata-scale count (2× headroom
     // keeps fpp honest on skewed file sizes)
     val Array(stats) = rows.groupBy(col("f")).count().agg(max("count"), count(lit(1))).collect()
+    if (stats.isNullAt(0)) {
+      // empty table (or all-null keys): an empty sidecar is the correct
+      // index — every file definitely lacks every key
+      spark
+        .createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("bloom", org.apache.spark.sql.types.BinaryType))))
+        .write
+        .mode(SaveMode.Overwrite)
+        .parquet(s"$path/_bloom_$keyCol")
+      writeFingerprint(spark, path, keyCol)
+      return 0
+    }
     val perFileCap = math.max(64L, stats.getLong(0) * 2)
     val nFiles = stats.getLong(1).toInt
     val sidecar = rows.rdd
@@ -222,31 +288,67 @@ object FileIO {
       .write
       .mode(SaveMode.Overwrite)
       .parquet(s"$path/_bloom_$keyCol")
+    writeFingerprint(spark, path, keyCol)
     nFiles
   }
 
   /** Point lookup through the bloom sidecar: returns (matching rows,
     * candidate file count, total file count) — the caller's pruning
     * telemetry. Results are EXACTLY the full-scan filter's (a bloom
-    * has no false negatives); only the file set read differs. */
+    * has no false negatives); only the file set read differs.
+    *
+    * Staleness gate: the sidecar's `_FINGERPRINT` (data-file basenames at
+    * build time) must equal the CURRENT listing — a table rewritten after
+    * indexing would otherwise be pruned against vanished file names with
+    * no error. Mismatch fails loudly: rebuild the index.
+    *
+    * `collectSidecar = true` (default) deserializes the blooms on the
+    * driver — metadata-scale when files number in the thousands. At
+    * MILLIONS of files the blooms themselves dwarf driver memory: set it
+    * false and the probe runs as a distributed filter over the sidecar
+    * (each executor deserializes only its partition's blooms); only the
+    * MATCHING file names — bounded by the true candidate count — come
+    * back to the driver to plan the scan. Identical results either way
+    * (BloomIndexSpec pins it). */
   def bloomPointLookup(
       spark: SparkSession,
       path: String,
       keyCol: String,
       key: Long,
-      format: String = "parquet"
+      format: String = "parquet",
+      collectSidecar: Boolean = true
   ): (DataFrame, Int, Int) = {
     import org.apache.spark.util.sketch.BloomFilter
-    // one row per data file — metadata-scale by construction (see
-    // buildBloomIndex's scale note)
-    val entries = spark.read.parquet(s"$path/_bloom_$keyCol").collect()
-    val candidates = entries
-      .filter { r =>
-        BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-          .mightContainLong(key)
+    val current = dataFileNames(spark, path)
+    val indexed = readFingerprint(spark, path, keyCol)
+    if (current != indexed) {
+      val gone = indexed -- current
+      val fresh = current -- indexed
+      throw new IllegalStateException(
+        s"bloom sidecar at $path/_bloom_$keyCol is STALE: the table changed after indexing " +
+          s"(${gone.size} indexed file(s) vanished, ${fresh.size} unindexed file(s) appeared" +
+          (gone.take(3) ++ fresh.take(3)).mkString(": ", ", ", "") +
+          ") — pruning against it would be silently wrong; rebuild with buildBloomIndex")
+    }
+    val sidecarDf = spark.read.parquet(s"$path/_bloom_$keyCol")
+    val (candidates, total) =
+      if (collectSidecar) {
+        val entries = sidecarDf.collect()
+        (entries.filter { r =>
+          BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+            .mightContainLong(key)
+        }.map(_.getAs[String]("file")),
+          entries.length)
+      } else {
+        // distributed spelling: blooms stay on executors; the driver sees
+        // only matching file names + one count
+        val probe = udf { (b: Array[Byte]) =>
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(key)
+        }
+        (sidecarDf.filter(probe(col("bloom"))).select("file").collect().map(_.getString(0)),
+          sidecarDf.count().toInt)
       }
-      .map(_.getAs[String]("file"))
     val result =
       if (candidates.isEmpty)
         spark.createDataFrame(
@@ -257,7 +359,7 @@ object FileIO {
           .format(format)
           .load(candidates.toIndexedSeq: _*)
           .filter(col(keyCol).cast("long") === key)
-    (result, candidates.length, entries.length)
+    (result, candidates.length, total)
   }
 
   /** BUCKETED TABLE write — the canonical shuffle-ELIMINATION layout

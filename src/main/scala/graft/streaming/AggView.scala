@@ -52,17 +52,19 @@ object AggView {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Atomic small-file write: temp + rename, the pointer discipline. */
-  private def writeAtomic(spark: SparkSession, path: String, body: String): Unit = {
-    val p = new Path(path)
-    val fs = fsOf(spark, p)
-    val tmp = new Path(path + s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"atomic pointer rename failed for $path")
-  }
+  /** Atomic small-file write — EpochStore's temp + rename(OVERWRITE)
+    * through FileContext, the pointer discipline. (A delete-then-rename
+    * spelling has a window where NO pointer exists: a crash or racing
+    * reader there sees (0, -1) and the next apply silently rebuilds the
+    * view from one batch's delta, losing the accumulated totals AND the
+    * replayed-batchId ledger.) */
+  private def writeAtomic(spark: SparkSession, path: String, body: String): Unit =
+    EpochStore.writeAtomic(spark, path, body)
+
+  /** Grace before a superseded version dir is deleted: a reader that
+    * resolved the pointer just before rapid successive applies must be
+    * able to finish its scan (the EpochStore.retireCompacted posture). */
+  val DefaultGcGraceMs: Long = EpochStore.DefaultLeaseGraceMs
 
   /** (version, lastAppliedBatchId) — (0, -1) before bootstrap. */
   def pointer(spark: SparkSession, dir: String): (Int, Long) = {
@@ -98,7 +100,8 @@ object AggView {
       batchId: Long,
       batch: DataFrame,
       keyCols: Seq[String],
-      sumCols: Seq[String]
+      sumCols: Seq[String],
+      gcGraceMs: Long = DefaultGcGraceMs
   ): Boolean = {
     val (v, last) = pointer(spark, dir)
     if (batchId <= last) return false
@@ -118,12 +121,20 @@ object AggView {
       }
     merged.write.mode(SaveMode.Overwrite).parquet(versionDir(dir, v + 1))
     writeAtomic(spark, pointerPath(dir), s"${v + 1} $batchId")
-    // GC-only cosmetics after the one atomic commit: superseded versions
-    // (crash here loses nothing — the next apply sweeps again)
+    // GC-only cosmetics after the one atomic commit: superseded versions,
+    // gated on a grace window measured from the SUPERSEDING version's
+    // creation (dir mtime of v=o+1 ≈ when v=o stopped being current) so a
+    // reader that resolved the pointer just before rapid applies finishes
+    // its scan — the retireCompacted discipline. Crash or skip here loses
+    // nothing: the next apply sweeps again.
     val fs = fsOf(spark, new Path(dir))
+    val now = System.currentTimeMillis()
     (1 until v).foreach { o =>
       val d = new Path(versionDir(dir, o))
-      if (fs.exists(d)) fs.delete(d, true)
+      val successor = new Path(versionDir(dir, o + 1))
+      if (fs.exists(d) && fs.exists(successor) &&
+          (gcGraceMs <= 0 || now - fs.getFileStatus(successor).getModificationTime > gcGraceMs))
+        fs.delete(d, true)
     }
     true
   }

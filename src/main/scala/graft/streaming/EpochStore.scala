@@ -103,7 +103,7 @@ object EpochStore {
     * CAS) can never rename each other's temp out from underneath — the
     * loser's leftover `<name>.tmp.*` is inert (underscore/pointer-named,
     * ignored by every reader). */
-  private def writeAtomic(spark: SparkSession, path: String, body: String): Unit = {
+  private[streaming] def writeAtomic(spark: SparkSession, path: String, body: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(path)
     val tmp = new Path(path + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
@@ -200,10 +200,23 @@ object EpochStore {
     * one creates the claim — the other throws. The winner then re-reads
     * the lease before advancing it (a racer that already won AND released
     * its claim shows up as an advanced generation, not a live claim) and
-    * finally drops the claim. A crashed winner's claim — created but the
-    * lease never advanced — is reclaimed once it ages past the grace
-    * window; a live claimant advances the lease within one round trip,
-    * never minutes. */
+    * finally drops the claim.
+    *
+    * A crashed claimant's claim — created but the lease never advanced —
+    * is never DELETED for reclamation (delete-then-create is its own
+    * TOCTOU: two acquirers both observe the aged claim, one deletes it
+    * and creates afresh, the other's delete removes the FRESH claim and
+    * its own create succeeds — two winners). Instead the generation is
+    * SKIPPED: the acquirer probes upward past every stale claim to the
+    * first unclaimed generation, so the atomic exclusive create stays
+    * the single serialization point and stale claims are inert debris
+    * (GC'd by the eventual winner AFTER its lease write, when any racer
+    * that could still create a lower-numbered claim is already doomed
+    * by the post-create lease re-verify). Generations stay strictly
+    * monotone — skipping numbers is harmless; [[refence]] matches on
+    * equality, never arithmetic. A LIVE claim (younger than grace)
+    * still rejects loudly; a live claimant advances the lease within
+    * one round trip, never minutes. */
   private def casTakeover(
       spark: SparkSession,
       stateDir: String,
@@ -211,12 +224,26 @@ object EpochStore {
       expectedGen: Long,
       graceMs: Long
   ): Long = {
-    val newGen = expectedGen + 1
+    val fs = fsOf(spark, new Path(leasePath(stateDir)))
+    // Probe upward past stale claims to the first unclaimed generation.
+    // Bounded: claims only accumulate one per crashed takeover.
+    var newGen = expectedGen + 1
+    var probing = true
+    while (probing) {
+      val c = new Path(s"${leasePath(stateDir)}.claim.$newGen")
+      if (!fs.exists(c)) probing = false
+      else {
+        val age = System.currentTimeMillis() - fs.getFileStatus(c).getModificationTime
+        if (graceMs > 0 && age <= graceMs)
+          throw new IllegalStateException(
+            s"maintenance state at $stateDir: takeover of lease generation $expectedGen is " +
+              s"already claimed by a racing writer ($c is ${age / 1000}s old) — writer '$id' " +
+              "loses the race deterministically; retry after the winner's heartbeat or its " +
+              "claim ages out")
+        newGen += 1 // stale claim: crashed claimant — skip its generation
+      }
+    }
     val claim = new Path(s"${leasePath(stateDir)}.claim.$newGen")
-    val fs = fsOf(spark, claim)
-    if (fs.exists(claim) && (graceMs <= 0 ||
-        System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > graceMs))
-      fs.delete(claim, false)
     // The exclusive create must be ATOMIC, or two racers both pass: on
     // HDFS `create(overwrite=false)` is a single namenode op, but the
     // Hadoop LOCAL filesystem implements it as exists()-then-open — a
@@ -252,6 +279,13 @@ object EpochStore {
               s"(holder '$heldNow') while writer '$id' raced to claim ${newGen} — takeover lost")
       }
       writeAtomic(spark, leasePath(stateDir), s"$id\n$newGen")
+      // Post-win GC of skipped stale claims: safe only NOW — any racer
+      // that could still create one of these lower-numbered claims read
+      // the lease at expectedGen and its post-create re-verify (above)
+      // will see the advanced generation and abort.
+      ((expectedGen + 1) until newGen).foreach { g =>
+        fs.delete(new Path(s"${leasePath(stateDir)}.claim.$g"), false)
+      }
       newGen
     } finally { fs.delete(claim, false); () }
   }

@@ -61,6 +61,24 @@ class AggViewSpec extends AnyFunSuite {
     assert(totals(dir) === Map("a" -> ((2L, 6L))))
   }
 
+  test("superseded-version GC honors the grace window; grace 0 sweeps immediately") {
+    val dir = tmp()
+    // three rapid applies with the default (10-min) grace: a reader that
+    // resolved the pointer at v=1 just before the rapid applies must still
+    // find its version directory
+    AggView.applyBatch(spark, dir, 0L, df("a" -> 1L), Seq("k"), Seq("x"))
+    AggView.applyBatch(spark, dir, 1L, df("a" -> 2L), Seq("k"), Seq("x"))
+    AggView.applyBatch(spark, dir, 2L, df("a" -> 3L), Seq("k"), Seq("x"))
+    assert(new java.io.File(s"$dir/v=1").exists(),
+      "a just-superseded version must survive the grace window")
+    assert(totals(dir) === Map("a" -> ((3L, 6L))))
+    // grace 0 = no window: the next apply sweeps everything below v
+    AggView.applyBatch(spark, dir, 3L, df("a" -> 4L), Seq("k"), Seq("x"), gcGraceMs = 0L)
+    assert(!new java.io.File(s"$dir/v=1").exists() && !new java.io.File(s"$dir/v=2").exists(),
+      "grace 0 must sweep superseded versions")
+    assert(totals(dir) === Map("a" -> ((4L, 10L))))
+  }
+
   test("streaming sink: checkpoint restart re-delivers without double-counting") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

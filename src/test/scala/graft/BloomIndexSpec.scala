@@ -54,6 +54,55 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(cand <= 2, s"absent key should prune to ~0 files, got $cand")
   }
 
+  test("distributed lookup (collectSidecar=false): identical results, identical pruning") {
+    val (dir, total) = setup()
+    (Seq(0L, 97L, 1999L, 999999L)).foreach { key =>
+      val (r1, c1, t1) = FileIO.bloomPointLookup(spark, dir, "k", key)
+      val (r2, c2, t2) = FileIO.bloomPointLookup(spark, dir, "k", key, collectSidecar = false)
+      assert(r1.collect().toSet === r2.collect().toSet, s"key $key: result mismatch")
+      assert(c1 === c2, s"key $key: candidate count mismatch")
+      assert(t1 === t2 && t1 === total)
+    }
+  }
+
+  test("stale sidecar (files appended after indexing) fails loudly instead of mis-pruning") {
+    import spark.implicits._
+    val (dir, _) = setup()
+    // append new files: the sidecar has no blooms for them — a silent
+    // lookup would false-negative every appended key
+    (10000L until 10100L).map(k => (k, k % 7, s"w$k")).toDF("k", "grp", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val ex = intercept[IllegalStateException] {
+      FileIO.bloomPointLookup(spark, dir, "k", 10005L)
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    // rebuild restores service over old AND new files
+    FileIO.buildBloomIndex(spark, dir, "k")
+    val (rows, _, _) = FileIO.bloomPointLookup(spark, dir, "k", 10005L)
+    assert(rows.collect().map(_.getAs[String]("payload")).toSeq === Seq("w10005"))
+    val (old, _, _) = FileIO.bloomPointLookup(spark, dir, "k", 5L)
+    assert(old.collect().map(_.getAs[String]("payload")).toSeq === Seq("v5"))
+  }
+
+  test("edge inputs: empty table indexes to an empty sidecar; null keys are excluded, not NPEs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom_edge").toString + "/t"
+    // all-null keys: the old implementation NPE'd on max(count)=null /
+    // r.getLong on a null cell
+    Seq((null.asInstanceOf[java.lang.Long], "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("k", "payload").write.parquet(dir)
+    assert(FileIO.buildBloomIndex(spark, dir, "k") === 0)
+    val (rows, cand, _) = FileIO.bloomPointLookup(spark, dir, "k", 1L)
+    assert(rows.count() === 0 && cand === 0)
+    // mixed null/non-null: nulls dropped from the sketch, non-null keys still found
+    val dir2 = java.nio.file.Files.createTempDirectory("bloom_edge2").toString + "/t"
+    Seq((java.lang.Long.valueOf(7L), "x"), (null.asInstanceOf[java.lang.Long], "y"))
+      .toDF("k", "payload").write.parquet(dir2)
+    assert(FileIO.buildBloomIndex(spark, dir2, "k") >= 1)
+    val (r2, _, _) = FileIO.bloomPointLookup(spark, dir2, "k", 7L)
+    assert(r2.collect().map(_.getAs[String]("payload")).toSeq === Seq("x"))
+  }
+
   test("sidecar is invisible to plain table scans") {
     val (dir, _) = setup()
     val plain = spark.read.parquet(dir)

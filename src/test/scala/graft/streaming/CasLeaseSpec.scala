@@ -67,7 +67,7 @@ class CasLeaseSpec extends AnyFunSuite {
       "the winner must drop its claim file")
   }
 
-  test("a live racer's claim blocks takeover; a crashed claimant's stale claim is reclaimed") {
+  test("a live racer's claim blocks takeover; a crashed claimant's stale claim is skipped past") {
     val st = freshDir()
     assert(EpochStore.fence(spark, st, Some("app-dead"), graceMs = 50000) == 1L)
     age(leaseFile(st), 100000)
@@ -79,9 +79,44 @@ class CasLeaseSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("already claimed"), ex.getMessage)
     // the claimant crashed (claim aged past grace, lease never advanced):
-    // the next acquirer reclaims the slot and wins
+    // the next acquirer SKIPS the dead generation instead of deleting the
+    // claim (delete-then-create reintroduces a TOCTOU — see casTakeover's
+    // scaladoc) and wins at generation 3; the winner GCs the debris
     age(claim.getPath, 100000)
-    assert(EpochStore.fence(spark, st, Some("app-B"), graceMs = 50000) == 2L)
+    assert(EpochStore.fence(spark, st, Some("app-B"), graceMs = 50000) == 3L)
+    assert(!claim.exists(), "the winner must GC the skipped stale claim")
+  }
+
+  test("two writers racing to reclaim a STALE claim: exactly one wins (no delete/delete TOCTOU)") {
+    val st = freshDir()
+    assert(EpochStore.fence(spark, st, Some("app-dead"), graceMs = 50000) == 1L)
+    age(leaseFile(st), 100000)
+    // a crashed claimant's stale claim for generation 2: under the old
+    // delete-then-create reclamation, two racers could both delete it and
+    // both win; skip-past keeps the exclusive create the only gate
+    val claim = new java.io.File(s"${leaseFile(st)}.claim.2")
+    assert(claim.createNewFile())
+    age(claim.getPath, 100000)
+
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+    val threads = Seq("app-B", "app-C").map { id =>
+      val t = new Thread(() => {
+        start.await()
+        try results.put(id, Right(EpochStore.fence(spark, st, Some(id), graceMs = 50000)))
+        catch { case e: Throwable => results.put(id, Left(e)) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(60000))
+
+    import scala.jdk.CollectionConverters._
+    val all = results.asScala.toMap
+    val wins = all.collect { case (id, Right(g)) => (id, g) }
+    assert(wins.size == 1, s"expected exactly one reclamation winner, got $all")
+    assert(wins.head._2 == 3L, "the winner must skip the dead claimant's generation")
+    assert(EpochStore.leaseGen(spark, st) == 3L)
   }
 
   test("refence is generation-matched: a same-id writer whose store was taken over and re-acquired rejects") {
