@@ -24,6 +24,38 @@ import graft.util.Exact._
 object TimeWindows {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-user journey cap for [[cappedJourneys]] — the explicit bound
+    * that keeps the pattern-match collect out of the unbounded-per-key
+    * class (the `StreamingTopPaths.maxPathEvents` precedent). 512 events
+    * dwarfs any fixture user's history, so the cap is a SAFETY bound at
+    * the gated scales and the binding bound only on pathological keys. */
+  val MaxJourneyEvents: Int = 512
+
+  /** Per-user event-symbol journeys, BOUNDED: the first `cap` events per
+    * user in (ts, event_id) order become the ordered symbol string. The
+    * cap makes the per-key collect O(cap) instead of O(user history) —
+    * at 100 TB a power user (or a bot) cannot balloon one key's state;
+    * rows past the cap are dropped deterministically, mirrored verbatim
+    * in the DuckDB oracle. `n_events` counts the CAPPED journey (what
+    * the regexes see), not the raw history. The row_number rides the
+    * same user_id shuffle the groupBy needs — no extra exchange. */
+  private[graft] def cappedJourneys(events: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("sym"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("concat_ws('', transform(array_sort(collect_list(struct(ts, event_id, sym))), s -> s.sym))")
+          .as("j"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windows per event type.
     "win_tumbling" -> { (spark, dir) =>
@@ -183,22 +215,13 @@ object TimeWindows {
     // then anything but a purchase, then purchase" is v[^p]*p, an
     // error burst is ee+. Leftmost non-overlapping greedy semantics are
     // identical in Java regex and RE2, so match COUNTS are
-    // cross-engine exact. Shape: one groupBy-user with an ordered
-    // collect (the evt_top_paths precedent — journeys are per-user
-    // bounded), then pure per-row regex — no second shuffle; at 100 TB
-    // bound the journey with a session window or time range first,
-    // exactly like evt_top_paths does.
+    // cross-engine exact. Shape: [[cappedJourneys]] — one groupBy-user
+    // with an ordered collect EXPLICITLY BOUNDED at MaxJourneyEvents
+    // (row_number riding the same user_id shuffle), then pure per-row
+    // regex — no second shuffle and no unbounded per-key state. The cap
+    // is mirrored verbatim in the oracle.
     "evt_pattern_match" -> { (spark, dir) =>
-      Tables
-        .events(spark, dir)
-        .select(
-          col("user_id"), col("ts"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("sym"))
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          expr("concat_ws('', transform(array_sort(collect_list(struct(ts, event_id, sym))), s -> s.sym))")
-            .as("j"))
+      cappedJourneys(Tables.events(spark, dir), MaxJourneyEvents)
         .select(
           col("user_id"),
           col("n_events"),
@@ -485,13 +508,18 @@ object TimeWindows {
         |       ELSE CAST((day_q - prev_q) * 1000000 // prev_q AS BIGINT) END AS pct_change_micro
         |FROM l ORDER BY d""".stripMargin,
     // Pattern-match ground truth: the same ordered symbol string
-    // (string_agg ORDER BY ts, event_id) and the same regexes — Java
+    // (string_agg ORDER BY ts, event_id), the same per-user journey cap
+    // (ROW_NUMBER <= MaxJourneyEvents), and the same regexes — Java
     // regex and RE2 agree on leftmost non-overlapping greedy counts.
     "evt_pattern_match" ->
-      """WITH j AS (
+      s"""WITH capped AS (
+        |  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS sym,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |j AS (
         |  SELECT user_id, COUNT(*) AS n_events,
-        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS jn
-        |  FROM events GROUP BY user_id)
+        |    string_agg(sym, '' ORDER BY ts, event_id) AS jn
+        |  FROM capped WHERE rn <= ${MaxJourneyEvents} GROUP BY user_id)
         |SELECT user_id, n_events,
         |  CAST(len(regexp_extract_all(jn, 'v[^p]*p')) AS BIGINT) AS n_funnel_matches,
         |  (len(regexp_extract_all(jn, 'ee+')) > 0) AS error_burst

@@ -46,6 +46,31 @@ class StreamingPatternsSpec extends AnyFunSuite {
     assert(machine.keySet.subsetOf(regex.keySet))
   }
 
+  test("cappedJourneys bounds per-key state: events past the cap are dropped deterministically") {
+    import spark.implicits._
+    // one user with 10 events; cap 4 keeps the (ts, event_id)-first four
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = (0 until 10)
+      .map(i => (7L, new java.sql.Timestamp(base.getTime + i * 1000L), i.toLong,
+        if (i < 4) "view" else "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.TimeWindows.cappedJourneys(ev, cap = 4).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_events") === 4L, "n_events must count the CAPPED journey")
+    assert(out.head.getAs[String]("j") === "vvvv",
+      "the journey must be exactly the first cap events in (ts, event_id) order")
+    // no-op when histories fit (the gated regime): cap >> history
+    val wide = graft.operators.TimeWindows.cappedJourneys(ev, cap = 512).collect()
+    assert(wide.head.getAs[String]("j") === "vvvvpppppp")
+    // GATED-PATH COLLECT INVENTORY (the no-unbounded-per-key-collect
+    // note): every collect_list/collect_set on a gated path is bounded —
+    // evt_pattern_match by MaxJourneyEvents (this test), evt_top_paths
+    // per 5-minute-gap session, Dedup minhash lists by m hashes/doc,
+    // agg_collect_list/set per TPC-H customer (orders-per-customer is
+    // fixed by the data model, independent of SF).
+    assert(graft.operators.TimeWindows.MaxJourneyEvents === 512)
+  }
+
   test("streaming: batch-spanning funnels match; drained ≡ batch; restart-safe") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
