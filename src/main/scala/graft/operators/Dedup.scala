@@ -132,16 +132,20 @@ object Dedup {
     *       the build side — linear, never a self-join)
     *     → explode each hit's k covered positions, dedup in the per-doc
     *       collect_set downstream.
-    * At 100 TB: group/join on a 64-bit shingle fingerprint instead of
-    * the string to halve shuffle width (collision odds ~n²/2⁶⁵; the
-    * fixture gate keeps the exact string so the oracle is
-    * collision-free by construction), and a stop-shingle cap à la
-    * [[SkewTools.dropHotKeys]] is unnecessary — the dup-set side is one
-    * row per shingle value, so hot shingles cost a skewed-but-linear
-    * probe, which AQE skew-split handles. */
-  def duplicateSpanPositions(docs: DataFrame, k: Int): DataFrame = {
+    * At 100 TB: set `fingerprint = true` to group/join on a 64-bit
+    * xxhash64 shingle fingerprint instead of the string — a k=8 word
+    * shingle averages ~50 bytes, so the fingerprint cuts the groupBy and
+    * join shuffle width ~6× (collision odds ~n²/2⁶⁵: a colliding pair
+    * marks at most k extra positions in the colliding docs; the fixture
+    * gate keeps the exact string so the oracle is collision-free by
+    * construction, and `dedup_span_fp` gates the fingerprint spelling
+    * against the SAME oracle — collision-free at fixture scale). A
+    * stop-shingle cap à la [[SkewTools.dropHotKeys]] is unnecessary —
+    * the dup-set side is one row per shingle value, so hot shingles cost
+    * a skewed-but-linear probe, which AQE skew-split handles. */
+  def duplicateSpanPositions(docs: DataFrame, k: Int, fingerprint: Boolean = false): DataFrame = {
     val ts = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-    val sh = ts
+    val shStr = ts
       .filter(size(col("ts")) >= k)
       .select(
         col("doc_id"),
@@ -149,6 +153,12 @@ object Dedup {
           transform(
             sequence(lit(0), size(col("ts")) - k),
             p => array_join(slice(col("ts"), p + 1, lit(k)), " "))).as(Seq("pos", "shingle")))
+    // the fingerprint replaces the string BEFORE the shuffle — both the
+    // dup-set groupBy and the occurrences join move 8-byte keys
+    val sh =
+      if (fingerprint)
+        shStr.select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("shingle"))
+      else shStr
     val dup = sh
       .groupBy(col("shingle"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -165,8 +175,8 @@ object Dedup {
     * per-doc set (collect_set — spans overlap, the set dedups), then the
     * token array is filtered BY INDEX in one codegen'd higher-order
     * filter — no per-token shuffle, no ordered string_agg. */
-  def removeDuplicateSpans(docs: DataFrame, k: Int): DataFrame = {
-    val covSets = duplicateSpanPositions(docs, k)
+  def removeDuplicateSpans(docs: DataFrame, k: Int, fingerprint: Boolean = false): DataFrame = {
+    val covSets = duplicateSpanPositions(docs, k, fingerprint)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("pos")).as("cps"))
     docs
@@ -190,6 +200,22 @@ object Dedup {
     // real cross-doc span removal, overlapping spans included.
     "dedup_span_exact" -> { (spark, dir) =>
       removeDuplicateSpans(Tables.documents(spark, dir), k = 8)
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_dup_tokens"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The FINGERPRINT spelling (the documented 100 TB shuffle-width
+    // path): identical plan except both span shuffles move an 8-byte
+    // xxhash64 of each shingle instead of the ~50-byte string. Gated
+    // against the SAME oracle — fixture scale is collision-free by
+    // construction, so a hash mismatch here means the rewrite broke
+    // semantics, not that a collision fired.
+    "dedup_span_fp" -> { (spark, dir) =>
+      removeDuplicateSpans(Tables.documents(spark, dir), k = 8, fingerprint = true)
         .select(
           col("doc_id"),
           col("n_tokens"),
@@ -337,6 +363,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_span_exact" -> spanDedupOracle,
+    "dedup_span_fp" -> spanDedupOracle,
     "sql_span_dedup" -> spanDedupOracle,
     "dedup_minhash_lsh" -> exactPairsSql("0.6"),
     "sql_minhash_pairs" -> exactPairsSql("0.6"),

@@ -158,14 +158,15 @@ object AggView {
       sumCols: Seq[String],
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      gcGraceMs: Long = DefaultGcGraceMs
   ): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, dir, batchId, batch, keyCols, sumCols)
+        applyBatch(batch.sparkSession, dir, batchId, batch, keyCols, sumCols, gcGraceMs)
         ()
       }
       .start()

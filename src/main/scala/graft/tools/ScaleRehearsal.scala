@@ -151,6 +151,7 @@ object ScaleRehearsal {
     for (m <- mults) {
       val dir = s"$outDir/m$m"
       if (wanted("incr_augment") || wanted("leakproof") || wanted("minhash") ||
+          wanted("span_dedup") || wanted("span_dedup_fp") ||
           wanted("corpus_ingest") || wanted("corpus_ingest_frag") ||
           wanted("corpus_ingest_compacted"))
         genDocs(spark, 5000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
@@ -241,6 +242,19 @@ object ScaleRehearsal {
       // build is the linear stage, band join is capped — the curve should
       // track corpus size, not its square.
       def minhashRun(): Long = Dedup.minhashPairs(docs, 0.6).count()
+
+      // Span-level exact dedup, string-keyed vs 64-bit-fingerprint-keyed
+      // shuffles (Dedup.duplicateSpanPositions): same plan, the only
+      // delta is the bytes each shingle carries through the dup-set
+      // groupBy and the occurrences join — the fp row should beat the
+      // string row by roughly the shingle-bytes ratio once shuffle
+      // dominates. Semantics equality is the dedup_span_fp oracle gate's
+      // job; here both rows count the same positions (collision-free at
+      // these sizes), so the speedup can't come from dropping work.
+      def spanDedupRun(): Long =
+        Dedup.duplicateSpanPositions(docs, k = 8).count()
+      def spanDedupFpRun(): Long =
+        Dedup.duplicateSpanPositions(docs, k = 8, fingerprint = true).count()
 
       // Sign-LSH banded embedding near-dup (the dedup_embed_cosine /
       // sim_mutual_knn candidate machinery) on the near-uniform corpus:
@@ -612,9 +626,13 @@ object ScaleRehearsal {
         graft.Verify.deleteTree(new java.io.File(viewDir))
         graft.Verify.deleteTree(new java.io.File(s"$dir/agg_view_soak_ckpt"))
         val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+        // grace 0 (the semantic-soak fencing precedent): the soak's
+        // listing claim is about GC keeping up at full cadence — the
+        // production 10-minute reader grace would trivially pin 50
+        // same-minute applies' dirs in place
         val q = graft.streaming.AggView.sink(
           ms.toDF().toDF("k", "x"), viewDir, Seq("k"), Seq("x"), s"$dir/agg_view_soak_ckpt",
-          trigger = Trigger.ProcessingTime(0))
+          trigger = Trigger.ProcessingTime(0), gcGraceMs = 0L)
         val times = Seq.newBuilder[Double]; val listings = Seq.newBuilder[Int]
         for (i <- 0 until SoakIngests) {
           val batch = (0 until SoakBatch.toInt)
@@ -684,6 +702,8 @@ object ScaleRehearsal {
         ("assign_broadcast", () => assignBcastRun()),
         ("leakproof", () => leakRun()),
         ("minhash", () => minhashRun()),
+        ("span_dedup", () => spanDedupRun()),
+        ("span_dedup_fp", () => spanDedupFpRun()),
         ("embed_dedup", () => embedDedupRun()),
         ("embed_dedup_prod", () => embedDedupProdRun()),
         ("embed_dedup_auto", () => embedDedupAutoRun()),
