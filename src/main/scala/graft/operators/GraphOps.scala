@@ -109,27 +109,61 @@ object GraphOps {
     * visited set — frontier-sized work, not graph-sized; lineage
     * truncated per round like [[pageRank]]/[[DedupClusters]]. Early-exits
     * when a frontier empties (the count is a per-round driver scalar,
-    * same class as CC's convergence check). */
-  def bfsDepths(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    * same class as CC's convergence check).
+    *
+    * @param reliableCheckpoint same contract as [[pageRank]]'s: `false`
+    *   (default) truncates lineage with `localCheckpoint` — right on a
+    *   single node, dies with a lost executor; `true` persists the edge
+    *   list and each round's frontier/visited to the SparkContext
+    *   checkpoint dir (caller must `setCheckpointDir` on a cluster) so a
+    *   deep traversal over a 100 TB graph survives executor loss.
+    *   Superseded rounds are reclaimed as the loop goes; the FINAL
+    *   visited set stays reliable-backed — after durably writing it,
+    *   call [[DedupClusters.reclaimCheckpoint]] on the result. */
+  def bfsDepths(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxDepth: Int,
+      reliableCheckpoint: Boolean = false
+  ): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    def deleteCkpt(df: DataFrame): Unit =
+      if (reliableCheckpoint) DedupClusters.reclaimCheckpoint(df)
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val e = edges.repartition(parts, col("src")).localCheckpoint()
-    var frontier = sources.select(col("id")).distinct()
-      .withColumn("depth", lit(0L)).localCheckpoint()
+    val e = ckpt(edges.repartition(parts, col("src")))
+    var frontier = ckpt(sources.select(col("id")).distinct().withColumn("depth", lit(0L)))
     var visited = frontier
     var d = 1
     var done = false
     while (d <= maxDepth && !done) {
-      frontier = e
+      val prevFrontier = frontier
+      val prevVisited = visited
+      frontier = ckpt(e
         .join(frontier.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id"))
         .distinct()
         .join(visited, Seq("id"), "left_anti")
-        .withColumn("depth", lit(d.toLong))
-        .localCheckpoint()
-      if (frontier.isEmpty) done = true
-      else visited = visited.unionByName(frontier).localCheckpoint()
+        .withColumn("depth", lit(d.toLong)))
+      if (frontier.isEmpty) {
+        done = true
+        // the dead-end frontier's files; visited stays prevVisited
+        deleteCkpt(frontier)
+      } else {
+        visited = ckpt(visited.unionByName(frontier))
+        // superseded round: both the new frontier and the new visited are
+        // materialized self-contained checkpoints, so the previous
+        // round's files can go (round 1 aliases frontier==visited — one
+        // checkpoint, reclaim once)
+        deleteCkpt(prevVisited)
+        if (prevFrontier ne prevVisited) deleteCkpt(prevFrontier)
+      }
       d += 1
     }
+    // the traversal result is self-contained: the edge checkpoint and the
+    // last round's frontier (already folded into visited) can go
+    deleteCkpt(e)
+    if (visited ne frontier) deleteCkpt(frontier)
     visited
   }
 
@@ -277,6 +311,34 @@ object GraphOps {
         .orderBy(col("id"))
     },
 
+    // The FAULT-TOLERANT lineage mode of the same BFS — the
+    // dedup_clusters_ckpt / graph_pagerank_ckpt recipe, third
+    // application: reliableCheckpoint = true persists the edge list and
+    // each round's frontier/visited to the SparkContext checkpoint dir,
+    // superseded rounds reclaimed as the loop goes. Shares
+    // graph_bfs_depth's oracle BY REFERENCE: both modes must land the
+    // identical minimum-hop depths.
+    "graph_bfs_depth_ckpt" -> { (spark, dir) =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          s"${sys.props("java.io.tmpdir")}/graft_ckpt_" +
+            spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_"))
+      val li = Tables.lineitem(spark, dir)
+      val fwd = li.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val sources = edges.select(col("src").as("id")).distinct().filter(col("id") < 10)
+      val depths = bfsDepths(edges, sources, maxDepth = 4, reliableCheckpoint = true)
+        .orderBy(col("id"))
+      // gate hygiene (the pagerank_ckpt precedent): materialize, then
+      // reclaim the result's reliable files so repeated passes leave
+      // nothing in the checkpoint FS
+      val out = depths.localCheckpoint()
+      DedupClusters.reclaimCheckpoint(depths)
+      out
+    },
+
     // "Also bought" top-3 recommendations from the same co-occurrence
     // graph: weighted edges (number of orders containing both parts),
     // symmetrized, top 3 per part by (count desc, part asc) — a
@@ -331,20 +393,24 @@ object GraphOps {
        |SELECT id, s AS score_q FROM it3
        |ORDER BY score_q DESC, id ASC LIMIT 20""".stripMargin
 
+  private val bfsOracle: String =
+    """WITH RECURSIVE f AS (
+      |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+      |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+      |bfs(id, depth) AS (
+      |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS depth FROM e WHERE src < 10
+      |  UNION
+      |  SELECT e.dst, bfs.depth + 1 FROM bfs JOIN e ON e.src = bfs.id
+      |  WHERE bfs.depth < 4)
+      |SELECT id, MIN(depth) AS depth FROM bfs GROUP BY id ORDER BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     // reliable-checkpoint mode must land the IDENTICAL scores
     "graph_pagerank_ckpt" -> pagerankOracle,
-    "graph_bfs_depth" ->
-      """WITH RECURSIVE f AS (
-        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
-        |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
-        |bfs(id, depth) AS (
-        |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS depth FROM e WHERE src < 10
-        |  UNION
-        |  SELECT e.dst, bfs.depth + 1 FROM bfs JOIN e ON e.src = bfs.id
-        |  WHERE bfs.depth < 4)
-        |SELECT id, MIN(depth) AS depth FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+    "graph_bfs_depth" -> bfsOracle,
+    // reliable-checkpoint mode must land the IDENTICAL depths
+    "graph_bfs_depth_ckpt" -> bfsOracle,
     "graph_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
