@@ -609,6 +609,58 @@ object Similarity {
         .limit(10)
     },
 
+    // ANN→MaxSim RERANK — the published ColBERT SERVING shape
+    // ([[maxSimScores]]'s documented at-scale path), proven end to end:
+    // stage 1 recalls candidate DOCS token-level (each of the 5 query
+    // tokens probes the token-vector corpus through the multi-probe
+    // sign-LSH ANN — the sim_ann_lsh machinery at (6, 16, t=2), top-40
+    // token hits per query token; a hit's doc joins the candidate set),
+    // stage 2 reranks ONLY the candidates with exact MaxSim — literally
+    // the sim_maxsim_topk plan with the full-corpus scan swapped for a
+    // left-semi join on the candidate doc ids. Approximate by
+    // construction, so the hash-checkable output is the QUALITY BOUND
+    // (the sim_ann_ivf scheme): recall@10 of the reranked top-10 vs the
+    // in-engine EXACT full-corpus MaxSim top-10 (itself oracle-gated as
+    // sim_maxsim_topk). Measured on the near-uniform fixture (ANN's
+    // worst case): recall@10 = 1.0 / 1.0 / 1.0 at sf0.001/0.01/0.1 —
+    // a doc needs only ONE of its 5 token vectors in ONE query token's
+    // top-40 to enter the candidate set, so doc-level recall runs far
+    // above the ~0.8 token-level sim_ann_lsh recall. The pinned 0.80
+    // bound is ~80% of the measured minimum — a recall regression fails
+    // the gate, a different fixture draw's noise does not.
+    "sim_maxsim_rerank" -> { (spark, dir) =>
+      val t = corpus(spark, dir)
+        .select(expr("vec_id div 5").as("m_doc"), pmod(col("vec_id"), lit(5)).as("tok"), col("v"))
+      val q = t.filter(col("m_doc") < 1).select(col("tok").as("qtok"), col("v").as("qv"))
+      val docToks = t.filter(col("m_doc") >= 1).select(col("m_doc"), col("v"))
+      // stage 1: token-level ANN recall — probes are the query TOKENS
+      val tokCorpus = corpus(spark, dir)
+        .filter(expr("vec_id div 5") >= 1)
+        .select(col("vec_id"), col("v"))
+      val probes = q.select(col("qtok").as("q_id"), col("qv"))
+      val ann = lshSearch(tokCorpus, probes, bitsPerBand = 6, bands = 16,
+        topK = 40, extraProbes = 2)
+      val candDocs = ann.select(expr("vec_id div 5").as("m_doc")).distinct()
+      // stage 2: exact late interaction over the candidate set only
+      val rerank = maxSimScores(docToks.join(candDocs, Seq("m_doc"), "left_semi"), q)
+        .orderBy(col("maxsim").desc, col("m_doc").asc)
+        .limit(10)
+      // quality bound vs the exact full-corpus MaxSim top-10
+      val exact = maxSimScores(docToks, q)
+        .orderBy(col("maxsim").desc, col("m_doc").asc)
+        .limit(10)
+      val nExact = exact.select(count(lit(1)).as("n_exact"))
+      val nHits = rerank
+        .select(col("m_doc"))
+        .join(exact.select(col("m_doc")), Seq("m_doc"))
+        .select(count(lit(1)).as("n_hits"))
+      nExact
+        .crossJoin(nHits)
+        .select(
+          col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.80).as("recall_ok"))
+    },
+
     // HYBRID RETRIEVAL via reciprocal-rank fusion ([[rrfFuse]]): a
     // lexical leg (term-frequency score over two query terms, OR
     // semantics) and a vector leg (exact cosine against vec 0's
@@ -1366,6 +1418,13 @@ object Similarity {
     "sim_ann_lsh" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // ANN→rerank composition: n_exact pins the exact-baseline list size
+    // (10 whenever the corpus has ≥11 docs) cross-engine; recall_ok is
+    // the declared quality bound, constant TRUE.
+    "sim_maxsim_rerank" ->
+      """SELECT CAST(LEAST(10, COUNT(DISTINCT vec_id // 5) - 1) AS BIGINT) AS n_exact,
+        |  TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
     "sql_ann_lsh" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
