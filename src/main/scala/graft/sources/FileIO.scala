@@ -420,9 +420,16 @@ object FileIO {
     * STABLE (a key never moves partitions) — the usual warehouse layout
     * (partition derived from immutable attributes: creation date, id
     * hash). A moving key would strand its old row in an untouched
-    * partition; detecting that requires a key index or bloom over the
-    * full table — the documented scale path if ever needed, not silently
-    * half-done here.
+    * partition. `moveGuardKey` DETECTS that: name a bloom-indexed key
+    * column ([[buildBloomIndex]]) and every update key is probed against
+    * the blooms of the files OUTSIDE the touched partitions before
+    * anything is written — a hit fails loudly (a bloom has no false
+    * negatives, so silence proves no key moved; a false positive aborts
+    * a valid upsert ~fpp of the time, the safe direction). The guard
+    * requires a FRESH sidecar (the fingerprint gate) and the upsert's
+    * own rewrite staleness it — rebuild the index after a guarded
+    * upsert, or the next guard refuses loudly rather than probing
+    * vanished files.
     */
   def upsertByKey(
       spark: SparkSession,
@@ -430,7 +437,8 @@ object FileIO {
       updates: DataFrame,
       keyCols: Seq[String],
       partitionCol: String,
-      format: String = "parquet"
+      format: String = "parquet",
+      moveGuardKey: Option[String] = None
   ): UpsertReport = {
     require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
     require(updates.columns.contains(partitionCol),
@@ -439,6 +447,44 @@ object FileIO {
     require(updates.select(keyCols.map(col): _*).distinct().count() == nUpd,
       "updates must be unique per key — collapse them (e.g. keep-latest) before the upsert")
     val partVals = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    moveGuardKey.foreach { kc =>
+      require(keyCols.contains(kc),
+        s"moveGuardKey '$kc' must be one of the upsert's key columns ${keyCols.mkString(",")}")
+      // fingerprint gate: probing a stale sidecar would be silently wrong
+      val current = dataFileNames(spark, basePath)
+      val indexed = readFingerprint(spark, basePath, kc)
+      require(current == indexed,
+        s"move guard needs a FRESH bloom sidecar at $basePath/_bloom_$kc — the table changed " +
+          "after indexing; rebuild with buildBloomIndex before the guarded upsert")
+      // untouched files = sidecar entries whose path lies outside every
+      // touched partition directory
+      val touchedSegs = partVals.map { v =>
+        val render = if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString
+        s"/$partitionCol=$render/"
+      }
+      val keys = updates.select(col(kc).cast("long")).na.drop().distinct()
+        .collect().map(_.getLong(0))
+      import org.apache.spark.util.sketch.BloomFilter
+      // executors deserialize each untouched bloom ONCE and probe the full
+      // (closure-captured, uniqueness-bounded) key batch against it
+      val probe = udf { (b: Array[Byte]) =>
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+        keys.filter(bf.mightContainLong).toSeq
+      }
+      val moved = spark.read.parquet(s"$basePath/_bloom_$kc")
+        .filter(!touchedSegs.map(seg => col("file").contains(seg)).reduceOption(_ || _)
+          .getOrElse(lit(false)))
+        .select(col("file"), explode(probe(col("bloom"))).as("key"))
+        .limit(10)
+        .collect()
+      if (moved.nonEmpty)
+        throw new IllegalStateException(
+          s"upsertByKey move guard: update key(s) ${moved.map(_.getLong(1)).distinct.mkString(",")} " +
+            s"probably already live OUTSIDE the touched $partitionCol partitions (bloom hits in " +
+            s"e.g. ${moved.head.getString(0)}) — applying this upsert would strand their old " +
+            "rows. Fix the updates' partition values (keys must not move partitions), or " +
+            "delete-and-reinsert explicitly")
+    }
     val base = spark.read.format(format).load(basePath)
     val affectedBase = base.filter(col(partitionCol).isin(partVals: _*))
     // size-gated broadcast on the MEASURED row count (already paid by the

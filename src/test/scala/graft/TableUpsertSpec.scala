@@ -65,6 +65,40 @@ class TableUpsertSpec extends AnyFunSuite {
       "untouched partition c was rewritten — the selective-rewrite contract broke")
   }
 
+  test("move guard: a key moving partitions fails loudly; legit guarded upserts pass") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    base(30).write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    FileIO.buildBloomIndex(spark, dir, "id")
+    // id 2 lives in partition c (2 % 3 == 2); an update claiming part=a
+    // would strand the c row — the guard must catch it BEFORE any write
+    val cBefore = fileState(dir, "c")
+    val moved = Seq((2L, "MOVED", "a")).toDF("id", "payload", "part")
+    val ex = intercept[IllegalStateException] {
+      FileIO.upsertByKey(spark, dir, moved, Seq("id"), "part", moveGuardKey = Some("id"))
+    }
+    assert(ex.getMessage.contains("move guard"), ex.getMessage)
+    assert(fileState(dir, "c") === cBefore, "the guard must fire before anything is written")
+    assert(spark.read.parquet(dir).filter(col("payload") === "MOVED").count() === 0)
+    // a home-partition update and a brand-new key both pass the guard
+    val legit = Seq((0L, "UPDATED0", "a"), (1000L, "NEW", "b")).toDF("id", "payload", "part")
+    val report = FileIO.upsertByKey(spark, dir, legit, Seq("id"), "part",
+      moveGuardKey = Some("id"))
+    assert(report.nUpserts === 2)
+    // the upsert's own rewrite staled the sidecar: the next guarded call
+    // refuses loudly instead of probing vanished files
+    val ex2 = intercept[IllegalArgumentException] {
+      FileIO.upsertByKey(spark, dir, legit, Seq("id"), "part", moveGuardKey = Some("id"))
+    }
+    assert(ex2.getMessage.contains("FRESH"), ex2.getMessage)
+    // rebuild restores guarded service
+    FileIO.buildBloomIndex(spark, dir, "id")
+    FileIO.upsertByKey(spark, dir, Seq((0L, "UPDATED0b", "a")).toDF("id", "payload", "part"),
+      Seq("id"), "part", moveGuardKey = Some("id"))
+    assert(spark.read.parquet(dir).filter(col("payload") === "UPDATED0b").count() === 1)
+  }
+
   test("contract guards: duplicate update keys and missing partition column reject") {
     val s = spark
     import s.implicits._
