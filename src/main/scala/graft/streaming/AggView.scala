@@ -39,10 +39,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * per key), so each apply rewrites the totals table — one narrow
   * groupBy of the BATCH (not the corpus), one full-outer merge join
   * against the current totals, one metadata-scale write. At a key
-  * cardinality where the rewrite itself hurts, partition the totals by
-  * a key-hash bucket and rewrite only the buckets the batch touches
-  * (the `FileIO.upsertByKey` dynamic-partition-overwrite machinery) —
-  * same pointer protocol, per-bucket version dirs.
+  * cardinality where the rewrite itself hurts, use the BUCKETED mode
+  * ([[applyBatchBucketed]]/[[readBucketed]]/[[sinkBucketed]]): totals
+  * partitioned by a key-hash bucket, an apply reads and rewrites only
+  * the buckets the batch touches — same single-pointer commit protocol,
+  * per-apply cost tracking touched-bucket count instead of key
+  * cardinality (AggViewSpec pins equivalence; SCALING.md measures it).
   */
 object AggView {
 
@@ -146,6 +148,153 @@ object AggView {
     require(v >= 1, s"no committed AggView at $dir — apply a batch first")
     spark.read.parquet(versionDir(dir, v))
   }
+
+  // ------------------------------------------------------------------
+  // BUCKETED totals — the documented key-cardinality scale path: totals
+  // partitioned by a key-hash bucket, an apply rewrites ONLY the buckets
+  // its batch touches (the upsertByKey dynamic-partition-rewrite idea),
+  // under the SAME single-pointer commit protocol. Layout:
+  //   dir/v=N/b=K/part-*.parquet   — version N holds only the buckets
+  //                                  the N-th apply touched
+  //   dir/_CURRENT                 — "vMax batchId" on line 1, then one
+  //                                  "bucket version" line per live
+  //                                  bucket: bucket K's current totals
+  //                                  live at v=<version>/b=K
+  // The pointer write is still the ONE atomic commit: a crash after the
+  // data write but before the flip leaves v=N+1 as invisible debris the
+  // next apply overwrites; replay (batchId <= ledger) is a no-op before
+  // anything is read. Superseded versions (no bucket maps to them) get
+  // a _DEAD marker at supersede time and are deleted once the marker
+  // ages past the grace window — the same reader protection as the flat
+  // GC, measured from the actual supersede instant.
+  // ------------------------------------------------------------------
+
+  /** Deterministic key-hash bucket: non-negative xxhash64 mod n. */
+  private def bucketExpr(keyCols: Seq[String], nBuckets: Int) =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)).cast("int")
+
+  /** (vMax, lastAppliedBatchId, bucket -> version) — (0, -1, empty)
+    * before bootstrap. */
+  def bucketedPointer(spark: SparkSession, dir: String): (Int, Long, Map[Int, Int]) = {
+    val p = new Path(pointerPath(dir))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) (0, -1L, Map.empty)
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
+      val head = lines.head.split("\\s+")
+      require(head.length == 2, s"malformed bucketed AggView pointer at $dir: '${lines.head}'")
+      val m = lines.tail.map { l =>
+        val Array(b, v) = l.split("\\s+")
+        b.toInt -> v.toInt
+      }.toMap
+      (head(0).toInt, head(1).toLong, m)
+    }
+  }
+
+  /** Bucketed [[applyBatch]]: identical merge algebra and replay ledger,
+    * but the merge join reads — and the write rewrites — ONLY the
+    * buckets the batch touches. Per-apply cost tracks the batch's
+    * touched-bucket count, not the view's key cardinality. */
+  def applyBatchBucketed(
+      spark: SparkSession,
+      dir: String,
+      batchId: Long,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      nBuckets: Int,
+      gcGraceMs: Long = DefaultGcGraceMs
+  ): Boolean = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val (vMax, last, bmap) = bucketedPointer(spark, dir)
+    if (batchId <= last) return false
+    val delta = partials(batch, keyCols, sumCols)
+    val aggNames = "n" +: sumCols.map(c => s"sum_$c")
+    val withB = delta.withColumn("__b", bucketExpr(keyCols, nBuckets))
+    // touched buckets: metadata-scale by construction (≤ nBuckets)
+    val touched = withB.select(col("__b")).distinct().collect().map(_.getInt(0)).sorted
+    val curPaths = touched.flatMap(b => bmap.get(b).map(v => s"$dir/v=$v/b=$b"))
+    val merged =
+      if (curPaths.isEmpty) withB
+      else {
+        val cur = spark.read.parquet(curPaths.toIndexedSeq: _*)
+        cur
+          .select((keyCols.map(col) ++ aggNames.map(c => col(c).as(s"__cur_$c"))): _*)
+          .join(delta, keyCols, "full_outer")
+          .select(
+            (keyCols.map(col) ++ aggNames.map(c =>
+              (coalesce(col(s"__cur_$c"), lit(0L)) + coalesce(col(c), lit(0L))).as(c))): _*)
+          .withColumn("__b", bucketExpr(keyCols, nBuckets))
+      }
+    val vNew = vMax + 1
+    // one output file per touched bucket: totals are metadata-scale per
+    // bucket by construction, and the NEXT apply re-reads whole buckets —
+    // without this, every apply writes shuffle-partition-many small files
+    // into each b= dir and read cost creeps with history
+    merged
+      .withColumnRenamed("__b", "b")
+      .repartition(math.max(1, touched.length), col("b"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("b")
+      .parquet(s"$dir/v=$vNew")
+    val newMap = bmap ++ touched.map(_ -> vNew)
+    val body = (s"$vNew $batchId" +: newMap.toSeq.sorted.map { case (b, v) => s"$b $v" })
+      .mkString("\n")
+    writeAtomic(spark, pointerPath(dir), body)
+    // post-commit GC: versions no bucket references anymore get a _DEAD
+    // marker now (the supersede instant) and are swept once aged
+    val fs = fsOf(spark, new Path(dir))
+    val live = newMap.values.toSet + vNew
+    val now = System.currentTimeMillis()
+    (1 until vNew).filterNot(live).foreach { o =>
+      val d = new Path(versionDir(dir, o))
+      if (fs.exists(d)) {
+        val marker = new Path(s"${versionDir(dir, o)}/_DEAD")
+        if (!fs.exists(marker)) { val out = fs.create(marker, true); out.close() }
+        if (gcGraceMs <= 0 ||
+            now - fs.getFileStatus(marker).getModificationTime > gcGraceMs)
+          fs.delete(d, true)
+      }
+    }
+    true
+  }
+
+  /** The committed bucketed totals — the union of every live bucket's
+    * current version dir. One row per key, same schema as [[read]]. */
+  def readBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, bmap) = bucketedPointer(spark, dir)
+    require(bmap.nonEmpty, s"no committed bucketed AggView at $dir — apply a batch first")
+    val paths = bmap.toSeq.sorted.map { case (b, v) => s"$dir/v=$v/b=$b" }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Bucketed twin of [[sink]]. */
+  def sinkBucketed(
+      df: DataFrame,
+      dir: String,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      nBuckets: Int,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      gcGraceMs: Long = DefaultGcGraceMs
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchBucketed(
+          batch.sparkSession, dir, batchId, batch, keyCols, sumCols, nBuckets, gcGraceMs)
+        ()
+      }
+      .start()
 
   /** Structured Streaming maintenance: foreachBatch feeds each
     * micro-batch through [[applyBatch]] keyed by Spark's monotone

@@ -647,6 +647,63 @@ object ScaleRehearsal {
         soakReport("agg_view_soak", times.result(), listings.result())
       }
 
+      // AggView BUCKETED soak (r13): the key-cardinality scale claim —
+      // per-apply cost tracks the batch's TOUCHED-BUCKET count, not the
+      // view's key cardinality. A 5000·m-key totals table is
+      // bootstrapped, then 50 narrow batches (100 rows over 8 rotating
+      // keys — the real IVM regime: a micro-batch touches few entities)
+      // fold in. The flat control (`agg_view_soak_flatwide`) applies the
+      // IDENTICAL batches through the flat path, which re-reads and
+      // rewrites all 5000·m totals rows every apply. The "listing"
+      // column: bucketed = b= dirs in the newest version (touched
+      // buckets, should pin at ≤ 8); flat = totals rows div 1000 (the
+      // rewrite width it cannot escape).
+      if (wanted("agg_view_soak_bucketed") || wanted("agg_view_soak_flatwide")) {
+        val nKeys = 5000 * m
+        def bootstrapDf = spark.range(nKeys.toLong)
+          .select(concat(lit("k"), col("id")).as("k"), col("id").as("x"))
+        def narrowBatch(i: Int) = {
+          val s2 = spark
+          import s2.implicits._
+          (0 until 100)
+            .map(j => (s"k${(i * 8 + j % 8) % nKeys}", (i * 100 + j).toLong))
+            .toDF("k", "x")
+        }
+        if (wanted("agg_view_soak_bucketed")) {
+          val vd = s"$dir/agg_view_bkt"
+          graft.Verify.deleteTree(new java.io.File(vd))
+          graft.streaming.AggView.applyBatchBucketed(
+            spark, vd, 0L, bootstrapDf, Seq("k"), Seq("x"), nBuckets = 1024, gcGraceMs = 0L)
+          val times = Seq.newBuilder[Double]; val listings = Seq.newBuilder[Int]
+          for (i <- 0 until SoakIngests) {
+            val t0 = System.nanoTime()
+            graft.streaming.AggView.applyBatchBucketed(
+              spark, vd, (i + 1).toLong, narrowBatch(i), Seq("k"), Seq("x"),
+              nBuckets = 1024, gcGraceMs = 0L)
+            times += (System.nanoTime() - t0) / 1e9
+            val (vNow, _, _) = graft.streaming.AggView.bucketedPointer(spark, vd)
+            listings += Option(new java.io.File(s"$vd/v=$vNow").listFiles())
+              .getOrElse(Array.empty).count(f => f.isDirectory && f.getName.startsWith("b="))
+          }
+          soakReport("agg_view_soak_bucketed", times.result(), listings.result())
+        }
+        if (wanted("agg_view_soak_flatwide")) {
+          val vd = s"$dir/agg_view_flatwide"
+          graft.Verify.deleteTree(new java.io.File(vd))
+          graft.streaming.AggView.applyBatch(
+            spark, vd, 0L, bootstrapDf, Seq("k"), Seq("x"), gcGraceMs = 0L)
+          val times = Seq.newBuilder[Double]; val listings = Seq.newBuilder[Int]
+          for (i <- 0 until SoakIngests) {
+            val t0 = System.nanoTime()
+            graft.streaming.AggView.applyBatch(
+              spark, vd, (i + 1).toLong, narrowBatch(i), Seq("k"), Seq("x"), gcGraceMs = 0L)
+            times += (System.nanoTime() - t0) / 1e9
+            listings += (nKeys / 1000)
+          }
+          soakReport("agg_view_soak_flatwide", times.result(), listings.result())
+        }
+      }
+
       // AQE-skew rehearsal: the same 40%-hot-key shuffle join measured
       // three ways — AQE skew-split on (the session default), skew-split
       // off (what the hot key costs un-mitigated), and the explicit

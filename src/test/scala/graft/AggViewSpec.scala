@@ -79,6 +79,73 @@ class AggViewSpec extends AnyFunSuite {
     assert(totals(dir) === Map("a" -> ((4L, 10L))))
   }
 
+  private def bucketedTotals(dir: String): Map[String, (Long, Long)] =
+    AggView
+      .readBucketed(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("k") -> ((r.getAs[Long]("n"), r.getAs[Long]("sum_x"))))
+      .toMap
+
+  test("bucketed mode: totals ≡ flat mode, replay refused, only touched buckets rewritten") {
+    val flat = tmp(); val buck = tmp()
+    val batches = Seq(
+      df("a" -> 1L, "a" -> 2L, "b" -> 10L),
+      df("a" -> 4L, "c" -> 7L),
+      df("b" -> 5L, "d" -> 9L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      AggView.applyBatch(spark, flat, i.toLong, b, Seq("k"), Seq("x"))
+      AggView.applyBatchBucketed(spark, buck, i.toLong, b, Seq("k"), Seq("x"), nBuckets = 8)
+    }
+    assert(bucketedTotals(buck) === totals(flat), "bucketed totals must equal flat totals")
+    // replay no-op
+    assert(!AggView.applyBatchBucketed(spark, buck, 1L, batches(1), Seq("k"), Seq("x"), 8))
+    assert(bucketedTotals(buck) === totals(flat))
+    // selective rewrite: a batch touching ONE key writes only that key's
+    // bucket into the new version dir
+    val (vBefore, _, mapBefore) = AggView.bucketedPointer(spark, buck)
+    AggView.applyBatchBucketed(spark, buck, 3L, df("a" -> 100L), Seq("k"), Seq("x"), 8)
+    val (vAfter, _, mapAfter) = AggView.bucketedPointer(spark, buck)
+    assert(vAfter === vBefore + 1)
+    val newDirBuckets = Option(new java.io.File(s"$buck/v=$vAfter").listFiles())
+      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("b=")).toSeq
+    assert(newDirBuckets.length === 1,
+      s"a one-key batch must rewrite exactly one bucket, got ${newDirBuckets.map(_.getName)}")
+    // untouched buckets still point at their old versions
+    val aBucket = mapAfter.find { case (_, v) => v == vAfter }.map(_._1).get
+    assert((mapAfter - aBucket) === (mapBefore - aBucket),
+      "untouched buckets' version pointers must not move")
+    assert(bucketedTotals(buck)("a") === ((4L, 107L)))
+  }
+
+  test("bucketed GC: dead versions are marked at supersede time and swept after the grace") {
+    val dir = tmp()
+    // nBuckets=1: every apply supersedes the whole previous version
+    AggView.applyBatchBucketed(spark, dir, 0L, df("a" -> 1L), Seq("k"), Seq("x"), 1)
+    AggView.applyBatchBucketed(spark, dir, 1L, df("a" -> 2L), Seq("k"), Seq("x"), 1)
+    // default grace: v=1 is dead (marked) but must survive for in-flight readers
+    assert(new java.io.File(s"$dir/v=1").exists())
+    assert(new java.io.File(s"$dir/v=1/_DEAD").exists(), "dead version must be marked")
+    // grace 0 sweeps dead versions immediately
+    AggView.applyBatchBucketed(spark, dir, 2L, df("a" -> 3L), Seq("k"), Seq("x"), 1, gcGraceMs = 0L)
+    assert(!new java.io.File(s"$dir/v=1").exists() && !new java.io.File(s"$dir/v=2").exists())
+    assert(bucketedTotals(dir) === Map("a" -> ((3L, 6L))))
+  }
+
+  test("bucketed streaming sink: checkpoint restart re-delivers without double-counting") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp()
+    val in = MemoryStream[(String, Long)]
+    in.addData("a" -> 1L, "b" -> 2L)
+    AggView.sinkBucketed(in.toDF().toDF("k", "x"), s"$dir/view", Seq("k"), Seq("x"), 8, s"$dir/ckpt")
+      .awaitTermination()
+    in.addData("a" -> 10L)
+    AggView.sinkBucketed(in.toDF().toDF("k", "x"), s"$dir/view", Seq("k"), Seq("x"), 8, s"$dir/ckpt")
+      .awaitTermination()
+    assert(bucketedTotals(s"$dir/view") === Map("a" -> ((2L, 11L)), "b" -> ((1L, 2L))))
+  }
+
   test("streaming sink: checkpoint restart re-delivers without double-counting") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
