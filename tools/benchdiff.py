@@ -2,11 +2,13 @@
 """Per-query bench diff: current round's full bench dump vs a baseline dump.
 
 Usage:
-    python3 tools/benchdiff.py bench/r10.json [bench/r08.json] > bench/DIFF_r10.md
+    python3 tools/benchdiff.py bench/r14.json [bench/r13.json] > bench/DIFF_r14.md
 
 Compares the per-query medians of two `graft.Bench` full dumps (the
 committed `bench/r{NN}.json` files; BASELINE.md's standing table is
-bench/r08.json). Because the two runs may have executed on different
+bench/r13.json — re-recorded at r13 HEAD after DRIFT_r12.md pinned the
+r08-era table as ~1.49x ambient-stale). Because the two runs may have
+executed on different
 ambient machine load, each query is compared SAME-RUN-NORMALIZED: its
 share of the run's total over the queries both runs share. A normalized
 ratio > 1.5 means the query got slower relative to its own run's
@@ -32,7 +34,11 @@ def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
     cur_path = sys.argv[1]
-    base_path = sys.argv[2] if len(sys.argv) > 2 else "bench/r08.json"
+    # Default baseline: the round-13 standing table (re-recorded at r13
+    # HEAD because bench/DRIFT_r12.md proved the r08 table is ~1.49x
+    # stale vs today's ambient; r08 remains available as an explicit arg
+    # for cross-era comparisons, which then need drift normalization).
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "bench/r13.json"
     cur_d, cur = load(cur_path)
     base_d, base = load(base_path)
 
