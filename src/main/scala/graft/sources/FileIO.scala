@@ -166,29 +166,6 @@ object FileIO {
     (dataFiles.length, nOut)
   }
 
-  /** BLOOM-FILTER FILE-SKIPPING INDEX (table maintenance — the
-    * Delta/Iceberg bloom sidecar): point lookups on a NON-clustering
-    * key normally open every file (min/max row-group stats are useless
-    * when the key is scattered); a per-file Bloom filter lets the
-    * planner drop files that definitely lack the key — false positives
-    * cost one wasted file read, false negatives are impossible.
-    *
-    * Index build: one pass over the table keyed by `input_file_name`,
-    * per-file sketches merged with `aggregateByKey` — sketch-merge is
-    * genuine per-partition imperative logic (the RDD-last-resort
-    * carve-out): the shuffle carries one PARTIAL BLOOM per (partition,
-    * file), never data rows. The sidecar lands under
-    * `_bloom_<key>/` — an underscore-prefixed dir Spark's readers
-    * already hide from table scans (the `_spark_metadata` convention).
-    *
-    * Scale posture: the sidecar is one row per data file. The lookup
-    * below collects it (justified: metadata-scale by construction, the
-    * same class as the manifest read). At millions of files,
-    * partition the sidecar by the table's partition columns and prune
-    * it before the collect — or join the candidate file list instead
-    * of collecting — same layout, no interface change.
-    *
-    * @return number of files indexed */
   /** Recursive data-file basenames under a table path, skipping
     * underscore/dot-prefixed metadata (sidecars, _SUCCESS, .crc). The
     * staleness fingerprint [[bloomPointLookup]] validates against —
@@ -235,6 +212,115 @@ object FileIO {
     body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
   }
 
+  /** Recursive data-file FULL paths keyed by basename (the fingerprint's
+    * identity), same hidden-skip rule as [[dataFileNames]]. */
+  private def dataFilePaths(spark: SparkSession, path: String): Map[String, String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[(String, String)] =
+      fs.listStatus(p).iterator.flatMap { s =>
+        if (hidden(s.getPath.getName)) Iterator.empty
+        else if (s.isDirectory) walk(s.getPath)
+        else Iterator.single(s.getPath.getName -> s.getPath.toString)
+      }
+    walk(root).toMap
+  }
+
+  /** INCREMENTAL sidecar maintenance — O(changed files), not O(table):
+    * files that vanished since the last (re)build drop out of the
+    * sidecar, files that APPEARED are scanned and sketched, and every
+    * other file's bloom bytes carry over untouched — after an append (or
+    * a partition-scoped [[upsertByKey]], which rewrites only touched
+    * partitions' files) the refresh costs one scan of the NEW files
+    * instead of the table. The refreshed sidecar swaps in via
+    * delete+rename of a staged dir and the `_FINGERPRINT` is written
+    * LAST, so a crash anywhere mid-update leaves either the old
+    * sidecar+fingerprint intact (lookups correct for the old listing,
+    * loudly STALE for the new one) or a fingerprint-less sidecar that
+    * [[bloomPointLookup]] refuses — never a silently wrong prune.
+    *
+    * @return (filesAdded, filesRemoved) */
+  def updateBloomIndex(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      fpp: Double = 0.01,
+      format: String = "parquet"
+  ): (Int, Int) = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val sidecarDir = s"$path/_bloom_$keyCol"
+    val indexed = readFingerprint(spark, path, keyCol) // loud when absent
+    val byName = dataFilePaths(spark, path)
+    val gone = indexed -- byName.keySet
+    val fresh = (byName.keySet -- indexed).toSeq.sorted
+    if (gone.isEmpty && fresh.isEmpty) return (0, 0)
+    val basename = element_at(split(col("file"), "/"), -1)
+    val keep = spark.read.parquet(sidecarDir).filter(!basename.isin(gone.toSeq: _*))
+    val freshRows =
+      if (fresh.isEmpty) keep.limit(0)
+      else {
+        val rows = spark.read
+          .format(format)
+          .load(fresh.map(byName): _*)
+          .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+          .filter(col("k").isNotNull)
+        val Array(stats) = rows.groupBy(col("f")).count().agg(max("count")).collect()
+        if (stats.isNullAt(0)) keep.limit(0) // all-null keys: fingerprint-only
+        else {
+          val perFileCap = math.max(64L, stats.getLong(0) * 2)
+          spark
+            .createDataFrame(rows.rdd
+              .map(r => (r.getString(0), r.getLong(1)))
+              .aggregateByKey(BloomFilter.create(perFileCap, fpp))(
+                (bf, k) => { bf.putLong(k); bf },
+                (a, b) => { a.mergeInPlace(b); a })
+              .map { case (f, bf) =>
+                val bos = new java.io.ByteArrayOutputStream()
+                bf.writeTo(bos)
+                (f, bos.toByteArray)
+              })
+            .toDF("file", "bloom")
+        }
+      }
+    val staged = s"${sidecarDir}__staging"
+    keep.unionByName(freshRows).write.mode(SaveMode.Overwrite).parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sidecarDir), true)
+    require(
+      fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(sidecarDir)),
+      s"bloom sidecar swap failed: could not rename $staged to $sidecarDir")
+    writeFingerprint(spark, path, keyCol)
+    (fresh.size, gone.size)
+  }
+
+  /** BLOOM-FILTER FILE-SKIPPING INDEX (table maintenance — the
+    * Delta/Iceberg bloom sidecar): point lookups on a NON-clustering
+    * key normally open every file (min/max row-group stats are useless
+    * when the key is scattered); a per-file Bloom filter lets the
+    * planner drop files that definitely lack the key — false positives
+    * cost one wasted file read, false negatives are impossible.
+    *
+    * Index build: one pass over the table keyed by `input_file_name`,
+    * per-file sketches merged with `aggregateByKey` — sketch-merge is
+    * genuine per-partition imperative logic (the RDD-last-resort
+    * carve-out): the shuffle carries one PARTIAL BLOOM per (partition,
+    * file), never data rows. The sidecar lands under
+    * `_bloom_<key>/` — an underscore-prefixed dir Spark's readers
+    * already hide from table scans (the `_spark_metadata` convention).
+    *
+    * Scale posture: the sidecar is one row per data file. The lookup
+    * below collects it (justified: metadata-scale by construction, the
+    * same class as the manifest read). At millions of files,
+    * partition the sidecar by the table's partition columns and prune
+    * it before the collect — or join the candidate file list instead
+    * of collecting — same layout, no interface change.
+    *
+    * @return number of files indexed
+    *
+    * (Full rebuild is O(table); after appends prefer [[updateBloomIndex]]
+    * — O(new files).) */
   def buildBloomIndex(
       spark: SparkSession,
       path: String,

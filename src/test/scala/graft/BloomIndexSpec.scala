@@ -103,6 +103,46 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(r2.collect().map(_.getAs[String]("payload")).toSeq === Seq("x"))
   }
 
+  test("incremental update: new files sketched, old blooms carried over byte-identical, gone files dropped") {
+    import spark.implicits._
+    val (dir, total) = setup()
+    def sidecarBlooms(): Map[String, Seq[Byte]] =
+      spark.read.parquet(s"$dir/_bloom_k").collect()
+        .map(r => r.getAs[String]("file") -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    val before = sidecarBlooms()
+    // append two files of brand-new keys
+    (10000L until 10100L).map(k => (k, k % 7, s"w$k")).toDF("k", "grp", "payload")
+      .coalesce(2).write.mode("append").parquet(dir)
+    val (added, removed) = FileIO.updateBloomIndex(spark, dir, "k")
+    assert(added === 2 && removed === 0)
+    // old files' bloom bytes must be CARRIED OVER, not recomputed
+    val after = sidecarBlooms()
+    before.foreach { case (f, b) =>
+      assert(after(f) === b, s"bloom for pre-existing $f changed — update rescanned old files")
+    }
+    assert(after.size === before.size + 2)
+    // lookups serve old and new keys through the refreshed sidecar
+    val (nw, _, tot2) = FileIO.bloomPointLookup(spark, dir, "k", 10042L)
+    assert(nw.collect().map(_.getAs[String]("payload")).toSeq === Seq("w10042"))
+    assert(tot2 === total + 2)
+    val (old, cand, _) = FileIO.bloomPointLookup(spark, dir, "k", 5L)
+    assert(old.count() === 1 && cand <= 4)
+    // a vanished file drops out on the next update: delete exactly the
+    // file holding key 10042 (deterministic — minBy(name) could pick an
+    // EMPTY part file that legitimately never had a sidecar row)
+    val victimUri = spark.read.parquet(dir).filter(col("k") === 10042L)
+      .select(input_file_name()).head().getString(0)
+    val victim = new java.io.File(new java.net.URI(victimUri).getPath)
+    assert(victim.delete(), s"could not delete $victim")
+    val (a2, r2) = FileIO.updateBloomIndex(spark, dir, "k")
+    assert(a2 === 0 && r2 === 1)
+    assert(sidecarBlooms().size === after.size - 1)
+    val (goneRows, _, _) = FileIO.bloomPointLookup(spark, dir, "k", 10042L)
+    assert(goneRows.count() === 0, "a deleted file's keys must vanish from lookups")
+    // idempotent no-op when nothing changed
+    assert(FileIO.updateBloomIndex(spark, dir, "k") === ((0, 0)))
+  }
+
   test("sidecar is invisible to plain table scans") {
     val (dir, _) = setup()
     val plain = spark.read.parquet(dir)
