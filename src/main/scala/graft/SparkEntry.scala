@@ -26,7 +26,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (GraphOps.queries, GraphOps.oracles),
       (Profiling.queries, Profiling.oracles),
-      (Chunking.queries, Chunking.oracles)
+      (Chunking.queries, Chunking.oracles),
+      (TextIndex.queries, TextIndex.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** INVERTED-INDEX text search (SURVEY §2.2 "Text analysis" extension,
+  * r13) — the IR-engine primitive the reference's users run downstream
+  * of the sink (Hive/Presto LIKE scans): a positional posting list
+  * (term, doc_id, pos) makes term and PHRASE queries term-selective
+  * joins instead of full-corpus regex scans.
+  *
+  * Scale posture: the postings build is one codegen'd posexplode over
+  * the token array — no shuffle, no window; write it `bucketBy(term)`
+  * (the FileIO.writeBucketedTable layout) and every term filter becomes
+  * a bucket-pruned scan. A phrase query touches ONLY its terms' posting
+  * rows: each term's leg filters the postings (predicate pushdown to the
+  * scan), normalizes its position to the phrase START (pos − i), and the
+  * legs equi-join on (doc_id, start) — occurrence count = join
+  * cardinality, no string rematch. Stop-term caveat: a phrase containing
+  * a stop-word-grade term carries that term's full posting list into one
+  * leg — the classic IR fix (bigram/positional stop-word indexes) composes
+  * on the same layout; AQE skew-split handles the interim.
+  *
+  * Determinism: positions are 0-based token ordinals from a
+  * single-space split — pure integers, so the DuckDB oracle reproduces
+  * counts exactly.
+  */
+object TextIndex {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Positional posting list: one row per token occurrence.
+    * @return (term, doc_id, pos) */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos"))
+
+  /** Exact consecutive-phrase occurrence counts through the postings:
+    * (doc_id, n_hits) for every doc containing the phrase at least
+    * once. n_hits counts distinct START positions (occurrences cannot
+    * double-count — one row per start). */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      postings
+        .filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - lit(i)).as("start"))
+    }
+    legs
+      .reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The fixture phrase: present with ≥3 occurrences at every fixture
+    * scale (measured via DuckDB over sf0.001/0.01/0.1), so the gate is
+    * non-vacuous everywhere the driver runs it. */
+  private[graft] val FixturePhrase = Seq("small", "query", "line")
+
+  val queries: Map[String, Q] = Map(
+    // Phrase search through the positional inverted index: build
+    // postings over the document corpus, count exact occurrences of a
+    // three-term phrase per doc. The oracle recomputes occurrences
+    // set-theoretically (positional trigrams) in DuckDB — a green hash
+    // proves the leg-join IS the sliding-window definition.
+    "text_phrase_search" -> { (spark, dir) =>
+      val postings = buildPostings(Tables.documents(spark, dir), "doc_id", "text")
+      phraseSearch(postings, FixturePhrase)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, array_to_string(list_slice(ts, u.p + 1, u.p + 3), ' ') AS tri
+         |  FROM t, LATERAL (SELECT unnest(range(0, len(ts) - 2)) AS p) u
+         |  WHERE len(ts) >= 3)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM g
+         |WHERE tri = '${FixturePhrase.mkString(" ")}'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
