@@ -129,6 +129,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.lshTopkTvf)
     ext.injectTableFunction(GraftExtensions.packChunksTvf)
     ext.injectTableFunction(GraftExtensions.ewmaTvf)
+    ext.injectTableFunction(GraftExtensions.maxsimTvf)
+    ext.injectTableFunction(GraftExtensions.phraseSearchTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -382,6 +384,75 @@ object GraftExtensions {
     }
   )
 
+  /** Shared literal-arg readers for the table functions below. */
+  private def tvfStr(fn: String)(e: Expression, what: String): String = e match {
+    case x if x.foldable =>
+      x.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other =>
+          throw new IllegalArgumentException(s"$fn: $what must be a string literal, got $other")
+      }
+    case other => throw new IllegalArgumentException(s"$fn: $what must be a literal, got $other")
+  }
+
+  /** SQL surface for late-interaction MaxSim scoring:
+    * graft_maxsim(docTokensTable, docCol, vecCol, queryTokensTable,
+    * qtokCol, qvecCol) → (m_doc, maxsim). Lowering and arithmetic are
+    * `Similarity.maxSimScores`' (query tokens broadcast, one streaming
+    * scoring pass, 1e-6-grid re-quantization before the per-doc sum), so
+    * a SQL-only user gets ColBERT-style scoring over any pair of temp
+    * views — including an ANN candidate view, the rerank serving shape
+    * sim_maxsim_rerank gates. */
+  private[graft] val maxsimTvf = (
+    FunctionIdentifier("graft_maxsim"),
+    new ExpressionInfo(
+      graft.operators.Similarity.getClass.getName, "graft_maxsim"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 6,
+        s"graft_maxsim expects (docTokensTable, docCol, vecCol, queryTokensTable, qtokCol, qvecCol), got ${children.length}")
+      val str = tvfStr("graft_maxsim") _
+      import org.apache.spark.sql.functions.col
+      val spark = SparkSession.active
+      val docToks = spark
+        .table(str(children(0), "docTokensTable"))
+        .select(
+          col(str(children(1), "docCol")).as("m_doc"),
+          col(str(children(2), "vecCol")).cast("array<double>").as("v"))
+      val qToks = spark
+        .table(str(children(3), "queryTokensTable"))
+        .select(
+          col(str(children(4), "qtokCol")).as("qtok"),
+          col(str(children(5), "qvecCol")).cast("array<double>").as("qv"))
+      graft.operators.Similarity.maxSimScores(docToks, qToks).queryExecution.analyzed
+    }
+  )
+
+  /** SQL surface for inverted-index phrase search:
+    * graft_phrase_search(docsTable, idCol, textCol, 'the exact phrase')
+    * → (doc_id, n_hits). Lowering is `TextIndex`'s (postings build +
+    * term-selective leg joins on (doc_id, start)), so a SQL-only user
+    * counts exact consecutive-phrase occurrences without a corpus-wide
+    * regex scan. */
+  private[graft] val phraseSearchTvf = (
+    FunctionIdentifier("graft_phrase_search"),
+    new ExpressionInfo(
+      graft.operators.TextIndex.getClass.getName, "graft_phrase_search"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 4,
+        s"graft_phrase_search expects (docsTable, idCol, textCol, phrase), got ${children.length}")
+      val str = tvfStr("graft_phrase_search") _
+      val spark = SparkSession.active
+      val phrase = str(children(3), "phrase").split("\\s+").toSeq.filter(_.nonEmpty)
+      val postings = graft.operators.TextIndex.buildPostings(
+        spark.table(str(children(0), "docsTable")),
+        str(children(1), "idCol"),
+        str(children(2), "textCol"))
+      graft.operators.TextIndex.phraseSearch(postings, phrase).queryExecution.analyzed
+    }
+  )
+
   /** SQL surface for the index-free LSH-bucketed ANN search:
     * graft_lsh_topk(table, idCol, vecCol, probeIdBelow, k, bitsPerBand,
     * bands[, extraProbes]) → (q_id, rnk, vec_id, cos). Same engine as
@@ -542,6 +613,10 @@ object GraftExtensions {
       packChunksTvf._1, packChunksTvf._2, packChunksTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       ewmaTvf._1, ewmaTvf._2, ewmaTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      maxsimTvf._1, maxsimTvf._2, maxsimTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      phraseSearchTvf._1, phraseSearchTvf._2, phraseSearchTvf._3)
     // SQL names for the typed sketch Aggregators (UDAFs can't ride
     // SparkSessionExtensions — no Expression builder for ScalaAggregator
     // — so they register per-session here; idempotent overwrite). The

@@ -609,6 +609,26 @@ object Similarity {
         .limit(10)
     },
 
+    // The SQL spelling: the same MaxSim plan reached through the
+    // graft_maxsim TABLE FUNCTION over two temp views — same oracle BY
+    // REFERENCE, so a SQL-only user gets late-interaction scoring (and
+    // can point the doc-tokens view at an ANN candidate set for the
+    // rerank shape) without the Scala API.
+    "sql_maxsim" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val t = corpus(spark, dir)
+        .select(expr("vec_id div 5").as("m_doc"), pmod(col("vec_id"), lit(5)).as("tok"), col("v"))
+      t.filter(col("m_doc") >= 1).select(col("m_doc"), col("v"))
+        .createOrReplaceTempView("graft_maxsim_docs")
+      t.filter(col("m_doc") < 1).select(col("tok").as("qtok"), col("v").as("qv"))
+        .createOrReplaceTempView("graft_maxsim_query")
+      spark.sql(
+        """SELECT m_doc, maxsim
+          |FROM graft_maxsim('graft_maxsim_docs', 'm_doc', 'v',
+          |                  'graft_maxsim_query', 'qtok', 'qv')
+          |ORDER BY maxsim DESC, m_doc ASC LIMIT 10""".stripMargin)
+    },
+
     // ANN→MaxSim RERANK — the published ColBERT SERVING shape
     // ([[maxSimScores]]'s documented at-scale path), proven end to end:
     // stage 1 recalls candidate DOCS token-level (each of the 5 query
@@ -1287,28 +1307,32 @@ object Similarity {
        |FROM embeddings em LEFT JOIN comp c USING (vec_id)
        |ORDER BY em.vec_id""".stripMargin
 
+  // MaxSim ground truth: the same multi-vector grouping (vec_id div 5
+  // = doc, mod 5 = token), the same quantized cosine, max per (doc,
+  // query-token), then each max RE-quantized to the integral 1e-6
+  // grid before the per-doc sum — integral doubles sum exactly in
+  // any order, so the DOUBLE scores hash-match. Shared BY REFERENCE
+  // with the graft_maxsim TVF spelling — one contract.
+  private val maxsimOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |t AS (SELECT vec_id // 5 AS m_doc, vec_id % 5 AS tok, v,
+       |        ${duckQdot("v", "v")} AS n2 FROM e),
+       |q AS (SELECT tok AS qtok, v AS qv, n2 AS qn2 FROM t WHERE m_doc = 0),
+       |s AS (
+       |  SELECT t.m_doc, q.qtok,
+       |    MAX(${duckQdot("q.qv", "t.v")} / sqrt(q.qn2 * t.n2)) AS mx
+       |  FROM t, q WHERE t.m_doc >= 1 GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT m_doc, SUM(floor(mx * 1000000.0 + 0.5)) / 1000000.0 AS maxsim
+       |  FROM s GROUP BY m_doc)
+       |SELECT m_doc, maxsim FROM sc
+       |ORDER BY maxsim DESC, m_doc ASC LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine" -> topkCosineOracle,
     "sql_cosine_topk" -> topkCosineOracle,
-    // MaxSim ground truth: the same multi-vector grouping (vec_id div 5
-    // = doc, mod 5 = token), the same quantized cosine, max per (doc,
-    // query-token), then each max RE-quantized to the integral 1e-6
-    // grid before the per-doc sum — integral doubles sum exactly in
-    // any order, so the DOUBLE scores hash-match.
-    "sim_maxsim_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |t AS (SELECT vec_id // 5 AS m_doc, vec_id % 5 AS tok, v,
-         |        ${duckQdot("v", "v")} AS n2 FROM e),
-         |q AS (SELECT tok AS qtok, v AS qv, n2 AS qn2 FROM t WHERE m_doc = 0),
-         |s AS (
-         |  SELECT t.m_doc, q.qtok,
-         |    MAX(${duckQdot("q.qv", "t.v")} / sqrt(q.qn2 * t.n2)) AS mx
-         |  FROM t, q WHERE t.m_doc >= 1 GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT m_doc, SUM(floor(mx * 1000000.0 + 0.5)) / 1000000.0 AS maxsim
-         |  FROM s GROUP BY m_doc)
-         |SELECT m_doc, maxsim FROM sc
-         |ORDER BY maxsim DESC, m_doc ASC LIMIT 10""".stripMargin,
+    "sim_maxsim_topk" -> maxsimOracle,
+    "sql_maxsim" -> maxsimOracle,
     // Hybrid-retrieval ground truth: both legs recomputed (lexical term
     // counts; exact quantized cosine vs vec 0), ranked with the same
     // deterministic tiebreaks, fused with the same integer floor

@@ -69,18 +69,35 @@ object TextIndex {
       val postings = buildPostings(Tables.documents(spark, dir), "doc_id", "text")
       phraseSearch(postings, FixturePhrase)
         .orderBy(col("doc_id"))
+    },
+
+    // The SQL spelling: the same leg-join plan reached through the
+    // graft_phrase_search TABLE FUNCTION — same oracle BY REFERENCE, so
+    // a SQL-only user gets index-shaped phrase counting from one call.
+    "sql_phrase_search" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables.documents(spark, dir).createOrReplaceTempView("graft_phrase_docs")
+      spark.sql(
+        s"""SELECT doc_id, n_hits
+           |FROM graft_phrase_search('graft_phrase_docs', 'doc_id', 'text',
+           |                         '${FixturePhrase.mkString(" ")}')
+           |ORDER BY doc_id""".stripMargin)
     }
   )
 
+  private val phraseOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, array_to_string(list_slice(ts, u.p + 1, u.p + 3), ' ') AS tri
+       |  FROM t, LATERAL (SELECT unnest(range(0, len(ts) - 2)) AS p) u
+       |  WHERE len(ts) >= 3)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM g
+       |WHERE tri = '${FixturePhrase.mkString(" ")}'
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "text_phrase_search" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |g AS (
-         |  SELECT doc_id, array_to_string(list_slice(ts, u.p + 1, u.p + 3), ' ') AS tri
-         |  FROM t, LATERAL (SELECT unnest(range(0, len(ts) - 2)) AS p) u
-         |  WHERE len(ts) >= 3)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM g
-         |WHERE tri = '${FixturePhrase.mkString(" ")}'
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    "text_phrase_search" -> phraseOracle,
+    // TVF spelling shares the contract by reference
+    "sql_phrase_search" -> phraseOracle
   )
 }
