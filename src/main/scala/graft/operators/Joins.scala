@@ -209,6 +209,29 @@ object Joins {
         .limit(20)
     },
 
+    // TPC-H Q2-shaped CORRELATED SCALAR SUBQUERY (r13): for each part
+    // (bounded id range), the supplier(s) charging the MINIMUM price for
+    // that part. Written AS a correlated subquery in SQL text
+    // deliberately: Spark cannot execute a per-row subquery, so the gate
+    // proves Catalyst's decorrelation (RewriteCorrelatedScalarSubquery →
+    // per-part MIN aggregate joined back on l_partkey — the plan a
+    // hand-written groupBy+join would give). Prices quantized to cents
+    // for cross-engine-exact hashing; DISTINCT because several line
+    // items of one part can share supplier AND min price.
+    "analytics_q2min" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q2_li")
+      Tables.supplier(spark, dir).createOrReplaceTempView("graft_q2_supp")
+      spark.sql(
+        """SELECT DISTINCT l.l_partkey AS partkey, s.s_name AS supp_name,
+          |  CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+          |FROM graft_q2_li l JOIN graft_q2_supp s ON l.l_suppkey = s.s_suppkey
+          |WHERE l.l_partkey <= 200
+          |  AND l.l_extendedprice = (
+          |    SELECT MIN(l2.l_extendedprice) FROM graft_q2_li l2
+          |    WHERE l2.l_partkey = l.l_partkey)
+          |ORDER BY partkey, supp_name""".stripMargin)
+    },
+
     // TPC-H Q7-shaped: volume shipped between two nation pairs by year —
     // TWO INDEPENDENT dim chains (supplier→nation₁, customer→orders→
     // nation₂) meeting at lineitem, with the symmetric pair predicate
@@ -462,6 +485,18 @@ object Joins {
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey ASC
          |LIMIT 20""".stripMargin,
+    // Same correlated-subquery text — DuckDB decorrelates it too, so a
+    // green hash proves both engines' rewrites agree with the sequential
+    // definition.
+    "analytics_q2min" ->
+      """SELECT DISTINCT l.l_partkey AS partkey, s.s_name AS supp_name,
+        |  CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE l.l_partkey <= 200
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY partkey, supp_name""".stripMargin,
     "analytics_q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

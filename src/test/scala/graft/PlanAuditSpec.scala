@@ -54,6 +54,23 @@ class PlanAuditSpec extends AnyFunSuite {
         "the expression-bucketer layout is not being pruned")
   }
 
+  test("analytics_q2min's correlated scalar subquery decorrelates into aggregate + join") {
+    val p = executed("analytics_q2min")
+    // Catalyst must have rewritten the per-row subquery: no scalar
+    // subquery survives to execution, and the min-price side appears as
+    // a joined aggregate (>= 2 joins: li⋈minagg and ⋈supplier).
+    assert(!p.toString.contains("ScalarSubquery"),
+      "a per-row scalar subquery survived to the physical plan")
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size >= 2, s"expected the decorrelated aggregate+join shape, got ${joins.size} joins")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.nonEmpty, "no aggregate in the plan — the MIN subquery was not decorrelated")
+  }
+
   test("star join broadcasts its dimension tables") {
     val bc = collectAll(executed("join_star_broadcast")) { case b: BroadcastExchangeExec => b }
     assert(bc.size >= 2, s"expected >=2 broadcast exchanges, got ${bc.size}")
