@@ -408,6 +408,36 @@ object TextOps {
         .orderBy(col("rep"))
     },
 
+    // CANONICAL SELECTION per duplicate cluster (r13) — the step a
+    // training-data pipeline actually runs AFTER clustering: of each
+    // near-dup cluster keep ONE canonical document (here: most tokens,
+    // ties to the lowest doc_id — the "keep the longest variant"
+    // heuristic) and count what gets dropped. Shape: the CC membership
+    // map joins token counts (one narrow projection), then one
+    // rep-partitioned max_by(struct) picks the keeper — no window over
+    // the corpus, no second shuffle beyond the groupBy.
+    "dedup_keep_best" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val comp = DedupClusters.connectedComponents(
+        ngramJaccardPairs(docs, 3, 0.5).select(col("d1"), col("d2")))
+      comp
+        .join(
+          docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks")),
+          Seq("doc_id"))
+        .groupBy(col("rep"))
+        .agg(
+          // max over (tokens, -doc_id): most tokens, ties to LOWEST id
+          max(struct(col("n_toks"), (-col("doc_id")).as("neg_id"), col("doc_id").as("keep"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(
+          col("rep"),
+          col("best.keep").as("keep_id"),
+          col("best.n_toks").as("keep_toks"),
+          col("n_members"),
+          (col("n_members") - 1L).as("n_dropped"))
+        .orderBy(col("rep"))
+    },
+
     // The FAULT-TOLERANT lineage mode of the same collapse, oracle-gated
     // at real fixture scale (the spec pins it only on a toy graph):
     // `reliableCheckpoint = true` persists each propagation round's
@@ -1321,6 +1351,40 @@ object TextOps {
     // identical cluster map.
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_ckpt" -> clustersOracle,
+    // Same recursive-CTE components, then the keeper = row_number 1 by
+    // (tokens DESC, doc_id ASC) within each rep — the sequential
+    // definition of "keep the longest variant".
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs0 AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM pairs0
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(n, m) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n),
+         |scored AS (
+         |  SELECT c.rep, c.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+         |    ROW_NUMBER() OVER (PARTITION BY c.rep
+         |      ORDER BY len(string_split(d.text, ' ')) DESC, c.doc_id ASC) AS rk
+         |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+         |sizes AS (SELECT rep, COUNT(*) AS n_members FROM scored GROUP BY rep)
+         |SELECT s.rep, sc.doc_id AS keep_id, sc.n_toks AS keep_toks,
+         |  s.n_members, s.n_members - 1 AS n_dropped
+         |FROM sizes s JOIN scored sc ON s.rep = sc.rep AND sc.rk = 1
+         |ORDER BY s.rep""".stripMargin,
     // Incremental CC must equal the batch rebuild, so the oracle is the
     // SAME full-graph recursive-CTE CC as dedup_clusters — the split
     // into old corpus + new batch is invisible to ground truth.
