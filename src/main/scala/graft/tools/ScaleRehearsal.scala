@@ -156,7 +156,8 @@ object ScaleRehearsal {
           wanted("corpus_ingest") || wanted("corpus_ingest_frag") ||
           wanted("corpus_ingest_compacted"))
         genDocs(spark, 5000L * m).write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-      if (wanted("ivf_train") || wanted("ivf_search") ||
+      if (wanted("maxsim_exact") || wanted("maxsim_rerank") ||
+          wanted("ivf_train") || wanted("ivf_search") ||
           wanted("ivf_index_build") || wanted("ivf_search_indexed") ||
           wanted("assign_fused") || wanted("assign_broadcast") ||
           wanted("embed_dedup") || wanted("mutual_knn"))
@@ -309,6 +310,33 @@ object ScaleRehearsal {
       def phraseRegexRun(): Long =
         docs.select(sum(regexp_count(col("text"), lit(rehearsalPhrase.mkString(" ")))))
           .collect().head.getLong(0)
+      // Exact full-corpus MaxSim vs the ANN→rerank serving shape
+      // (sim_maxsim_rerank's plan, minus the in-gate exact baseline):
+      // exact pays O(docTokens·queryTokens) score evaluations every
+      // query; the serving shape pays the LSH candidate recall plus
+      // MaxSim over only the candidate docs. The gap should widen
+      // linearly with corpus size — the published reason late
+      // interaction is served behind an ANN stage at all.
+      def maxsimDocToks = emb
+        .select(expr("vec_id div 5").as("m_doc"), col("v"))
+        .filter(col("m_doc") >= 1)
+      def maxsimQuery = emb
+        .filter(expr("vec_id div 5") === 0)
+        .select(pmod(col("vec_id"), lit(5)).as("qtok"), col("v").as("qv"))
+      def maxsimExactRun(): Long =
+        Similarity.maxSimScores(maxsimDocToks, maxsimQuery)
+          .orderBy(col("maxsim").desc, col("m_doc").asc).limit(10).count()
+      def maxsimRerankRun(): Long = {
+        val tokCorpus = emb.filter(expr("vec_id div 5") >= 1).select(col("vec_id"), col("v"))
+        val probes = maxsimQuery.select(col("qtok").as("q_id"), col("qv"))
+        val ann = Similarity.lshSearch(tokCorpus, probes, bitsPerBand = 6, bands = 16,
+          topK = 40, extraProbes = 2)
+        val candDocs = ann.select(expr("vec_id div 5").as("m_doc")).distinct()
+        Similarity.maxSimScores(
+            maxsimDocToks.join(candDocs, Seq("m_doc"), "left_semi"), maxsimQuery)
+          .orderBy(col("maxsim").desc, col("m_doc").asc).limit(10).count()
+      }
+
       def phrasePostingsSelRun(): Long =
         graft.operators.TextIndex.phraseSearch(
             spark.read.parquet(postingsPathOf(docsWide, "postings_wide")), selectivePhrase)
@@ -826,6 +854,8 @@ object ScaleRehearsal {
         ("phrase_regex", () => phraseRegexRun()),
         ("phrase_postings_sel", () => phrasePostingsSelRun()),
         ("phrase_regex_sel", () => phraseRegexSelRun()),
+        ("maxsim_exact", () => maxsimExactRun()),
+        ("maxsim_rerank", () => maxsimRerankRun()),
         ("embed_dedup", () => embedDedupRun()),
         ("embed_dedup_prod", () => embedDedupProdRun()),
         ("embed_dedup_auto", () => embedDedupAutoRun()),
