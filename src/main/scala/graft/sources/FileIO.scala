@@ -166,23 +166,29 @@ object FileIO {
     (dataFiles.length, nOut)
   }
 
-  /** Recursive data-file basenames under a table path, skipping
-    * underscore/dot-prefixed metadata (sidecars, _SUCCESS, .crc). The
-    * staleness fingerprint [[bloomPointLookup]] validates against —
-    * part-file names carry task UUIDs, so basenames identify files
-    * uniquely across partition directories. */
-  private def dataFileNames(spark: SparkSession, path: String): Set[String] = {
+  /** The table root's absolute filesystem path (scheme-normalized): the
+    * base every file identity below is RELATIVE to. */
+  private def tableRootAbs(spark: SparkSession, path: String): String = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
-    def walk(p: org.apache.hadoop.fs.Path): Iterator[String] =
-      fs.listStatus(p).iterator.flatMap { s =>
-        if (hidden(s.getPath.getName)) Iterator.empty
-        else if (s.isDirectory) walk(s.getPath)
-        else Iterator.single(s.getPath.getName)
-      }
-    walk(root).toSet
+    fs.makeQualified(root).toUri.getPath
   }
+
+  /** A file's identity relative to its table root ("part=a/part-....
+    * parquet"). Basenames alone are NOT unique in a partitioned table —
+    * one write job reuses the same `part-0000N-<jobUUID>` name in EVERY
+    * partition directory it writes — so the partition-dir prefix is part
+    * of the identity. Handles both "file:///x" URIs (input_file_name)
+    * and bare paths. */
+  private def relPath(fileRef: String, rootAbs: String): String =
+    new org.apache.hadoop.fs.Path(fileRef).toUri.getPath.stripPrefix(rootAbs + "/")
+
+  /** Recursive data-file identities (root-relative paths) under a table,
+    * skipping underscore/dot-prefixed metadata (sidecars, _SUCCESS,
+    * .crc). The staleness fingerprint [[bloomPointLookup]] validates
+    * against. */
+  private def dataFileNames(spark: SparkSession, path: String): Set[String] =
+    dataFilePaths(spark, path).keySet
 
   /** The sidecar's build-time table fingerprint: every data-file basename
     * present when the index was built (INCLUDING files whose keys were
@@ -212,17 +218,18 @@ object FileIO {
     body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
   }
 
-  /** Recursive data-file FULL paths keyed by basename (the fingerprint's
-    * identity), same hidden-skip rule as [[dataFileNames]]. */
+  /** Recursive data-file FULL paths keyed by root-relative identity,
+    * same hidden-skip rule as [[dataFileNames]]. */
   private def dataFilePaths(spark: SparkSession, path: String): Map[String, String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootAbs = tableRootAbs(spark, path)
     def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
     def walk(p: org.apache.hadoop.fs.Path): Iterator[(String, String)] =
       fs.listStatus(p).iterator.flatMap { s =>
         if (hidden(s.getPath.getName)) Iterator.empty
         else if (s.isDirectory) walk(s.getPath)
-        else Iterator.single(s.getPath.getName -> s.getPath.toString)
+        else Iterator.single(relPath(s.getPath.toString, rootAbs) -> s.getPath.toString)
       }
     walk(root).toMap
   }
@@ -255,8 +262,9 @@ object FileIO {
     val gone = indexed -- byName.keySet
     val fresh = (byName.keySet -- indexed).toSeq.sorted
     if (gone.isEmpty && fresh.isEmpty) return (0, 0)
-    val basename = element_at(split(col("file"), "/"), -1)
-    val keep = spark.read.parquet(sidecarDir).filter(!basename.isin(gone.toSeq: _*))
+    val rootAbs = tableRootAbs(spark, path)
+    val relUdf = udf((f: String) => relPath(f, rootAbs))
+    val keep = spark.read.parquet(sidecarDir).filter(!relUdf(col("file")).isin(gone.toSeq: _*))
     val freshRows =
       if (fresh.isEmpty) keep.limit(0)
       else {

@@ -99,6 +99,39 @@ class TableUpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("payload") === "UPDATED0b").count() === 1)
   }
 
+  test("guarded-upsert lifecycle: guard -> upsert -> INCREMENTAL index refresh -> guard again") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    base(30).write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    FileIO.buildBloomIndex(spark, dir, "id")
+    // guarded upsert touches partition a only (update key 0 + insert 999)
+    FileIO.upsertByKey(spark, dir,
+      Seq((0L, "U0", "a"), (999L, "N", "a")).toDF("id", "payload", "part"),
+      Seq("id"), "part", moveGuardKey = Some("id"))
+    // the upsert rewrote partition a's files: refresh costs only the
+    // rewritten files, not a table rebuild — gone = a's old files,
+    // fresh = a's new files, b/c untouched
+    val (added, removed) = FileIO.updateBloomIndex(spark, dir, "id")
+    assert(added >= 1 && removed >= 1, s"expected a partition-a swap, got ($added, $removed)")
+    // the refreshed index serves the guard again: a planted move is
+    // still caught (key 2 lives in c), a legit upsert still passes
+    val ex = intercept[IllegalStateException] {
+      FileIO.upsertByKey(spark, dir,
+        Seq((2L, "MOVED", "a")).toDF("id", "payload", "part"),
+        Seq("id"), "part", moveGuardKey = Some("id"))
+    }
+    assert(ex.getMessage.contains("move guard"), ex.getMessage)
+    FileIO.upsertByKey(spark, dir,
+      Seq((999L, "N2", "a")).toDF("id", "payload", "part"),
+      Seq("id"), "part", moveGuardKey = Some("id"))
+    FileIO.updateBloomIndex(spark, dir, "id")
+    // and the refreshed sidecar still prunes point lookups correctly
+    val (rows, cand, tot) = FileIO.bloomPointLookup(spark, dir, "id", 999L)
+    assert(rows.collect().map(_.getAs[String]("payload")).toSeq === Seq("N2"))
+    assert(cand < tot, "bloom must still prune after two incremental refreshes")
+  }
+
   test("contract guards: duplicate update keys and missing partition column reject") {
     val s = spark
     import s.implicits._
