@@ -178,10 +178,25 @@ object FileIO {
     * parquet"). Basenames alone are NOT unique in a partitioned table —
     * one write job reuses the same `part-0000N-<jobUUID>` name in EVERY
     * partition directory it writes — so the partition-dir prefix is part
-    * of the identity. Handles both "file:///x" URIs (input_file_name)
-    * and bare paths. */
+    * of the identity. For RAW filesystem paths (listings): Hadoop
+    * Path(String) treats its input as unencoded, so the name comes back
+    * verbatim. */
   private def relPath(fileRef: String, rootAbs: String): String =
     new org.apache.hadoop.fs.Path(fileRef).toUri.getPath.stripPrefix(rootAbs + "/")
+
+  /** Same identity, but for `input_file_name()` output — which is a
+    * URL-ENCODED URI (Hive-escaped partition dirs double-encode: on-disk
+    * `part=t%3Acolon` arrives as `part=t%253Acolon`). One URI decode
+    * brings it back to the on-disk name so scan-sourced and
+    * listing-sourced identities compare in ONE space. */
+  private def relPathFromScan(fileRef: String, rootAbs: String): String =
+    new java.net.URI(fileRef).getPath.stripPrefix(rootAbs + "/")
+
+  /** `input_file_name()` URI → a path string Spark's readers resolve to
+    * the on-disk file (Path(String) is unencoded, so feed it the DECODED
+    * form — the encoded URI would look for a literally-%XX-named file). */
+  private def decodeScanPath(fileRef: String): String =
+    new org.apache.hadoop.fs.Path(new java.net.URI(fileRef)).toString
 
   /** Recursive data-file identities (root-relative paths) under a table,
     * skipping underscore/dot-prefixed metadata (sidecars, _SUCCESS,
@@ -199,11 +214,19 @@ object FileIO {
   private def fingerprintPath(path: String, keyCol: String) =
     new org.apache.hadoop.fs.Path(s"$path/_bloom_$keyCol/_FINGERPRINT")
 
-  private def writeFingerprint(spark: SparkSession, path: String, keyCol: String): Unit = {
+  /** Writes the fingerprint for the EXACT snapshot the caller sketched —
+    * never a fresh listing: a file appended between the bloom scan and
+    * this write would otherwise be fingerprinted with no bloom row, and
+    * a key living only in that file would silently prune to zero
+    * candidates. With the sketched snapshot, a concurrent append leaves
+    * fingerprint ≠ current listing and the lookup refuses LOUDLY (the
+    * safe direction). */
+  private def writeFingerprint(
+      spark: SparkSession, path: String, keyCol: String, sketched: Set[String]): Unit = {
     val fp = fingerprintPath(path, keyCol)
     val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(fp, true)
-    try out.write(dataFileNames(spark, path).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(sketched.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -263,13 +286,14 @@ object FileIO {
     val fresh = (byName.keySet -- indexed).toSeq.sorted
     if (gone.isEmpty && fresh.isEmpty) return (0, 0)
     val rootAbs = tableRootAbs(spark, path)
-    val relUdf = udf((f: String) => relPath(f, rootAbs))
+    val relUdf = udf((f: String) => relPathFromScan(f, rootAbs))
     val keep = spark.read.parquet(sidecarDir).filter(!relUdf(col("file")).isin(gone.toSeq: _*))
     val freshRows =
       if (fresh.isEmpty) keep.limit(0)
       else {
         val rows = spark.read
           .format(format)
+          .option("basePath", tableRootAbs(spark, path))
           .load(fresh.map(byName): _*)
           .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
           .filter(col("k").isNotNull)
@@ -299,7 +323,7 @@ object FileIO {
     require(
       fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(sidecarDir)),
       s"bloom sidecar swap failed: could not rename $staged to $sidecarDir")
-    writeFingerprint(spark, path, keyCol)
+    writeFingerprint(spark, path, keyCol, byName.keySet)
     (fresh.size, gone.size)
   }
 
@@ -337,19 +361,32 @@ object FileIO {
       format: String = "parquet"
   ): Int = {
     import org.apache.spark.util.sketch.BloomFilter
+    // ONE listing is the snapshot for BOTH the sketch scan and the
+    // fingerprint — the scan reads these explicit files (basePath keeps
+    // partition columns inferred) and the fingerprint records exactly
+    // them, so a file appended concurrently can never be fingerprinted
+    // without a bloom row (it shows up as a LOUD staleness mismatch at
+    // lookup time instead)
+    val snapshot = dataFilePaths(spark, path)
     // null keys (and values the long cast nulls out) are EXCLUDED from the
     // sketches explicitly: a bloom cannot carry null, point lookups take a
     // concrete Long, and dropping nulls here cannot false-negative any
     // non-null probe
-    val rows = spark.read
-      .format(format)
-      .load(path)
-      .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
-      .filter(col("k").isNotNull)
+    val rows =
+      if (snapshot.isEmpty) null
+      else
+        spark.read
+          .format(format)
+          .option("basePath", tableRootAbs(spark, path))
+          .load(snapshot.values.toSeq.sorted: _*)
+          .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+          .filter(col("k").isNotNull)
     // expected items per file: one metadata-scale count (2× headroom
     // keeps fpp honest on skewed file sizes)
-    val Array(stats) = rows.groupBy(col("f")).count().agg(max("count"), count(lit(1))).collect()
-    if (stats.isNullAt(0)) {
+    val statsOpt =
+      if (rows == null) None
+      else Some(rows.groupBy(col("f")).count().agg(max("count"), count(lit(1))).collect().head)
+    if (statsOpt.forall(_.isNullAt(0))) {
       // empty table (or all-null keys): an empty sidecar is the correct
       // index — every file definitely lacks every key
       spark
@@ -361,9 +398,10 @@ object FileIO {
         .write
         .mode(SaveMode.Overwrite)
         .parquet(s"$path/_bloom_$keyCol")
-      writeFingerprint(spark, path, keyCol)
+      writeFingerprint(spark, path, keyCol, snapshot.keySet)
       return 0
     }
+    val stats = statsOpt.get
     val perFileCap = math.max(64L, stats.getLong(0) * 2)
     val nFiles = stats.getLong(1).toInt
     val sidecar = rows.rdd
@@ -382,7 +420,7 @@ object FileIO {
       .write
       .mode(SaveMode.Overwrite)
       .parquet(s"$path/_bloom_$keyCol")
-    writeFingerprint(spark, path, keyCol)
+    writeFingerprint(spark, path, keyCol, snapshot.keySet)
     nFiles
   }
 
@@ -451,7 +489,7 @@ object FileIO {
       else
         spark.read
           .format(format)
-          .load(candidates.toIndexedSeq: _*)
+          .load(candidates.map(decodeScanPath).toIndexedSeq: _*)
           .filter(col(keyCol).cast("long") === key)
     (result, candidates.length, total)
   }
@@ -551,10 +589,16 @@ object FileIO {
         s"move guard needs a FRESH bloom sidecar at $basePath/_bloom_$kc — the table changed " +
           "after indexing; rebuild with buildBloomIndex before the guarded upsert")
       // untouched files = sidecar entries whose path lies outside every
-      // touched partition directory
+      // touched partition directory. Partition values are rendered with
+      // Spark's OWN Hive path escaping (space, ':', '%', … become %XX on
+      // disk) — a raw toString would fail to match the escaped dir name,
+      // probe the touched partition's own files, and spuriously abort a
+      // valid upsert
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
       val touchedSegs = partVals.map { v =>
-        val render = if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString
-        s"/$partitionCol=$render/"
+        val render =
+          if (v == null) "__HIVE_DEFAULT_PARTITION__" else escapePathName(v.toString)
+        s"/${escapePathName(partitionCol)}=$render/"
       }
       val keys = updates.select(col(kc).cast("long")).na.drop().distinct()
         .collect().map(_.getLong(0))
@@ -565,8 +609,13 @@ object FileIO {
         val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
         keys.filter(bf.mightContainLong).toSeq
       }
+      // sidecar paths come from input_file_name = URI-encoded ('%'→'%25');
+      // decode to the raw on-disk path so the escaped segments compare in
+      // ONE space (the relPathFromScan discipline)
+      val decodePath = udf((f: String) => new java.net.URI(f).getPath)
       val moved = spark.read.parquet(s"$basePath/_bloom_$kc")
-        .filter(!touchedSegs.map(seg => col("file").contains(seg)).reduceOption(_ || _)
+        .filter(!touchedSegs.map(seg => decodePath(col("file")).contains(seg))
+          .reduceOption(_ || _)
           .getOrElse(lit(false)))
         .select(col("file"), explode(probe(col("bloom"))).as("key"))
         .limit(10)

@@ -156,10 +156,16 @@ object AggView {
   // under the SAME single-pointer commit protocol. Layout:
   //   dir/v=N/b=K/part-*.parquet   — version N holds only the buckets
   //                                  the N-th apply touched
-  //   dir/_CURRENT                 — "vMax batchId" on line 1, then one
-  //                                  "bucket version" line per live
-  //                                  bucket: bucket K's current totals
-  //                                  live at v=<version>/b=K
+  //   dir/_CURRENT                 — "vMax batchId nBuckets" on line 1,
+  //                                  then one "bucket version" line per
+  //                                  live bucket: bucket K's current
+  //                                  totals live at v=<version>/b=K.
+  //                                  nBuckets is part of the COMMIT: a
+  //                                  later apply (or sink restart) with a
+  //                                  different modulus would re-bucket
+  //                                  keys so old totals sit in buckets
+  //                                  the merge never reads — the pointer
+  //                                  pins it and every apply/read checks.
   // The pointer write is still the ONE atomic commit: a crash after the
   // data write but before the flip leaves v=N+1 as invisible debris the
   // next apply overwrites; replay (batchId <= ledger) is a no-op before
@@ -173,12 +179,14 @@ object AggView {
   private def bucketExpr(keyCols: Seq[String], nBuckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
-  /** (vMax, lastAppliedBatchId, bucket -> version) — (0, -1, empty)
-    * before bootstrap. */
-  def bucketedPointer(spark: SparkSession, dir: String): (Int, Long, Map[Int, Int]) = {
+  /** (vMax, lastAppliedBatchId, committedNBuckets, bucket -> version) —
+    * (0, -1, -1, empty) before bootstrap. committedNBuckets is -1 only
+    * for pre-r14 pointers written before the modulus was pinned; the
+    * next apply records it. */
+  def bucketedPointer(spark: SparkSession, dir: String): (Int, Long, Int, Map[Int, Int]) = {
     val p = new Path(pointerPath(dir))
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) (0, -1L, Map.empty)
+    if (!fs.exists(p)) (0, -1L, -1, Map.empty)
     else {
       val in = fs.open(p)
       val body =
@@ -186,14 +194,22 @@ object AggView {
         finally in.close()
       val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
       val head = lines.head.split("\\s+")
-      require(head.length == 2, s"malformed bucketed AggView pointer at $dir: '${lines.head}'")
+      require(head.length == 2 || head.length == 3,
+        s"malformed bucketed AggView pointer at $dir: '${lines.head}'")
       val m = lines.tail.map { l =>
         val Array(b, v) = l.split("\\s+")
         b.toInt -> v.toInt
       }.toMap
-      (head(0).toInt, head(1).toLong, m)
+      (head(0).toInt, head(1).toLong, if (head.length == 3) head(2).toInt else -1, m)
     }
   }
+
+  private def requireSameModulus(dir: String, committed: Int, asked: Int): Unit =
+    require(committed == -1 || committed == asked,
+      s"bucketed AggView at $dir was committed with nBuckets=$committed but this call asked " +
+        s"for nBuckets=$asked — a different modulus re-buckets keys so old totals sit in " +
+        "buckets the merge never reads (silent duplicate keys). Use the committed modulus, " +
+        "or rebuild the view from scratch to re-bucket")
 
   /** Bucketed [[applyBatch]]: identical merge algebra and replay ledger,
     * but the merge join reads — and the write rewrites — ONLY the
@@ -210,7 +226,8 @@ object AggView {
       gcGraceMs: Long = DefaultGcGraceMs
   ): Boolean = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    val (vMax, last, bmap) = bucketedPointer(spark, dir)
+    val (vMax, last, committedN, bmap) = bucketedPointer(spark, dir)
+    requireSameModulus(dir, committedN, nBuckets)
     if (batchId <= last) return false
     val delta = partials(batch, keyCols, sumCols)
     val aggNames = "n" +: sumCols.map(c => s"sum_$c")
@@ -243,7 +260,7 @@ object AggView {
       .partitionBy("b")
       .parquet(s"$dir/v=$vNew")
     val newMap = bmap ++ touched.map(_ -> vNew)
-    val body = (s"$vNew $batchId" +: newMap.toSeq.sorted.map { case (b, v) => s"$b $v" })
+    val body = (s"$vNew $batchId $nBuckets" +: newMap.toSeq.sorted.map { case (b, v) => s"$b $v" })
       .mkString("\n")
     writeAtomic(spark, pointerPath(dir), body)
     // post-commit GC: versions no bucket references anymore get a _DEAD
@@ -265,9 +282,13 @@ object AggView {
   }
 
   /** The committed bucketed totals — the union of every live bucket's
-    * current version dir. One row per key, same schema as [[read]]. */
-  def readBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, bmap) = bucketedPointer(spark, dir)
+    * current version dir. One row per key, same schema as [[read]].
+    * Pass `expectedNBuckets` to assert the committed modulus (callers
+    * that hard-code a modulus should — a mismatch means the view they
+    * think they're reading isn't the one on disk). */
+  def readBucketed(spark: SparkSession, dir: String, expectedNBuckets: Int = -1): DataFrame = {
+    val (_, _, committedN, bmap) = bucketedPointer(spark, dir)
+    if (expectedNBuckets >= 1) requireSameModulus(dir, committedN, expectedNBuckets)
     require(bmap.nonEmpty, s"no committed bucketed AggView at $dir — apply a batch first")
     val paths = bmap.toSeq.sorted.map { case (b, v) => s"$dir/v=$v/b=$b" }
     spark.read.parquet(paths: _*)

@@ -770,7 +770,7 @@ object ScaleRehearsal {
               spark, vd, (i + 1).toLong, narrowBatch(i), Seq("k"), Seq("x"),
               nBuckets = 1024, gcGraceMs = 0L)
             times += (System.nanoTime() - t0) / 1e9
-            val (vNow, _, _) = graft.streaming.AggView.bucketedPointer(spark, vd)
+            val (vNow, _, _, _) = graft.streaming.AggView.bucketedPointer(spark, vd)
             listings += Option(new java.io.File(s"$vd/v=$vNow").listFiles())
               .getOrElse(Array.empty).count(f => f.isDirectory && f.getName.startsWith("b="))
           }

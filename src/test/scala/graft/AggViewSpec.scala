@@ -102,9 +102,10 @@ class AggViewSpec extends AnyFunSuite {
     assert(bucketedTotals(buck) === totals(flat))
     // selective rewrite: a batch touching ONE key writes only that key's
     // bucket into the new version dir
-    val (vBefore, _, mapBefore) = AggView.bucketedPointer(spark, buck)
+    val (vBefore, _, nBefore, mapBefore) = AggView.bucketedPointer(spark, buck)
+    assert(nBefore === 8)
     AggView.applyBatchBucketed(spark, buck, 3L, df("a" -> 100L), Seq("k"), Seq("x"), 8)
-    val (vAfter, _, mapAfter) = AggView.bucketedPointer(spark, buck)
+    val (vAfter, _, _, mapAfter) = AggView.bucketedPointer(spark, buck)
     assert(vAfter === vBefore + 1)
     val newDirBuckets = Option(new java.io.File(s"$buck/v=$vAfter").listFiles())
       .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("b=")).toSeq
@@ -115,6 +116,25 @@ class AggViewSpec extends AnyFunSuite {
     assert((mapAfter - aBucket) === (mapBefore - aBucket),
       "untouched buckets' version pointers must not move")
     assert(bucketedTotals(buck)("a") === ((4L, 107L)))
+  }
+
+  test("bucketed mode: a different nBuckets than the committed modulus is refused loudly") {
+    val dir = tmp()
+    AggView.applyBatchBucketed(spark, dir, 0L, df("a" -> 1L), Seq("k"), Seq("x"), nBuckets = 8)
+    // apply with a different modulus: old totals would land in buckets the
+    // merge never reads → must refuse BEFORE touching anything
+    val exApply = intercept[IllegalArgumentException] {
+      AggView.applyBatchBucketed(spark, dir, 1L, df("a" -> 2L), Seq("k"), Seq("x"), nBuckets = 4)
+    }
+    assert(exApply.getMessage.contains("nBuckets=8"))
+    assert(bucketedTotals(dir) === Map("a" -> ((1L, 1L))), "refused apply must not mutate")
+    // read asserting the wrong modulus is refused too
+    intercept[IllegalArgumentException] {
+      AggView.readBucketed(spark, dir, expectedNBuckets = 4)
+    }
+    // the committed modulus still works for both
+    AggView.applyBatchBucketed(spark, dir, 1L, df("a" -> 2L), Seq("k"), Seq("x"), nBuckets = 8)
+    assert(AggView.readBucketed(spark, dir, expectedNBuckets = 8).count() === 1L)
   }
 
   test("bucketed GC: dead versions are marked at supersede time and swept after the grace") {

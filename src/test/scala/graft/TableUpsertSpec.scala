@@ -99,6 +99,52 @@ class TableUpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("payload") === "UPDATED0b").count() === 1)
   }
 
+  test("move guard: partition values needing Hive path escaping don't spuriously abort") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // partition values with Hive-escaped characters (':' and '%'): on
+    // disk they land as %XX-escaped dir names ("part=t%3Acolon"); the
+    // guard must match the ESCAPED segment or it probes the touched
+    // partition's own files and aborts a perfectly valid home-partition
+    // update
+    Seq(
+      (0L, "v0", "t:colon"), (1L, "v1", "t:colon"),
+      (2L, "v2", "p%pct"), (3L, "v3", "p%pct"))
+      .toDF("id", "payload", "part")
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    assert(new java.io.File(s"$dir/part=t%3Acolon").isDirectory,
+      "fixture assumption: Spark escapes the colon in the partition dir name")
+    FileIO.buildBloomIndex(spark, dir, "id")
+    // legit home-partition update: must pass (pre-fix it spuriously aborted)
+    val legit = Seq((0L, "U0", "t:colon")).toDF("id", "payload", "part")
+    val report = FileIO.upsertByKey(spark, dir, legit, Seq("id"), "part",
+      moveGuardKey = Some("id"))
+    assert(report.nUpserts === 1)
+    assert(spark.read.parquet(dir).filter(col("payload") === "U0").count() === 1)
+    // and a genuine move into an escaped partition is still caught
+    FileIO.buildBloomIndex(spark, dir, "id")
+    val ex = intercept[IllegalStateException] {
+      FileIO.upsertByKey(spark, dir,
+        Seq((2L, "MOVED", "t:colon")).toDF("id", "payload", "part"),
+        Seq("id"), "part", moveGuardKey = Some("id"))
+    }
+    assert(ex.getMessage.contains("move guard"), ex.getMessage)
+    // point lookup must read candidate files through the escaped dirs
+    // (sidecar stores URL-encoded URIs; the read must decode them)
+    val (rows3, cand3, tot3) = FileIO.bloomPointLookup(spark, dir, "id", 3L)
+    assert(rows3.collect().map(_.getAs[String]("payload")).toSeq === Seq("v3"))
+    assert(cand3 <= tot3 && tot3 > 0)
+    // and incremental refresh must drop vanished escaped-path rows (the
+    // keep-filter compares scan-sourced vs listing-sourced identities)
+    FileIO.upsertByKey(spark, dir,
+      Seq((3L, "U3", "p%pct")).toDF("id", "payload", "part"), Seq("id"), "part")
+    val (added, removed) = FileIO.updateBloomIndex(spark, dir, "id")
+    assert(added >= 1 && removed >= 1, s"expected an escaped-partition swap, got ($added, $removed)")
+    val (rows3b, _, _) = FileIO.bloomPointLookup(spark, dir, "id", 3L)
+    assert(rows3b.collect().map(_.getAs[String]("payload")).toSeq === Seq("U3"))
+  }
+
   test("guarded-upsert lifecycle: guard -> upsert -> INCREMENTAL index refresh -> guard again") {
     val s = spark
     import s.implicits._
