@@ -232,6 +232,88 @@ object Joins {
           |ORDER BY partkey, supp_name""".stripMargin)
     },
 
+    // TPC-H Q4-shaped CORRELATED EXISTS (r14): orders in a date window
+    // that have at least one line item shipping >60 days after the order
+    // date, counted per priority. Written AS a correlated EXISTS in SQL
+    // text deliberately: the gate proves Catalyst's RewritePredicateSubquery
+    // turns it into a LEFT SEMI join (lineitem never widens the row, the
+    // date-window filter pushes to the orders scan). The correlation
+    // carries a NON-equi conjunct (l_shipdate > o_orderdate + 60d) on top
+    // of the equi key — the shape that breaks engines that can only
+    // decorrelate pure equality.
+    "analytics_q4exists" -> { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("graft_q4_ord")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q4_li")
+      spark.sql(
+        """SELECT o.o_orderpriority, COUNT(*) AS order_count
+          |FROM graft_q4_ord o
+          |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          |  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+          |  AND EXISTS (
+          |    SELECT 1 FROM graft_q4_li l
+          |    WHERE l.l_orderkey = o.o_orderkey
+          |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+          |GROUP BY o.o_orderpriority
+          |ORDER BY o.o_orderpriority""".stripMargin)
+    },
+
+    // TPC-H Q21-shaped EXISTS + NOT EXISTS on the SAME table (r14):
+    // suppliers who were the ONLY "late" (returnflag R) supplier on a
+    // finished multi-supplier order. Both subqueries correlate to the
+    // same lineitem scan with an anti-equality conjunct — Catalyst must
+    // plan ONE left-semi AND ONE left-anti against lineitem, neither
+    // surviving as a per-row subquery. At 100 TB all three lineitem legs
+    // shuffle on l_orderkey, so they co-partition: AQE reuses the
+    // exchange rather than scanning lineitem three independent times.
+    "analytics_q21multi" -> { (spark, dir) =>
+      Tables.supplier(spark, dir).createOrReplaceTempView("graft_q21_supp")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q21_li")
+      Tables.orders(spark, dir).createOrReplaceTempView("graft_q21_ord")
+      spark.sql(
+        """SELECT s.s_name, COUNT(*) AS numwait
+          |FROM graft_q21_supp s
+          |  JOIN graft_q21_li l1 ON s.s_suppkey = l1.l_suppkey
+          |  JOIN graft_q21_ord o ON o.o_orderkey = l1.l_orderkey
+          |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (
+          |    SELECT 1 FROM graft_q21_li l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM graft_q21_li l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    },
+
+    // TPC-H Q22-shaped NOT IN with a NULLABLE key + uncorrelated scalar
+    // subquery (r14): above-average-balance customers with no recent
+    // orders, per nation. The inner key is wrapped in a CASE that makes
+    // it NULLABLE by schema (never null in fact), so Spark cannot
+    // downgrade the NOT IN to a plain anti join — it must plan the
+    // NULL-AWARE anti join (three-valued logic: one inner NULL would
+    // empty the result). The average is quantized identically on both
+    // engines (the Exact.dsum discipline) so the threshold predicate
+    // can never flip on a last-ulp disagreement.
+    "analytics_q22notin" -> { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("graft_q22_cust")
+      Tables.orders(spark, dir).createOrReplaceTempView("graft_q22_ord")
+      spark.sql(
+        """SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode, COUNT(*) AS numcust,
+          |  CAST(SUM(FLOOR(c.c_acctbal * 100 + 0.5)) AS BIGINT) AS totacctbal_cents
+          |FROM graft_q22_cust c
+          |WHERE c.c_acctbal > (
+          |    SELECT (SUM(FLOOR(c2.c_acctbal * 10000.0 + 0.5)) / 10000.0) / COUNT(*)
+          |    FROM graft_q22_cust c2 WHERE c2.c_acctbal > 0.0)
+          |  AND c.c_custkey NOT IN (
+          |    SELECT CASE WHEN o.o_custkey < 0 THEN NULL ELSE o.o_custkey END
+          |    FROM graft_q22_ord o
+          |    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY c.c_nationkey
+          |ORDER BY cntrycode""".stripMargin)
+    },
+
     // TPC-H Q7-shaped: volume shipped between two nation pairs by year —
     // TWO INDEPENDENT dim chains (supplier→nation₁, customer→orders→
     // nation₂) meeting at lineitem, with the symmetric pair predicate
@@ -497,6 +579,50 @@ object Joins {
         |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
         |    WHERE l2.l_partkey = l.l_partkey)
         |ORDER BY partkey, supp_name""".stripMargin,
+    // Same correlated texts as the Spark side (modulo DuckDB's interval
+    // spelling) — DuckDB decorrelates them independently, so green hashes
+    // prove both engines' semi/anti/null-aware rewrites agree with the
+    // sequential definition.
+    "analytics_q4exists" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+    "analytics_q21multi" ->
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |  JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "analytics_q22notin" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(FLOOR(c.c_acctbal * 100 + 0.5)) AS BIGINT) AS totacctbal_cents
+        |FROM customer c
+        |WHERE c.c_acctbal > (
+        |    SELECT (SUM(FLOOR(c2.c_acctbal * 10000.0 + 0.5)) / 10000.0) / COUNT(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND c.c_custkey NOT IN (
+        |    SELECT CASE WHEN o.o_custkey < 0 THEN NULL ELSE o.o_custkey END
+        |    FROM orders o
+        |    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c.c_nationkey
+        |ORDER BY cntrycode""".stripMargin,
     "analytics_q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -37,6 +37,138 @@ object TextIndex {
       posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
       .select(col("term"), col("doc_id"), col("pos"))
 
+  // ------------------------------------------------------------------
+  // PERSISTED postings index — the disk-backed twin of [[buildPostings]]
+  // under the Sidecar commit protocol (the r13 bloom-index recipe): the
+  // postings land in a versioned sidecar dir whose single `_CURRENT`
+  // pointer carries BOTH the live version and a fingerprint of the doc
+  // table's data files. Queries refuse loudly when the corpus changed
+  // after indexing (never a silently incomplete result), and refreshes
+  // scan ONLY new files — O(changed files), not O(corpus).
+  // ------------------------------------------------------------------
+
+  private def postingsOf(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      rootAbs: String) = {
+    val relUdf = udf((f: String) => graft.sources.FileIO.relPathFromScan(f, rootAbs))
+    docs
+      .select(
+        input_file_name().as("__f"),
+        col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos"), relUdf(col("__f")).as("src_file"))
+  }
+
+  /** Writes one version of the postings (term-range-clustered: each
+    * output file covers a tight term range, so a term filter prunes
+    * whole files via parquet min/max stats — the writeSorted recipe
+    * applied to the posting list; `bucketBy(term)` is the catalog-table
+    * upgrade on the same layout). */
+  private def writePostingsVersion(postings: org.apache.spark.sql.DataFrame, stage: String): Unit =
+    postings
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(stage)
+
+  /** Full postings build over the doc table at `docsPath`, committed to
+    * the sidecar at `indexDir`. One listing is the snapshot for BOTH the
+    * scan and the fingerprint (the bloom-index discipline: a concurrently
+    * appended doc file can never be fingerprinted without postings — it
+    * surfaces as a loud staleness refusal instead).
+    * @return number of doc files indexed */
+  def buildPostingsIndex(
+      spark: SparkSession,
+      docsPath: String,
+      idCol: String,
+      textCol: String,
+      indexDir: String): Int = {
+    import graft.sources.{FileIO, Sidecar}
+    val snapshot = FileIO.dataFilePaths(spark, docsPath)
+    val (v, stage) = Sidecar.nextStage(spark, indexDir)
+    if (snapshot.nonEmpty) {
+      val rootAbs = FileIO.tableRootAbs(spark, docsPath)
+      val docs = spark.read
+        .option("basePath", FileIO.basePathOf(spark, docsPath))
+        .parquet(snapshot.values.toSeq.sorted: _*)
+      writePostingsVersion(postingsOf(docs, idCol, textCol, rootAbs), stage)
+    } else {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("src_file", org.apache.spark.sql.types.StringType))))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    }
+    Sidecar.commit(spark, indexDir, v, snapshot.keySet)
+    snapshot.size
+  }
+
+  /** INCREMENTAL postings refresh — O(changed files): doc files that
+    * vanished since the last (re)build drop their posting rows, files
+    * that APPEARED are scanned and exploded, every other file's rows
+    * carry over untouched. The merged postings land in a NEW sidecar
+    * version and become visible — with the new fingerprint — in one
+    * atomic pointer flip (a crash mid-refresh leaves the OLD index
+    * serving, consistently gated).
+    * @return (filesAdded, filesRemoved) */
+  def updatePostingsIndex(
+      spark: SparkSession,
+      docsPath: String,
+      idCol: String,
+      textCol: String,
+      indexDir: String): (Int, Int) = {
+    import graft.sources.{FileIO, Sidecar}
+    val cur = Sidecar.current(spark, indexDir).getOrElse(throw new IllegalArgumentException(
+      s"no committed postings index at $indexDir — build one with buildPostingsIndex first"))
+    val byName = FileIO.dataFilePaths(spark, docsPath)
+    val gone = cur.fingerprint -- byName.keySet
+    val fresh = (byName.keySet -- cur.fingerprint).toSeq.sorted
+    if (gone.isEmpty && fresh.isEmpty) return (0, 0)
+    val keep = spark.read.parquet(cur.dataDir)
+      .filter(!col("src_file").isin(gone.toSeq: _*))
+    val merged =
+      if (fresh.isEmpty) keep
+      else {
+        val rootAbs = FileIO.tableRootAbs(spark, docsPath)
+        val docs = spark.read
+          .option("basePath", FileIO.basePathOf(spark, docsPath))
+          .parquet(fresh.map(byName): _*)
+        keep.unionByName(postingsOf(docs, idCol, textCol, rootAbs))
+      }
+    val (v, stage) = Sidecar.nextStage(spark, indexDir)
+    writePostingsVersion(merged, stage)
+    Sidecar.commit(spark, indexDir, v, byName.keySet)
+    (fresh.size, gone.size)
+  }
+
+  /** Phrase search through the PERSISTED postings: same semantics as
+    * [[phraseSearch]], but the legs read the committed index (term-
+    * clustered files → per-term pruning) instead of re-exploding the
+    * corpus. Refuses loudly when the doc table changed after indexing —
+    * a stale index would silently miss occurrences in new files. */
+  def phraseSearchIndexed(
+      spark: SparkSession,
+      docsPath: String,
+      indexDir: String,
+      phrase: Seq[String]): DataFrame = {
+    import graft.sources.{FileIO, Sidecar}
+    val cur = Sidecar.current(spark, indexDir).getOrElse(throw new IllegalArgumentException(
+      s"no committed postings index at $indexDir — build one with buildPostingsIndex first"))
+    val listing = FileIO.dataFileNames(spark, docsPath)
+    if (listing != cur.fingerprint) {
+      val gone = cur.fingerprint -- listing
+      val fresh = listing -- cur.fingerprint
+      throw new IllegalStateException(
+        s"postings index at $indexDir is STALE: the doc table changed after indexing " +
+          s"(${gone.size} indexed file(s) vanished, ${fresh.size} unindexed file(s) appeared) — " +
+          "searching it would silently miss occurrences; refresh with updatePostingsIndex")
+    }
+    phraseSearch(spark.read.parquet(cur.dataDir).select("term", "doc_id", "pos"), phrase)
+  }
+
   /** Exact consecutive-phrase occurrence counts through the postings:
     * (doc_id, n_hits) for every doc containing the phrase at least
     * once. n_hits counts distinct START positions (occurrences cannot
@@ -71,6 +203,18 @@ object TextIndex {
         .orderBy(col("doc_id"))
     },
 
+    // The PERSISTED spelling: build the sidecar-committed postings index
+    // on disk, search the phrase through it — same oracle BY REFERENCE
+    // as text_phrase_search, so a green hash proves the staleness-gated
+    // disk round trip loses nothing vs the in-memory postings.
+    "text_phrase_search_idx" -> { (spark, dir) =>
+      val docsPath = s"$dir/documents.parquet"
+      val idx = s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/postings_idx"
+      buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+      phraseSearchIndexed(spark, docsPath, idx, FixturePhrase)
+        .orderBy(col("doc_id"))
+    },
+
     // The SQL spelling: the same leg-join plan reached through the
     // graft_phrase_search TABLE FUNCTION — same oracle BY REFERENCE, so
     // a SQL-only user gets index-shaped phrase counting from one call.
@@ -97,7 +241,8 @@ object TextIndex {
 
   val oracles: Map[String, String] = Map(
     "text_phrase_search" -> phraseOracle,
-    // TVF spelling shares the contract by reference
+    // persisted-index and TVF spellings share the contract by reference
+    "text_phrase_search_idx" -> phraseOracle,
     "sql_phrase_search" -> phraseOracle
   )
 }

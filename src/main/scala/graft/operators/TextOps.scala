@@ -284,6 +284,29 @@ object TextOps {
     * bootstrap's full-graph CC (see the query's comment). */
   private val corpusStateCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The shared 3-batch CorpusMaintenance history (bootstrap b=0, ingest
+    * b=1, minor-fold+retire, ingest b=2) — the SETUP state of the
+    * corpus_maintain and dedup_keep_best_maint gates. The applicationId
+    * in the dir name keeps two concurrent applications (bench driver +
+    * test suite on one machine) from interleaving pointer flips in one
+    * shared store. */
+  private def maintainedState(spark: SparkSession, dir: String): String =
+    corpusStateCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir",
+      _ => {
+        import graft.streaming.CorpusMaintenance
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val s = s"${sys.props("java.io.tmpdir")}/graft_corpus_maintain_" +
+          (dir + "_" + spark.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+        CorpusMaintenance.bootstrap(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 0), s)
+        CorpusMaintenance.ingestBatch(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 1), s)
+        graft.streaming.EpochStore.minorFold(
+          spark, s, Seq("docs", "hashes", "shingles"), from = 1, upTo = 2)
+        CorpusMaintenance.retireCompactedEpochs(spark, s, graceMs = 0)
+        CorpusMaintenance.ingestBatch(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 2), s)
+        s
+      })
   private def convergedOldMap(spark: SparkSession, dir: String): DataFrame =
     incrOldMapCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}:$dir",
@@ -345,6 +368,31 @@ object TextOps {
         sum(col("nt")).cast("long").as("sum_tokens"))
       .orderBy(col("split"))
   }
+
+  /** Canonical selection per duplicate cluster given a CLUSTER MAP —
+    * factored out of the dedup_keep_best query (the leakproofSplitSummary
+    * precedent) so the map can come from anywhere: a fresh pairs+CC run
+    * (the query's small-data path) or, at scale, the MAINTAINED map a
+    * CorpusMaintenance loop keeps current — canonical selection then
+    * never re-pays pairs+CC. Keeper = most tokens, ties to the LOWEST
+    * doc_id; one narrow token-count projection joined to the map, one
+    * rep-partitioned max_by(struct) — no corpus-wide window. */
+  def keepBest(docs: DataFrame, clusterMap: DataFrame): DataFrame =
+    clusterMap
+      .join(
+        docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks")),
+        Seq("doc_id"))
+      .groupBy(col("rep"))
+      .agg(
+        // max over (tokens, -doc_id): most tokens, ties to LOWEST id
+        max(struct(col("n_toks"), (-col("doc_id")).as("neg_id"), col("doc_id").as("keep"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("rep"),
+        col("best.keep").as("keep_id"),
+        col("best.n_toks").as("keep_toks"),
+        col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"))
 
   /** Incremental exact dedup of a new batch against an existing
     * fingerprint store — the shape every continuously-ingesting pipeline
@@ -420,22 +468,20 @@ object TextOps {
       val docs = Tables.documents(spark, dir)
       val comp = DedupClusters.connectedComponents(
         ngramJaccardPairs(docs, 3, 0.5).select(col("d1"), col("d2")))
-      comp
-        .join(
-          docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks")),
-          Seq("doc_id"))
-        .groupBy(col("rep"))
-        .agg(
-          // max over (tokens, -doc_id): most tokens, ties to LOWEST id
-          max(struct(col("n_toks"), (-col("doc_id")).as("neg_id"), col("doc_id").as("keep"))).as("best"),
-          count(lit(1)).as("n_members"))
-        .select(
-          col("rep"),
-          col("best.keep").as("keep_id"),
-          col("best.n_toks").as("keep_toks"),
-          col("n_members"),
-          (col("n_members") - 1L).as("n_dropped"))
-        .orderBy(col("rep"))
+      keepBest(docs, comp).orderBy(col("rep"))
+    },
+
+    // The same canonical selection over the MAINTAINED cluster map (r14):
+    // the CorpusMaintenance store's snapshot hands a pointer-consistent
+    // (corpus, clusterMap) pair and keepBest composes directly — the
+    // pairs+CC cost was paid ONCE by the ingest loop, never again by the
+    // selection. Oracle = the corpus_maintain landed-corpus CC extended
+    // with the dedup_keep_best ROW_NUMBER keeper, so a green hash proves
+    // the maintained map selects exactly what a from-scratch run would.
+    "dedup_keep_best_maint" -> { (spark, dir) =>
+      import graft.streaming.CorpusMaintenance
+      val snap = CorpusMaintenance.snapshot(spark, maintainedState(spark, dir))
+      keepBest(snap.corpus, snap.clusterMap).orderBy(col("rep"))
     },
 
     // The FAULT-TOLERANT lineage mode of the same collapse, oracle-gated
@@ -512,25 +558,8 @@ object TextOps {
     // ingests, per-batch wall time + committed-listing count, SCALING.md)
     // and the ScaleRegressionSpec soak case that gates it in CI.
     "corpus_maintain" -> { (spark, dir) =>
-      import graft.streaming.CorpusMaintenance
-      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      val state = corpusStateCache.computeIfAbsent(
-        s"${spark.sparkContext.applicationId}:$dir",
-        _ => {
-          // The applicationId in the dir name keeps two concurrent
-          // applications (bench driver + test suite on one machine) from
-          // interleaving pointer flips in one shared store.
-          val s = s"${sys.props("java.io.tmpdir")}/graft_corpus_maintain_" +
-            (dir + "_" + spark.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
-          CorpusMaintenance.bootstrap(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 0), s)
-          CorpusMaintenance.ingestBatch(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 1), s)
-          graft.streaming.EpochStore.minorFold(
-            spark, s, Seq("docs", "hashes", "shingles"), from = 1, upTo = 2)
-          CorpusMaintenance.retireCompactedEpochs(spark, s, graceMs = 0)
-          CorpusMaintenance.ingestBatch(spark, docs.filter(pmod(col("doc_id"), lit(3)) === 2), s)
-          s
-        })
-      CorpusMaintenance.currentMap(spark, state)
+      graft.streaming.CorpusMaintenance
+        .currentMap(spark, maintainedState(spark, dir))
         .groupBy(col("rep"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("rep"))
@@ -1449,6 +1478,55 @@ object TextOps {
          |),
          |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)
          |SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
+    // The SAME maintained-corpus CC (corpus_maintain's landed CTE chain
+    // by construction) extended with the dedup_keep_best ROW_NUMBER
+    // keeper — canonical selection over the maintained map must equal
+    // the sequential from-scratch definition.
+    "dedup_keep_best_maint" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text, doc_id % 3 AS b, md5(lower(trim(text))) AS h
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, text, b, h FROM d WHERE b = 0
+         |  UNION ALL
+         |  SELECT doc_id, text, b, h FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY h, b ORDER BY doc_id) AS rn
+         |    FROM d WHERE b > 0)
+         |  WHERE rn = 1),
+         |landed AS (
+         |  SELECT doc_id, text FROM w w1
+         |  WHERE NOT EXISTS (SELECT 1 FROM d w2 WHERE w2.h = w1.h AND w2.b < w1.b)),
+         |sh AS (
+         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM landed)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs0 AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM pairs0
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS d FROM edges),
+         |reach(n, m) AS (
+         |  SELECT d, d FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n),
+         |scored AS (
+         |  SELECT c.rep, c.doc_id,
+         |    CAST(len(string_split(l.text, ' ')) AS BIGINT) AS n_toks,
+         |    ROW_NUMBER() OVER (PARTITION BY c.rep
+         |      ORDER BY len(string_split(l.text, ' ')) DESC, c.doc_id ASC) AS rk
+         |  FROM comp c JOIN landed l ON c.doc_id = l.doc_id),
+         |sizes AS (SELECT rep, COUNT(*) AS n_members FROM scored GROUP BY rep)
+         |SELECT s.rep, sc.doc_id AS keep_id, sc.n_toks AS keep_toks,
+         |  s.n_members, s.n_members - 1 AS n_dropped
+         |FROM sizes s JOIN scored sc ON s.rep = sc.rep AND sc.rk = 1
+         |ORDER BY s.rep""".stripMargin,
     "dedup_fingerprint" ->
       s"""WITH fp AS (
          |  SELECT doc_id, unnest(${duckShingles(8)}) AS fp

@@ -168,7 +168,7 @@ object FileIO {
 
   /** The table root's absolute filesystem path (scheme-normalized): the
     * base every file identity below is RELATIVE to. */
-  private def tableRootAbs(spark: SparkSession, path: String): String = {
+  private[graft] def tableRootAbs(spark: SparkSession, path: String): String = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.makeQualified(root).toUri.getPath
@@ -189,8 +189,17 @@ object FileIO {
     * `part=t%3Acolon` arrives as `part=t%253Acolon`). One URI decode
     * brings it back to the on-disk name so scan-sourced and
     * listing-sourced identities compare in ONE space. */
-  private def relPathFromScan(fileRef: String, rootAbs: String): String =
+  private[graft] def relPathFromScan(fileRef: String, rootAbs: String): String =
     new java.net.URI(fileRef).getPath.stripPrefix(rootAbs + "/")
+
+  /** Spark's `basePath` option must name a DIRECTORY: the table root for
+    * a dir-shaped table, its parent for a single-file table. */
+  private[graft] def basePathOf(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(p)
+    if (fs.getFileStatus(q).isDirectory) q.toString else q.getParent.toString
+  }
 
   /** `input_file_name()` URI → a path string Spark's readers resolve to
     * the on-disk file (Path(String) is unencoded, so feed it the DECODED
@@ -202,48 +211,36 @@ object FileIO {
     * skipping underscore/dot-prefixed metadata (sidecars, _SUCCESS,
     * .crc). The staleness fingerprint [[bloomPointLookup]] validates
     * against. */
-  private def dataFileNames(spark: SparkSession, path: String): Set[String] =
+  private[graft] def dataFileNames(spark: SparkSession, path: String): Set[String] =
     dataFilePaths(spark, path).keySet
 
-  /** The sidecar's build-time table fingerprint: every data-file basename
-    * present when the index was built (INCLUDING files whose keys were
-    * all null and so carry no bloom entry). [[bloomPointLookup]] refuses
-    * to prune against a listing that no longer matches — a rewritten
+  /** The bloom sidecar's [[Sidecar]] root: version dirs + the single
+    * `_CURRENT` pointer carrying the live version AND the build-time
+    * table fingerprint (every data-file identity present when the index
+    * was built, INCLUDING files whose keys were all null and so carry no
+    * bloom row). [[bloomPointLookup]] refuses to prune against a listing
+    * that no longer matches the committed fingerprint — a rewritten
     * table would otherwise be pruned against vanished file names with no
-    * error (stale-sidecar hazard). */
-  private def fingerprintPath(path: String, keyCol: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_bloom_$keyCol/_FINGERPRINT")
+    * error (stale-sidecar hazard). Version + fingerprint commit in ONE
+    * atomic pointer flip, so a crash mid-(re)build leaves the OLD index
+    * serving consistently — never a fingerprint-less or half-swapped
+    * sidecar. */
+  private def bloomRoot(path: String, keyCol: String) = s"$path/_bloom_$keyCol"
 
-  /** Writes the fingerprint for the EXACT snapshot the caller sketched —
-    * never a fresh listing: a file appended between the bloom scan and
-    * this write would otherwise be fingerprinted with no bloom row, and
-    * a key living only in that file would silently prune to zero
-    * candidates. With the sketched snapshot, a concurrent append leaves
-    * fingerprint ≠ current listing and the lookup refuses LOUDLY (the
-    * safe direction). */
-  private def writeFingerprint(
-      spark: SparkSession, path: String, keyCol: String, sketched: Set[String]): Unit = {
-    val fp = fingerprintPath(path, keyCol)
-    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(fp, true)
-    try out.write(sketched.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def bloomCurrent(spark: SparkSession, path: String, keyCol: String): Sidecar.Current =
+    Sidecar.current(spark, bloomRoot(path, keyCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed bloom sidecar at ${bloomRoot(path, keyCol)} — build the index " +
+          "(buildBloomIndex) before point lookups"))
 
-  private def readFingerprint(spark: SparkSession, path: String, keyCol: String): Set[String] = {
-    val fp = fingerprintPath(path, keyCol)
-    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(fp),
-      s"bloom sidecar at $path/_bloom_$keyCol has no _FINGERPRINT — rebuild the index " +
-        "(buildBloomIndex) before point lookups")
-    val in = fs.open(fp)
-    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
-  }
+  /** The committed sidecar rows (file, bloom) — the CURRENT version only
+    * (older versions may linger inside the GC grace window). */
+  def readBloomSidecar(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    spark.read.parquet(bloomCurrent(spark, path, keyCol).dataDir)
 
   /** Recursive data-file FULL paths keyed by root-relative identity,
     * same hidden-skip rule as [[dataFileNames]]. */
-  private def dataFilePaths(spark: SparkSession, path: String): Map[String, String] = {
+  private[graft] def dataFilePaths(spark: SparkSession, path: String): Map[String, String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootAbs = tableRootAbs(spark, path)
@@ -263,12 +260,12 @@ object FileIO {
     * other file's bloom bytes carry over untouched — after an append (or
     * a partition-scoped [[upsertByKey]], which rewrites only touched
     * partitions' files) the refresh costs one scan of the NEW files
-    * instead of the table. The refreshed sidecar swaps in via
-    * delete+rename of a staged dir and the `_FINGERPRINT` is written
-    * LAST, so a crash anywhere mid-update leaves either the old
-    * sidecar+fingerprint intact (lookups correct for the old listing,
-    * loudly STALE for the new one) or a fingerprint-less sidecar that
-    * [[bloomPointLookup]] refuses — never a silently wrong prune.
+    * instead of the table. The refreshed rows land in a NEW [[Sidecar]]
+    * version dir and become visible — together with the new fingerprint
+    * — in one atomic pointer flip, so a crash anywhere mid-update leaves
+    * the OLD sidecar serving (lookups correct for the old listing,
+    * loudly STALE for the new one) — never a half-swapped sidecar or a
+    * silently wrong prune.
     *
     * @return (filesAdded, filesRemoved) */
   def updateBloomIndex(
@@ -279,21 +276,21 @@ object FileIO {
       format: String = "parquet"
   ): (Int, Int) = {
     import org.apache.spark.util.sketch.BloomFilter
-    val sidecarDir = s"$path/_bloom_$keyCol"
-    val indexed = readFingerprint(spark, path, keyCol) // loud when absent
+    val cur = bloomCurrent(spark, path, keyCol) // loud when absent
+    val indexed = cur.fingerprint
     val byName = dataFilePaths(spark, path)
     val gone = indexed -- byName.keySet
     val fresh = (byName.keySet -- indexed).toSeq.sorted
     if (gone.isEmpty && fresh.isEmpty) return (0, 0)
     val rootAbs = tableRootAbs(spark, path)
     val relUdf = udf((f: String) => relPathFromScan(f, rootAbs))
-    val keep = spark.read.parquet(sidecarDir).filter(!relUdf(col("file")).isin(gone.toSeq: _*))
+    val keep = spark.read.parquet(cur.dataDir).filter(!relUdf(col("file")).isin(gone.toSeq: _*))
     val freshRows =
       if (fresh.isEmpty) keep.limit(0)
       else {
         val rows = spark.read
           .format(format)
-          .option("basePath", tableRootAbs(spark, path))
+          .option("basePath", basePathOf(spark, path))
           .load(fresh.map(byName): _*)
           .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
           .filter(col("k").isNotNull)
@@ -315,15 +312,9 @@ object FileIO {
             .toDF("file", "bloom")
         }
       }
-    val staged = s"${sidecarDir}__staging"
-    keep.unionByName(freshRows).write.mode(SaveMode.Overwrite).parquet(staged)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(sidecarDir), true)
-    require(
-      fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(sidecarDir)),
-      s"bloom sidecar swap failed: could not rename $staged to $sidecarDir")
-    writeFingerprint(spark, path, keyCol, byName.keySet)
+    val (vNew, stageDir) = Sidecar.nextStage(spark, bloomRoot(path, keyCol))
+    keep.unionByName(freshRows).write.mode(SaveMode.Overwrite).parquet(stageDir)
+    Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, byName.keySet)
     (fresh.size, gone.size)
   }
 
@@ -377,7 +368,7 @@ object FileIO {
       else
         spark.read
           .format(format)
-          .option("basePath", tableRootAbs(spark, path))
+          .option("basePath", basePathOf(spark, path))
           .load(snapshot.values.toSeq.sorted: _*)
           .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
           .filter(col("k").isNotNull)
@@ -386,6 +377,7 @@ object FileIO {
     val statsOpt =
       if (rows == null) None
       else Some(rows.groupBy(col("f")).count().agg(max("count"), count(lit(1))).collect().head)
+    val (vNew, stageDir) = Sidecar.nextStage(spark, bloomRoot(path, keyCol))
     if (statsOpt.forall(_.isNullAt(0))) {
       // empty table (or all-null keys): an empty sidecar is the correct
       // index — every file definitely lacks every key
@@ -397,8 +389,8 @@ object FileIO {
             org.apache.spark.sql.types.StructField("bloom", org.apache.spark.sql.types.BinaryType))))
         .write
         .mode(SaveMode.Overwrite)
-        .parquet(s"$path/_bloom_$keyCol")
-      writeFingerprint(spark, path, keyCol, snapshot.keySet)
+        .parquet(stageDir)
+      Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, snapshot.keySet)
       return 0
     }
     val stats = statsOpt.get
@@ -419,8 +411,8 @@ object FileIO {
       .toDF("file", "bloom")
       .write
       .mode(SaveMode.Overwrite)
-      .parquet(s"$path/_bloom_$keyCol")
-    writeFingerprint(spark, path, keyCol, snapshot.keySet)
+      .parquet(stageDir)
+    Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, snapshot.keySet)
     nFiles
   }
 
@@ -429,10 +421,11 @@ object FileIO {
     * telemetry. Results are EXACTLY the full-scan filter's (a bloom
     * has no false negatives); only the file set read differs.
     *
-    * Staleness gate: the sidecar's `_FINGERPRINT` (data-file basenames at
-    * build time) must equal the CURRENT listing — a table rewritten after
-    * indexing would otherwise be pruned against vanished file names with
-    * no error. Mismatch fails loudly: rebuild the index.
+    * Staleness gate: the committed fingerprint (data-file identities at
+    * build time, carried IN the sidecar's atomic `_CURRENT` pointer) must
+    * equal the CURRENT listing — a table rewritten after indexing would
+    * otherwise be pruned against vanished file names with no error.
+    * Mismatch fails loudly: rebuild the index.
     *
     * `collectSidecar = true` (default) deserializes the blooms on the
     * driver — metadata-scale when files number in the thousands. At
@@ -452,7 +445,8 @@ object FileIO {
   ): (DataFrame, Int, Int) = {
     import org.apache.spark.util.sketch.BloomFilter
     val current = dataFileNames(spark, path)
-    val indexed = readFingerprint(spark, path, keyCol)
+    val cur = bloomCurrent(spark, path, keyCol)
+    val indexed = cur.fingerprint
     if (current != indexed) {
       val gone = indexed -- current
       val fresh = current -- indexed
@@ -462,7 +456,7 @@ object FileIO {
           (gone.take(3) ++ fresh.take(3)).mkString(": ", ", ", "") +
           ") — pruning against it would be silently wrong; rebuild with buildBloomIndex")
     }
-    val sidecarDf = spark.read.parquet(s"$path/_bloom_$keyCol")
+    val sidecarDf = spark.read.parquet(cur.dataDir)
     val (candidates, total) =
       if (collectSidecar) {
         val entries = sidecarDf.collect()
@@ -584,8 +578,8 @@ object FileIO {
         s"moveGuardKey '$kc' must be one of the upsert's key columns ${keyCols.mkString(",")}")
       // fingerprint gate: probing a stale sidecar would be silently wrong
       val current = dataFileNames(spark, basePath)
-      val indexed = readFingerprint(spark, basePath, kc)
-      require(current == indexed,
+      val sidecarCur = bloomCurrent(spark, basePath, kc)
+      require(current == sidecarCur.fingerprint,
         s"move guard needs a FRESH bloom sidecar at $basePath/_bloom_$kc — the table changed " +
           "after indexing; rebuild with buildBloomIndex before the guarded upsert")
       // untouched files = sidecar entries whose path lies outside every
@@ -613,7 +607,7 @@ object FileIO {
       // decode to the raw on-disk path so the escaped segments compare in
       // ONE space (the relPathFromScan discipline)
       val decodePath = udf((f: String) => new java.net.URI(f).getPath)
-      val moved = spark.read.parquet(s"$basePath/_bloom_$kc")
+      val moved = spark.read.parquet(sidecarCur.dataDir)
         .filter(!touchedSegs.map(seg => decodePath(col("file")).contains(seg))
           .reduceOption(_ || _)
           .getOrElse(lit(false)))

@@ -103,7 +103,7 @@ object EpochStore {
     * CAS) can never rename each other's temp out from underneath — the
     * loser's leftover `<name>.tmp.*` is inert (underscore/pointer-named,
     * ignored by every reader). */
-  private[streaming] def writeAtomic(spark: SparkSession, path: String, body: String): Unit = {
+  private[graft] def writeAtomic(spark: SparkSession, path: String, body: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(path)
     val tmp = new Path(path + ".tmp." + java.util.UUID.randomUUID().toString.take(8))

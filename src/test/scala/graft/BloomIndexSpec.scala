@@ -107,7 +107,7 @@ class BloomIndexSpec extends AnyFunSuite {
     import spark.implicits._
     val (dir, total) = setup()
     def sidecarBlooms(): Map[String, Seq[Byte]] =
-      spark.read.parquet(s"$dir/_bloom_k").collect()
+      FileIO.readBloomSidecar(spark, dir, "k").collect()
         .map(r => r.getAs[String]("file") -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
     val before = sidecarBlooms()
     // append two files of brand-new keys
@@ -141,6 +141,32 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(goneRows.count() === 0, "a deleted file's keys must vanish from lookups")
     // idempotent no-op when nothing changed
     assert(FileIO.updateBloomIndex(spark, dir, "k") === ((0, 0)))
+  }
+
+  test("crash mid-rebuild: staged version debris never serves — the OLD index stays live") {
+    import spark.implicits._
+    val (dir, total) = setup()
+    // simulate a rebuild that crashed AFTER staging its new version dir
+    // but BEFORE the pointer flip: plant a v=2 dir with a GARBAGE sidecar
+    // (one row claiming a nonexistent file). The commit protocol says it
+    // must be invisible: lookups keep serving v=1 exactly.
+    Seq(("file:///nonexistent/part-junk.parquet", Array.fill[Byte](16)(0)))
+      .toDF("file", "bloom")
+      .write.parquet(s"$dir/_bloom_k/v=2")
+    val (rows, cand, tot) = FileIO.bloomPointLookup(spark, dir, "k", 5L)
+    assert(rows.collect().map(_.getAs[String]("payload")).toSeq === Seq("v5"),
+      "staged (uncommitted) sidecar version leaked into lookups")
+    assert(tot === total)
+    assert(cand <= 4)
+    // recovery: the next full rebuild overwrites the debris version and
+    // commits past it; lookups serve the rebuilt index
+    assert(FileIO.buildBloomIndex(spark, dir, "k") === total)
+    val (rows2, _, tot2) = FileIO.bloomPointLookup(spark, dir, "k", 5L)
+    assert(rows2.collect().map(_.getAs[String]("payload")).toSeq === Seq("v5"))
+    assert(tot2 === total)
+    // and the debris dir is now _DEAD-marked for the grace-window sweep
+    assert(new java.io.File(s"$dir/_bloom_k/v=1/_DEAD").exists(),
+      "superseded version was not marked dead at commit time")
   }
 
   test("sidecar is invisible to plain table scans") {

@@ -71,6 +71,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aggs.nonEmpty, "no aggregate in the plan — the MIN subquery was not decorrelated")
   }
 
+  test("analytics_q4exists decorrelates the EXISTS into a left-semi join") {
+    val p = executed("analytics_q4exists")
+    assert(!p.toString.contains("Subquery") || !p.toString.contains("exists"),
+      "a per-row EXISTS subquery survived to the physical plan")
+    val semis = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, "no LeftSemi join — the EXISTS was not decorrelated")
+    // the date-window filter must reach the orders scan, not sit post-join
+    val pushed = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "[]")
+    }
+    assert(pushed.exists(_.contains("o_orderdate")),
+      s"date window not pushed to the orders scan: $pushed")
+  }
+
+  test("analytics_q21multi plans BOTH a left-semi and a left-anti against lineitem") {
+    val p = executed("analytics_q21multi")
+    val types = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType
+    }
+    assert(types.contains(org.apache.spark.sql.catalyst.plans.LeftSemi),
+      s"no LeftSemi in $types — the EXISTS was not decorrelated")
+    assert(types.contains(org.apache.spark.sql.catalyst.plans.LeftAnti),
+      s"no LeftAnti in $types — the NOT EXISTS was not decorrelated")
+  }
+
+  test("analytics_q22notin plans a NULL-AWARE anti join for the nullable NOT IN") {
+    val p = executed("analytics_q22notin")
+    // Spark's null-aware single-column anti join is a BroadcastHashJoin
+    // with isNullAwareAntiJoin=true (BroadcastNestedLoop when that
+    // optimization is disabled) — a PLAIN LeftAnti would silently drop
+    // the three-valued-logic semantics (wrong under an inner NULL)
+    val naaj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.isNullAwareAntiJoin => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(naaj.nonEmpty,
+      "no null-aware anti join in the physical plan — NOT IN on a nullable key " +
+        "was downgraded to a plain anti join (wrong under an inner NULL)")
+  }
+
   test("star join broadcasts its dimension tables") {
     val bc = collectAll(executed("join_star_broadcast")) { case b: BroadcastExchangeExec => b }
     assert(bc.size >= 2, s"expected >=2 broadcast exchanges, got ${bc.size}")

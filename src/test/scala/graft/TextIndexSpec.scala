@@ -47,4 +47,73 @@ class TextIndexSpec extends AnyFunSuite {
   test("single-term phrase degenerates to the term's occurrence count") {
     assert(hits(docs(1L -> "b a b b"), "b") === Map(1L -> 3L))
   }
+
+  // ---------------- persisted (sidecar-committed) postings index ----------------
+
+  private def freshDirs(): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    (s"$root/docs", s"$root/idx")
+  }
+
+  private def idxHits(docsPath: String, idx: String, phrase: String*): Map[Long, Long] =
+    TextIndex.phraseSearchIndexed(spark, docsPath, idx, phrase)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+
+  test("persisted index: search ≡ in-memory postings; staleness refused loudly; " +
+    "incremental refresh scans only changed files") {
+    import spark.implicits._
+    val (docsPath, idx) = freshDirs()
+    docs(1L -> "x small query line y", 2L -> "small query line small query line")
+      .coalesce(1).write.parquet(docsPath)
+    val nFiles = TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    assert(nFiles >= 1)
+    assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L, 2L -> 2L))
+    // corpus changes after indexing → the search must refuse, not miss
+    docs(3L -> "small query line").coalesce(1).write.mode("append").parquet(docsPath)
+    val ex = intercept[IllegalStateException] {
+      TextIndex.phraseSearchIndexed(spark, docsPath, idx, Seq("small", "query", "line"))
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    // incremental refresh: exactly the one new file scanned, nothing removed
+    val (added, removed) = TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    assert(added === 1 && removed === 0)
+    assert(idxHits(docsPath, idx, "small", "query", "line") ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // carry-over: pre-existing files' posting rows survive by identity
+    // (their src_file set is unchanged — the refresh didn't rescan them)
+    // and a second refresh with no corpus change is a no-op
+    assert(TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx) === ((0, 0)))
+    // vanished file: its postings drop on the next refresh
+    val victimUri = spark.read.parquet(docsPath).filter($"doc_id" === 3L)
+      .select(org.apache.spark.sql.functions.input_file_name()).head().getString(0)
+    val victim = new java.io.File(new java.net.URI(victimUri).getPath)
+    assert(victim.delete(), s"could not delete $victim")
+    val (a2, r2) = TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    assert(a2 === 0 && r2 === 1)
+    assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("persisted index: crash mid-refresh leaves the OLD index serving (staged dir inert)") {
+    import spark.implicits._
+    val (docsPath, idx) = freshDirs()
+    docs(1L -> "small query line").coalesce(1).write.parquet(docsPath)
+    TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    // plant staged debris as if a refresh crashed before its pointer flip
+    Seq(("junk", 99L, 0, "nonexistent")).toDF("term", "doc_id", "pos", "src_file")
+      .write.parquet(s"$idx/v=2")
+    assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L),
+      "staged (uncommitted) index version leaked into a search")
+    // recovery: a rebuild commits past the debris
+    TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L))
+  }
+
+  test("persisted index: searching before any build is refused loudly") {
+    val (docsPath, idx) = freshDirs()
+    docs(1L -> "a").coalesce(1).write.parquet(docsPath)
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.phraseSearchIndexed(spark, docsPath, idx, Seq("a"))
+    }
+    assert(ex.getMessage.contains("buildPostingsIndex"), ex.getMessage)
+  }
 }
