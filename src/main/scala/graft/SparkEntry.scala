@@ -27,7 +27,8 @@ object SparkEntry {
       (GraphOps.queries, GraphOps.oracles),
       (Profiling.queries, Profiling.oracles),
       (Chunking.queries, Chunking.oracles),
-      (TextIndex.queries, TextIndex.oracles)
+      (TextIndex.queries, TextIndex.oracles),
+      (Bpe.queries, Bpe.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic BPE tokenizer — train AND apply (SURVEY §2.2 "Text
+  * analysis" extension, r14): the missing "real token ids" stage between
+  * the corpus and the sequence-layout operators (select_token_budget /
+  * pack_chunks previously counted whitespace tokens).
+  *
+  * Training is the classic greedy pair-merge recurrence (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units" —
+  * public algorithm), made ENGINE-PORTABLE deterministic:
+  *   - the unit of training is the distinct-WORD table (word, freq) —
+  *     words are the [a-z]+ runs of the lowercased text; the corpus-sized
+  *     aggregation happens ONCE, every merge round works on the vocab,
+  *     which is orders of magnitude smaller than the corpus at any scale;
+  *   - a word is cell-encoded as '|'-prefixed symbols ("line" →
+  *     "|l|i|n|e"): the '|' appears ONLY at symbol starts, so a literal
+  *     `replace(word, "|a|b", "|ab")` is exactly the greedy left-to-right
+  *     non-overlapping BPE merge — alignment is guaranteed by the prefix
+  *     and the fixed scan order of `replace` in BOTH Spark and DuckDB
+  *     (spec-pinned on the '|a|a|a' overlap case);
+  *   - pair ranking is (summed freq DESC, pattern string ASC) — an
+  *     integer count plus a binary string compare, so the two engines
+  *     can never disagree on a tie.
+  *
+  * Application is a codegen-friendly chain: per word, the N learned
+  * merges fold into N chained `replace` calls inside one `transform`
+  * lambda — all builtin string expressions, whole-stage codegen keeps
+  * the hot path fused (no UDF).
+  *
+  * Scale posture: train = 1 corpus aggregation + N vocab-sized rounds
+  * (each one small shuffle + a 1-row argmax collect — metadata-scale,
+  * the IVF-centroid class); vocab lineage is checkpoint-bounded every 8
+  * rounds. Apply = pure per-row map at the scan, no shuffle. The oracle
+  * recomputes the SAME recurrence in DuckDB as one recursive CTE (the
+  * evt_ewma discipline): train over the working vocab table with the
+  * argmax as a scalar subquery per iteration, then apply the ranked
+  * merges to every doc word — a green hash proves the distributed loop
+  * IS the sequential definition.
+  */
+object Bpe {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Merge rounds for the gated queries (enough to learn multi-char
+    * subwords on the fixture vocab; bounded oracle cost). */
+  private[graft] val NMerges = 30
+
+  /** Budget for select_token_budget_bpe (the whitespace twin uses 10000;
+    * BPE token counts run higher so the budget scales with them). */
+  private val BpeBudget = 20000L
+
+  private def wordsExpr(textCol: String) =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")
+
+  /** The replacement a merge pattern stands for: "|a|b" → "|ab". */
+  private[graft] def repOf(bp: String): String = "|" + bp.substring(1).replace("|", "")
+
+  /** Distinct-word training table: (word cell-encoded, freq). */
+  private[graft] def vocabOf(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(wordsExpr(textCol)).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+      .select(regexp_replace(col("w"), "(.)", "|$1").as("word"), col("f"))
+
+  /** Adjacent-pair patterns of one cell-encoded word (all positions —
+    * overlaps COUNT in ranking, per the classic recurrence). */
+  private val pairsExpr = expr(
+    """CASE WHEN size(split(word, '\\|')) >= 3
+      |  THEN transform(sequence(1, size(split(word, '\\|')) - 2),
+      |         i -> concat('|', split(word, '\\|')[i], '|', split(word, '\\|')[i + 1]))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+
+  /** Greedy BPE training: N merge patterns in rank order. Deterministic
+    * by construction — (freq DESC, pattern ASC) argmax each round. */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int = NMerges): Seq[String] = {
+    var vocab = vocabOf(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[String]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val best = vocab
+        .select(col("f"), explode(pairsExpr).as("pr"))
+        .groupBy(col("pr"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("pr").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val bp = best.head.getString(0)
+        merges += bp
+        vocab = vocab.withColumn("word", replace(col("word"), lit(bp), lit(repOf(bp))))
+        // bound the lineage: each round adds a replace on top of the last
+        if (r % 8 == 7) vocab = vocab.localCheckpoint()
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  /** Apply the ranked merges to every doc: (id, n_bpe_tokens, tokens_md5,
+    * tokens_str). The merge chain folds into builtin `replace` calls
+    * inside one `transform` — fully codegen'd, no shuffle. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String, merges: Seq[String]): DataFrame = {
+    val mergedWords = transform(
+      wordsExpr(textCol),
+      w =>
+        merges.foldLeft(regexp_replace(w, "(.)", "|$1")) { (acc, bp) =>
+          replace(acc, lit(bp), lit(repOf(bp)))
+        })
+    docs
+      .select(col(idCol), concat_ws(" ", mergedWords).as("tokens_str"))
+      .select(
+        col(idCol),
+        // each token is exactly one '|' cell — token count = '|' count
+        (length(col("tokens_str")) - length(replace(col("tokens_str"), lit("|"), lit(""))))
+          .cast("long")
+          .as("n_bpe_tokens"),
+        md5(col("tokens_str")).as("tokens_md5"),
+        col("tokens_str"))
+  }
+
+  /** Trained merges per (application, fixture): training is paid once per
+    * JVM; the three gated queries (tokens / budget / pack) share it — the
+    * production shape too: train once, tokenize many. */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private[graft] def fixtureMerges(spark: SparkSession, dir: String): Seq[String] =
+    mergeCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir",
+      _ => trainMerges(Tables.documents(spark, dir), "text", NMerges))
+
+  val queries: Map[String, Q] = Map(
+    // Train-and-tokenize gate: per doc, the BPE token count and an md5 of
+    // the full merged-token string — one flipped merge anywhere in the
+    // recurrence flips the hash, so the gate pins the ENTIRE (train,
+    // apply) pipeline against DuckDB's sequential recomputation.
+    "text_bpe_tokens" -> { (spark, dir) =>
+      Bpe
+        .tokenize(Tables.documents(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
+        .select(col("doc_id"), col("n_bpe_tokens"), col("tokens_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // select_token_budget re-pointed at REAL token ids: same greedy
+    // per-lang selection window, but the budget counts BPE tokens — the
+    // quantity a training run actually pays for.
+    "select_token_budget_bpe" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val counts = Bpe
+        .tokenize(docs, "doc_id", "text", fixtureMerges(spark, dir))
+        .select(col("doc_id"), col("n_bpe_tokens").as("nt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(counts, Seq("doc_id"))
+        .withColumn("cum_tokens", sum(col("nt")).over(w))
+        .filter(col("cum_tokens") - col("nt") < BpeBudget)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_selected"),
+          sum(col("nt")).cast("long").as("tokens_selected"),
+          min(col("n_chars")).as("min_chars_kept"))
+        .orderBy(col("lang"))
+    },
+
+    // pack_chunks re-pointed at REAL token ids: the packed-pretraining
+    // layout cut every 2048 BPE tokens — same two-pass distributed
+    // cumsum, token counts from the learned tokenizer.
+    "pack_chunks_bpe" -> { (spark, dir) =>
+      Chunking
+        .packChunksCounted(
+          Bpe
+            .tokenize(Tables.documents(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
+            .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+          2048)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** The shared training+application CTE chain (DuckDB spelling of the
+    * same recurrence): `a@iter=N` holds every doc word fully merged;
+    * downstream SELECTs differ per gate. */
+  private def bpeChain(n: Int): String =
+    s"""WITH RECURSIVE
+       |cw AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+       |vocab0 AS (SELECT w, COUNT(*) AS f FROM cw GROUP BY w),
+       |enc0 AS (SELECT regexp_replace(w, '(.)', '|\\1', 'g') AS word, f FROM vocab0),
+       |v(iter, word, f, bp) AS (
+       |  SELECT 0, word, f, CAST(NULL AS VARCHAR) FROM enc0
+       |  UNION ALL
+       |  SELECT iter + 1,
+       |    CASE WHEN bp2 IS NULL THEN word
+       |         ELSE replace(word, bp2, '|' || replace(substr(bp2, 2), '|', '')) END,
+       |    f, bp2
+       |  FROM (
+       |    SELECT iter, word, f,
+       |      (SELECT pr FROM (
+       |         SELECT pr, SUM(f2) AS c FROM (
+       |           SELECT '|' || s2[i] || '|' || s2[i+1] AS pr, f2
+       |           FROM (SELECT f AS f2, string_split(word, '|') AS s2 FROM v) q,
+       |                LATERAL unnest(generate_series(2, len(s2) - 1)) AS t(i)
+       |         ) GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1)
+       |      ) AS bp2
+       |    FROM v WHERE iter < $n)
+       |),
+       |merges AS (SELECT DISTINCT iter, bp FROM v WHERE bp IS NOT NULL),
+       |dw AS (
+       |  SELECT doc_id, i AS pos,
+       |    regexp_replace(ws[i], '(.)', '|\\1', 'g') AS word
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents) q,
+       |       LATERAL unnest(generate_series(1, len(ws))) AS u(i)),
+       |a(iter, doc_id, pos, word) AS (
+       |  SELECT 0, doc_id, pos, word FROM dw
+       |  UNION ALL
+       |  SELECT a.iter + 1, a.doc_id, a.pos,
+       |    CASE WHEN m.bp IS NULL THEN a.word
+       |         ELSE replace(a.word, m.bp, '|' || replace(substr(m.bp, 2), '|', '')) END
+       |  FROM a LEFT JOIN merges m ON m.iter = a.iter + 1
+       |  WHERE a.iter < $n),
+       |perdoc AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(CAST(SUM(len(word) - len(replace(word, '|', ''))) AS BIGINT), 0) AS nt,
+       |    md5(COALESCE(string_agg(word, ' ' ORDER BY pos), '')) AS tokens_md5
+       |  FROM documents d LEFT JOIN (SELECT * FROM a WHERE iter = $n) f ON d.doc_id = f.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_bpe_tokens" ->
+      s"""${bpeChain(NMerges)}
+         |SELECT doc_id, nt AS n_bpe_tokens, tokens_md5
+         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    "select_token_budget_bpe" ->
+      s"""${bpeChain(NMerges)},
+         |t AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars, p.nt,
+         |    SUM(p.nt) OVER (PARTITION BY d.lang
+         |      ORDER BY d.n_chars DESC, d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents d JOIN perdoc p ON d.doc_id = p.doc_id)
+         |SELECT lang, COUNT(*) AS n_selected,
+         |  CAST(SUM(nt) AS BIGINT) AS tokens_selected,
+         |  MIN(n_chars) AS min_chars_kept
+         |FROM t WHERE cum - nt < $BpeBudget
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "pack_chunks_bpe" ->
+      s"""${bpeChain(NMerges)},
+         |t AS (
+         |  SELECT doc_id, nt AS n_tokens,
+         |    SUM(nt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM perdoc)
+         |SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_off,
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_first,
+         |  CAST((cum - 1) // 2048 AS BIGINT) AS chunk_last,
+         |  CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_chunks_spanned
+         |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

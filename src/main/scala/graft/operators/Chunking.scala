@@ -42,9 +42,15 @@ object Chunking {
     * ids that span touches. Integer-exact end to end; the global offset
     * rides [[DistributedRank.withGlobalCumSum]]'s two-pass plan. Also
     * the engine of the `graft_pack_chunks` SQL table function. */
-  def packChunks(d: DataFrame, ctx: Int): DataFrame = {
-    val docs = d
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+  def packChunks(d: DataFrame, ctx: Int): DataFrame =
+    packChunksCounted(
+      d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      ctx)
+
+  /** The same packed layout over PRE-COUNTED tokens (doc_id, n_tokens) —
+    * the seam the BPE twin (`pack_chunks_bpe`) plugs real token counts
+    * into; the whitespace spelling above is this with a trivial count. */
+  def packChunksCounted(docs: DataFrame, ctx: Int): DataFrame = {
     DistributedRank
       .withGlobalCumSum(docs, "n_tokens", Seq(col("doc_id")), cumCol = "cum")
       .select(

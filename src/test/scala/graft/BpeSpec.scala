@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** The deterministic BPE tokenizer (`operators/Bpe`): merge training is
+  * invariant to partitioning (the oracle-parity precondition), ties break
+  * on the pattern string, and the cell-encoded `replace` application is
+  * exactly the greedy left-to-right non-overlapping merge. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark =
+    GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("merge training is deterministic across partitionings") {
+    val d = docs(
+      1L -> "lower lower power tower flower",
+      2L -> "slow slower slowest low lowest",
+      3L -> "power flower tower glow")
+    val m1 = Bpe.trainMerges(d.repartition(1), "text", 10)
+    val m7 = Bpe.trainMerges(d.repartition(7), "text", 10)
+    assert(m1 === m7, "merge sequence changed under repartitioning")
+    assert(m1.nonEmpty && m1.size === 10)
+  }
+
+  test("tie-break: equal-count pairs choose the lexicographically smaller pattern") {
+    // 'zq' and 'ab' both appear exactly 3 times as adjacent pairs; the
+    // first merge must be the smaller pattern '|a|b'
+    val d = docs(1L -> "ab ab ab zq zq zq")
+    val m = Bpe.trainMerges(d, "text", 1)
+    assert(m === Seq("|a|b"))
+  }
+
+  test("greedy left-to-right non-overlap: 'aaa' merging (a,a) gives [aa, a]") {
+    // the '|a|a|a' replace case the cell encoding exists for: one merge
+    // of the (a,a) pair must produce tokens [aa, a], never [a, aa] or
+    // a double-merge
+    val merged = Bpe
+      .tokenize(docs(1L -> "aaa"), "doc_id", "text", Seq("|a|a"))
+      .select(col("tokens_str"))
+      .head()
+      .getString(0)
+    assert(merged === "|aa|a", s"got '$merged'")
+  }
+
+  test("tokenize counts cells exactly and hashes the full token string") {
+    val r = Bpe
+      .tokenize(docs(1L -> "line line", 2L -> ""), "doc_id", "text", Seq("|l|i", "|li|n", "|lin|e"))
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") -> ((x.getAs[Long]("n_bpe_tokens"), x.getAs[String]("tokens_str"))))
+      .toMap
+    assert(r(1L) === ((2L, "|line |line")))
+    assert(r(2L) === ((0L, ""))) // wordless doc: zero tokens, stable hash
+  }
+
+  test("rank order matters: later merges see earlier merges' symbols") {
+    // '|li|n' can only fire after '|l|i' created the 'li' symbol
+    val afterFirst = Bpe.tokenize(docs(1L -> "lin"), "doc_id", "text", Seq("|l|i"))
+      .head().getAs[String]("tokens_str")
+    assert(afterFirst === "|li|n")
+    val afterBoth = Bpe.tokenize(docs(1L -> "lin"), "doc_id", "text", Seq("|l|i", "|li|n"))
+      .head().getAs[String]("tokens_str")
+    assert(afterBoth === "|lin")
+  }
+}
