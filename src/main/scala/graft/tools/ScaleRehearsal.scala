@@ -345,6 +345,37 @@ object ScaleRehearsal {
         docsWide.select(sum(regexp_count(col("text"), lit(selectivePhrase.mkString(" ")))))
           .collect().head.getLong(0)
 
+      // REAL doc sizes (r14): ~2.5 KB docs (500 words, 10k vocab) — the
+      // r13 honest negative measured 50-word docs where the whole corpus
+      // is a page-cache-resident skim; at real document lengths the regex
+      // pays its automaton over every text byte per query while the
+      // phrase legs read two terms' pruned posting row groups. Planted
+      // "w17 w23" every 200th doc keeps totals deterministic + non-zero.
+      lazy val docsBig: DataFrame = {
+        val p = s"$dir/docs_big"
+        if (!new java.io.File(p).exists()) {
+          spark.range(5000L * m).select(
+            col("id").as("doc_id"),
+            concat(
+              array_join(
+                transform(
+                  sequence(lit(1), lit(500)),
+                  i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(10000)))),
+                " "),
+              when(pmod(col("id"), lit(200)) === 0, lit(" w17 w23")).otherwise(lit("")))
+              .as("text"))
+            .write.mode(SaveMode.Overwrite).parquet(p)
+        }
+        spark.read.parquet(p)
+      }
+      def phrasePostingsBigRun(): Long =
+        graft.operators.TextIndex.phraseSearch(
+            spark.read.parquet(postingsPathOf(docsBig, "postings_big")), selectivePhrase)
+          .agg(sum(col("n_hits"))).collect().head.getLong(0)
+      def phraseRegexBigRun(): Long =
+        docsBig.select(sum(regexp_count(col("text"), lit(selectivePhrase.mkString(" ")))))
+          .collect().head.getLong(0)
+
       // Sign-LSH banded embedding near-dup (the dedup_embed_cosine /
       // sim_mutual_knn candidate machinery) on the near-uniform corpus:
       // measures the band-keying + capped-bucket-join scale path with an
@@ -854,6 +885,8 @@ object ScaleRehearsal {
         ("phrase_regex", () => phraseRegexRun()),
         ("phrase_postings_sel", () => phrasePostingsSelRun()),
         ("phrase_regex_sel", () => phraseRegexSelRun()),
+        ("phrase_postings_big", () => phrasePostingsBigRun()),
+        ("phrase_regex_big", () => phraseRegexBigRun()),
         ("maxsim_exact", () => maxsimExactRun()),
         ("maxsim_rerank", () => maxsimRerankRun()),
         ("embed_dedup", () => embedDedupRun()),
