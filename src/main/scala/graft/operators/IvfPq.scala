@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.CosineSimilarity
+
+/** IVF-PQ: product-quantization residual codes on top of the IVF coarse
+  * index (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+  * Search" — the IVFADC composition every large-scale vector store
+  * ships). The coarse codebook partitions the corpus; each vector's
+  * RESIDUAL (v − centroid) is cut into `m` subvectors, and each subspace
+  * is vector-quantized against a small per-(cluster, subspace) codebook —
+  * a vector stores m·log2(nCodes) BITS of codes instead of d doubles.
+  * Search = ADC (asymmetric distance computation): the query builds one
+  * distance TABLE per probed cluster (m × nCodes subspace distances from
+  * ITS residual — exact on the query side, quantized only on the corpus
+  * side), candidates score as m table lookups, and the top shortlist
+  * re-ranks EXACTLY against the fetched full vectors (the
+  * sim_maxsim_rerank composition: approximate recall stage → exact
+  * verify stage).
+  *
+  * Scale posture:
+  * - training: one corpus-sized shuffle keys residual subvectors by
+  *   (cluster, subspace); each group is ~N/k · 1 subspace — bounded by
+  *   the coarse k ≈ √N sizing — and runs a deterministic in-memory
+  *   Lloyd per group (mapGroups: the per-group state is cluster-sized,
+  *   the same justification as the IVF cluster scan itself).
+  * - the model is k·m·nCodes·(d/m) doubles — broadcast-scale (≈33 MB at
+  *   k=256, m=8, 256 codes, d=64; the fixture sizes are KBs).
+  * - encode: pure per-row map against the broadcast books — no shuffle.
+  * - search: probed clusters prune the scan exactly as IVF does; the
+  *   candidate stage reads CODES (m bytes/vector instead of 8d), so the
+  *   scan bytes drop ~512/4 = 128× at d=64, m=8, 16 codes (SCALING.md
+  *   carries the measured table); only the shortlist (topK × factor per
+  *   query) fetches full vectors for the exact re-rank.
+  *
+  * Determinism (the gate hashes a recall bound, so the whole pipeline
+  * must be partitioning-invariant): per-group Lloyd sorts members by
+  * vec_id before seeding and summing (fixed arithmetic order), seeds are
+  * the first nCodes members in splitmix-hash order, argmins tie-break on
+  * the lower code id, and means quantize to the 1e-6 lattice after every
+  * iteration — the trained books are a pure function of the data, like
+  * the coarse codebook they decorate.
+  */
+object IvfPq {
+
+  /** books(cl)(sub)(code) = codeword subvector (d/m doubles). */
+  final case class PqModel(
+      coarse: IvfIndex.Model,
+      m: Int,
+      nCodes: Int,
+      books: Map[Int, Array[Array[Array[Double]]]]) {
+    def subDim: Int = coarse.centroids.head.length / m
+  }
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Deterministic 64-bit mix (public splitmix64 finalizer) — the seed
+    * order for per-group Lloyd; any pure function works, it never needs
+    * to match another engine. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** In-memory deterministic Lloyd over one (cluster, subspace) group's
+    * residual subvectors (already sorted by vec_id by the caller). */
+  private def localKmeans(
+      members: Array[(Long, Array[Double])], nCodes: Int, iters: Int): Array[Array[Double]] = {
+    val seeds = members.sortBy { case (id, _) => (mix64(id), id) }.take(nCodes).map(_._2)
+    var cents: Array[Array[Double]] = seeds.map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](cents.head.length))
+      val counts = new Array[Long](cents.length)
+      // members are vec_id-sorted: the sum order is fixed → deterministic
+      members.foreach { case (_, v) =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val d = l2sq(v, cents(c))
+          if (d < bestD) { bestD = d; best = c } // strict < ties to lower c
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty code keeps its old centroid
+        else sums(c).map(x => q6(x / counts(c)))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Train per-(cluster, subspace) residual codebooks over an ASSIGNED
+    * corpus (vec_id, v, cl) — one shuffle keyed by (cl, sub), one
+    * bounded in-memory Lloyd per group, one metadata-scale collect
+    * (k·m rows of nCodes subvectors each). */
+  def train(
+      assigned: DataFrame,
+      coarse: IvfIndex.Model,
+      m: Int,
+      nCodes: Int,
+      iters: Int = 5): PqModel = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(coarse.centroids.map(_.toArray))
+    val subDim = coarse.centroids.head.length / m
+    require(subDim * m == coarse.centroids.head.length,
+      s"m=$m must divide the dimension ${coarse.centroids.head.length}")
+    val collected = assigned
+      .select(col("vec_id").cast("long"), col("v"), col("cl").cast("int"))
+      .as[(Long, Seq[Double], Int)]
+      .flatMap { case (id, v, cl) =>
+        val c = bcCents.value(cl)
+        (0 until m).iterator.map { sub =>
+          val r = new Array[Double](subDim)
+          var i = 0
+          while (i < subDim) { r(i) = v(sub * subDim + i) - c(sub * subDim + i); i += 1 }
+          (cl, sub, id, r)
+        }
+      }
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val members = it.map(t => (t._3, t._4)).toArray.sortBy(_._1)
+        (key._1, key._2, localKmeans(members, nCodes, iters).map(_.toSeq))
+      }
+      .collect()
+    val books = collected
+      .groupBy(_._1)
+      .map { case (cl, rows) =>
+        val bySub = rows.sortBy(_._2).map(_._3.map(_.toArray))
+        cl -> bySub
+      }
+    PqModel(coarse, m, nCodes, books)
+  }
+
+  /** Encode an assigned corpus into (vec_id, cl, codes array<int>) —
+    * pure per-row map against the broadcast books, no shuffle. */
+  def encode(assigned: DataFrame, pq: PqModel): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(pq.coarse.centroids.map(_.toArray))
+    val bcBooks = spark.sparkContext.broadcast(pq.books)
+    val m = pq.m; val subDim = pq.subDim
+    assigned
+      .select(col("vec_id").cast("long"), col("v"), col("cl").cast("int"))
+      .as[(Long, Seq[Double], Int)]
+      .map { case (id, v, cl) =>
+        val c = bcCents.value(cl)
+        val book = bcBooks.value(cl)
+        val codes = new Array[Int](m)
+        var sub = 0
+        while (sub < m) {
+          val r = new Array[Double](subDim)
+          var i = 0
+          while (i < subDim) { r(i) = v(sub * subDim + i) - c(sub * subDim + i); i += 1 }
+          val cb = book(sub)
+          var best = 0; var bestD = Double.MaxValue; var code = 0
+          while (code < cb.length) {
+            val d = l2sq(r, cb(code))
+            if (d < bestD) { bestD = d; best = code }
+            code += 1
+          }
+          codes(sub) = best
+          sub += 1
+        }
+        (id, cl, codes.toSeq)
+      }
+      .toDF("vec_id", "cl", "codes")
+  }
+
+  /** IVFADC search + exact re-rank. `corpus` = (vec_id, v) — the base
+    * table the shortlist fetches full vectors from; `encoded` = the
+    * code table ([[encode]] output, or a partitioned-by-cl index read);
+    * `probes` = (q_id, qv), a serving-sized batch (collected once to
+    * build the ADC tables — the same metadata-scale class as the
+    * codebook itself). Returns (q_id, rnk, vec_id, cos). */
+  def searchPq(
+      corpus: DataFrame,
+      encoded: DataFrame,
+      probes: DataFrame,
+      pq: PqModel,
+      nProbe: Int,
+      topK: Int,
+      shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val m = pq.m; val subDim = pq.subDim
+    val cents = pq.coarse.centroids.map(_.toArray)
+
+    // driver-side: probed clusters + ADC tables per (q, cl) — exact
+    // query-side residual vs every codeword; |q|·nProbe·m·nCodes doubles
+    val qs = probes.select(col("q_id").cast("long"), col("qv"))
+      .as[(Long, Seq[Double])].collect()
+    val probedPairs = qs.flatMap { case (qid, qv) =>
+      val qarr = qv.toArray
+      cents.indices
+        .map(cl => (cl, -cosQ(qarr, cents(cl))))
+        .sortBy { case (cl, negCos) => (negCos, cl) }
+        .take(nProbe)
+        .map { case (cl, _) => (qid, cl) }
+    }
+    val tables: Map[(Long, Int), Array[Array[Double]]] = probedPairs.map { case (qid, cl) =>
+      val qarr = qs.find(_._1 == qid).get._2.toArray
+      val c = cents(cl)
+      val book = pq.books(cl)
+      val t = Array.tabulate(m) { sub =>
+        val r = new Array[Double](subDim)
+        var i = 0
+        while (i < subDim) { r(i) = qarr(sub * subDim + i) - c(sub * subDim + i); i += 1 }
+        book(sub).map(code => l2sq(r, code))
+      }
+      (qid, cl) -> t
+    }.toMap
+    val bcTables = spark.sparkContext.broadcast(tables)
+
+    val probedDf = probedPairs.toSeq.toDF("q_id", "cl")
+    // candidate stage: codes only — m ints per vector, never the vector
+    val adc = udf { (qid: Long, cl: Int, codes: Seq[Int]) =>
+      val t = bcTables.value((qid, cl))
+      var s = 0.0; var sub = 0
+      while (sub < codes.length) { s += t(sub)(codes(sub)); sub += 1 }
+      s
+    }
+    val wApprox = Window.partitionBy(col("q_id")).orderBy(col("approx").asc, col("vec_id").asc)
+    val short = encoded
+      .join(broadcast(probedDf), Seq("cl"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx", adc(col("q_id"), col("cl"), col("codes")))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank: fetch full vectors for the shortlist only
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    short
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(probes.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .withColumn("cos", CosineSimilarity.column(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /** Driver-side cosine for probed-cluster selection (quantized like the
+    * native expression: integral 1e-6 lattice per product, so the probe
+    * choice matches what the distributed paths would pick). */
+  private def cosQ(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += math.floor(a(i) * b(i) * 1e6 + 0.5)
+      na += math.floor(a(i) * a(i) * 1e6 + 0.5)
+      nb += math.floor(b(i) * b(i) * 1e6 + 0.5)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -1.0
+    else dot / math.sqrt(na * nb)
+  }
+}

@@ -1150,6 +1150,45 @@ object Similarity {
         .select(col("n_queries"), col("recall_ok"))
     },
 
+    // IVF-PQ ANN (r14 — IvfPq.searchPq): the coarse IVF index with
+    // product-quantized RESIDUAL codes on the corpus side — candidates
+    // score as m ADC table lookups over 4-bit codes (the bytes-per-
+    // vector story SCALING.md carries), then the shortlist re-ranks
+    // EXACTLY against fetched full vectors (the sim_maxsim_rerank
+    // composition). Same recall-bound oracle scheme as sim_ann_ivf;
+    // measured recall@5 (tools/PqProbe, m=8 subspaces, 64 codes,
+    // shortlist 10×topK) = 0.88 / 0.76 / 0.92 at sf0.001/0.01/0.1 —
+    // equal to the coarse-IVF ceiling at every scale, so the PQ stage
+    // loses nothing the shortlist can't recover. The pinned 0.60 bound
+    // is ~80% of the measured minimum, so a regression fails the gate.
+    "sim_ann_ivfpq" -> { (spark, dir) =>
+      val e = corpus(spark, dir)
+      val (k, nProbe) = IvfIndex.autoParams(e.count(), targetScanFrac = 0.45)
+      val coarse = IvfIndex.train(e, k = k, iters = 3)
+      val assigned = IvfIndex.assignAuto(e, coarse)
+      val pq = IvfPq.train(assigned, coarse, m = 8, nCodes = 64)
+      val encoded = IvfPq.encode(assigned, pq)
+      val probes = e
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val ann = IvfPq.searchPq(
+        e, encoded, probes, pq, nProbe = nProbe, topK = 5, shortlist = 50)
+      val bf = bruteForceTopK(spark, dir, 5).select(col("q_id"), col("vec_id"))
+      val hits = ann
+        .join(bf, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      probes
+        .select(col("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          (sum(col("n_hits")).cast("double") / (count(lit(1)) * lit(5.0)) >= 0.60).as("recall_ok")
+        )
+        .select(col("n_queries"), col("recall_ok"))
+    },
+
     // LSH-bucketed ANN (Similarity.lshSearch) — the index-free sibling
     // of sim_ann_ivf: same probe set, same recall-bound oracle scheme
     // (the hash-checkable output is the QUALITY BOUND; the mechanism is
@@ -1434,6 +1473,9 @@ object Similarity {
     // (recall_ok must be TRUE), not the neighbor list; n_queries pins the
     // probe-set size exactly.
     "sim_ann_ivf" ->
+      """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "sim_ann_ivfpq" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "sim_topk_cosine_q8" ->
