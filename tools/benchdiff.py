@@ -2,12 +2,12 @@
 """Per-query bench diff: current round's full bench dump vs a baseline dump.
 
 Usage:
-    python3 tools/benchdiff.py bench/r14.json [bench/r13.json] > bench/DIFF_r14.md
+    python3 tools/benchdiff.py bench/r15.json [bench/r14.json] > bench/DIFF_r15.md
 
 Compares the per-query medians of two `graft.Bench` full dumps (the
 committed `bench/r{NN}.json` files; BASELINE.md's standing table is
-bench/r13.json — re-recorded at r13 HEAD after DRIFT_r12.md pinned the
-r08-era table as ~1.49x ambient-stale). Because the two runs may have
+bench/r14.json — 199 queries recorded at r14 HEAD, same-era as r13:
+raw 1.01x on the 190 shared queries). Because the two runs may have
 executed on different
 ambient machine load, each query is compared SAME-RUN-NORMALIZED: its
 share of the run's total over the queries both runs share. A normalized
@@ -34,11 +34,11 @@ def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
     cur_path = sys.argv[1]
-    # Default baseline: the round-13 standing table (re-recorded at r13
+    # Default baseline: the round-14 standing table (recorded at r14
     # HEAD because bench/DRIFT_r12.md proved the r08 table is ~1.49x
     # stale vs today's ambient; r08 remains available as an explicit arg
     # for cross-era comparisons, which then need drift normalization).
-    base_path = sys.argv[2] if len(sys.argv) > 2 else "bench/r13.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "bench/r14.json"
     cur_d, cur = load(cur_path)
     base_d, base = load(base_path)
 
