@@ -181,28 +181,18 @@ object IvfPq {
       .toDF("vec_id", "cl", "codes")
   }
 
-  /** IVFADC search + exact re-rank. `corpus` = (vec_id, v) — the base
-    * table the shortlist fetches full vectors from; `encoded` = the
-    * code table ([[encode]] output, or a partitioned-by-cl index read);
-    * `probes` = (q_id, qv), a serving-sized batch (collected once to
-    * build the ADC tables — the same metadata-scale class as the
-    * codebook itself). Returns (q_id, rnk, vec_id, cos). */
-  def searchPq(
-      corpus: DataFrame,
-      encoded: DataFrame,
+  /** Driver-side probe plan: the nProbe nearest clusters per query and
+    * the ADC distance table per (query, probed cluster) — exact
+    * query-side residual vs every codeword; |q|·nProbe·m·nCodes doubles,
+    * the same metadata-scale class as the codebook itself. */
+  private def probePlan(
       probes: DataFrame,
       pq: PqModel,
-      nProbe: Int,
-      topK: Int,
-      shortlist: Int): DataFrame = {
-    val spark = corpus.sparkSession
+      nProbe: Int): (Array[(Long, Int)], Map[(Long, Int), Array[Array[Double]]]) = {
+    val spark = probes.sparkSession
     import spark.implicits._
-    graft.functions.GraftExtensions.register(spark)
     val m = pq.m; val subDim = pq.subDim
     val cents = pq.coarse.centroids.map(_.toArray)
-
-    // driver-side: probed clusters + ADC tables per (q, cl) — exact
-    // query-side residual vs every codeword; |q|·nProbe·m·nCodes doubles
     val qs = probes.select(col("q_id").cast("long"), col("qv"))
       .as[(Long, Seq[Double])].collect()
     val probedPairs = qs.flatMap { case (qid, qv) =>
@@ -225,6 +215,67 @@ object IvfPq {
       }
       (qid, cl) -> t
     }.toMap
+    (probedPairs, tables)
+  }
+
+  /** Materialize the PQ index: CODES written partitioned by coarse
+    * cluster id — the at-rest layout [[searchIndexedPq]] prunes to
+    * nProbe directories of. The codes are ~m bytes a row; at 100 TB of
+    * vectors this is the difference between sweeping a GB-scale code
+    * table and scanning the corpus. */
+  def writeIndexedPq(assigned: DataFrame, pq: PqModel, path: String): Unit =
+    encode(assigned, pq)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cl")
+      .parquet(path)
+
+  /** [[searchPq]] against a materialized code index: the probed cluster
+    * ids (metadata-scale) become a planning-time partition filter, so
+    * the candidate scan reads nProbe `cl=` dirs — identical results to
+    * the in-memory spelling (IvfPqLayoutSpec pins both properties). */
+  def searchIndexedPq(
+      indexPath: String,
+      corpus: DataFrame,
+      probes: DataFrame,
+      pq: PqModel,
+      nProbe: Int,
+      topK: Int,
+      shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val (probedPairs, tables) = probePlan(probes, pq, nProbe)
+    val probedClusters = probedPairs.map(_._2).distinct.toSeq
+    val encoded = spark.read.parquet(indexPath).filter(col("cl").isin(probedClusters: _*))
+    scoreAndRerank(corpus, encoded, probes, probedPairs, tables, topK, shortlist)
+  }
+
+  /** IVFADC search + exact re-rank. `corpus` = (vec_id, v) — the base
+    * table the shortlist fetches full vectors from; `encoded` = the
+    * code table ([[encode]] output); `probes` = (q_id, qv), a
+    * serving-sized batch. Returns (q_id, rnk, vec_id, cos). */
+  def searchPq(
+      corpus: DataFrame,
+      encoded: DataFrame,
+      probes: DataFrame,
+      pq: PqModel,
+      nProbe: Int,
+      topK: Int,
+      shortlist: Int): DataFrame = {
+    val (probedPairs, tables) = probePlan(probes, pq, nProbe)
+    scoreAndRerank(corpus, encoded, probes, probedPairs, tables, topK, shortlist)
+  }
+
+  private def scoreAndRerank(
+      corpus: DataFrame,
+      encoded: DataFrame,
+      probes: DataFrame,
+      probedPairs: Array[(Long, Int)],
+      tables: Map[(Long, Int), Array[Array[Double]]],
+      topK: Int,
+      shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
     val bcTables = spark.sparkContext.broadcast(tables)
 
     val probedDf = probedPairs.toSeq.toDF("q_id", "cl")

@@ -376,6 +376,20 @@ object ScaleRehearsal {
         docsBig.select(sum(regexp_count(col("text"), lit(selectivePhrase.mkString(" ")))))
           .collect().head.getLong(0)
 
+      // BPE (r14): training cost = 1 corpus-sized vocab aggregation + 30
+      // vocab-sized merge rounds (each a tiny shuffle + 1-row collect) —
+      // the claim is that cost tracks the CORPUS only through the first
+      // aggregation (the 10k-word docsWide vocab is corpus-size-
+      // independent, so per-m growth isolates that first scan); apply is
+      // a pure per-row map whose cost is corpus-linear with no shuffle.
+      lazy val bigMerges: Seq[String] =
+        graft.operators.Bpe.trainMerges(docsBig, "text", 30)
+      def bpeTrainRun(): Long =
+        graft.operators.Bpe.trainMerges(docsWide, "text", 30).size.toLong
+      def bpeApplyRun(): Long =
+        graft.operators.Bpe.tokenize(docsBig, "doc_id", "text", bigMerges)
+          .agg(sum(col("n_bpe_tokens"))).collect().head.getLong(0)
+
       // Sign-LSH banded embedding near-dup (the dedup_embed_cosine /
       // sim_mutual_knn candidate machinery) on the near-uniform corpus:
       // measures the band-keying + capped-bucket-join scale path with an
@@ -887,6 +901,8 @@ object ScaleRehearsal {
         ("phrase_regex_sel", () => phraseRegexSelRun()),
         ("phrase_postings_big", () => phrasePostingsBigRun()),
         ("phrase_regex_big", () => phraseRegexBigRun()),
+        ("bpe_train", () => bpeTrainRun()),
+        ("bpe_apply", () => bpeApplyRun()),
         ("maxsim_exact", () => maxsimExactRun()),
         ("maxsim_rerank", () => maxsimRerankRun()),
         ("embed_dedup", () => embedDedupRun()),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IvfIndex, IvfPq}
+
+/** The materialized IVF-PQ layout: codes written partitioned by coarse
+  * cluster id, searched through a planning-time partition filter. Pins
+  * (1) searchIndexedPq ≡ in-memory searchPq on the same model+codes,
+  * (2) the code scan PRUNES to the probed partitions, and (3) training
+  * determinism across partitionings (the recall gate's precondition). */
+class IvfPqLayoutSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus() = Tables
+    .embeddings(spark, sf)
+    .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  test("PQ training is deterministic across partitionings") {
+    val e = corpus()
+    val coarse = IvfIndex.train(e, k = 10, iters = 3)
+    val a1 = IvfIndex.assignAuto(e.repartition(1), coarse)
+    val a7 = IvfIndex.assignAuto(e.repartition(7), coarse)
+    val b1 = IvfPq.train(a1, coarse, m = 8, nCodes = 16).books
+    val b7 = IvfPq.train(a7, coarse, m = 8, nCodes = 16).books
+    assert(b1.keySet === b7.keySet)
+    b1.foreach { case (cl, subs) =>
+      subs.zip(b7(cl)).zipWithIndex.foreach { case ((s1, s7), sub) =>
+        assert(s1.map(_.toSeq).toSeq === s7.map(_.toSeq).toSeq,
+          s"codebook (cl=$cl, sub=$sub) changed under repartitioning")
+      }
+    }
+  }
+
+  test("indexed PQ search ≡ in-memory searchPq, and the code scan prunes partitions") {
+    val e = corpus()
+    val coarse = IvfIndex.train(e, k = 10, iters = 3)
+    val assigned = IvfIndex.assignAuto(e, coarse)
+    val pq = IvfPq.train(assigned, coarse, m = 8, nCodes = 16)
+    val path = "/root/repo/tmp/graft_io/ivfpq_index_spec"
+    IvfPq.writeIndexedPq(assigned, pq, path)
+    val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+    val indexed = IvfPq.searchIndexedPq(path, e, probes, pq, nProbe = 3, topK = 5, shortlist = 25)
+    val inMem = IvfPq.searchPq(
+      e, IvfPq.encode(assigned, pq), probes, pq, nProbe = 3, topK = 5, shortlist = 25)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rnk", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(key(indexed) === key(inMem))
+
+    def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = p.collect(pf)
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case q: QueryStageExec        => q.plan
+      }
+      here ++ nested.flatMap(collectAll(_)(pf))
+    }
+    val scans = collectAll(indexed.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("ivfpq_index_spec")) => s
+    }
+    assert(scans.nonEmpty, "no parquet scan found for the code-index read")
+    val s = scans.head
+    assert(s.partitionFilters.nonEmpty, "code scan has no planning-time partition filter")
+    val selected = s.selectedPartitions.partitionCount
+    val populated = new java.io.File(path).listFiles().count(_.getName.startsWith("cl="))
+    assert(selected < populated || populated <= 3,
+      s"scan read all $populated partitions — no pruning (selected=$selected)")
+  }
+}

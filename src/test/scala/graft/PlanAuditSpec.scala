@@ -116,6 +116,20 @@ class PlanAuditSpec extends AnyFunSuite {
         "was downgraded to a plain anti join (wrong under an inner NULL)")
   }
 
+  test("text_phrase_search_idx pushes each term filter into the postings scan") {
+    // the persisted phrase index's whole point: each phrase leg reads
+    // only its term's (pruned) posting rows — the term equality must
+    // reach the parquet scan, not sit post-scan
+    val pushed = collectAll(executed("text_phrase_search_idx")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings_idx")) =>
+        f.metadata.getOrElse("PushedFilters", "[]")
+    }
+    assert(pushed.nonEmpty, "no scan over the postings index found")
+    assert(pushed.forall(_.contains("EqualTo(term")),
+      s"phrase legs lost the term pushdown: $pushed")
+  }
+
   test("star join broadcasts its dimension tables") {
     val bc = collectAll(executed("join_star_broadcast")) { case b: BroadcastExchangeExec => b }
     assert(bc.size >= 2, s"expected >=2 broadcast exchanges, got ${bc.size}")
