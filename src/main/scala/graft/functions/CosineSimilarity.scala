@@ -131,6 +131,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.ewmaTvf)
     ext.injectTableFunction(GraftExtensions.maxsimTvf)
     ext.injectTableFunction(GraftExtensions.phraseSearchTvf)
+    ext.injectTableFunction(GraftExtensions.bpeTokenizeTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
 }
@@ -453,6 +454,43 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for the deterministic BPE tokenizer, TRAIN + APPLY in
+    * one call: graft_bpe_tokenize(docsTable, idCol, textCol, nMerges)
+    * → (idCol, n_bpe_tokens, tokens_md5). Lowering is `Bpe`'s (greedy
+    * pair-merge training over the distinct-word table, then the N-deep
+    * codegen'd replace chain per word), so a SQL-only user gets real
+    * subword token counts without Scala. */
+  private[graft] val bpeTokenizeTvf = (
+    FunctionIdentifier("graft_bpe_tokenize"),
+    new ExpressionInfo(
+      graft.operators.Bpe.getClass.getName, "graft_bpe_tokenize"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 4,
+        s"graft_bpe_tokenize expects (docsTable, idCol, textCol, nMerges), got ${children.length}")
+      val str = tvfStr("graft_bpe_tokenize") _
+      val n = children(3) match {
+        case e if e.foldable =>
+          e.eval() match {
+            case x: java.lang.Number if x.intValue() > 0 => x.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_tokenize: nMerges must be a positive int literal, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft_bpe_tokenize: nMerges must be a literal, got $other")
+      }
+      val spark = SparkSession.active
+      val docs = spark.table(str(children(0), "docsTable"))
+      val idCol = str(children(1), "idCol")
+      val textCol = str(children(2), "textCol")
+      val merges = graft.operators.Bpe.trainMerges(docs, textCol, n)
+      graft.operators.Bpe
+        .tokenize(docs, idCol, textCol, merges)
+        .drop("tokens_str")
+        .queryExecution.analyzed
+    }
+  )
+
   /** SQL surface for the index-free LSH-bucketed ANN search:
     * graft_lsh_topk(table, idCol, vecCol, probeIdBelow, k, bitsPerBand,
     * bands[, extraProbes]) → (q_id, rnk, vec_id, cos). Same engine as
@@ -617,6 +655,8 @@ object GraftExtensions {
       maxsimTvf._1, maxsimTvf._2, maxsimTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       phraseSearchTvf._1, phraseSearchTvf._2, phraseSearchTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      bpeTokenizeTvf._1, bpeTokenizeTvf._2, bpeTokenizeTvf._3)
     // SQL names for the typed sketch Aggregators (UDAFs can't ride
     // SparkSessionExtensions — no Expression builder for ScalaAggregator
     // — so they register per-session here; idempotent overwrite). The

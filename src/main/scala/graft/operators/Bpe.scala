@@ -146,6 +146,18 @@ object Bpe {
         .orderBy(col("doc_id"))
     },
 
+    // The SQL spelling: graft_bpe_tokenize trains AND applies from one
+    // table-function call — same oracle BY REFERENCE as
+    // text_bpe_tokens, so a SQL-only user gets identical token ids.
+    "sql_bpe_tokens" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_bpe")
+      spark.sql(
+        s"""SELECT doc_id, n_bpe_tokens, tokens_md5
+           |FROM graft_bpe_tokenize('graft_docs_bpe', 'doc_id', 'text', $NMerges)
+           |ORDER BY doc_id""".stripMargin)
+    },
+
     // select_token_budget re-pointed at REAL token ids: same greedy
     // per-lang selection window, but the budget counts BPE tokens — the
     // quantity a training run actually pays for.
@@ -235,11 +247,15 @@ object Bpe {
        |  FROM documents d LEFT JOIN (SELECT * FROM a WHERE iter = $n) f ON d.doc_id = f.doc_id
        |  GROUP BY d.doc_id)""".stripMargin
 
+  private lazy val bpeTokensOracle: String =
+    s"""${bpeChain(NMerges)}
+       |SELECT doc_id, nt AS n_bpe_tokens, tokens_md5
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "text_bpe_tokens" ->
-      s"""${bpeChain(NMerges)}
-         |SELECT doc_id, nt AS n_bpe_tokens, tokens_md5
-         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" -> bpeTokensOracle,
+    // TVF spelling shares the contract by reference
+    "sql_bpe_tokens" -> bpeTokensOracle,
     "select_token_budget_bpe" ->
       s"""${bpeChain(NMerges)},
          |t AS (
