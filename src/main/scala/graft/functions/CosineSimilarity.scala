@@ -459,7 +459,10 @@ object GraftExtensions {
     * → (idCol, n_bpe_tokens, tokens_md5). Lowering is `Bpe`'s (greedy
     * pair-merge training over the distinct-word table, then the N-deep
     * codegen'd replace chain per word), so a SQL-only user gets real
-    * subword token counts without Scala. */
+    * subword token counts without Scala. Training is cached per
+    * (session, table name, textCol, nMerges) — repeated calls and
+    * plan-only paths (EXPLAIN) never re-pay the merge loop; register
+    * the corpus under a NEW name to retrain. */
   private[graft] val bpeTokenizeTvf = (
     FunctionIdentifier("graft_bpe_tokenize"),
     new ExpressionInfo(
@@ -480,12 +483,12 @@ object GraftExtensions {
           s"graft_bpe_tokenize: nMerges must be a literal, got $other")
       }
       val spark = SparkSession.active
-      val docs = spark.table(str(children(0), "docsTable"))
+      val tableName = str(children(0), "docsTable")
       val idCol = str(children(1), "idCol")
       val textCol = str(children(2), "textCol")
-      val merges = graft.operators.Bpe.trainMerges(docs, textCol, n)
+      val merges = graft.operators.Bpe.mergesForTable(spark, tableName, textCol, n)
       graft.operators.Bpe
-        .tokenize(docs, idCol, textCol, merges)
+        .tokenize(spark.table(tableName), idCol, textCol, merges)
         .drop("tokens_str")
         .queryExecution.analyzed
     }

@@ -134,6 +134,19 @@ object Bpe {
       s"${spark.sparkContext.applicationId}:$dir",
       _ => trainMerges(Tables.documents(spark, dir), "text", NMerges))
 
+  /** Trained merges per (application, TABLE NAME, textCol, nMerges) —
+    * the `graft_bpe_tokenize` TVF's cache, so repeated SQL calls (and
+    * plan-only paths like EXPLAIN) pay training ONCE per session per
+    * table. Contract: the cache keys on the table NAME — re-registering
+    * DIFFERENT contents under the same name in one session serves the
+    * already-trained merges (train-once-tokenize-many is the operator's
+    * semantics); register under a new name to retrain. */
+  private[graft] def mergesForTable(
+      spark: SparkSession, tableName: String, textCol: String, n: Int): Seq[String] =
+    mergeCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:tvf:$tableName:$textCol:$n",
+      _ => trainMerges(spark.table(tableName), textCol, n))
+
   val queries: Map[String, Q] = Map(
     // Train-and-tokenize gate: per doc, the BPE token count and an md5 of
     // the full merged-token string — one flipped merge anywhere in the

@@ -195,16 +195,22 @@ object IvfPq {
     val cents = pq.coarse.centroids.map(_.toArray)
     val qs = probes.select(col("q_id").cast("long"), col("qv"))
       .as[(Long, Seq[Double])].collect()
+    val qByIdArr: Map[Long, Array[Double]] = qs.map { case (id, v) => id -> v.toArray }.toMap
+    // only clusters that HAVE codebooks are probeable: Lloyd can leave a
+    // cluster empty (its centroid survives in the coarse model but no
+    // vector was ever assigned → no books entry, and nothing to find
+    // there anyway) — ranking it would crash the table build below
+    val probeable = cents.indices.filter(pq.books.contains)
     val probedPairs = qs.flatMap { case (qid, qv) =>
       val qarr = qv.toArray
-      cents.indices
+      probeable
         .map(cl => (cl, -cosQ(qarr, cents(cl))))
         .sortBy { case (cl, negCos) => (negCos, cl) }
         .take(nProbe)
         .map { case (cl, _) => (qid, cl) }
     }
     val tables: Map[(Long, Int), Array[Array[Double]]] = probedPairs.map { case (qid, cl) =>
-      val qarr = qs.find(_._1 == qid).get._2.toArray
+      val qarr = qByIdArr(qid)
       val c = cents(cl)
       val book = pq.books(cl)
       val t = Array.tabulate(m) { sub =>

@@ -209,7 +209,12 @@ object TextIndex {
     // disk round trip loses nothing vs the in-memory postings.
     "text_phrase_search_idx" -> { (spark, dir) =>
       val docsPath = s"$dir/documents.parquet"
-      val idx = s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/postings_idx"
+      // applicationId in the path: Sidecar is single-maintainer, and a
+      // concurrent test suite + bench on one machine would otherwise
+      // race pointer flips in one shared index dir (the corpusStateCache
+      // discipline)
+      val idx = s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
+        s"postings_idx_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
       buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
       phraseSearchIndexed(spark, docsPath, idx, FixturePhrase)
         .orderBy(col("doc_id"))

@@ -1356,6 +1356,47 @@ object TextOps {
        |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)
        |SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep ORDER BY rep""".stripMargin
 
+  /** The maintained-corpus connected-components CTE chain (3-batch
+    * exact-dedup landing + shingle Jaccard pairs + recursive CC),
+    * SHARED by the corpus_maintain and dedup_keep_best_maint oracles so
+    * the maintenance semantics have exactly one SQL definition. Ends at
+    * `comp(doc_id, rep)`; `landed(doc_id, text)` stays in scope for
+    * downstream scoring. */
+  private lazy val maintainedCcChain: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text, doc_id % 3 AS b, md5(lower(trim(text))) AS h
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, text, b, h FROM d WHERE b = 0
+       |  UNION ALL
+       |  SELECT doc_id, text, b, h FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY h, b ORDER BY doc_id) AS rn
+       |    FROM d WHERE b > 0)
+       |  WHERE rn = 1),
+       |landed AS (
+       |  SELECT doc_id, text FROM w w1
+       |  WHERE NOT EXISTS (SELECT 1 FROM d w2 WHERE w2.h = w1.h AND w2.b < w1.b)),
+       |sh AS (
+       |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
+       |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM landed)
+       |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs0 AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM pairs0
+       |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS d FROM edges),
+       |reach(n, m) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+       |),
+       |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(lower(trim(text))) AS text_hash, COUNT(*) AS n_copies
@@ -1444,78 +1485,15 @@ object TextOps {
     // text hash unless the hash appeared in ANY earlier batch (landed or
     // collapsed — either way it is in the store). CC over that corpus.
     "corpus_maintain" ->
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id, text, doc_id % 3 AS b, md5(lower(trim(text))) AS h
-         |  FROM documents),
-         |w AS (
-         |  SELECT doc_id, text, b, h FROM d WHERE b = 0
-         |  UNION ALL
-         |  SELECT doc_id, text, b, h FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY h, b ORDER BY doc_id) AS rn
-         |    FROM d WHERE b > 0)
-         |  WHERE rn = 1),
-         |landed AS (
-         |  SELECT doc_id, text FROM w w1
-         |  WHERE NOT EXISTS (SELECT 1 FROM d w2 WHERE w2.h = w1.h AND w2.b < w1.b)),
-         |sh AS (
-         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
-         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM landed)
-         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |pairs0 AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM pairs0
-         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS d FROM edges),
-         |reach(n, m) AS (
-         |  SELECT d, d FROM nodes
-         |  UNION
-         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
-         |),
-         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n)
+      s"""$maintainedCcChain
          |SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
     // The SAME maintained-corpus CC (corpus_maintain's landed CTE chain
-    // by construction) extended with the dedup_keep_best ROW_NUMBER
-    // keeper — canonical selection over the maintained map must equal
-    // the sequential from-scratch definition.
+    // SHARED as maintainedCcChain — one definition, divergence
+    // impossible) extended with the dedup_keep_best ROW_NUMBER keeper —
+    // canonical selection over the maintained map must equal the
+    // sequential from-scratch definition.
     "dedup_keep_best_maint" ->
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id, text, doc_id % 3 AS b, md5(lower(trim(text))) AS h
-         |  FROM documents),
-         |w AS (
-         |  SELECT doc_id, text, b, h FROM d WHERE b = 0
-         |  UNION ALL
-         |  SELECT doc_id, text, b, h FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY h, b ORDER BY doc_id) AS rn
-         |    FROM d WHERE b > 0)
-         |  WHERE rn = 1),
-         |landed AS (
-         |  SELECT doc_id, text FROM w w1
-         |  WHERE NOT EXISTS (SELECT 1 FROM d w2 WHERE w2.h = w1.h AND w2.b < w1.b)),
-         |sh AS (
-         |  SELECT doc_id, unnest(${duckShingles(3)}) AS s
-         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM landed)
-         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |pairs0 AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM pairs0
-         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-         |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS d FROM edges),
-         |reach(n, m) AS (
-         |  SELECT d, d FROM nodes
-         |  UNION
-         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
-         |),
-         |comp AS (SELECT n AS doc_id, MIN(m) AS rep FROM reach GROUP BY n),
+      s"""$maintainedCcChain,
          |scored AS (
          |  SELECT c.rep, c.doc_id,
          |    CAST(len(string_split(l.text, ' ')) AS BIGINT) AS n_toks,

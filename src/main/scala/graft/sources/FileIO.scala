@@ -359,28 +359,13 @@ object FileIO {
     // without a bloom row (it shows up as a LOUD staleness mismatch at
     // lookup time instead)
     val snapshot = dataFilePaths(spark, path)
-    // null keys (and values the long cast nulls out) are EXCLUDED from the
-    // sketches explicitly: a bloom cannot carry null, point lookups take a
-    // concrete Long, and dropping nulls here cannot false-negative any
-    // non-null probe
-    val rows =
-      if (snapshot.isEmpty) null
-      else
-        spark.read
-          .format(format)
-          .option("basePath", basePathOf(spark, path))
-          .load(snapshot.values.toSeq.sorted: _*)
-          .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
-          .filter(col("k").isNotNull)
-    // expected items per file: one metadata-scale count (2× headroom
-    // keeps fpp honest on skewed file sizes)
-    val statsOpt =
-      if (rows == null) None
-      else Some(rows.groupBy(col("f")).count().agg(max("count"), count(lit(1))).collect().head)
     val (vNew, stageDir) = Sidecar.nextStage(spark, bloomRoot(path, keyCol))
-    if (statsOpt.forall(_.isNullAt(0))) {
-      // empty table (or all-null keys): an empty sidecar is the correct
-      // index — every file definitely lacks every key
+    // empty table, or all keys null after the long cast: an empty
+    // sidecar is the correct index — every file definitely lacks every
+    // key. (Null keys are EXCLUDED from the sketches generally: a bloom
+    // cannot carry null, point lookups take a concrete Long, and
+    // dropping nulls cannot false-negative any non-null probe.)
+    def commitEmpty(): Int = {
       spark
         .createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -391,9 +376,19 @@ object FileIO {
         .mode(SaveMode.Overwrite)
         .parquet(stageDir)
       Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, snapshot.keySet)
-      return 0
+      0
     }
-    val stats = statsOpt.get
+    if (snapshot.isEmpty) return commitEmpty()
+    val rows = spark.read
+      .format(format)
+      .option("basePath", basePathOf(spark, path))
+      .load(snapshot.values.toSeq.sorted: _*)
+      .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+    // expected items per file: one metadata-scale count (2× headroom
+    // keeps fpp honest on skewed file sizes)
+    val stats = rows.groupBy(col("f")).count().agg(max("count"), count(lit(1))).collect().head
+    if (stats.isNullAt(0)) return commitEmpty()
     val perFileCap = math.max(64L, stats.getLong(0) * 2)
     val nFiles = stats.getLong(1).toInt
     val sidecar = rows.rdd

@@ -37,6 +37,24 @@ class IvfPqLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("empty coarse clusters (no codebook) are skipped, not crashed on") {
+    val e = corpus()
+    val coarse = IvfIndex.train(e, k = 8, iters = 3)
+    // a duplicated centroid can never win an assignment (argmin ties
+    // break on the LOWER cluster id), so cluster k is guaranteed empty:
+    // it has a centroid in the model but no books entry after training
+    val withEmpty = IvfIndex.Model(coarse.centroids :+ coarse.centroids.head)
+    val assigned = IvfIndex.assignAuto(e, withEmpty)
+    val pq = IvfPq.train(assigned, withEmpty, m = 8, nCodes = 16)
+    assert(!pq.books.contains(withEmpty.k - 1), "fixture failed: duplicate centroid got members")
+    val probes = e.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // nProbe = k ranks EVERY probeable cluster — the empty one must be
+    // excluded (pre-fix this crashed with NoSuchElementException)
+    val r = IvfPq.searchPq(e, IvfPq.encode(assigned, pq), probes, pq,
+      nProbe = withEmpty.k, topK = 5, shortlist = 25)
+    assert(r.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
+  }
+
   test("indexed PQ search ≡ in-memory searchPq, and the code scan prunes partitions") {
     val e = corpus()
     val coarse = IvfIndex.train(e, k = 10, iters = 3)
