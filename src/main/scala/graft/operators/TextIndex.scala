@@ -93,26 +93,32 @@ object TextIndex {
         .parquet(snapshot.values.toSeq.sorted: _*)
       writePostingsVersion(postingsOf(docs, idCol, textCol, rootAbs), stage)
     } else {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("src_file", org.apache.spark.sql.types.StringType))))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+      emptyPostings(spark).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
     }
     Sidecar.commit(spark, indexDir, v, snapshot.keySet)
     snapshot.size
   }
 
-  /** INCREMENTAL postings refresh — O(changed files): doc files that
-    * vanished since the last (re)build drop their posting rows, files
-    * that APPEARED are scanned and exploded, every other file's rows
-    * carry over untouched. The merged postings land in a NEW sidecar
-    * version and become visible — with the new fingerprint — in one
-    * atomic pointer flip (a crash mid-refresh leaves the OLD index
-    * serving, consistently gated).
+  private def emptyPostings(spark: SparkSession) =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("src_file", org.apache.spark.sql.types.StringType))))
+
+  /** INCREMENTAL postings refresh — O(changed files) in SCAN *and*
+    * WRITE: only the APPEARED doc files are scanned, exploded, and
+    * written (as a DELTA version dir — the earlier live dirs carry over
+    * untouched on disk); VANISHED files' rows are masked at read time by
+    * the fingerprint semi-join ([[phraseSearchIndexed]]) and physically
+    * reclaimed by [[compactPostingsIndex]]. The new delta + the new
+    * fingerprint + the widened live set become visible in one atomic
+    * pointer flip (a crash mid-refresh leaves the OLD index serving,
+    * consistently gated). A full-rewrite refresh would be O(index) per
+    * ingest batch — the delta layout is what keeps continuous
+    * maintenance affordable at corpus scale.
     * @return (filesAdded, filesRemoved) */
   def updatePostingsIndex(
       spark: SparkSession,
@@ -127,21 +133,50 @@ object TextIndex {
     val gone = cur.fingerprint -- byName.keySet
     val fresh = (byName.keySet -- cur.fingerprint).toSeq.sorted
     if (gone.isEmpty && fresh.isEmpty) return (0, 0)
-    val keep = spark.read.parquet(cur.dataDir)
-      .filter(!col("src_file").isin(gone.toSeq: _*))
-    val merged =
-      if (fresh.isEmpty) keep
-      else {
-        val rootAbs = FileIO.tableRootAbs(spark, docsPath)
-        val docs = spark.read
-          .option("basePath", FileIO.basePathOf(spark, docsPath))
-          .parquet(fresh.map(byName): _*)
-        keep.unionByName(postingsOf(docs, idCol, textCol, rootAbs))
-      }
     val (v, stage) = Sidecar.nextStage(spark, indexDir)
-    writePostingsVersion(merged, stage)
-    Sidecar.commit(spark, indexDir, v, byName.keySet)
+    if (fresh.isEmpty)
+      // pure deletion: nothing to scan — the commit just narrows the
+      // fingerprint (the read-side mask); the delta dir is empty
+      emptyPostings(spark).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    else {
+      val rootAbs = FileIO.tableRootAbs(spark, docsPath)
+      val docs = spark.read
+        .option("basePath", FileIO.basePathOf(spark, docsPath))
+        .parquet(fresh.map(byName): _*)
+      writePostingsVersion(postingsOf(docs, idCol, textCol, rootAbs), stage)
+    }
+    Sidecar.commit(spark, indexDir, v, byName.keySet, extraLive = cur.liveVersions)
     (fresh.size, gone.size)
+  }
+
+  /** Collapse the delta chain: rewrite the LIVE, fingerprint-masked
+    * postings into one fresh version (term-re-clustered — deltas
+    * cluster only within themselves) and commit it as the single live
+    * dir; superseded deltas are GC'd behind the grace window. Run it on
+    * the maintenance cadence, like any LSM compaction.
+    * @return number of live version dirs collapsed */
+  def compactPostingsIndex(spark: SparkSession, indexDir: String): Int = {
+    import graft.sources.Sidecar
+    val cur = Sidecar.current(spark, indexDir).getOrElse(throw new IllegalArgumentException(
+      s"no committed postings index at $indexDir — build one with buildPostingsIndex first"))
+    if (cur.liveVersions.size <= 1) return 0
+    val (v, stage) = Sidecar.nextStage(spark, indexDir)
+    writePostingsVersion(maskedPostings(spark, indexDir, cur), stage)
+    Sidecar.commit(spark, indexDir, v, cur.fingerprint)
+    cur.liveVersions.size
+  }
+
+  /** The live postings: union of the live delta dirs, masked to rows
+    * whose source doc file is still in the fingerprint (vanished files'
+    * rows stay on disk until compaction but can never serve). The mask
+    * is a broadcast semi-join on the metadata-scale fingerprint — one
+    * row per DOC FILE, the same class as the bloom sidecar itself. */
+  private def maskedPostings(
+      spark: SparkSession, indexDir: String, cur: graft.sources.Sidecar.Current) = {
+    import spark.implicits._
+    val live = spark.read.parquet(cur.liveDirs(indexDir): _*)
+    val fp = cur.fingerprint.toSeq.toDF("src_file")
+    live.join(broadcast(fp), Seq("src_file"), "left_semi")
   }
 
   /** Phrase search through the PERSISTED postings: same semantics as
@@ -166,7 +201,7 @@ object TextIndex {
           s"(${gone.size} indexed file(s) vanished, ${fresh.size} unindexed file(s) appeared) — " +
           "searching it would silently miss occurrences; refresh with updatePostingsIndex")
     }
-    phraseSearch(spark.read.parquet(cur.dataDir).select("term", "doc_id", "pos"), phrase)
+    phraseSearch(maskedPostings(spark, indexDir, cur).select("term", "doc_id", "pos"), phrase)
   }
 
   /** Exact consecutive-phrase occurrence counts through the postings:

@@ -41,8 +41,19 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object Sidecar {
 
-  /** The committed state: live version, its data dir, the fingerprint. */
-  final case class Current(version: Int, dataDir: String, fingerprint: Set[String])
+  /** The committed state: the commit's version id, its data dir, the
+    * fingerprint, and the LIVE version set (== Seq(version) for
+    * single-dir sidecars like the bloom index; a DELTA sidecar — the
+    * postings index — keeps earlier versions live and reads their
+    * union). `dataDir` is the newest live dir; `liveDirs` lists all of
+    * them, newest first. */
+  final case class Current(
+      version: Int,
+      dataDir: String,
+      fingerprint: Set[String],
+      liveVersions: Seq[Int]) {
+    def liveDirs(root: String): Seq[String] = liveVersions.map(v => s"$root/v=$v")
+  }
 
   private def pointerPath(root: String) = s"$root/_CURRENT"
   private def versionDir(root: String, v: Int) = s"$root/v=$v"
@@ -50,7 +61,9 @@ private[graft] object Sidecar {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed sidecar state, None before the first commit. */
+  /** The committed sidecar state, None before the first commit. The
+    * pointer's first line is the live version list (newest first —
+    * a single id for single-dir sidecars); the rest is the fingerprint. */
   def current(spark: SparkSession, root: String): Option[Current] = {
     val p = new Path(pointerPath(root))
     val fs = fsOf(spark, p)
@@ -60,8 +73,9 @@ private[graft] object Sidecar {
       val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val lines = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
       require(lines.nonEmpty, s"malformed sidecar pointer at $root: empty")
-      val v = lines.head.toInt
-      Some(Current(v, versionDir(root, v), lines.tail.toSet))
+      val live = lines.head.split("\\s+").map(_.toInt).toSeq
+      val v = live.head
+      Some(Current(v, versionDir(root, v), lines.tail.toSet, live))
     }
   }
 
@@ -73,26 +87,31 @@ private[graft] object Sidecar {
     (v, versionDir(root, v))
   }
 
-  /** THE commit: one atomic pointer flip makes version `v` and its
-    * fingerprint visible together, then superseded/debris version dirs
-    * are GC'd behind the grace window. */
+  /** THE commit: one atomic pointer flip makes version `v`, its
+    * fingerprint, and the live set visible together, then every
+    * version dir OUTSIDE the live set (superseded versions AND crash
+    * debris above the pointer) is GC'd behind the grace window.
+    * `extraLive` keeps earlier versions readable — the DELTA layout: a
+    * refresh commits only its new rows' dir and lists the older dirs it
+    * still reads; compaction later collapses the set back to one. */
   def commit(
       spark: SparkSession,
       root: String,
       v: Int,
       fingerprint: Set[String],
-      gcGraceMs: Long = graft.streaming.EpochStore.DefaultLeaseGraceMs): Unit = {
-    val body = (v.toString +: fingerprint.toSeq.sorted).mkString("\n")
+      gcGraceMs: Long = graft.streaming.EpochStore.DefaultLeaseGraceMs,
+      extraLive: Seq[Int] = Nil): Unit = {
+    val live = v +: extraLive.filterNot(_ == v)
+    val body = (live.mkString(" ") +: fingerprint.toSeq.sorted).mkString("\n")
     graft.streaming.EpochStore.writeAtomic(spark, pointerPath(root), body)
-    // GC every non-live version dir (superseded versions AND crash
-    // debris above the pointer): _DEAD-mark now, sweep once aged
+    val liveNames = live.map(x => s"v=$x").toSet
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     if (fs.exists(rootP)) {
       val now = System.currentTimeMillis()
       fs.listStatus(rootP).foreach { s =>
         val n = s.getPath.getName
-        if (s.isDirectory && n.startsWith("v=") && n != s"v=$v") {
+        if (s.isDirectory && n.startsWith("v=") && !liveNames.contains(n)) {
           val marker = new Path(s"${s.getPath}/_DEAD")
           if (!fs.exists(marker)) { val o = fs.create(marker, true); o.close() }
           if (gcGraceMs <= 0 ||

@@ -79,11 +79,14 @@ class TextIndexSpec extends AnyFunSuite {
     assert(added === 1 && removed === 0)
     assert(idxHits(docsPath, idx, "small", "query", "line") ===
       Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
-    // carry-over: pre-existing files' posting rows survive by identity
-    // (their src_file set is unchanged — the refresh didn't rescan them)
-    // and a second refresh with no corpus change is a no-op
+    // the WRITE is a delta too: the new version dir carries ONLY the new
+    // file's postings (doc 3), never a rewrite of the carried-over rows
+    val delta = spark.read.parquet(s"$idx/v=2")
+    assert(delta.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(3L),
+      "refresh rewrote carried-over postings — the O(changed-files) write claim broke")
+    // a second refresh with no corpus change is a no-op
     assert(TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx) === ((0, 0)))
-    // vanished file: its postings drop on the next refresh
+    // vanished file: its rows are MASKED on the next refresh (no rewrite)
     val victimUri = spark.read.parquet(docsPath).filter($"doc_id" === 3L)
       .select(org.apache.spark.sql.functions.input_file_name()).head().getString(0)
     val victim = new java.io.File(new java.net.URI(victimUri).getPath)
@@ -91,6 +94,19 @@ class TextIndexSpec extends AnyFunSuite {
     val (a2, r2) = TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx)
     assert(a2 === 0 && r2 === 1)
     assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L, 2L -> 2L))
+    // compaction collapses the delta chain to ONE live dir, physically
+    // dropping the masked rows, with identical search results
+    import graft.sources.Sidecar
+    assert(Sidecar.current(spark, idx).get.liveVersions.size > 1)
+    val collapsed = TextIndex.compactPostingsIndex(spark, idx)
+    assert(collapsed > 1)
+    val cur = Sidecar.current(spark, idx).get
+    assert(cur.liveVersions.size === 1)
+    assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L, 2L -> 2L))
+    assert(spark.read.parquet(cur.dataDir).filter($"doc_id" === 3L).isEmpty,
+      "compaction kept the vanished file's rows")
+    // compacting a single-dir index is a no-op
+    assert(TextIndex.compactPostingsIndex(spark, idx) === 0)
   }
 
   test("persisted index: crash mid-refresh leaves the OLD index serving (staged dir inert)") {
