@@ -384,6 +384,35 @@ object ScaleRehearsal {
       // a pure per-row map whose cost is corpus-linear with no shuffle.
       lazy val bigMerges: Seq[String] =
         graft.operators.Bpe.trainMerges(docsBig, "text", 30)
+
+      // Postings DELTA refresh (r14): append ONE small doc file to the
+      // docsBig corpus and refresh — the claim is that refresh cost is
+      // FLAT in corpus size (scan + write touch only the appended file;
+      // the pointer flip is O(fingerprint)). Each run appends a fresh
+      // file so every sample measures a real (1, 0) delta.
+      lazy val postingsIdxDir: String = {
+        val docsDir = s"$dir/docs_big_mut"
+        val idx = s"$dir/postings_big_idx"
+        if (!new java.io.File(docsDir).exists()) {
+          docsBig.write.mode(SaveMode.Overwrite).parquet(docsDir)
+          graft.operators.TextIndex.buildPostingsIndex(spark, docsDir, "doc_id", "text", idx)
+        }
+        idx
+      }
+      var refreshRound = 0
+      def postingsRefreshRun(): Long = {
+        val docsDir = s"$dir/docs_big_mut"
+        val idx = postingsIdxDir
+        refreshRound += 1
+        spark.range(1).select(
+          (lit(90000000L) + lit(refreshRound)).as("doc_id"),
+          lit("small query line appended refresh doc").as("text"))
+          .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+        val (a, r) = graft.operators.TextIndex
+          .updatePostingsIndex(spark, docsDir, "doc_id", "text", idx)
+        require(a == 1 && r == 0, s"expected a (1,0) delta, got ($a,$r)")
+        a.toLong
+      }
       def bpeTrainRun(): Long =
         graft.operators.Bpe.trainMerges(docsWide, "text", 30).size.toLong
       def bpeApplyRun(): Long =
@@ -903,6 +932,7 @@ object ScaleRehearsal {
         ("phrase_regex_big", () => phraseRegexBigRun()),
         ("bpe_train", () => bpeTrainRun()),
         ("bpe_apply", () => bpeApplyRun()),
+        ("postings_refresh", () => postingsRefreshRun()),
         ("maxsim_exact", () => maxsimExactRun()),
         ("maxsim_rerank", () => maxsimRerankRun()),
         ("embed_dedup", () => embedDedupRun()),
