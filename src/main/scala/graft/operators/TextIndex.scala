@@ -47,15 +47,37 @@ object TextIndex {
   // scan ONLY new files — O(changed files), not O(corpus).
   // ------------------------------------------------------------------
 
-  private def postingsOf(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      rootAbs: String) = {
-    val relUdf = udf((f: String) => graft.sources.FileIO.relPathFromScan(f, rootAbs))
-    docs
+  /** Posting rows of the given doc FILES, each row tagged with its
+    * source file's GENERATION identity (rel#mtime#len — FileIO's
+    * DataFileId): the read-time mask joins on the generation, so a file
+    * deleted and later RECREATED at the same path can never serve its
+    * stale rows next to the rescanned ones (a path-only tag would pass
+    * both generations through the fingerprint mask — silent duplicate
+    * counts). */
+  private def scanAndWrite(
+      spark: SparkSession,
+      docsPath: String,
+      files: Seq[graft.sources.FileIO.DataFileId],
+      idCol: String,
+      textCol: String,
+      stage: String): Unit = {
+    import graft.sources.FileIO
+    val rootAbs = FileIO.tableRootAbs(spark, docsPath)
+    val bcIds = spark.sparkContext.broadcast(files.map(f => f.rel -> f.identity).toMap)
+    val idUdf = udf { (f: String) =>
+      val rel = FileIO.relPathFromScan(f, rootAbs)
+      bcIds.value.getOrElse(rel, rel)
+    }
+    val docs = spark.read
+      .option("basePath", FileIO.basePathOf(spark, docsPath))
+      .parquet(files.map(_.full).sorted: _*)
+    val postings = docs
       .select(
         input_file_name().as("__f"),
         col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
-      .select(col("term"), col("doc_id"), col("pos"), relUdf(col("__f")).as("src_file"))
+      .select(col("term"), col("doc_id"), col("pos"), idUdf(col("__f")).as("src_file"))
+    writePostingsVersion(postings, stage)
   }
 
   /** Writes one version of the postings (term-range-clustered: each
@@ -84,18 +106,11 @@ object TextIndex {
       textCol: String,
       indexDir: String): Int = {
     import graft.sources.{FileIO, Sidecar}
-    val snapshot = FileIO.dataFilePaths(spark, docsPath)
+    val snapshot = FileIO.dataFileIds(spark, docsPath)
     val (v, stage) = Sidecar.nextStage(spark, indexDir)
-    if (snapshot.nonEmpty) {
-      val rootAbs = FileIO.tableRootAbs(spark, docsPath)
-      val docs = spark.read
-        .option("basePath", FileIO.basePathOf(spark, docsPath))
-        .parquet(snapshot.values.toSeq.sorted: _*)
-      writePostingsVersion(postingsOf(docs, idCol, textCol, rootAbs), stage)
-    } else {
-      emptyPostings(spark).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
-    }
-    Sidecar.commit(spark, indexDir, v, snapshot.keySet)
+    if (snapshot.nonEmpty) scanAndWrite(spark, docsPath, snapshot, idCol, textCol, stage)
+    else emptyPostings(spark).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    Sidecar.commit(spark, indexDir, v, snapshot.map(_.identity).toSet)
     snapshot.size
   }
 
@@ -129,23 +144,26 @@ object TextIndex {
     import graft.sources.{FileIO, Sidecar}
     val cur = Sidecar.current(spark, indexDir).getOrElse(throw new IllegalArgumentException(
       s"no committed postings index at $indexDir — build one with buildPostingsIndex first"))
-    val byName = FileIO.dataFilePaths(spark, docsPath)
-    val gone = cur.fingerprint -- byName.keySet
-    val fresh = (byName.keySet -- cur.fingerprint).toSeq.sorted
+    val ids = FileIO.dataFileIds(spark, docsPath)
+    // GENERATION identities: a doc file rewritten or recreated at the
+    // same path is gone+fresh — its old rows leave the mask and the new
+    // bytes are rescanned (a path-only compare would serve BOTH
+    // generations: silently doubled phrase counts)
+    val gone = cur.fingerprint -- ids.map(_.identity)
+    val fresh = ids.filterNot(id => cur.fingerprint.contains(id.identity)).sortBy(_.rel)
     if (gone.isEmpty && fresh.isEmpty) return (0, 0)
-    val (v, stage) = Sidecar.nextStage(spark, indexDir)
-    if (fresh.isEmpty)
-      // pure deletion: nothing to scan — the commit just narrows the
-      // fingerprint (the read-side mask); the delta dir is empty
-      emptyPostings(spark).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
-    else {
-      val rootAbs = FileIO.tableRootAbs(spark, docsPath)
-      val docs = spark.read
-        .option("basePath", FileIO.basePathOf(spark, docsPath))
-        .parquet(fresh.map(byName): _*)
-      writePostingsVersion(postingsOf(docs, idCol, textCol, rootAbs), stage)
+    val newFp = ids.map(_.identity).toSet
+    if (fresh.isEmpty) {
+      // pure deletion: nothing to scan, nothing to write — re-commit the
+      // SAME live set with the narrowed fingerprint (the read-side
+      // mask); no junk delta dir enters the chain
+      Sidecar.commit(spark, indexDir, cur.version, newFp,
+        extraLive = cur.liveVersions.filterNot(_ == cur.version))
+    } else {
+      val (v, stage) = Sidecar.nextStage(spark, indexDir)
+      scanAndWrite(spark, docsPath, fresh, idCol, textCol, stage)
+      Sidecar.commit(spark, indexDir, v, newFp, extraLive = cur.liveVersions)
     }
-    Sidecar.commit(spark, indexDir, v, byName.keySet, extraLive = cur.liveVersions)
     (fresh.size, gone.size)
   }
 
@@ -167,10 +185,13 @@ object TextIndex {
   }
 
   /** The live postings: union of the live delta dirs, masked to rows
-    * whose source doc file is still in the fingerprint (vanished files'
-    * rows stay on disk until compaction but can never serve). The mask
-    * is a broadcast semi-join on the metadata-scale fingerprint — one
-    * row per DOC FILE, the same class as the bloom sidecar itself. */
+    * whose source doc file GENERATION is still in the fingerprint
+    * (vanished or superseded generations' rows stay on disk until
+    * compaction but can never serve). The mask is a broadcast semi-join
+    * on the metadata-scale fingerprint — one row per DOC FILE, the same
+    * class as the bloom sidecar itself — and applies UNCONDITIONALLY:
+    * even a single live dir can carry masked rows (a pure-deletion
+    * refresh narrows the fingerprint without rewriting anything). */
   private def maskedPostings(
       spark: SparkSession, indexDir: String, cur: graft.sources.Sidecar.Current) = {
     import spark.implicits._
@@ -192,7 +213,7 @@ object TextIndex {
     import graft.sources.{FileIO, Sidecar}
     val cur = Sidecar.current(spark, indexDir).getOrElse(throw new IllegalArgumentException(
       s"no committed postings index at $indexDir — build one with buildPostingsIndex first"))
-    val listing = FileIO.dataFileNames(spark, docsPath)
+    val listing = FileIO.dataFileIdentitySet(spark, docsPath)
     if (listing != cur.fingerprint) {
       val gone = cur.fingerprint -- listing
       val fresh = listing -- cur.fingerprint

@@ -214,6 +214,11 @@ object FileIO {
   private[graft] def dataFileNames(spark: SparkSession, path: String): Set[String] =
     dataFilePaths(spark, path).keySet
 
+  /** The GENERATION identity set of a table's current data files — what
+    * staleness fingerprints compare against (see [[DataFileId]]). */
+  private[graft] def dataFileIdentitySet(spark: SparkSession, path: String): Set[String] =
+    dataFileIds(spark, path).map(_.identity).toSet
+
   /** The bloom sidecar's [[Sidecar]] root: version dirs + the single
     * `_CURRENT` pointer carrying the live version AND the build-time
     * table fingerprint (every data-file identity present when the index
@@ -238,21 +243,39 @@ object FileIO {
   def readBloomSidecar(spark: SparkSession, path: String, keyCol: String): DataFrame =
     spark.read.parquet(bloomCurrent(spark, path, keyCol).dataDir)
 
-  /** Recursive data-file FULL paths keyed by root-relative identity,
-    * same hidden-skip rule as [[dataFileNames]]. */
-  private[graft] def dataFilePaths(spark: SparkSession, path: String): Map[String, String] = {
+  /** One data file's three identities: the root-relative path (the
+    * within-listing key — unique at any instant), the full path (what a
+    * scan reads), and the GENERATION identity `rel#mtime#len` (what
+    * staleness fingerprints store — a file REWRITTEN or deleted-then-
+    * recreated at the same path gets a new generation, so carried-over
+    * index rows for the old bytes can never silently serve: the
+    * fingerprint compare flags it as gone+fresh instead). */
+  private[graft] final case class DataFileId(rel: String, full: String, identity: String)
+
+  /** Recursive data-file listing with all three identities, skipping
+    * underscore/dot-prefixed metadata (sidecars, _SUCCESS, .crc). */
+  private[graft] def dataFileIds(spark: SparkSession, path: String): Seq[DataFileId] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootAbs = tableRootAbs(spark, path)
     def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
-    def walk(p: org.apache.hadoop.fs.Path): Iterator[(String, String)] =
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[DataFileId] =
       fs.listStatus(p).iterator.flatMap { s =>
         if (hidden(s.getPath.getName)) Iterator.empty
         else if (s.isDirectory) walk(s.getPath)
-        else Iterator.single(relPath(s.getPath.toString, rootAbs) -> s.getPath.toString)
+        else {
+          val rel = relPath(s.getPath.toString, rootAbs)
+          Iterator.single(
+            DataFileId(rel, s.getPath.toString, s"$rel#${s.getModificationTime}#${s.getLen}"))
+        }
       }
-    walk(root).toMap
+    walk(root).toSeq
   }
+
+  /** Recursive data-file FULL paths keyed by root-relative identity,
+    * same hidden-skip rule as [[dataFileNames]]. */
+  private[graft] def dataFilePaths(spark: SparkSession, path: String): Map[String, String] =
+    dataFileIds(spark, path).map(id => id.rel -> id.full).toMap
 
   /** INCREMENTAL sidecar maintenance — O(changed files), not O(table):
     * files that vanished since the last (re)build drop out of the
@@ -278,20 +301,29 @@ object FileIO {
     import org.apache.spark.util.sketch.BloomFilter
     val cur = bloomCurrent(spark, path, keyCol) // loud when absent
     val indexed = cur.fingerprint
-    val byName = dataFilePaths(spark, path)
-    val gone = indexed -- byName.keySet
-    val fresh = (byName.keySet -- indexed).toSeq.sorted
+    val ids = dataFileIds(spark, path)
+    // GENERATION identities (rel#mtime#len): a file rewritten or
+    // deleted-then-recreated at the SAME path shows up as gone+fresh, so
+    // its old bloom rows are dropped and the new bytes rescanned — the
+    // path-only compare would have silently kept stale rows
+    val gone = indexed -- ids.map(_.identity)
+    val fresh = ids.filterNot(id => indexed.contains(id.identity)).sortBy(_.rel)
     if (gone.isEmpty && fresh.isEmpty) return (0, 0)
     val rootAbs = tableRootAbs(spark, path)
     val relUdf = udf((f: String) => relPathFromScan(f, rootAbs))
-    val keep = spark.read.parquet(cur.dataDir).filter(!relUdf(col("file")).isin(gone.toSeq: _*))
+    // carried-over rows = files whose GENERATION is still indexed: drop
+    // vanished identities AND rescanned rels (an unchanged file's rel
+    // maps to exactly one live generation)
+    val keepRels = ids.filter(id => indexed.contains(id.identity)).map(_.rel)
+    val keep = spark.read.parquet(cur.dataDir)
+      .filter(relUdf(col("file")).isin(keepRels: _*))
     val freshRows =
       if (fresh.isEmpty) keep.limit(0)
       else {
         val rows = spark.read
           .format(format)
           .option("basePath", basePathOf(spark, path))
-          .load(fresh.map(byName): _*)
+          .load(fresh.map(_.full): _*)
           .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
           .filter(col("k").isNotNull)
         val Array(stats) = rows.groupBy(col("f")).count().agg(max("count")).collect()
@@ -314,7 +346,7 @@ object FileIO {
       }
     val (vNew, stageDir) = Sidecar.nextStage(spark, bloomRoot(path, keyCol))
     keep.unionByName(freshRows).write.mode(SaveMode.Overwrite).parquet(stageDir)
-    Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, byName.keySet)
+    Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, ids.map(_.identity).toSet)
     (fresh.size, gone.size)
   }
 
@@ -358,7 +390,8 @@ object FileIO {
     // them, so a file appended concurrently can never be fingerprinted
     // without a bloom row (it shows up as a LOUD staleness mismatch at
     // lookup time instead)
-    val snapshot = dataFilePaths(spark, path)
+    val snapshot = dataFileIds(spark, path)
+    val snapIds = snapshot.map(_.identity).toSet
     val (vNew, stageDir) = Sidecar.nextStage(spark, bloomRoot(path, keyCol))
     // empty table, or all keys null after the long cast: an empty
     // sidecar is the correct index — every file definitely lacks every
@@ -375,14 +408,14 @@ object FileIO {
         .write
         .mode(SaveMode.Overwrite)
         .parquet(stageDir)
-      Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, snapshot.keySet)
+      Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, snapIds)
       0
     }
     if (snapshot.isEmpty) return commitEmpty()
     val rows = spark.read
       .format(format)
       .option("basePath", basePathOf(spark, path))
-      .load(snapshot.values.toSeq.sorted: _*)
+      .load(snapshot.map(_.full).sorted: _*)
       .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
       .filter(col("k").isNotNull)
     // expected items per file: one metadata-scale count (2× headroom
@@ -407,7 +440,7 @@ object FileIO {
       .write
       .mode(SaveMode.Overwrite)
       .parquet(stageDir)
-    Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, snapshot.keySet)
+    Sidecar.commit(spark, bloomRoot(path, keyCol), vNew, snapIds)
     nFiles
   }
 
@@ -439,7 +472,7 @@ object FileIO {
       collectSidecar: Boolean = true
   ): (DataFrame, Int, Int) = {
     import org.apache.spark.util.sketch.BloomFilter
-    val current = dataFileNames(spark, path)
+    val current = dataFileIdentitySet(spark, path)
     val cur = bloomCurrent(spark, path, keyCol)
     val indexed = cur.fingerprint
     if (current != indexed) {
@@ -572,7 +605,7 @@ object FileIO {
       require(keyCols.contains(kc),
         s"moveGuardKey '$kc' must be one of the upsert's key columns ${keyCols.mkString(",")}")
       // fingerprint gate: probing a stale sidecar would be silently wrong
-      val current = dataFileNames(spark, basePath)
+      val current = dataFileIdentitySet(spark, basePath)
       val sidecarCur = bloomCurrent(spark, basePath, kc)
       require(current == sidecarCur.fingerprint,
         s"move guard needs a FRESH bloom sidecar at $basePath/_bloom_$kc — the table changed " +

@@ -169,6 +169,27 @@ class BloomIndexSpec extends AnyFunSuite {
       "superseded version was not marked dead at commit time")
   }
 
+  test("in-place file rewrite (same path, new generation) trips the staleness gate " +
+    "and refreshes incrementally") {
+    val (dir, total) = setup()
+    // touch one data file: same path, new mtime — the generation
+    // identity changes even though the LISTING of paths is identical; a
+    // path-only fingerprint would silently serve the old blooms (false
+    // negatives against rewritten contents)
+    val f = new java.io.File(dir).listFiles()
+      .filter(x => x.isFile && x.getName.endsWith(".parquet")).head
+    assert(f.setLastModified(System.currentTimeMillis() + 4000))
+    val ex = intercept[IllegalStateException] {
+      FileIO.bloomPointLookup(spark, dir, "k", 5L)
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    // incremental refresh treats it as gone+fresh: exactly one rescan
+    assert(FileIO.updateBloomIndex(spark, dir, "k") === ((1, 1)))
+    val (rows, _, tot) = FileIO.bloomPointLookup(spark, dir, "k", 5L)
+    assert(rows.collect().map(_.getAs[String]("payload")).toSeq === Seq("v5"))
+    assert(tot === total)
+  }
+
   test("sidecar is invisible to plain table scans") {
     val (dir, _) = setup()
     val plain = spark.read.parquet(dir)

@@ -109,6 +109,38 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.compactPostingsIndex(spark, idx) === 0)
   }
 
+  test("persisted index: a doc file deleted and RECREATED at the same path never " +
+    "serves stale rows next to the rescan") {
+    val (docsPath, idx) = freshDirs()
+    docs(1L -> "small query line").coalesce(1).write.parquet(docsPath)
+    TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L))
+    val victim = new java.io.File(docsPath).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    assert(victim.delete())
+    assert(TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx) === ((0, 1)))
+    assert(idxHits(docsPath, idx, "small", "query", "line") === Map.empty)
+    // recreate the SAME path (new generation — fresh mtime); the old
+    // delta's rows for the dead generation must stay masked: pre-fix the
+    // path-only mask served BOTH generations and every count doubled
+    java.nio.file.Files.write(victim.toPath, bytes)
+    victim.setLastModified(System.currentTimeMillis() + 4000): Unit
+    val (a, r) = TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    assert(a === 1 && r === 0, s"expected the recreated file rescanned, got ($a,$r)")
+    assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L),
+      "stale generation's rows leaked through the mask — counts doubled")
+    // and a pure-deletion refresh adds NO junk version dir to the chain
+    import graft.sources.Sidecar
+    val liveBefore = Sidecar.current(spark, idx).get.liveVersions.size
+    val victim2 = new java.io.File(docsPath).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(victim2.delete())
+    assert(TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx) === ((0, 1)))
+    assert(Sidecar.current(spark, idx).get.liveVersions.size === liveBefore,
+      "a pure-deletion refresh grew the live chain")
+  }
+
   test("persisted index: crash mid-refresh leaves the OLD index serving (staged dir inert)") {
     import spark.implicits._
     val (docsPath, idx) = freshDirs()
