@@ -147,18 +147,46 @@ object IvfPq {
   }
 
   /** Encode an assigned corpus into (vec_id, cl, codes array<int>) —
-    * pure per-row map against the broadcast books, no shuffle. */
+    * pure per-row map against the broadcast books, no shuffle.
+    *
+    * A vector assigned to a coarse cluster that had NO members at PQ
+    * train time (appended data encoded against an existing model) has
+    * no codebook under its cl — it RE-HOMES to the nearest centroid
+    * that HAS books (deterministic: quantized cosine, ties to the lower
+    * cluster id). Search only probes book-bearing clusters
+    * ([[probePlan]]'s `probeable` guard), so keeping the bookless cl
+    * would make the vector unreachable forever — and the code lookup
+    * would crash with a bare NoSuchElementException besides. The common
+    * path (books contain cl) pays one map probe, nothing else;
+    * IvfPqLayoutSpec pins the re-homing. */
   def encode(assigned: DataFrame, pq: PqModel): DataFrame = {
+    require(pq.books.nonEmpty,
+      "PQ model has no codebooks at all — train() on a non-empty assigned corpus first")
     val spark = assigned.sparkSession
     import spark.implicits._
     val bcCents = spark.sparkContext.broadcast(pq.coarse.centroids.map(_.toArray))
     val bcBooks = spark.sparkContext.broadcast(pq.books)
+    val bookCls = pq.books.keySet.toArray.sorted
     val m = pq.m; val subDim = pq.subDim
     assigned
       .select(col("vec_id").cast("long"), col("v"), col("cl").cast("int"))
       .as[(Long, Seq[Double], Int)]
-      .map { case (id, v, cl) =>
-        val c = bcCents.value(cl)
+      .map { case (id, v, cl0) =>
+        val cents = bcCents.value
+        val cl =
+          if (bcBooks.value.contains(cl0)) cl0
+          else {
+            val varr = v.toArray
+            var best = bookCls(0); var bestD = Double.MaxValue
+            var i = 0
+            while (i < bookCls.length) {
+              val d = -cosQ(varr, cents(bookCls(i)))
+              if (d < bestD) { bestD = d; best = bookCls(i) } // strict <: ties to lower id
+              i += 1
+            }
+            best
+          }
+        val c = cents(cl)
         val book = bcBooks.value(cl)
         val codes = new Array[Int](m)
         var sub = 0

@@ -53,32 +53,65 @@ object TextIndex {
     * deleted and later RECREATED at the same path can never serve its
     * stale rows next to the rescanned ones (a path-only tag would pass
     * both generations through the fingerprint mask — silent duplicate
-    * counts). */
+    * counts).
+    *
+    * UDF-free tagging (r15): path→identity resolution is per-FILE work,
+    * so it never rides the per-row path. A metadata-only pre-pass
+    * collects each scanned file's `_metadata.file_path` (one row per
+    * file — the column is constant within a file, so the partial
+    * aggregate collapses before any shuffle and no data column is
+    * read); the driver decodes those URI-encoded names ONCE each and
+    * FAILS LOUDLY on any name that doesn't resolve to a listed file
+    * (the scan reads exactly the listed files, so a miss is always a
+    * path-decoding bug — tagging it with a never-matching identity
+    * would silently drop its rows at the fingerprint mask instead).
+    * The per-row plan is then a broadcast join on the raw (encoded)
+    * scan name — builtin expressions only, whole-stage codegen intact
+    * (TextIndexSpec pins the plan UDF-free). */
+  private[graft] def snapshotPostings(
+      spark: SparkSession,
+      docsPath: String,
+      files: Seq[graft.sources.FileIO.DataFileId],
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.FileIO
+    import spark.implicits._
+    val rootAbs = FileIO.tableRootAbs(spark, docsPath)
+    val byRel = files.map(f => f.rel -> f.identity).toMap
+    val docs = spark.read
+      .option("basePath", FileIO.basePathOf(spark, docsPath))
+      .parquet(files.map(_.full).sorted: _*)
+    val scanNames = docs
+      .select(col("_metadata.file_path").as("f"))
+      .distinct()
+      .as[String]
+      .collect()
+    val mapping = scanNames.toSeq.sorted.map { f =>
+      val rel = FileIO.relPathFromScan(f, rootAbs)
+      val id = byRel.getOrElse(rel, throw new IllegalStateException(
+        s"postings build: scanned file '$f' decodes to '$rel', which is not in the listed " +
+          s"snapshot of $docsPath — path-decoding bug (scan-space and listing-space " +
+          "identities diverged); refusing to write postings that the fingerprint mask " +
+          "would silently drop"))
+      (f, id)
+    }
+    docs
+      .select(
+        col("_metadata.file_path").as("__sf"),
+        col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .join(broadcast(mapping.toDF("__sf", "src_file")), Seq("__sf"))
+      .select(col("term"), col("doc_id"), col("pos"), col("src_file"))
+  }
+
   private def scanAndWrite(
       spark: SparkSession,
       docsPath: String,
       files: Seq[graft.sources.FileIO.DataFileId],
       idCol: String,
       textCol: String,
-      stage: String): Unit = {
-    import graft.sources.FileIO
-    val rootAbs = FileIO.tableRootAbs(spark, docsPath)
-    val bcIds = spark.sparkContext.broadcast(files.map(f => f.rel -> f.identity).toMap)
-    val idUdf = udf { (f: String) =>
-      val rel = FileIO.relPathFromScan(f, rootAbs)
-      bcIds.value.getOrElse(rel, rel)
-    }
-    val docs = spark.read
-      .option("basePath", FileIO.basePathOf(spark, docsPath))
-      .parquet(files.map(_.full).sorted: _*)
-    val postings = docs
-      .select(
-        input_file_name().as("__f"),
-        col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
-      .select(col("term"), col("doc_id"), col("pos"), idUdf(col("__f")).as("src_file"))
-    writePostingsVersion(postings, stage)
-  }
+      stage: String): Unit =
+    writePostingsVersion(snapshotPostings(spark, docsPath, files, idCol, textCol), stage)
 
   /** Writes one version of the postings (term-range-clustered: each
     * output file covers a tight term range, so a term filter prunes

@@ -249,7 +249,20 @@ object FileIO {
     * staleness fingerprints store — a file REWRITTEN or deleted-then-
     * recreated at the same path gets a new generation, so carried-over
     * index rows for the old bytes can never silently serve: the
-    * fingerprint compare flags it as gone+fresh instead). */
+    * fingerprint compare flags it as gone+fresh instead).
+    *
+    * Granularity caveat: mtime resolution is filesystem-dependent (1 s
+    * on many local filesystems and object stores), so a SAME-LENGTH
+    * in-place rewrite landing within one mtime tick of the original
+    * keeps the old generation and stale index rows would serve for the
+    * new bytes. This engine's own writers never hit the window — every
+    * rewrite path (upsertByKey, Sidecar versions, the streaming sinks)
+    * writes job-UUID-fresh file NAMES, which changes `rel` and so the
+    * generation unconditionally. The caveat exists for FOREIGN writers
+    * that mutate parquet bytes in place at the same path+length within
+    * one tick; if that is a real workload, strengthen the identity with
+    * a content token (e.g. the parquet footer checksum) at listing time
+    * — a deliberate listing-cost trade this build does not pay. */
   private[graft] final case class DataFileId(rel: String, full: String, identity: String)
 
   /** Recursive data-file listing with all three identities, skipping

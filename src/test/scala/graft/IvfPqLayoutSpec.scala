@@ -55,6 +55,31 @@ class IvfPqLayoutSpec extends AnyFunSuite {
     assert(r.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
   }
 
+  test("encode re-homes vectors assigned to bookless clusters (append-after-train)") {
+    val e = corpus()
+    val coarse = IvfIndex.train(e, k = 8, iters = 3)
+    val withEmpty = IvfIndex.Model(coarse.centroids :+ coarse.centroids.head)
+    val assigned = IvfIndex.assignAuto(e, withEmpty)
+    val pq = IvfPq.train(assigned, withEmpty, m = 8, nCodes = 16)
+    val emptyCl = withEmpty.k - 1
+    assert(!pq.books.contains(emptyCl), "fixture failed: duplicate centroid got members")
+    // an appended vector lands in the bookless cluster (train-once,
+    // encode-later): pre-fix this crashed with a bare
+    // NoSuchElementException; now it re-homes to the nearest
+    // book-bearing centroid and stays searchable
+    val victim = assigned.filter(col("vec_id") === 0).withColumn("cl", lit(emptyCl))
+    val enc = IvfPq.encode(victim, pq).collect()
+    assert(enc.length === 1)
+    val rehomed = enc.head.getInt(1)
+    assert(rehomed !== emptyCl)
+    assert(pq.books.contains(rehomed), s"re-homed to bookless cluster $rehomed")
+    // nearest book-bearing centroid = the vector's plain coarse
+    // assignment (its own cluster always has books — it was a member)
+    val expected = IvfIndex.assignAuto(e.filter(col("vec_id") === 0), coarse)
+      .select("cl").head().getInt(0)
+    assert(rehomed === expected, "re-homing disagreed with the quantized-cosine argmax")
+  }
+
   test("indexed PQ search ≡ in-memory searchPq, and the code scan prunes partitions") {
     val e = corpus()
     val coarse = IvfIndex.train(e, k = 10, iters = 3)

@@ -156,6 +156,23 @@ class TextIndexSpec extends AnyFunSuite {
     assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L))
   }
 
+  test("persisted index build plan is UDF-free and tags exactly the listed generations") {
+    val (docsPath, _) = freshDirs()
+    docs(1L -> "small query line", 2L -> "a b").write.parquet(docsPath)
+    val files = graft.sources.FileIO.dataFileIds(spark, docsPath)
+    val p = TextIndex.snapshotPostings(spark, docsPath, files, "doc_id", "text")
+    // per-file identity work must never ride the per-row path: the plan
+    // is builtin expressions + one broadcast join (r15 — pre-fix a
+    // ScalaUDF decoded every posting row's file path)
+    val udfs = p.queryExecution.optimizedPlan.flatMap(_.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    }))
+    assert(udfs.isEmpty, s"postings build plan contains UDFs: $udfs")
+    val tagged = p.select("src_file").distinct().collect().map(_.getString(0)).toSet
+    assert(tagged === files.map(_.identity).toSet,
+      "scan-sourced tags diverged from the listing's generation identities")
+  }
+
   test("persisted index: searching before any build is refused loudly") {
     val (docsPath, idx) = freshDirs()
     docs(1L -> "a").coalesce(1).write.parquet(docsPath)
