@@ -314,6 +314,54 @@ object Joins {
           |ORDER BY cntrycode""".stripMargin)
     },
 
+    // TPC-H Q17-shaped AGGREGATE-IN-PREDICATE (r15): small-quantity
+    // revenue for one brand — each line item compares against a
+    // correlated scalar AVG over the SAME lineitem table, keyed by the
+    // OUTER part's key. Written as a correlated subquery in SQL text
+    // deliberately: Catalyst must decorrelate it into a per-partkey AVG
+    // aggregate joined back (RewriteCorrelatedScalarSubquery) — the
+    // canonical "aggregate in a filter" shape Q2 started, now with the
+    // aggregate over the FACT table (at 100 TB: one extra lineitem
+    // aggregation co-partitioned on l_partkey, never a per-row scan).
+    // The average is quantized identically on both engines (the
+    // Exact.dsum discipline) so the threshold can never flip on a
+    // last-ulp disagreement; the output is integer cents.
+    "analytics_q17avg" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q17_li")
+      Tables.part(spark, dir).createOrReplaceTempView("graft_q17_part")
+      spark.sql(
+        """SELECT CAST(SUM(FLOOR(l.l_extendedprice * 100 + 0.5)) AS BIGINT) AS revenue_cents,
+          |  COUNT(*) AS n_small_lines
+          |FROM graft_q17_li l JOIN graft_q17_part p ON p.p_partkey = l.l_partkey
+          |WHERE p.p_brand = 'Brand#1'
+          |  AND l.l_quantity < (
+          |    SELECT 0.5 * (SUM(FLOOR(l2.l_quantity * 10000.0 + 0.5)) / 10000.0) / COUNT(*)
+          |    FROM graft_q17_li l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+    },
+
+    // TPC-H Q20-shaped TWO-LEVEL DECORRELATION (r15): an IN subquery
+    // whose body itself filters through a NESTED correlated scalar AVG
+    // (correlated to the IN body's table, not the outermost query).
+    // Catalyst must peel both levels: the inner scalar becomes a
+    // per-partkey aggregate joined inside the IN body, the IN becomes a
+    // left-semi join on s_suppkey. Closes the correlated-subquery
+    // family Q2/Q4/Q17/Q21/Q22 span. Threshold arithmetic quantized as
+    // in q17/q22 so both engines pick the identical supplier set.
+    "analytics_q20nested" -> { (spark, dir) =>
+      Tables.supplier(spark, dir).createOrReplaceTempView("graft_q20_supp")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q20_li")
+      spark.sql(
+        """SELECT s.s_suppkey, s.s_name
+          |FROM graft_q20_supp s
+          |WHERE s.s_suppkey IN (
+          |  SELECT l1.l_suppkey FROM graft_q20_li l1
+          |  WHERE l1.l_partkey <= 30
+          |    AND l1.l_quantity > (
+          |      SELECT 2.0 * (SUM(FLOOR(l2.l_quantity * 10000.0 + 0.5)) / 10000.0) / COUNT(*)
+          |      FROM graft_q20_li l2 WHERE l2.l_partkey = l1.l_partkey))
+          |ORDER BY s.s_suppkey""".stripMargin)
+    },
+
     // TPC-H Q7-shaped: volume shipped between two nation pairs by year —
     // TWO INDEPENDENT dim chains (supplier→nation₁, customer→orders→
     // nation₂) meeting at lineitem, with the symmetric pair predicate
@@ -623,6 +671,24 @@ object Joins {
         |    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c.c_nationkey
         |ORDER BY cntrycode""".stripMargin,
+    "analytics_q17avg" ->
+      """SELECT CAST(SUM(FLOOR(l.l_extendedprice * 100 + 0.5)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_small_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (
+        |    SELECT 0.5 * (SUM(FLOOR(l2.l_quantity * 10000.0 + 0.5)) / 10000.0) / COUNT(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "analytics_q20nested" ->
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey <= 30
+        |    AND l1.l_quantity > (
+        |      SELECT 2.0 * (SUM(FLOOR(l2.l_quantity * 10000.0 + 0.5)) / 10000.0) / COUNT(*)
+        |      FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s.s_suppkey""".stripMargin,
     "analytics_q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

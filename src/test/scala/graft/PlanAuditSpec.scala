@@ -89,6 +89,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"date window not pushed to the orders scan: $pushed")
   }
 
+  test("analytics_q17avg decorrelates the aggregate-in-predicate into aggregate + join") {
+    val p = executed("analytics_q17avg")
+    assert(!p.toString.contains("ScalarSubquery"),
+      "a per-row scalar subquery survived to the physical plan")
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size >= 2,
+      s"expected part⋈lineitem plus the decorrelated avg join, got ${joins.size} joins")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(_.references.exists(_.name.contains("l_partkey"))) => a
+    }
+    assert(aggs.nonEmpty,
+      "no per-partkey aggregate in the plan — the correlated AVG was not decorrelated")
+  }
+
+  test("analytics_q20nested peels both correlation levels: left-semi over a joined aggregate") {
+    val p = executed("analytics_q20nested")
+    assert(!p.toString.contains("ScalarSubquery"),
+      "the nested correlated scalar survived to the physical plan")
+    val types = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType
+    }
+    assert(types.contains(org.apache.spark.sql.catalyst.plans.LeftSemi),
+      s"no LeftSemi in $types — the IN was not decorrelated")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(_.references.exists(_.name.contains("l_partkey"))) => a
+    }
+    assert(aggs.nonEmpty,
+      "no per-partkey aggregate in the plan — the inner scalar was not decorrelated")
+  }
+
   test("analytics_q21multi plans BOTH a left-semi and a left-anti against lineitem") {
     val p = executed("analytics_q21multi")
     val types = collectAll(p) {
