@@ -460,9 +460,11 @@ object GraftExtensions {
     * pair-merge training over the distinct-word table, then the N-deep
     * codegen'd replace chain per word), so a SQL-only user gets real
     * subword token counts without Scala. Training is cached per
-    * (session, table name, textCol, nMerges) — repeated calls and
-    * plan-only paths (EXPLAIN) never re-pay the merge loop; register
-    * the corpus under a NEW name to retrain. */
+    * (session, CONTENT SNAPSHOT, textCol, nMerges) — repeated calls and
+    * plan-only paths (EXPLAIN) over unchanged contents never re-pay the
+    * merge loop, while re-registering different contents under the same
+    * view name (or rewriting the files behind it) retrains instead of
+    * silently serving stale merges (Bpe.mergesForTable). */
   private[graft] val bpeTokenizeTvf = (
     FunctionIdentifier("graft_bpe_tokenize"),
     new ExpressionInfo(

@@ -134,18 +134,36 @@ object Bpe {
       s"${spark.sparkContext.applicationId}:$dir",
       _ => trainMerges(Tables.documents(spark, dir), "text", NMerges))
 
-  /** Trained merges per (application, TABLE NAME, textCol, nMerges) —
-    * the `graft_bpe_tokenize` TVF's cache, so repeated SQL calls (and
-    * plan-only paths like EXPLAIN) pay training ONCE per session per
-    * table. Contract: the cache keys on the table NAME — re-registering
-    * DIFFERENT contents under the same name in one session serves the
-    * already-trained merges (train-once-tokenize-many is the operator's
-    * semantics); register under a new name to retrain. */
+  /** Trained merges for the `graft_bpe_tokenize` TVF, cached per
+    * (application, CONTENT SNAPSHOT, textCol, nMerges) — NOT per table
+    * name: re-registering DIFFERENT contents under the same view name
+    * retrains instead of silently serving the first corpus' merges
+    * (wrong token ids), while repeated calls and plan-only paths
+    * (EXPLAIN) over unchanged contents still pay training once. The
+    * snapshot key is the resolved plan's semantic hash (covers the view
+    * DEFINITION — a different path, filter, or literal relation changes
+    * it) plus, for file-backed tables, each input file's
+    * (path, mtime, len) generation — so an in-place rewrite or append
+    * under the SAME definition retrains too (the DataFileId
+    * discipline). Listing cost is one metadata call per input file per
+    * TVF invocation — the same class as the sidecar staleness gates. */
   private[graft] def mergesForTable(
-      spark: SparkSession, tableName: String, textCol: String, n: Int): Seq[String] =
+      spark: SparkSession, tableName: String, textCol: String, n: Int): Seq[String] = {
+    val df = spark.table(tableName)
+    val planKey = df.queryExecution.analyzed.semanticHash()
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fileKey = df.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      val st = p.getFileSystem(hadoopConf).getFileStatus(p)
+      s"$f#${st.getModificationTime}#${st.getLen}"
+    }.mkString("\n")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$planKey\n$fileKey".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     mergeCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:tvf:$tableName:$textCol:$n",
-      _ => trainMerges(spark.table(tableName), textCol, n))
+      s"${spark.sparkContext.applicationId}:tvf:$digest:$textCol:$n",
+      _ => trainMerges(df, textCol, n))
+  }
 
   val queries: Map[String, Q] = Map(
     // Train-and-tokenize gate: per doc, the BPE token count and an md5 of

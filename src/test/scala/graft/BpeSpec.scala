@@ -48,6 +48,26 @@ class BpeSpec extends AnyFunSuite {
     assert(merged === "|aa|a", s"got '$merged'")
   }
 
+  test("TVF training cache keys on CONTENTS, not view name: re-registering retrains") {
+    graft.functions.GraftExtensions.register(spark)
+    def toks(view: String): Seq[Long] =
+      spark.sql(s"SELECT n_bpe_tokens FROM graft_bpe_tokenize('$view', 'doc_id', 'text', 1) " +
+          "ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    // corpus A trains merge |a|b under this name…
+    docs(1L -> "ab ab ab").createOrReplaceTempView("graft_bpe_stale_t")
+    assert(toks("graft_bpe_stale_t") === Seq(3L)) // three 1-token words
+    // …then corpus B replaces it UNDER THE SAME NAME: pre-fix the
+    // name-keyed cache served A's merges (|a|b does nothing to "zq" →
+    // 6 tokens); content-keyed, B retrains |z|q and gets 3
+    docs(1L -> "zq zq zq").createOrReplaceTempView("graft_bpe_stale_t")
+    val stale = toks("graft_bpe_stale_t")
+    docs(1L -> "zq zq zq").createOrReplaceTempView("graft_bpe_stale_fresh")
+    assert(stale === toks("graft_bpe_stale_fresh"),
+      "same-name re-registration served the FIRST corpus' merges — stale tokenization")
+    assert(stale === Seq(3L))
+  }
+
   test("tokenize counts cells exactly and hashes the full token string") {
     val r = Bpe
       .tokenize(docs(1L -> "line line", 2L -> ""), "doc_id", "text", Seq("|l|i", "|li|n", "|lin|e"))
