@@ -31,10 +31,16 @@ import graft.Tables
   * lambda — all builtin string expressions, whole-stage codegen keeps
   * the hot path fused (no UDF).
   *
-  * Scale posture: train = 1 corpus aggregation + N vocab-sized rounds
-  * (each one small shuffle + a 1-row argmax collect — metadata-scale,
-  * the IVF-centroid class); vocab lineage is checkpoint-bounded every 8
-  * rounds. Apply = pure per-row map at the scan, no shuffle. The oracle
+  * Scale posture (r15): [[trainMergesFast]] is the production trainer —
+  * ONE distributed corpus aggregation, then the merge recurrence runs
+  * driver-side over the distinct-word table with incremental pair-count
+  * maintenance (per-round cost = the chosen pair's word set, no
+  * per-round Spark job; SCALING.md carries the ≥1k-merge rehearsal).
+  * [[trainMerges]] is its one-Spark-job-per-round twin, kept as the
+  * cross-engine anchor the spec equates both against. Apply = pure
+  * per-row map at the scan, no shuffle — the codegen'd replace chain up
+  * to [[ReplaceChainMaxMerges]], the cursor-equivalent
+  * [[tokenizeFast]] mapPartitions twin past it. The oracle
   * recomputes the SAME recurrence in DuckDB as one recursive CTE (the
   * evt_ewma discipline): train over the working vocab table with the
   * argmax as a scalar subquery per iteration, then apply the ranked
@@ -102,10 +108,24 @@ object Bpe {
     merges.result()
   }
 
+  /** Merge depth beyond which [[tokenize]] dispatches to
+    * [[tokenizeFast]]: the codegen'd replace chain nests one builtin
+    * call per merge per word — ideal at gate depth, a generated-method-
+    * size hazard at production depth (the 64 KB JVM method ceiling and
+    * the JIT's inlining budget both lose well before 1k nested calls). */
+  val ReplaceChainMaxMerges = 64
+
   /** Apply the ranked merges to every doc: (id, n_bpe_tokens, tokens_md5,
-    * tokens_str). The merge chain folds into builtin `replace` calls
-    * inside one `transform` — fully codegen'd, no shuffle. */
-  def tokenize(docs: DataFrame, idCol: String, textCol: String, merges: Seq[String]): DataFrame = {
+    * tokens_str). Up to [[ReplaceChainMaxMerges]] merges the chain folds
+    * into builtin `replace` calls inside one `transform` — fully
+    * codegen'd, no shuffle; deeper stacks run the bit-equal
+    * [[tokenizeFast]] mapPartitions twin. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String, merges: Seq[String]): DataFrame =
+    if (merges.size > ReplaceChainMaxMerges) tokenizeFast(docs, idCol, textCol, merges)
+    else tokenizeChain(docs, idCol, textCol, merges)
+
+  private[graft] def tokenizeChain(
+      docs: DataFrame, idCol: String, textCol: String, merges: Seq[String]): DataFrame = {
     val mergedWords = transform(
       wordsExpr(textCol),
       w =>
@@ -124,6 +144,186 @@ object Bpe {
         col("tokens_str"))
   }
 
+  // ------------------------------------------------------------------
+  // PRODUCTION-SCALE training + application (r15). [[trainMerges]] runs
+  // one Spark job per merge round — fine at gate scale (30 merges), but
+  // a realistic 32k-merge vocab would be 32k Spark jobs. The scale
+  // recipe is the classic trainer's (Sennrich et al. 2016, learn_bpe —
+  // public algorithm): the CORPUS-scale work (word counting) stays
+  // distributed and runs ONCE; the merge recurrence then runs
+  // driver-side over the distinct-WORD table with INCREMENTAL
+  // pair-count maintenance — each round touches only the words that
+  // contain the chosen pair, so per-round cost tracks that pair's word
+  // set, not the vocab, and there is no per-round Spark job at all.
+  // The word table is metadata-scale relative to the corpus (distinct
+  // natural-language words: millions at 100 TB — the IVF-codebook
+  // class), guarded by a LOUD cap + a deterministic minWordFreq
+  // pre-filter for the long tail. Application at deep merge stacks is
+  // [[tokenizeFast]] — a mapPartitions twin of the replace chain (the
+  // N-deep chain stops being codegen-friendly past ~10² merges).
+  // BpeSpec pins both twins equal to the Spark-side originals
+  // merge-for-merge and token-for-token.
+  // ------------------------------------------------------------------
+
+  /** [[trainMerges]]' incremental twin: identical merge sequence (same
+    * counts, same (freq DESC, pattern ASC) argmax, same greedy
+    * left-to-right vocab update), one distributed corpus aggregation +
+    * a driver-side loop instead of nMerges Spark jobs.
+    *
+    * @param minWordFreq  drop vocab words rarer than this BEFORE
+    *                     training — the standard long-tail economy.
+    *                     Default 1 (keep all) because it CHANGES the
+    *                     trained merges; raise it deliberately.
+    * @param maxVocabWords loud driver-memory guard: training refuses
+    *                     (with the minWordFreq remedy) rather than
+    *                     silently OOMing or truncating. */
+  def trainMergesFast(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int = NMerges,
+      minWordFreq: Long = 1L,
+      maxVocabWords: Int = 10000000): Seq[String] = {
+    val raw: Array[(String, Long)] = docs
+      .select(explode(wordsExpr(textCol)).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minWordFreq)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(raw.length <= maxVocabWords,
+      s"BPE vocab has ${raw.length} distinct words (> $maxVocabWords cap) — raise " +
+        "maxVocabWords if the driver can hold it, or set minWordFreq to drop the long tail " +
+        "(changes the trained merges, as any vocab pre-filter does)")
+    trainOnVocab(raw, nMerges)
+  }
+
+  /** The driver-side recurrence over a (word, freq) table.
+    *
+    * Semantics note — the recurrence's DEFINITION is the literal string
+    * `replace` on the cell encoding (what [[trainMerges]], [[tokenize]]
+    * and the DuckDB oracle all run), which is NOT always a symbol-aware
+    * merge: a pattern's trailing symbol can match a PREFIX of a longer
+    * symbol ("|aa|aa" under merge "|aa|a" → "|aaaa", absorbing a
+    * partial cell). Ranking still counts split-aligned pairs (the
+    * pairsExpr definition). This twin replicates both exactly — words
+    * stay cell-encoded STRINGS, rewrites are Java String.replace (same
+    * literal left-to-right non-overlapping contract), and candidate
+    * words per round come from a (symbol, next-first-char) index that
+    * covers prefix-matching occurrences too, confirmed by a substring
+    * check. Patterns compare as ASCII (words are [a-z]+ runs, so Java
+    * UTF-16 order ≡ the engines' UTF-8 order). */
+  private[graft] def trainOnVocab(raw: Array[(String, Long)], nMerges: Int): Seq[String] = {
+    import scala.collection.mutable
+    val words: Array[String] = raw.map(r => r._1.flatMap(c => "|" + c))
+    val freqs: Array[Long] = raw.map(_._2)
+    val counts = mutable.HashMap.empty[String, Long] // "|a|b" -> freq-weighted pair count
+    // (symbol, first char of the NEXT symbol) -> word idxs: a superset
+    // index over substring occurrences — pattern "|a|b" can only occur
+    // where symbol a is followed by a symbol STARTING with b
+    val occ = mutable.HashMap.empty[(String, Char), mutable.Set[Int]]
+    def withPairs(idx: Int)(f: (String, String) => Unit): Unit = {
+      val sym = words(idx).split("\\|")
+      var i = 1
+      while (i < sym.length - 1) { f(sym(i), sym(i + 1)); i += 1 }
+    }
+    def index(idx: Int): Unit = withPairs(idx) { (a, b) =>
+      counts.update("|" + a + "|" + b, counts.getOrElse("|" + a + "|" + b, 0L) + freqs(idx))
+      occ.getOrElseUpdate((a, b.head), mutable.Set.empty) += idx
+    }
+    def retract(idx: Int): Unit = withPairs(idx) { (a, b) =>
+      val p = "|" + a + "|" + b
+      val c = counts.getOrElse(p, 0L) - freqs(idx)
+      if (c == 0L) counts.remove(p) else counts.update(p, c)
+      occ.get((a, b.head)).foreach(_ -= idx)
+    }
+    words.indices.foreach(index)
+    val merges = Seq.newBuilder[String]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      if (counts.isEmpty) done = true
+      else {
+        // argmax (count DESC, pattern ASC) — the trainMerges orderBy
+        var bestP: String = null; var bestC = Long.MinValue
+        counts.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC && p < bestP)) { bestP = p; bestC = c }
+        }
+        merges += bestP
+        val parts = bestP.split("\\|") // ["", a, b]
+        val rep = repOf(bestP)
+        val candidates = occ.getOrElse((parts(1), parts(2).head), mutable.Set.empty)
+          .toArray.sorted
+        candidates.foreach { idx =>
+          if (words(idx).contains(bestP)) {
+            retract(idx)
+            words(idx) = words(idx).replace(bestP, rep)
+            index(idx)
+          }
+        }
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  /** Replace-chain application, mapPartitions twin — the deep-stack
+    * path: the fold of N builtin `replace`s codegens N nested calls per
+    * word (fine at 30, a generated-method-size / JIT hazard at 1k+).
+    * Semantics are EXACTLY the chain's — the same literal left-to-right
+    * non-overlapping replace per merge in rank order, Java
+    * String.replace sharing that contract with Spark's and DuckDB's —
+    * including the prefix-absorbing corner the cell encoding permits
+    * (see [[trainOnVocab]]) and duplicate patterns in the stack.
+    * Per-partition word memoization makes the fold cost per DISTINCT
+    * word, not per token — the same vocab-not-corpus economy as
+    * training. Output schema and arithmetic are [[tokenize]]'s (BpeSpec
+    * pins token-for-token equality). */
+  def tokenizeFast(
+      docs: DataFrame, idCol: String, textCol: String, merges: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val bcMerges = spark.sparkContext.broadcast(
+      merges.toArray.map(bp => (bp, repOf(bp))))
+    val base = docs.select(col(idCol), wordsExpr(textCol).as("__ws"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      base.schema.head,
+      org.apache.spark.sql.types.StructField(
+        "tokens_str", org.apache.spark.sql.types.StringType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val rendered = base.mapPartitions { it =>
+      val ms = bcMerges.value
+      val memo = new java.util.HashMap[String, String]()
+      def mergedOf(w: String): String = {
+        val hit = memo.get(w)
+        if (hit != null) hit
+        else {
+          var s = w.flatMap(c => "|" + c)
+          var i = 0
+          while (i < ms.length) {
+            val (bp, rep) = ms(i)
+            // String.contains pre-check: replace allocates on every call,
+            // and most merges never occur in a given word
+            if (s.contains(bp)) s = s.replace(bp, rep)
+            i += 1
+          }
+          memo.put(w, s)
+          s
+        }
+      }
+      it.map { row =>
+        val ws = if (row.isNullAt(1)) Seq.empty[String] else row.getSeq[String](1)
+        org.apache.spark.sql.Row(row.get(0), ws.map(mergedOf).mkString(" "))
+      }
+    }
+    rendered.select(
+      col(idCol),
+      (length(col("tokens_str")) - length(replace(col("tokens_str"), lit("|"), lit(""))))
+        .cast("long")
+        .as("n_bpe_tokens"),
+      md5(col("tokens_str")).as("tokens_md5"),
+      col("tokens_str"))
+  }
+
   /** Trained merges per (application, fixture): training is paid once per
     * JVM; the three gated queries (tokens / budget / pack) share it — the
     * production shape too: train once, tokenize many. */
@@ -132,7 +332,7 @@ object Bpe {
   private[graft] def fixtureMerges(spark: SparkSession, dir: String): Seq[String] =
     mergeCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}:$dir",
-      _ => trainMerges(Tables.documents(spark, dir), "text", NMerges))
+      _ => trainMergesFast(Tables.documents(spark, dir), "text", NMerges))
 
   /** Trained merges for the `graft_bpe_tokenize` TVF, cached per
     * (application, CONTENT SNAPSHOT, textCol, nMerges) — NOT per table
@@ -162,7 +362,7 @@ object Bpe {
       .map("%02x".format(_)).mkString
     mergeCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}:tvf:$digest:$textCol:$n",
-      _ => trainMerges(df, textCol, n))
+      _ => trainMergesFast(df, textCol, n))
   }
 
   val queries: Map[String, Q] = Map(

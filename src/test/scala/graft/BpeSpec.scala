@@ -48,6 +48,81 @@ class BpeSpec extends AnyFunSuite {
     assert(merged === "|aa|a", s"got '$merged'")
   }
 
+  // ------------- production-scale twins (r15): incremental trainer + cursor apply -------------
+
+  private def tokensBy(
+      f: (org.apache.spark.sql.DataFrame, String, String, Seq[String]) => org.apache.spark.sql.DataFrame,
+      d: org.apache.spark.sql.DataFrame,
+      merges: Seq[String]): Map[Long, String] =
+    f(d, "doc_id", "text", merges)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tokens_str"))
+      .toMap
+
+  test("trainMergesFast ≡ trainMerges merge-for-merge (fixture + ties + overlap + exhaustion)") {
+    val fixtures = Seq(
+      docs(1L -> "ab ab ab zq zq zq"),                       // the tie case
+      docs(1L -> "aaa aaaa aa"),                             // overlap ranking + greedy update
+      docs(1L -> "lower lower power tower flower",
+           2L -> "slow slower slowest low lowest",
+           3L -> "power flower tower glow"),
+      docs(1L -> "ab", 2L -> "ba"),                          // exhaustion well before nMerges
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    fixtures.foreach { d =>
+      val slow = Bpe.trainMerges(d, "text", 30)
+      val fast = Bpe.trainMergesFast(d, "text", 30)
+      assert(fast === slow, "incremental trainer diverged from the per-round Spark trainer")
+    }
+  }
+
+  test("tokenizeFast ≡ the replace chain token-for-token (incl. trained fixture merges)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMergesFast(d, "text", 30)
+    assert(tokensBy(Bpe.tokenizeFast, d, merges) === tokensBy(Bpe.tokenizeChain, d, merges))
+    // crafted: overlap, rank order, empty doc, duplicate-pattern stack
+    val crafted = docs(1L -> "aaa abab", 2L -> "", 3L -> "banana bandana")
+    for (m <- Seq(
+        Seq("|a|a"),
+        Seq("|a|b", "|ab|a"),
+        Seq("|a|n", "|b|an", "|ban|an", "|a|n"), // duplicate pattern: chain applies BOTH ranks
+        Bpe.trainMergesFast(crafted, "text", 12))) {
+      assert(tokensBy(Bpe.tokenizeFast, crafted, m) === tokensBy(Bpe.tokenizeChain, crafted, m),
+        s"cursor apply diverged from the replace chain on merges $m")
+    }
+  }
+
+  test("tokenizeFast ≡ chain on seeded pseudo-random corpora with trained merges") {
+    // deterministic LCG corpora — ANN-style worst-case soup of short
+    // repetitive words, where overlap/duplicate-pattern edge cases breed
+    var s = 12345L
+    def nxt(): Int = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33).toInt }
+    val alpha = "abc"
+    val d = docs((1L to 40L).map { id =>
+      val words = (0 until 8).map { _ =>
+        val len = 1 + math.floorMod(nxt(), 6)
+        (0 until len).map(_ => alpha(math.floorMod(nxt(), alpha.length))).mkString
+      }
+      id -> words.mkString(" ")
+    }: _*)
+    val merges = Bpe.trainMergesFast(d, "text", 40)
+    assert(merges.nonEmpty)
+    assert(merges === Bpe.trainMerges(d, "text", 40))
+    assert(tokensBy(Bpe.tokenizeFast, d, merges) === tokensBy(Bpe.tokenizeChain, d, merges))
+  }
+
+  test("deep merge stacks dispatch to tokenizeFast and stay consistent") {
+    // > ReplaceChainMaxMerges merges: tokenize() must route to the
+    // mapPartitions twin (the chain would codegen 1k nested replaces);
+    // consistency is pinned against the chain on the same merges
+    val d = docs(1L -> "interrelated internationalization interoperability",
+                 2L -> "internal international intern relation rationalization")
+    val merges = Bpe.trainMergesFast(d, "text", 100) // exhausts below 100 — still > threshold? guard:
+    val deep = if (merges.size > Bpe.ReplaceChainMaxMerges) merges
+               else merges ++ Seq.fill(Bpe.ReplaceChainMaxMerges + 1 - merges.size)("|q|q")
+    assert(tokensBy((dd, i, t, m) => Bpe.tokenize(dd, i, t, m), d, deep) ===
+      tokensBy(Bpe.tokenizeChain, d, deep))
+  }
+
   test("TVF training cache keys on CONTENTS, not view name: re-registering retrains") {
     graft.functions.GraftExtensions.register(spark)
     def toks(view: String): Seq[Long] =
