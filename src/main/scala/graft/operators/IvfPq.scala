@@ -267,7 +267,9 @@ object IvfPq {
   /** [[searchPq]] against a materialized code index: the probed cluster
     * ids (metadata-scale) become a planning-time partition filter, so
     * the candidate scan reads nProbe `cl=` dirs — identical results to
-    * the in-memory spelling (IvfPqLayoutSpec pins both properties). */
+    * the in-memory spelling (IvfPqLayoutSpec pins both properties).
+    * Set `spilled = true` for an index written from a spill-assigned
+    * corpus ([[IvfIndex.assignSpilled]]). */
   def searchIndexedPq(
       indexPath: String,
       corpus: DataFrame,
@@ -275,18 +277,50 @@ object IvfPq {
       pq: PqModel,
       nProbe: Int,
       topK: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int,
+      spilled: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val (probedPairs, tables) = probePlan(probes, pq, nProbe)
     val probedClusters = probedPairs.map(_._2).distinct.toSeq
     val encoded = spark.read.parquet(indexPath).filter(col("cl").isin(probedClusters: _*))
-    scoreAndRerank(corpus, encoded, probes, probedPairs, tables, topK, shortlist)
+    scoreAndRerank(corpus, encoded, probes, probedPairs, tables, topK, shortlist, spilled)
+  }
+
+  /** [[searchIndexedPq]] over a maintained code index: the immutable
+    * base layout plus the [[appendEncodedSink]] delta, both pruned to
+    * the probed `cl=` partitions (the StreamingIvfAppend recipe applied
+    * to CODES). `corpus` must cover the appended vectors too — the
+    * exact re-rank fetches full vectors for the shortlist from it. */
+  def searchIndexedPqWithDelta(
+      basePath: String,
+      deltaPath: String,
+      corpus: DataFrame,
+      probes: DataFrame,
+      pq: PqModel,
+      nProbe: Int,
+      topK: Int,
+      shortlist: Int,
+      spilled: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    val (probedPairs, tables) = probePlan(probes, pq, nProbe)
+    val probedClusters = probedPairs.map(_._2).distinct.toSeq
+    val base = spark.read.parquet(basePath)
+    // schema pinned from the base so an initialized-but-empty delta
+    // (manifest present, zero committed files) still unions cleanly
+    val delta = spark.read.schema(base.schema).parquet(deltaPath)
+    val encoded = base.unionByName(delta).filter(col("cl").isin(probedClusters: _*))
+    scoreAndRerank(corpus, encoded, probes, probedPairs, tables, topK, shortlist, spilled)
   }
 
   /** IVFADC search + exact re-rank. `corpus` = (vec_id, v) — the base
     * table the shortlist fetches full vectors from; `encoded` = the
     * code table ([[encode]] output); `probes` = (q_id, qv), a
-    * serving-sized batch. Returns (q_id, rnk, vec_id, cos). */
+    * serving-sized batch. Returns (q_id, rnk, vec_id, cos).
+    * `spilled = true` for a spill-assigned corpus: one vector can carry
+    * codes under BOTH its home and runner-up clusters, so candidates
+    * dedupe per (q_id, vec_id) on the BEST (smallest) ADC distance
+    * before the shortlist window — deterministic, and the duplicate can
+    * never burn two shortlist slots. */
   def searchPq(
       corpus: DataFrame,
       encoded: DataFrame,
@@ -294,9 +328,10 @@ object IvfPq {
       pq: PqModel,
       nProbe: Int,
       topK: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int,
+      spilled: Boolean = false): DataFrame = {
     val (probedPairs, tables) = probePlan(probes, pq, nProbe)
-    scoreAndRerank(corpus, encoded, probes, probedPairs, tables, topK, shortlist)
+    scoreAndRerank(corpus, encoded, probes, probedPairs, tables, topK, shortlist, spilled)
   }
 
   private def scoreAndRerank(
@@ -306,7 +341,8 @@ object IvfPq {
       probedPairs: Array[(Long, Int)],
       tables: Map[(Long, Int), Array[Array[Double]]],
       topK: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int,
+      spilled: Boolean): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.functions.GraftExtensions.register(spark)
@@ -320,11 +356,17 @@ object IvfPq {
       while (sub < codes.length) { s += t(sub)(codes(sub)); sub += 1 }
       s
     }
-    val wApprox = Window.partitionBy(col("q_id")).orderBy(col("approx").asc, col("vec_id").asc)
-    val short = encoded
+    val scored = encoded
       .join(broadcast(probedDf), Seq("cl"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx", adc(col("q_id"), col("cl"), col("codes")))
+    // a spilled vector reachable through two probed clusters scores
+    // twice (different residual books) — keep its best ADC distance
+    val cands =
+      if (spilled) scored.groupBy(col("q_id"), col("vec_id")).agg(min(col("approx")).as("approx"))
+      else scored
+    val wApprox = Window.partitionBy(col("q_id")).orderBy(col("approx").asc, col("vec_id").asc)
+    val short = cands
       .withColumn("arn", row_number().over(wApprox))
       .filter(col("arn") <= shortlist)
       .select(col("q_id"), col("vec_id"))
@@ -337,6 +379,99 @@ object IvfPq {
       .withColumn("rnk", row_number().over(wr).cast("long"))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /** Persist the residual codebooks next to their data — the PQ half of
+    * the model lifecycle ([[IvfIndex.saveModel]] holds the coarse half):
+    * one parquet row per (cl, sub, code) codeword plus the (m, nCodes)
+    * geometry on every row. The q6-quantized doubles survive a parquet
+    * round trip bit-exactly, so a loaded model encodes and searches
+    * identically to the in-memory original (IvfPqLayoutSpec pins
+    * load(save(pq)) ≡ pq and search parity). k·m·nCodes rows —
+    * metadata-scale, the training-collect class. */
+  def savePqModel(
+      spark: org.apache.spark.sql.SparkSession, pq: PqModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = pq.books.toSeq.flatMap { case (cl, subs) =>
+      subs.iterator.zipWithIndex.flatMap { case (codes, sub) =>
+        codes.iterator.zipWithIndex.map { case (cw, code) =>
+          (cl, sub, code, cw.toSeq, pq.m, pq.nCodes)
+        }
+      }
+    }
+    rows.toDF("cl", "sub", "code", "cw", "m", "n_codes")
+      .coalesce(1)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Load codebooks persisted by [[savePqModel]], rebinding them to the
+    * (separately persisted) coarse model. Refuses non-dense sub/code
+    * ids loudly — not a savePqModel artifact. */
+  def loadPqModel(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      coarse: IvfIndex.Model): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cl"), col("sub"), col("code"), col("cw"), col("m"), col("n_codes"))
+      .as[(Int, Int, Int, Seq[Double], Int, Int)]
+      .collect()
+    require(rows.nonEmpty, s"no PQ codebook rows at $path")
+    val ms = rows.map(_._5).distinct
+    val ncs = rows.map(_._6).distinct
+    require(ms.length == 1 && ncs.length == 1,
+      s"inconsistent PQ geometry at $path: m=$ms nCodes=$ncs — not a savePqModel artifact")
+    val books = rows.groupBy(_._1).map { case (cl, clRows) =>
+      val bySub = clRows.groupBy(_._2).toSeq.sortBy(_._1)
+      require(bySub.map(_._1) == bySub.indices,
+        s"non-dense subspace ids for cl=$cl at $path — not a savePqModel artifact")
+      cl -> bySub.map { case (_, subRows) =>
+        val byCode = subRows.sortBy(_._3)
+        require(byCode.map(_._3).toSeq == byCode.indices.toSeq,
+          s"non-dense code ids for cl=$cl at $path — not a savePqModel artifact")
+        byCode.map(_._4.toArray).toArray
+      }.toArray
+    }
+    PqModel(coarse, ms.head, ncs.head, books)
+  }
+
+  /** Streaming maintenance for a materialized PQ code index: appended
+    * vectors are coarse-assigned with the build-time codegen expression,
+    * encoded against the FROZEN books ([[encode]] — bookless clusters
+    * re-home, so every append stays searchable), and land in a
+    * cluster-partitioned DELTA dir via the manifest-committed file sink
+    * — the StreamingIvfAppend recipe applied to codes, inheriting the
+    * same exactly-once contract. [[searchIndexedPqWithDelta]] reads
+    * base ∪ delta with both scans pruned to the probed partitions.
+    * Books stay frozen between retrains (FAISS's add-after-train
+    * discipline); fold the delta by re-encoding offline when residual
+    * drift accumulates. */
+  def appendEncodedSink(
+      stream: DataFrame,
+      pq: PqModel,
+      deltaPath: String,
+      checkpoint: String,
+      vCol: String = "v",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(pq.coarse.k <= IvfIndex.LiteralAssignMaxK,
+      s"streaming append uses the codegen assignment path; k=${pq.coarse.k} exceeds " +
+        s"${IvfIndex.LiteralAssignMaxK}")
+    val assigned = stream
+      .withColumn("cl", IvfIndex.assignExpr(pq.coarse, col(vCol)))
+      .select(col("vec_id"), col(vCol).as("v"), col("cl"))
+    encode(assigned, pq)
+      .writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", deltaPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cl")
+      .trigger(trigger)
+      .start()
   }
 
   /** Driver-side cosine for probed-cluster selection (quantized like the

@@ -80,6 +80,103 @@ class IvfPqLayoutSpec extends AnyFunSuite {
     assert(rehomed === expected, "re-homing disagreed with the quantized-cosine argmax")
   }
 
+  test("spilled composition: indexed ≡ in-memory, dedupe keeps exactly one row per pair") {
+    val e = corpus()
+    val coarse = IvfIndex.train(e, k = 10, iters = 3)
+    val sp = IvfIndex.assignSpilled(e, coarse, spillMargin = 0.1)
+    val pq = IvfPq.train(sp, coarse, m = 8, nCodes = 16)
+    val path = "/root/repo/tmp/graft_io/ivfpq_spilled_spec"
+    IvfPq.writeIndexedPq(sp, pq, path)
+    val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val indexed = IvfPq.searchIndexedPq(path, e, probes, pq,
+      nProbe = 4, topK = 5, shortlist = 25, spilled = true)
+    val inMem = IvfPq.searchPq(e, IvfPq.encode(sp, pq), probes, pq,
+      nProbe = 4, topK = 5, shortlist = 25, spilled = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rnk", "vec_id").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(indexed) === rows(inMem))
+    // no (q_id, vec_id) pair may appear twice — the spill dedupe claim
+    val dups = indexed.groupBy("q_id", "vec_id").count().filter(col("count") > 1).count()
+    assert(dups === 0L, "a spilled vector surfaced twice in one query's ranking")
+  }
+
+  test("PQ model round-trips bit-exactly through savePqModel/loadPqModel (search parity)") {
+    val e = corpus()
+    val coarse = IvfIndex.train(e, k = 10, iters = 3)
+    val assigned = IvfIndex.assignAuto(e, coarse)
+    val pq = IvfPq.train(assigned, coarse, m = 8, nCodes = 16)
+    val path = "/root/repo/tmp/graft_io/ivfpq_model_spec"
+    IvfPq.savePqModel(spark, pq, path)
+    val loaded = IvfPq.loadPqModel(spark, path, coarse)
+    assert(loaded.m === pq.m && loaded.nCodes === pq.nCodes)
+    assert(loaded.books.keySet === pq.books.keySet)
+    pq.books.foreach { case (cl, subs) =>
+      subs.zip(loaded.books(cl)).foreach { case (s1, s2) =>
+        assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq,
+          s"codebook cl=$cl changed across the parquet round trip")
+      }
+    }
+    val probes = e.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def rows(m: IvfPq.PqModel) = IvfPq
+      .searchPq(e, IvfPq.encode(assigned, m), probes, m, nProbe = 3, topK = 5, shortlist = 25)
+      .select("q_id", "rnk", "vec_id").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(loaded) === rows(pq), "loaded model ranked differently")
+    // a missing artifact is refused loudly, never an empty model
+    val ex = intercept[Exception] {
+      IvfPq.loadPqModel(spark, "/root/repo/tmp/graft_io/ivfpq_model_spec_missing", coarse)
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("frozen-books streaming append: parity with a batch re-encode of the union") {
+    val s = spark
+    import s.implicits._
+    def tmp(n: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$n"); p.toFile.deleteOnExit(); p.toString
+    }
+    val basePath = tmp("pq_base"); val deltaPath = tmp("pq_delta")
+    val ckpt = tmp("pq_ckpt"); val unionPath = tmp("pq_union")
+    val all = corpus().localCheckpoint()
+    val base = all.filter(col("vec_id") < 400)
+    val appended = all.filter(col("vec_id") >= 400)
+    val coarse = IvfIndex.train(base, k = 8, iters = 3)
+    val pq = IvfPq.train(IvfIndex.assignAuto(base, coarse), coarse, m = 8, nCodes = 16)
+    IvfPq.writeIndexedPq(IvfIndex.assignAuto(base, coarse), pq, basePath)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val stream = ms.toDF().toDF("vec_id", "v")
+    val newRows = appended.select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def drain(): Unit = {
+      val q = IvfPq.appendEncodedSink(stream, pq, deltaPath, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    ms.addData(newRows.take(newRows.length / 2).toSeq); drain()
+    ms.addData(newRows.drop(newRows.length / 2).toSeq); drain()
+    assert(spark.read.parquet(deltaPath).count() === newRows.length.toLong)
+
+    // parity: identical ranking vs a batch-written index over the union
+    // with the SAME frozen model and books
+    IvfPq.writeIndexedPq(IvfIndex.assignAuto(all, coarse), pq, unionPath)
+    val probes = all.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rnk", "vec_id").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaDelta = rows(IvfPq.searchIndexedPqWithDelta(
+      basePath, deltaPath, all, probes, pq, nProbe = 3, topK = 5, shortlist = 25))
+    val viaBatch = rows(IvfPq.searchIndexedPq(
+      unionPath, all, probes, pq, nProbe = 3, topK = 5, shortlist = 25))
+    assert(viaDelta === viaBatch, "maintained code index ranked differently from batch rebuild")
+
+    // exactly-once: checkpoint replay with no new data adds nothing
+    drain()
+    assert(spark.read.parquet(deltaPath).count() === newRows.length.toLong,
+      "replay duplicated delta code rows")
+  }
+
   test("indexed PQ search ≡ in-memory searchPq, and the code scan prunes partitions") {
     val e = corpus()
     val coarse = IvfIndex.train(e, k = 10, iters = 3)

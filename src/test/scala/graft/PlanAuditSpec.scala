@@ -164,6 +164,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"phrase legs lost the term pushdown: $pushed")
   }
 
+  test("sim_ann_ivfpq_idx prunes the code scan to the probed cl= partitions") {
+    // the persisted PQ layout's whole point: the candidate stage reads
+    // nProbe cluster directories of ~10 B/vec codes, never the corpus —
+    // the probed ids must survive as a planning-time partition filter
+    val scans = collectAll(executed("sim_ann_ivfpq_idx")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("ivfpq_idx")) => f
+    }
+    assert(scans.nonEmpty, "no parquet scan over the PQ code index found")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "the code scan lost its planning-time partition filter — full-layout sweep")
+  }
+
   test("star join broadcasts its dimension tables") {
     val bc = collectAll(executed("join_star_broadcast")) { case b: BroadcastExchangeExec => b }
     assert(bc.size >= 2, s"expected >=2 broadcast exchanges, got ${bc.size}")
