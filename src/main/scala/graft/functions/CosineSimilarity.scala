@@ -131,6 +131,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.ewmaTvf)
     ext.injectTableFunction(GraftExtensions.maxsimTvf)
     ext.injectTableFunction(GraftExtensions.phraseSearchTvf)
+    ext.injectTableFunction(GraftExtensions.phraseSearchIdxTvf)
     ext.injectTableFunction(GraftExtensions.bpeTokenizeTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
   }
@@ -451,6 +452,33 @@ object GraftExtensions {
         str(children(1), "idCol"),
         str(children(2), "textCol"))
       graft.operators.TextIndex.phraseSearch(postings, phrase).queryExecution.analyzed
+    }
+  )
+
+  /** SQL surface for phrase search through the PERSISTED postings
+    * index: graft_phrase_search_idx(docsPath, indexDir, 'the phrase')
+    * → (doc_id, n_hits). Lowering is `TextIndex.phraseSearchIndexed` —
+    * the legs read the sidecar-committed, term-clustered index (per-
+    * term file pruning) instead of re-exploding the corpus, and the
+    * call REFUSES loudly when the doc table changed after indexing
+    * (the staleness fingerprint), exactly like the Scala spelling. A
+    * SQL-only user reaches the maintained index with one call; build
+    * and refresh stay maintenance-side (buildPostingsIndex /
+    * updatePostingsIndex), like any database index. */
+  private[graft] val phraseSearchIdxTvf = (
+    FunctionIdentifier("graft_phrase_search_idx"),
+    new ExpressionInfo(
+      graft.operators.TextIndex.getClass.getName, "graft_phrase_search_idx"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 3,
+        s"graft_phrase_search_idx expects (docsPath, indexDir, phrase), got ${children.length}")
+      val str = tvfStr("graft_phrase_search_idx") _
+      val spark = SparkSession.active
+      val phrase = str(children(2), "phrase").split("\\s+").toSeq.filter(_.nonEmpty)
+      graft.operators.TextIndex
+        .phraseSearchIndexed(spark, str(children(0), "docsPath"), str(children(1), "indexDir"), phrase)
+        .queryExecution.analyzed
     }
   )
 

@@ -309,6 +309,24 @@ object TextIndex {
         .orderBy(col("doc_id"))
     },
 
+    // The SQL spelling of the PERSISTED index: build/refresh stay
+    // maintenance-side (like any database index), the SEARCH is one
+    // graft_phrase_search_idx call over (docsPath, indexDir) — same
+    // staleness refusal, same term-pruned legs, same oracle BY
+    // REFERENCE as text_phrase_search_idx.
+    "sql_phrase_search_idx" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val docsPath = s"$dir/documents.parquet"
+      val idx = s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
+        s"postings_idx_sql_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+      spark.sql(
+        s"""SELECT doc_id, n_hits
+           |FROM graft_phrase_search_idx('$docsPath', '$idx',
+           |                             '${FixturePhrase.mkString(" ")}')
+           |ORDER BY doc_id""".stripMargin)
+    },
+
     // The SQL spelling: the same leg-join plan reached through the
     // graft_phrase_search TABLE FUNCTION — same oracle BY REFERENCE, so
     // a SQL-only user gets index-shaped phrase counting from one call.
@@ -337,6 +355,7 @@ object TextIndex {
     "text_phrase_search" -> phraseOracle,
     // persisted-index and TVF spellings share the contract by reference
     "text_phrase_search_idx" -> phraseOracle,
+    "sql_phrase_search_idx" -> phraseOracle,
     "sql_phrase_search" -> phraseOracle
   )
 }
