@@ -126,6 +126,28 @@ object TextIndex {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(stage)
 
+  /** Default sidecar root for a table's postings index: underscore-
+    * prefixed INSIDE the table dir (hidden from scans — the
+    * `_spark_metadata` convention), one per (idCol, textCol). */
+  def defaultIndexDir(docsPath: String, idCol: String, textCol: String): String =
+    s"$docsPath/_postings_${idCol}_$textCol"
+
+  /** Build-or-refresh in one call — the idempotent spelling streaming
+    * maintenance hooks need (StreamSinks.maintainedParquetSink): first
+    * batch bootstraps the index, every later batch pays O(changed
+    * files); an unchanged listing returns (0, 0) untouched.
+    * @return (filesAdded, filesRemoved) — a full build reports
+    *         (snapshotSize, 0) */
+  def refreshPostingsIndex(
+      spark: SparkSession,
+      docsPath: String,
+      idCol: String,
+      textCol: String,
+      indexDir: String): (Int, Int) =
+    if (graft.sources.Sidecar.current(spark, indexDir).isEmpty)
+      (buildPostingsIndex(spark, docsPath, idCol, textCol, indexDir), 0)
+    else updatePostingsIndex(spark, docsPath, idCol, textCol, indexDir)
+
   /** Full postings build over the doc table at `docsPath`, committed to
     * the sidecar at `indexDir`. One listing is the snapshot for BOTH the
     * scan and the fingerprint (the bloom-index discipline: a concurrently

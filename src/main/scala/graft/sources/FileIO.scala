@@ -363,6 +363,24 @@ object FileIO {
     (fresh.size, gone.size)
   }
 
+  /** Build-or-refresh in one call — the idempotent spelling streaming
+    * maintenance hooks need ([[graft.streaming.StreamSinks
+    * .maintainedParquetSink]]): first batch bootstraps the sidecar,
+    * every later batch pays O(changed files). Safe to call redundantly
+    * (an unchanged listing returns (0, 0) without touching anything).
+    * @return (filesAdded, filesRemoved) — the full build reports
+    *         (snapshotSize, 0) */
+  def refreshBloomIndex(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      fpp: Double = 0.01,
+      format: String = "parquet"
+  ): (Int, Int) =
+    if (Sidecar.current(spark, bloomRoot(path, keyCol)).isEmpty)
+      (buildBloomIndex(spark, path, keyCol, fpp, format), 0)
+    else updateBloomIndex(spark, path, keyCol, fpp, format)
+
   /** BLOOM-FILTER FILE-SKIPPING INDEX (table maintenance — the
     * Delta/Iceberg bloom sidecar): point lookups on a NON-clustering
     * key normally open every file (min/max row-group stats are useless

@@ -352,6 +352,80 @@ object StreamSinks {
     * signal comes from StreamingQueryProgress.eventTime — in session TZ,
     * no hack — via a listener any metrics backend can subscribe to.
     */
+  /** INDEX-MAINTAINED streaming table sink (r15): every committed
+    * micro-batch keeps the table's sidecar indexes fresh, so readers
+    * lookup/search WITHOUT a rebuild instead of hitting the loud
+    * staleness refusal after every append.
+    *
+    * Data path — exactly-once by IDEMPOTENT PLACEMENT (the AggView
+    * ledger idea applied to files): each batch lands wholesale in a
+    * deterministic `graft_batch=<id>/` Hive-style subdir written with
+    * Overwrite, so a checkpoint replay of the same batch rewrites the
+    * same directory instead of appending duplicates (Structured
+    * Streaming logs offsets before execution: a given batchId always
+    * carries the same rows). Plain `spark.read` over the table root
+    * works with no manifest awareness — partition discovery surfaces
+    * the batch id as a `graft_batch` audit column — at the cost of a
+    * replay/crash window where one batch dir may be mid-rewrite;
+    * strict readers that cannot tolerate it should use [[parquetSink]]
+    * (manifest-gated) and run the refreshers on the maintenance
+    * cadence instead.
+    *
+    * Maintenance path — after the batch's data write, each registered
+    * index refreshes via its build-or-update spelling
+    * (FileIO.refreshBloomIndex / TextIndex.refreshPostingsIndex):
+    * O(new files) per batch, committed by the Sidecar's atomic pointer
+    * flip. A crash BETWEEN data write and refresh leaves the index
+    * loudly stale (never silently wrong); the replayed batch repairs it
+    * — the refreshers are pure listing-vs-fingerprint diffs, so
+    * re-running them is a no-op. MaintainedSinkSpec pins freshness,
+    * O(new files) refresh, and checkpoint-restart behavior.
+    *
+    * @param bloomKeys     long-castable key columns to maintain bloom
+    *                      file-skipping sidecars for
+    * @param postingsCols  optional (idCol, textCol) to maintain a
+    *                      positional postings index for, rooted at
+    *                      [[graft.operators.TextIndex.defaultIndexDir]]
+    */
+  def maintainedParquetSink(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      bloomKeys: Seq[String] = Nil,
+      postingsCols: Option[(String, String)] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(!batch.columns.contains("graft_batch"),
+          "maintainedParquetSink reserves the 'graft_batch' partition column for batch placement")
+        batch.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/graft_batch=$batchId")
+        refreshIndexes(batch.sparkSession, path, bloomKeys, postingsCols)
+      }
+      .start()
+
+  /** The maintenance step of [[maintainedParquetSink]], callable on its
+    * own for tables written by other paths (the vacuum/promote cadence). */
+  def refreshIndexes(
+      spark: SparkSession,
+      path: String,
+      bloomKeys: Seq[String],
+      postingsCols: Option[(String, String)]): Unit = {
+    bloomKeys.foreach { k =>
+      graft.sources.FileIO.refreshBloomIndex(spark, path, k): Unit
+    }
+    postingsCols.foreach { case (idCol, textCol) =>
+      graft.operators.TextIndex.refreshPostingsIndex(
+        spark, path, idCol, textCol,
+        graft.operators.TextIndex.defaultIndexDir(path, idCol, textCol)): Unit
+    }
+  }
+
   final class WatermarkListener extends StreamingQueryListener {
     private val marks = TrieMap.empty[java.util.UUID, String]
     def watermark(queryId: java.util.UUID): Option[String] = marks.get(queryId)
