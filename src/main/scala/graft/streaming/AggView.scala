@@ -22,10 +22,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * idempotent (re-applying a batch adds twice — unlike the key-REPLACE
   * upsert sink, which is naturally replay-safe), so the commit protocol
   * makes replay a structural no-op:
-  *  - totals live in immutable `v=N/` version dirs; `_CURRENT` holds
-  *    "version lastAppliedBatchId" and is flipped by atomic
-  *    temp+rename — the SINGLE commit point (the EpochStore pointer
-  *    discipline);
+  *  - totals live in immutable `v=N/` version dirs; the `_CURRENT`
+  *    pointer is the shared [[graft.sources.Sidecar]] protocol (r15 —
+  *    one implementation of the atomic flip, not a bespoke twin): the
+  *    live version and the `applied=<batchId>` replay ledger become
+  *    visible together in ONE atomic temp+rename;
   *  - [[applyBatch]] first reads the pointer: `batchId <=
   *    lastAppliedBatchId` returns without touching anything, so a
   *    foreachBatch redelivery after a post-commit crash re-applies a
@@ -68,19 +69,30 @@ object AggView {
     * able to finish its scan (the EpochStore.retireCompacted posture). */
   val DefaultGcGraceMs: Long = EpochStore.DefaultLeaseGraceMs
 
-  /** (version, lastAppliedBatchId) — (0, -1) before bootstrap. */
+  /** (version, lastAppliedBatchId) — (0, -1) before bootstrap.
+    *
+    * r15: the FLAT view's pointer is the shared [[graft.sources
+    * .Sidecar]] protocol, not a bespoke implementation — one live
+    * version on the pointer's first line, the replay ledger riding the
+    * fingerprint slot (a single `applied=<batchId>` entry: the view's
+    * "source snapshot" IS the last applied batch). One atomic-flip
+    * implementation to keep correct instead of two; versions GC through
+    * Sidecar's _DEAD-marker grace window. The BUCKETED pointer below
+    * stays map-valued (bucket → version does not fit a single live set)
+    * — the remaining bespoke surface, shared-discipline but its own
+    * parser. */
   def pointer(spark: SparkSession, dir: String): (Int, Long) = {
-    val p = new Path(pointerPath(dir))
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) (0, -1L)
-    else {
-      val in = fs.open(p)
-      val body =
-        try new String(in.readAllBytes(), "UTF-8").trim
-        finally in.close()
-      val parts = body.split("\\s+")
-      require(parts.length == 2, s"malformed AggView pointer at $dir: '$body'")
-      (parts(0).toInt, parts(1).toLong)
+    import graft.sources.Sidecar
+    Sidecar.current(spark, dir) match {
+      case None => (0, -1L)
+      case Some(cur) =>
+        val ledger = cur.fingerprint.collect {
+          case s if s.startsWith("applied=") => s.stripPrefix("applied=").toLong
+        }
+        require(ledger.size == 1,
+          s"malformed AggView ledger at $dir: expected one applied=<batchId> entry, " +
+            s"got ${cur.fingerprint}")
+        (cur.version, ledger.head)
     }
   }
 
@@ -122,22 +134,11 @@ object AggView {
               (coalesce(col(s"__cur_$c"), lit(0L)) + coalesce(col(c), lit(0L))).as(c))): _*)
       }
     merged.write.mode(SaveMode.Overwrite).parquet(versionDir(dir, v + 1))
-    writeAtomic(spark, pointerPath(dir), s"${v + 1} $batchId")
-    // GC-only cosmetics after the one atomic commit: superseded versions,
-    // gated on a grace window measured from the SUPERSEDING version's
-    // creation (dir mtime of v=o+1 ≈ when v=o stopped being current) so a
-    // reader that resolved the pointer just before rapid applies finishes
-    // its scan — the retireCompacted discipline. Crash or skip here loses
-    // nothing: the next apply sweeps again.
-    val fs = fsOf(spark, new Path(dir))
-    val now = System.currentTimeMillis()
-    (1 until v).foreach { o =>
-      val d = new Path(versionDir(dir, o))
-      val successor = new Path(versionDir(dir, o + 1))
-      if (fs.exists(d) && fs.exists(successor) &&
-          (gcGraceMs <= 0 || now - fs.getFileStatus(successor).getModificationTime > gcGraceMs))
-        fs.delete(d, true)
-    }
+    // THE commit + superseded-version GC, both Sidecar's: version and
+    // ledger flip in one atomic rename; dead versions get a _DEAD marker
+    // at supersede time and sweep once aged past the grace window.
+    graft.sources.Sidecar.commit(
+      spark, dir, v + 1, Set(s"applied=$batchId"), gcGraceMs = gcGraceMs)
     true
   }
 
