@@ -44,4 +44,13 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** Scratch dir for gates that materialize an index/layout before
+    * querying it — ONE definition of the single-maintainer path
+    * discipline: keyed by fixture dir AND applicationId so a
+    * concurrently running suite + bench on one machine can never
+    * overwrite each other's layouts mid-scan. */
+  private[graft] def gateScratchDir(spark: SparkSession, sfDir: String, name: String): String =
+    s"/root/repo/tmp/graft_io/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
+      s"${name}_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
 }

@@ -132,17 +132,21 @@ object Bpe {
         merges.foldLeft(regexp_replace(w, "(.)", "|$1")) { (acc, bp) =>
           replace(acc, lit(bp), lit(repOf(bp)))
         })
-    docs
-      .select(col(idCol), concat_ws(" ", mergedWords).as("tokens_str"))
-      .select(
-        col(idCol),
-        // each token is exactly one '|' cell — token count = '|' count
-        (length(col("tokens_str")) - length(replace(col("tokens_str"), lit("|"), lit(""))))
-          .cast("long")
-          .as("n_bpe_tokens"),
-        md5(col("tokens_str")).as("tokens_md5"),
-        col("tokens_str"))
+    withTokenStats(docs.select(col(idCol), concat_ws(" ", mergedWords).as("tokens_str")), idCol)
   }
+
+  /** The canonical output projection over (idCol, tokens_str) — ONE
+    * definition of the token-count arithmetic for both apply twins (the
+    * oracle hashes exactly these columns; two copies could drift). */
+  private def withTokenStats(rendered: DataFrame, idCol: String): DataFrame =
+    rendered.select(
+      col(idCol),
+      // each token is exactly one '|' cell — token count = '|' count
+      (length(col("tokens_str")) - length(replace(col("tokens_str"), lit("|"), lit(""))))
+        .cast("long")
+        .as("n_bpe_tokens"),
+      md5(col("tokens_str")).as("tokens_md5"),
+      col("tokens_str"))
 
   // ------------------------------------------------------------------
   // PRODUCTION-SCALE training + application (r15). [[trainMerges]] runs
@@ -183,18 +187,24 @@ object Bpe {
       nMerges: Int = NMerges,
       minWordFreq: Long = 1L,
       maxVocabWords: Int = 10000000): Seq[String] = {
-    val raw: Array[(String, Long)] = docs
+    val vocabDf = docs
       .select(explode(wordsExpr(textCol)).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("f"))
       .filter(col("f") >= minWordFreq)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    require(raw.length <= maxVocabWords,
-      s"BPE vocab has ${raw.length} distinct words (> $maxVocabWords cap) — raise " +
-        "maxVocabWords if the driver can hold it, or set minWordFreq to drop the long tail " +
-        "(changes the trained merges, as any vocab pre-filter does)")
-    trainOnVocab(raw, nMerges)
+      .persist()
+    try {
+      // the guard must fire BEFORE the collect it protects: count the
+      // (persisted) vocab first, refuse loudly, only then pull it
+      val n = vocabDf.count()
+      require(n <= maxVocabWords,
+        s"BPE vocab has $n distinct words (> $maxVocabWords cap) — raise " +
+          "maxVocabWords if the driver can hold it, or set minWordFreq to drop the long tail " +
+          "(changes the trained merges, as any vocab pre-filter does)")
+      val raw: Array[(String, Long)] =
+        vocabDf.collect().map(r => (r.getString(0), r.getLong(1)))
+      trainOnVocab(raw, nMerges)
+    } finally vocabDf.unpersist()
   }
 
   /** The driver-side recurrence over a (word, freq) table.
@@ -315,13 +325,7 @@ object Bpe {
         org.apache.spark.sql.Row(row.get(0), ws.map(mergedOf).mkString(" "))
       }
     }
-    rendered.select(
-      col(idCol),
-      (length(col("tokens_str")) - length(replace(col("tokens_str"), lit("|"), lit(""))))
-        .cast("long")
-        .as("n_bpe_tokens"),
-      md5(col("tokens_str")).as("tokens_md5"),
-      col("tokens_str"))
+    withTokenStats(rendered, idCol)
   }
 
   /** Trained merges per (application, fixture): training is paid once per
@@ -352,8 +356,12 @@ object Bpe {
     val df = spark.table(tableName)
     val planKey = df.queryExecution.analyzed.semanticHash()
     val hadoopConf = spark.sparkContext.hadoopConfiguration
+    // inputFiles are LISTING-space names (Path.toString — unencoded):
+    // feed them to Path(String) verbatim, never through java.net.URI
+    // (a Hive-escaped partition dir like part=t%3Acolon would decode,
+    // a space would throw URISyntaxException — the FileIO.relPath rule)
     val fileKey = df.inputFiles.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      val p = new org.apache.hadoop.fs.Path(f)
       val st = p.getFileSystem(hadoopConf).getFileStatus(p)
       s"$f#${st.getModificationTime}#${st.getLen}"
     }.mkString("\n")

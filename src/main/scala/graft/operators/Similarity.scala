@@ -1210,11 +1210,10 @@ object Similarity {
       val coarse = IvfIndex.train(e, k = k, iters = 3)
       val assigned = IvfIndex.assignSpilled(e, coarse, spillMargin = 0.1)
       val pq = IvfPq.train(assigned, coarse, m = 8, nCodes = 64)
-      // applicationId in the path: single-maintainer discipline — a
+      // applicationId-scoped scratch (Tables.gateScratchDir): a
       // concurrent suite + bench on one machine must not overwrite each
-      // other's layouts mid-scan (the postings_idx precedent)
-      val idx = s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
-        s"ivfpq_idx_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      // other's layouts mid-scan (single-maintainer discipline)
+      val idx = Tables.gateScratchDir(spark, dir, "ivfpq_idx")
       IvfPq.writeIndexedPq(assigned, pq, idx)
       val probes = e
         .filter(col("vec_id") < 5)

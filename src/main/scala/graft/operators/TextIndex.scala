@@ -320,12 +320,10 @@ object TextIndex {
     // disk round trip loses nothing vs the in-memory postings.
     "text_phrase_search_idx" -> { (spark, dir) =>
       val docsPath = s"$dir/documents.parquet"
-      // applicationId in the path: Sidecar is single-maintainer, and a
-      // concurrent test suite + bench on one machine would otherwise
-      // race pointer flips in one shared index dir (the corpusStateCache
-      // discipline)
-      val idx = s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
-        s"postings_idx_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      // applicationId-scoped scratch (Tables.gateScratchDir): Sidecar is
+      // single-maintainer, and a concurrent test suite + bench on one
+      // machine would otherwise race pointer flips in one shared dir
+      val idx = Tables.gateScratchDir(spark, dir, "postings_idx")
       buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
       phraseSearchIndexed(spark, docsPath, idx, FixturePhrase)
         .orderBy(col("doc_id"))
@@ -339,8 +337,7 @@ object TextIndex {
     "sql_phrase_search_idx" -> { (spark, dir) =>
       graft.functions.GraftExtensions.register(spark)
       val docsPath = s"$dir/documents.parquet"
-      val idx = s"/root/repo/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
-        s"postings_idx_sql_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+      val idx = Tables.gateScratchDir(spark, dir, "postings_idx_sql")
       buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
       spark.sql(
         s"""SELECT doc_id, n_hits

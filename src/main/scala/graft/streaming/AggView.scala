@@ -83,16 +83,36 @@ object AggView {
     * parser. */
   def pointer(spark: SparkSession, dir: String): (Int, Long) = {
     import graft.sources.Sidecar
-    Sidecar.current(spark, dir) match {
-      case None => (0, -1L)
-      case Some(cur) =>
-        val ledger = cur.fingerprint.collect {
-          case s if s.startsWith("applied=") => s.stripPrefix("applied=").toLong
-        }
-        require(ledger.size == 1,
-          s"malformed AggView ledger at $dir: expected one applied=<batchId> entry, " +
-            s"got ${cur.fingerprint}")
-        (cur.version, ledger.head)
+    // pre-r15 views committed a one-line "<version> <batchId>" pointer;
+    // the Sidecar format is one version int on line 1 + an applied=
+    // line, so a 2-token single line is unambiguously LEGACY — honor it
+    // (the next applyBatch rewrites in the new format: migration on
+    // first write, accumulated totals preserved)
+    legacyPointer(spark, dir).getOrElse {
+      Sidecar.current(spark, dir) match {
+        case None => (0, -1L)
+        case Some(cur) =>
+          val ledger = cur.fingerprint.collect {
+            case s if s.startsWith("applied=") => s.stripPrefix("applied=").toLong
+          }
+          require(ledger.size == 1,
+            s"malformed AggView ledger at $dir: expected one applied=<batchId> entry, " +
+              s"got ${cur.fingerprint}")
+          (cur.version, ledger.head)
+      }
+    }
+  }
+
+  private def legacyPointer(spark: SparkSession, dir: String): Option[(Int, Long)] = {
+    val p = new Path(pointerPath(dir))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
+      val toks = if (lines.length == 1) lines.head.split("\\s+") else Array.empty[String]
+      if (toks.length == 2) Some((toks(0).toInt, toks(1).toLong)) else None
     }
   }
 
@@ -136,9 +156,15 @@ object AggView {
     merged.write.mode(SaveMode.Overwrite).parquet(versionDir(dir, v + 1))
     // THE commit + superseded-version GC, both Sidecar's: version and
     // ledger flip in one atomic rename; dead versions get a _DEAD marker
-    // at supersede time and sweep once aged past the grace window.
+    // at supersede time and sweep once aged past the grace window. The
+    // JUST-superseded version rides extraLive for one more apply — the
+    // pre-r15 reader cushion: even at gcGraceMs = 0 a reader that
+    // resolved the pointer right before THIS commit keeps its files
+    // until the NEXT one (readers only ever dereference the newest dir,
+    // so the extra live entry changes GC timing, nothing else).
     graft.sources.Sidecar.commit(
-      spark, dir, v + 1, Set(s"applied=$batchId"), gcGraceMs = gcGraceMs)
+      spark, dir, v + 1, Set(s"applied=$batchId"), gcGraceMs = gcGraceMs,
+      extraLive = if (v >= 1) Seq(v) else Nil)
     true
   }
 

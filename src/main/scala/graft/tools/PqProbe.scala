@@ -47,16 +47,19 @@ object PqProbe {
       // spilled composition (r15): train + encode on the margin-0.1
       // multi-assignment — the coarse-recall lever the plain-IVF gate
       // already rides; shortlist dedupes per (q_id, vec_id) on best ADC
-      for ((m, codes, short) <- Seq((8, 64, 50), (8, 64, 100))) {
+      {
+        // train/encode are per-(m,codes); only the shortlist varies
         val sp = IvfIndex.assignSpilled(e, coarse, spillMargin = 0.1).localCheckpoint()
-        val pq = IvfPq.train(sp, coarse, m = m, nCodes = codes)
+        val pq = IvfPq.train(sp, coarse, m = 8, nCodes = 64)
         val enc = IvfPq.encode(sp, pq).localCheckpoint()
-        val ann = IvfPq.searchPq(e, enc, probes, pq, nProbe, topK = 5, shortlist = short,
-          spilled = true)
-        val hits = ann.join(bf, Seq("q_id", "vec_id")).count()
-        println(f"PQSPILL $dir m=$m codes=$codes shortlist=$short " +
-          f"recall@5=${hits.toDouble / (5.0 * q)}%.3f " +
-          f"spillRows=${sp.count()} corpusRows=$n")
+        for (short <- Seq(50, 100)) {
+          val ann = IvfPq.searchPq(e, enc, probes, pq, nProbe, topK = 5, shortlist = short,
+            spilled = true)
+          val hits = ann.join(bf, Seq("q_id", "vec_id")).count()
+          println(f"PQSPILL $dir m=8 codes=64 shortlist=$short " +
+            f"recall@5=${hits.toDouble / (5.0 * q)}%.3f " +
+            f"spillRows=${sp.count()} corpusRows=$n")
+        }
       }
       // bytes per vector, measured on disk (parquet, snappy): the raw
       // float32 corpus vs SQ8 vs PQ codes (m=8, 16 codes)
