@@ -419,6 +419,231 @@ object Joins {
         .orderBy(col("o_year"))
     },
 
+    // TPC-H Q6-shaped SCAN-ONLY aggregate (r15): forecast-revenue-change —
+    // three independent range predicates and a 1-row sum, NO join. The
+    // shape exists to pin the cheapest possible plan: every predicate
+    // must reach the parquet scan (PushedFilters carries shipdate,
+    // discount, AND quantity), the projection must prune to the 4 used
+    // columns, and the only exchange is the 1-row final aggregate. At
+    // 100 TB this query is pure scan bandwidth — any post-scan filter
+    // or extra column read is the whole regression.
+    "analytics_q6" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(
+          col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+            col("l_discount") >= lit(0.02) && col("l_discount") <= lit(0.06) &&
+            col("l_quantity") < lit(24.0))
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // TPC-H Q9-shaped LIKE-driven profit rollup (r15): parts matching a
+    // substring pattern ('%red%' — the fixture has no ps_supplycost, so
+    // profit is the discounted revenue), through lineitem⋈supplier⋈orders,
+    // rolled up by supplier nation and order year. The LIKE cannot prune
+    // at the row-group level, so the plan's scale posture is: filter part
+    // FIRST (200→~27 rows per 1k parts), then let that selective side
+    // drive the join order into the fact table; nation broadcast.
+    "analytics_q9" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir).filter(col("p_name").like("%red%"))
+      val l = Tables.lineitem(spark, dir)
+      val s = Tables.supplier(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val n = Tables.nation(spark, dir)
+      p.join(l, p("p_partkey") === l("l_partkey"))
+        .join(s, l("l_suppkey") === s("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("nation"), year(o("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11-shaped GROUP-HAVING vs an UNCORRELATED GLOBAL SCALAR
+    // (r15): per-part value within one nation's suppliers, keeping only
+    // parts above 2× the average per-part value of the SAME filtered
+    // set. The threshold is scale-FREE (relative to the per-key mean,
+    // not a fixed fraction of the total, which shrinks per-key as the
+    // part count grows) — the gate stays non-trivially selective at
+    // every SF. Catalyst plans the scalar once (one extra pass over the
+    // filtered join, subquery-reused, never per-group); value sums are
+    // integer cents so the HAVING comparison can never flip on a
+    // last-ulp disagreement.
+    "analytics_q11" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q11_li")
+      Tables.supplier(spark, dir).createOrReplaceTempView("graft_q11_supp")
+      Tables.nation(spark, dir).createOrReplaceTempView("graft_q11_nat")
+      spark.sql(
+        """SELECT l_partkey, CAST(SUM(FLOOR(l_extendedprice * l_quantity * 100 + 0.5)) AS BIGINT) AS value_cents
+          |FROM graft_q11_li JOIN graft_q11_supp ON l_suppkey = s_suppkey
+          |  JOIN graft_q11_nat ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_3'
+          |GROUP BY l_partkey
+          |HAVING SUM(FLOOR(l_extendedprice * l_quantity * 100 + 0.5)) > 2.0 * (
+          |  SELECT SUM(FLOOR(l2.l_extendedprice * l2.l_quantity * 100 + 0.5)) / COUNT(DISTINCT l2.l_partkey)
+          |  FROM graft_q11_li l2 JOIN graft_q11_supp s2 ON l2.l_suppkey = s2.s_suppkey
+          |    JOIN graft_q11_nat n2 ON s2.s_nationkey = n2.n_nationkey
+          |  WHERE n2.n_name = 'NATION_3')
+          |ORDER BY value_cents DESC, l_partkey""".stripMargin)
+    },
+
+    // TPC-H Q12-shaped CONDITIONAL TWO-WAY COUNT over a fact⋈fact join
+    // (r15): late-shipped lines (shipdate > orderdate + 90d — the fixture
+    // has no commit/receipt dates) in one shipdate year, split by urgent
+    // vs non-urgent order priority, per returnflag (the shipmode
+    // stand-in). The shape: the date window pushes to the lineitem scan,
+    // the lateness predicate is join-level (references both sides), and
+    // the CASE sums fold into ONE aggregate pass — engines that plan a
+    // pass per conditional sum lose linearly with the number of arms.
+    "analytics_q12" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val l = Tables.lineitem(spark, dir).filter(
+        col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      val isHigh = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(l("l_returnflag"))
+        .agg(
+          sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // TPC-H Q13-shaped DOUBLE AGGREGATION with a predicate INSIDE the
+    // outer join's ON clause (r15): order count per customer — counting
+    // only non-urgent orders, but KEEPING order-less customers (the
+    // filter must live in the ON clause; in WHERE it would silently turn
+    // the left join inner) — then the distribution of those counts.
+    // Two shuffles by construction (c_custkey, then c_count) and both
+    // key spaces shrink monotonically; at 100 TB the second is
+    // metadata-sized.
+    "analytics_q13" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir)
+      c.join(o, c("c_custkey") === o("o_custkey") && o("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q14-shaped PROMO-SHARE RATIO (r15): promo revenue as a
+    // percentage of total revenue for one shipdate quarter. Both sums
+    // quantize through the Exact discipline, so each is an integral
+    // double; their quotient (and the ×100) is then correctly rounded
+    // IEEE arithmetic — identical on both engines, no cents-output
+    // dodge needed for a ratio. Date window pushes to lineitem; part is
+    // the broadcast dim.
+    "analytics_q14" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir)
+      val l = Tables.lineitem(spark, dir).filter(
+        col("l_shipdate") >= expr("TIMESTAMP '1996-03-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-06-01 00:00:00'"))
+      val rev = l("l_extendedprice") * (lit(1.0) - l("l_discount"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg((lit(100.0) *
+          dsum(when(p("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          dsum(rev)).as("promo_pct"))
+    },
+
+    // TPC-H Q15-shaped TOP-SUPPLIER over an AGGREGATED VIEW USED TWICE
+    // (r15): quarterly revenue per supplier, returning the supplier(s)
+    // at the MAX. The revenue view feeds both the main join and the
+    // scalar MAX — Catalyst should reuse the aggregate subtree (one
+    // lineitem scan + one shuffle, not two); revenue is integer cents so
+    // the `= MAX` tie semantics are exact (the float-equality trap the
+    // original Q15 is famous for).
+    "analytics_q15" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q15_li")
+      Tables.supplier(spark, dir).createOrReplaceTempView("graft_q15_supp")
+      spark.sql(
+        """WITH rev AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)) AS BIGINT) AS total_cents
+          |  FROM graft_q15_li
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s.s_suppkey, s.s_name, r.total_cents
+          |FROM graft_q15_supp s JOIN rev r ON s.s_suppkey = r.supplier_no
+          |WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+          |ORDER BY s.s_suppkey""".stripMargin)
+    },
+
+    // TPC-H Q16-shaped DISTINCT-COUNT excluding a supplier set (r15):
+    // distinct suppliers per (brand, type, size) bucket, excluding one
+    // brand/type, a size IN-list, and suppliers below an account-balance
+    // floor (the fixture's stand-in for the complaints predicate). The
+    // deliberate contrast to q22notin: Spark force-marks every
+    // file-source column nullable, so the original NOT IN would ALWAYS
+    // pay the null-aware anti join — the exclusion is therefore spelled
+    // as the equivalent NOT EXISTS (the standard production rewrite when
+    // the key is non-null in fact), which decorrelates to a plain
+    // LeftAnti on straight equality. PlanAuditSpec pins that no
+    // null-aware machinery survives.
+    "analytics_q16" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q16_li")
+      Tables.part(spark, dir).createOrReplaceTempView("graft_q16_part")
+      Tables.supplier(spark, dir).createOrReplaceTempView("graft_q16_supp")
+      spark.sql(
+        """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM graft_q16_li JOIN graft_q16_part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM graft_q16_supp s
+          |    WHERE s.s_suppkey = l_suppkey AND s.s_acctbal < 2000.0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    },
+
+    // TPC-H Q18-shaped IN over a GROUPED-HAVING subquery (r15): orders
+    // whose total quantity crosses a threshold, with the full customer
+    // display tuple. The IN body is an AGGREGATE (per-orderkey quantity
+    // sum), so decorrelation must plan a left-semi against an aggregated
+    // subtree — and both the semi probe and the outer lineitem leg hash
+    // on l_orderkey, so at 100 TB AQE reuses one exchange for both.
+    // Quantities quantize to cents so the HAVING threshold is exact.
+    "analytics_q18" -> { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("graft_q18_cust")
+      Tables.orders(spark, dir).createOrReplaceTempView("graft_q18_ord")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q18_li")
+      spark.sql(
+        """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+          |  CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+          |  CAST(SUM(FLOOR(l.l_quantity * 100 + 0.5)) AS BIGINT) AS sum_qty_cents
+          |FROM graft_q18_cust c JOIN graft_q18_ord o ON c.c_custkey = o.o_custkey
+          |  JOIN graft_q18_li l ON o.o_orderkey = l.l_orderkey
+          |WHERE o.o_orderkey IN (
+          |  SELECT l_orderkey FROM graft_q18_li GROUP BY l_orderkey
+          |  HAVING SUM(FLOOR(l_quantity * 100 + 0.5)) > 15000)
+          |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+          |ORDER BY totalprice_cents DESC, o.o_orderkey
+          |LIMIT 100""".stripMargin)
+    },
+
+    // TPC-H Q19-shaped OR-of-ANDs SPANNING the join (r15): three
+    // disjunct brand/size/quantity envelopes, each mixing part and
+    // lineitem columns — the canonical predicate no single side can
+    // evaluate alone. The scale posture Catalyst must find (PlanAuditSpec
+    // pins it): extract the per-side residues of the CNF conversion so
+    // BOTH scans still carry pushed filters (brand∈{1,2,3} + size range
+    // to part, the quantity envelope to lineitem), with the full
+    // disjunction evaluated once post-join.
+    "analytics_q19" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir)
+      val l = Tables.lineitem(spark, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(
+          (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) && l("l_quantity").between(1.0, 20.0)) ||
+            (p("p_brand") === "Brand#2" && p("p_size").between(10, 30) && l("l_quantity").between(5.0, 35.0)) ||
+            (p("p_brand") === "Brand#3" && p("p_size").between(20, 50) && l("l_quantity").between(10.0, 50.0)))
+        .agg(
+          dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // Range (interval) self-join, banded: per error event, how many events
     // of the same user landed in the preceding 5 minutes. The 5-minute
     // epoch bucket turns the range condition into an equi-join on
@@ -716,6 +941,101 @@ object Joins {
          |WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
          |GROUP BY 1
          |ORDER BY o_year""".stripMargin,
+    "analytics_q6" ->
+      s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.02 AND l_discount <= 0.06
+         |  AND l_quantity < 24.0""".stripMargin,
+    "analytics_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS profit
+         |FROM part JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+    // Same subquery-bearing texts as the Spark side (q11/q15/q16/q18) —
+    // DuckDB plans them independently, so green hashes prove both
+    // engines' rewrites agree with the sequential definition.
+    "analytics_q11" ->
+      """SELECT l_partkey, CAST(SUM(FLOOR(l_extendedprice * l_quantity * 100 + 0.5)) AS BIGINT) AS value_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING SUM(FLOOR(l_extendedprice * l_quantity * 100 + 0.5)) > 2.0 * (
+        |  SELECT SUM(FLOOR(l2.l_extendedprice * l2.l_quantity * 100 + 0.5)) / COUNT(DISTINCT l2.l_partkey)
+        |  FROM lineitem l2 JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  WHERE n2.n_name = 'NATION_3')
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    "analytics_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "analytics_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "analytics_q14" ->
+      s"""SELECT 100.0 *
+         |  ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-06-01'""".stripMargin,
+    "analytics_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_cents
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "analytics_q16" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM supplier s
+        |    WHERE s.s_suppkey = l_suppkey AND s.s_acctbal < 2000.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "analytics_q18" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+        |  CAST(SUM(FLOOR(l.l_quantity * 100 + 0.5)) AS BIGINT) AS sum_qty_cents
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(FLOOR(l_quantity * 100 + 0.5)) > 15000)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY totalprice_cents DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+    "analytics_q19" ->
+      s"""SELECT ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 20.0)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5.0 AND 35.0)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10.0 AND 50.0)""".stripMargin,
     "join_range_events" ->
       """SELECT a.event_id, COALESCE(cnt.n, 0) AS n_prior
         |FROM events a LEFT JOIN (

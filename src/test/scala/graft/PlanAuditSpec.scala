@@ -150,6 +150,76 @@ class PlanAuditSpec extends AnyFunSuite {
         "was downgraded to a plain anti join (wrong under an inner NULL)")
   }
 
+  test("analytics_q6 is scan-only: all three predicates pushed, no join") {
+    val p = executed("analytics_q6")
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"Q6 must be a pure scan+agg, found ${joins.size} joins")
+    val pushed = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "[]")
+    }
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.exists(_.contains(c)), s"$c not pushed to the lineitem scan: $pushed")
+    // projection pruned to exactly the columns the query touches — at
+    // 100 TB Q6 is scan bandwidth, so an extra column IS the regression
+    val read = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("ReadSchema", "")
+    }
+    assert(read.exists(s =>
+      s.contains("l_extendedprice") && !s.contains("l_orderkey") && !s.contains("l_returnflag")),
+      s"Q6 scan reads more than its 4 columns: $read")
+  }
+
+  test("analytics_q16's NOT EXISTS exclusion stays a PLAIN anti join (contrast to q22)") {
+    val p = executed("analytics_q16")
+    val antis = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty, "no LeftAnti join — the NOT EXISTS was not decorrelated")
+    // the exclusion is deliberately spelled NOT EXISTS (not NOT IN), so
+    // paying the null-aware broadcast machinery here would be the regression
+    val naaj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.isEmpty,
+      "NOT IN on a non-nullable key planned the null-aware anti join — " +
+        "three-valued-logic machinery paid for nothing")
+  }
+
+  test("analytics_q18's IN-over-grouped-HAVING plans a left-semi against an aggregate") {
+    val p = executed("analytics_q18")
+    val types = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType
+    }
+    assert(types.contains(org.apache.spark.sql.catalyst.plans.LeftSemi),
+      s"no LeftSemi in $types — the IN was not decorrelated")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(_.references.exists(_.name.contains("l_orderkey"))) => a
+    }
+    assert(aggs.nonEmpty,
+      "no per-orderkey aggregate in the plan — the HAVING body was not planned as an aggregate")
+  }
+
+  test("analytics_q19's OR-of-ANDs leaves pushed filters on BOTH join sides") {
+    // the canonical Q19 trap: the disjunction spans the join, but each
+    // side's residue (brand/size on part, quantity on lineitem) must
+    // still reach its scan — losing it means a full-fact scan at 100 TB
+    val pushed = collectAll(executed("analytics_q19")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "[]")
+    }
+    assert(pushed.exists(_.contains("p_brand")),
+      s"part side lost its brand/size residue pushdown: $pushed")
+    assert(pushed.exists(_.contains("l_quantity")),
+      s"lineitem side lost its quantity-envelope residue pushdown: $pushed")
+  }
+
   test("text_phrase_search_idx pushes each term filter into the postings scan") {
     // the persisted phrase index's whole point: each phrase leg reads
     // only its term's (pruned) posting rows — the term equality must
