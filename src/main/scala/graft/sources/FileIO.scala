@@ -1108,6 +1108,87 @@ object FileIO {
         .groupBy(col("o_orderpriority"))
         .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Z-ORDER LAYOUT gate (r15 — upgrades [[writeZOrdered]] from
+    // spec-measured to oracle-gated): orders rewritten z-ordered on
+    // (o_custkey, o_orderdate) into 16 curve tiles, then a customer-range
+    // × date-window box query read back THROUGH the layout. The oracle
+    // recomputes the rows from the RAW table, so a green hash proves the
+    // layout is a pure reorganization. `files_pruned_ok` packs the
+    // file-skipping evidence into the hashed result: the per-file
+    // (custkey, date) bounding boxes — computed from `_metadata`
+    // exactly like a manifest/metastore would hold them — must admit
+    // STRICTLY fewer candidate files than the layout holds for this box
+    // (ZOrderCompactionSpec measures the full pruning matrix vs a
+    // one-dimension sort; this gate keeps the claim true at every SF).
+    "zorder_scan" -> { (spark, dir) =>
+      val p = out(dir, "orders_zorder")
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderdate"),
+          // TIMESTAMP(_NTZ) has no numeric cast — the curve dimension is
+          // the epoch-seconds twin; the display column stays a timestamp
+          col("o_orderdate").cast("timestamp").cast("long").as("odate_sec"))
+      writeZOrdered(o, p, "o_custkey", "odate_sec", files = 16)
+      val dLo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+      val dHi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+      // metadata-scale: one row per FILE, then one scalar
+      val boxes = spark.read
+        .parquet(p)
+        .select(col("_metadata.file_path").as("f"), col("o_custkey"), col("o_orderdate"))
+        .groupBy(col("f"))
+        .agg(
+          min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+          min(col("o_orderdate")).as("dmin"), max(col("o_orderdate")).as("dmax"))
+      val hit = col("cmax") >= 10L && col("cmin") <= 40L &&
+        col("dmax") >= dLo && col("dmin") < dHi
+      val st = boxes.agg(sum(when(hit, 1L).otherwise(0L)), count(lit(1))).collect()(0)
+      val (cand, total) = (st.getLong(0), st.getLong(1))
+      spark.read
+        .parquet(p)
+        .filter(
+          col("o_custkey").between(10L, 40L) &&
+            col("o_orderdate") >= dLo && col("o_orderdate") < dHi)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("cents"),
+          col("o_orderdate"),
+          lit(cand < total).as("files_pruned_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // SMALL-FILE COMPACTION gate (r15 — upgrades [[compact]] from
+    // spec-measured to oracle-gated): 64 micro-batch-sized files repack
+    // through the shuffle-free coalesce path, and the aggregate is read
+    // back from the COMPACTED copy. The oracle recomputes from the raw
+    // table (compaction must preserve every row); `packed_ok` pins that
+    // the rewrite actually reduced the file count at every SF.
+    "compact_scan" -> { (spark, dir) =>
+      val small = out(dir, "orders_smallfiles")
+      val packed = out(dir, "orders_compacted")
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+        .repartition(64)
+        .write
+        .mode(SaveMode.Overwrite)
+        .parquet(small)
+      val (nIn, nOut) = compact(spark, small, packed, targetFileBytes = 8L * 1024 * 1024)
+      spark.read
+        .parquet(packed)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("packed_ok", lit(nOut < nIn))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -1125,6 +1206,22 @@ object FileIO {
         |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "zorder_scan" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  o_orderdate, TRUE AS files_pruned_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 40
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "compact_scan" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS packed_ok
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "orc_sink_roundtrip" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSum("l_extendedprice")} AS sum_price,
