@@ -193,21 +193,7 @@ object StreamSinks {
   ): Seq[String] = {
     import org.apache.hadoop.fs.{FileStatus, Path}
     val root = new Path(path)
-    val target = Path.getPathWithoutSchemeAndAuthority(root).toString
-    // A just-started query has lastProgress == null until its first progress
-    // event, so its sink is unknowable — treat it as a potential writer of
-    // THIS path and refuse, rather than sweep its in-flight task files.
-    val (unknown, known) = spark.streams.active.partition(q => q.lastProgress == null)
-    val writers = known.filter(q => q.lastProgress.sink.description.contains(target))
-    require(
-      writers.isEmpty,
-      s"vacuum($path): active streaming quer${if (writers.length == 1) "y" else "ies"} " +
-        s"${writers.map(_.id).mkString(", ")} still writing here — stop the writer first")
-    require(
-      unknown.isEmpty,
-      s"vacuum($path): active streaming quer${if (unknown.length == 1) "y has" else "ies have"} " +
-        s"no progress yet (${unknown.map(_.id).mkString(", ")}) — sink unknown, could be " +
-        "writing here; wait for a first progress event or stop the writer")
+    requireNoActiveWriter(spark, path, "vacuum")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: Path): Seq[FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -226,6 +212,31 @@ object StreamSinks {
         !committed.contains(Path.getPathWithoutSchemeAndAuthority(st.getPath).toString))
     if (!dryRun) orphans.foreach(st => fs.delete(st.getPath, false))
     orphans.map(_.getPath.toString)
+  }
+
+  /** The stop-the-writer precondition every destructive maintenance op
+    * (vacuum, promote, optimize) shares: refuse while any active
+    * streaming query in THIS session sinks to `path`. A just-started
+    * query has lastProgress == null until its first progress event, so
+    * its sink is unknowable — treat it as a potential writer and refuse
+    * rather than race its in-flight task files. (Writers from OTHER
+    * sessions are invisible here; callers protect against them with
+    * grace windows.) */
+  private[streaming] def requireNoActiveWriter(
+      spark: SparkSession, path: String, op: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = Path.getPathWithoutSchemeAndAuthority(new Path(path)).toString
+    val (unknown, known) = spark.streams.active.partition(q => q.lastProgress == null)
+    val writers = known.filter(q => q.lastProgress.sink.description.contains(target))
+    require(
+      writers.isEmpty,
+      s"$op($path): active streaming quer${if (writers.length == 1) "y" else "ies"} " +
+        s"${writers.map(_.id).mkString(", ")} still writing here — stop the writer first")
+    require(
+      unknown.isEmpty,
+      s"$op($path): active streaming quer${if (unknown.length == 1) "y has" else "ies have"} " +
+        s"no progress yet (${unknown.map(_.id).mkString(", ")}) — sink unknown, could be " +
+        "writing here; wait for a first progress event or stop the writer")
   }
 
   /** Result of [[promote]]: how many files the committed set holds and
