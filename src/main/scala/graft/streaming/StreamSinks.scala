@@ -198,9 +198,13 @@ object StreamSinks {
     def dataFiles(p: Path): Seq[FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val name = st.getPath.getName
-        if (name == "_spark_metadata") Nil
+        // the underscore/dot filter must come BEFORE the directory
+        // recursion: `_`-prefixed DIRS (sidecar indexes `_bloom_*`,
+        // `_graft_optimize_*` staging, `_spark_metadata`) are invisible
+        // to Spark readers, so their contents are never manifest-listed
+        // — recursing into them would sweep a live sidecar as orphans
+        if (name.startsWith("_") || name.startsWith(".")) Nil
         else if (st.isDirectory) dataFiles(st.getPath)
-        else if (name.startsWith("_") || name.startsWith(".")) Nil
         else Seq(st)
       }
     val committed = committedFiles(spark, path, format)
@@ -280,9 +284,9 @@ object StreamSinks {
     def dataFiles(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val name = st.getPath.getName
-        if (name == "_spark_metadata") Nil
+        // underscore/dot filter before recursion — see vacuum's lister
+        if (name.startsWith("_") || name.startsWith(".")) Nil
         else if (st.isDirectory) dataFiles(st.getPath)
-        else if (name.startsWith("_") || name.startsWith(".")) Nil
         else Seq(st.getPath)
       }
     val listed = dataFiles(root)

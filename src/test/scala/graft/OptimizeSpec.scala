@@ -100,6 +100,46 @@ class OptimizeSpec extends AnyFunSuite {
     assert(resumed.select("id").distinct().count() == 28, "duplicate ids after resume")
   }
 
+  test("optimize composes with sidecar indexes: loud staleness, then vacuum + refresh serve") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("opt_idx_out")
+    val ckpt = freshDir("opt_idx_ckpt")
+    val stream = MemoryStream[Ev]
+    runBatch(stream, out, ckpt, (1L to 8L).map(i => ev(i, if (i % 2 == 0) "click" else "view")))
+    runBatch(stream, out, ckpt, (9L to 16L).map(i => ev(i, if (i % 2 == 0) "click" else "view")))
+
+    // a clean sink run's listing equals its manifest, so the
+    // listing-fingerprinted bloom sidecar builds and serves
+    graft.sources.FileIO.buildBloomIndex(spark, out, "id")
+    val (rows0, cand0, total0) = graft.sources.FileIO.bloomPointLookup(spark, out, "id", 5L)
+    assert(rows0.count() == 1 && cand0 < total0)
+
+    // optimize changes the file generation set → the sidecar must refuse
+    // LOUDLY (pruning against it would be silently wrong), never serve
+    Optimize.optimizeSink(spark, out, "parquet", smallFileBytes = 1024 * 1024)
+    val ex = intercept[IllegalStateException] {
+      graft.sources.FileIO.bloomPointLookup(spark, out, "id", 5L)
+    }
+    assert(ex.getMessage.contains("STALE"))
+
+    // the maintenance recipe: vacuum retires the old generation from the
+    // LISTING (the identity the sidecar fingerprints), then refresh
+    // re-indexes — O(changed files) — and lookups serve again
+    StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L)
+    // regression pin (r15 bug): vacuum's lister must NOT recurse into
+    // `_`-prefixed sidecar dirs — if it had swept the sidecar, refresh
+    // would fall back to a full rebuild, reporting removed == 0
+    val (added, removed) = graft.sources.FileIO.refreshBloomIndex(spark, out, "id")
+    assert(removed > 0,
+      s"refresh reported ($added, $removed): a full rebuild, so vacuum deleted the live sidecar")
+    val (rows1, cand1, total1) = graft.sources.FileIO.bloomPointLookup(spark, out, "id", 5L)
+    assert(rows1.count() == 1, "lookup after optimize+vacuum+refresh lost the row")
+    assert(rows1.select("id").collect()(0).getLong(0) == 5L)
+    assert(cand1 <= total1)
+  }
+
   test("optimize: fewer than two small files is a no-op") {
     val s = spark
     import s.implicits._
