@@ -106,7 +106,23 @@ object FileIO {
       dimB: String,
       files: Int,
       format: String = "parquet"
-  ): Unit = {
+  ): Unit =
+    zOrdered(df, dimA, dimB, files).write
+      .mode(SaveMode.Overwrite)
+      .format(format)
+      .save(path)
+
+  /** The clustered FRAME behind [[writeZOrdered]] — range-partitioned +
+    * sorted along the Morton curve, helper column dropped (the sort
+    * survives projection). Exposed so other writers (the in-place
+    * streaming-table OPTIMIZE) can land the same layout through their
+    * own commit protocol. */
+  private[graft] def zOrdered(
+      df: DataFrame,
+      dimA: String,
+      dimB: String,
+      files: Int
+  ): DataFrame = {
     val Array(b) = df
       .agg(
         min(col(dimA)).cast("double").as("amin"), max(col(dimA)).cast("double").as("amax"),
@@ -122,10 +138,6 @@ object FileIO {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write
-      .mode(SaveMode.Overwrite)
-      .format(format)
-      .save(path)
   }
 
   /** Small-file COMPACTION — the table-maintenance pass every streaming

@@ -140,6 +140,65 @@ class OptimizeSpec extends AnyFunSuite {
     assert(cand1 <= total1)
   }
 
+  test("optimize with zOrderDims compacts AND restores 2-D file skipping") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("opt_z_out")
+    val ckpt = freshDir("opt_z_ckpt")
+    val stream = MemoryStream[(Long, Long, Double)]
+    // batches arrive id-clustered (the natural ingest order) with k
+    // scattered — so no pre-optimize file can prune a k predicate
+    def batch(lo: Long): Unit = {
+      stream.addData((lo until lo + 2000L).map(i => (i, i % 50, i * 0.5)))
+      val q = StreamSinks.parquetSink(stream.toDF().toDF("id", "k", "v"), out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(0L, 2000L, 4000L, 6000L).foreach(batch)
+    val before = spark.read.parquet(out).select("id", "k").collect().toSet
+
+    val rep = Optimize.optimizeSink(
+      spark, out, "parquet",
+      smallFileBytes = 1024 * 1024, targetFileBytes = 16 * 1024,
+      zOrderDims = Some(("id", "k")))
+    assert(rep.outputFiles >= 4, s"wanted a multi-file clustered layout, got ${rep.outputFiles}")
+    assert(spark.read.parquet(out).select("id", "k").collect().toSet == before,
+      "z-ordered optimize changed the rows")
+
+    // per-file bounding boxes (what a manifest would hold): BOTH a k-box
+    // and an id-box must prune below the file count
+    import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin, sum => fsum, when}
+    val boxes = spark.read.parquet(out)
+      .select(col("_metadata.file_path").as("f"), col("id"), col("k"))
+      .groupBy("f")
+      .agg(fmin("id").as("idmin"), fmax("id").as("idmax"),
+        fmin("k").as("kmin"), fmax("k").as("kmax"))
+    def candidates(hit: org.apache.spark.sql.Column): (Long, Long) = {
+      val r = boxes.agg(fsum(when(hit, 1L).otherwise(0L)), fcount(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (kCand, total) = candidates(col("kmax") >= 0L && col("kmin") <= 5L)
+    val (idCand, _) = candidates(col("idmax") >= 0L && col("idmin") <= 800L)
+    assert(kCand < total, s"k-box read $kCand/$total files — z-order lost the scattered dim")
+    assert(idCand < total, s"id-box read $idCand/$total files — z-order lost the clustered dim")
+
+    // partitioned tables refuse the z-order spelling loudly
+    val out2 = freshDir("opt_z_part_out")
+    val ckpt2 = freshDir("opt_z_part_ckpt")
+    val stream2 = MemoryStream[Ev]
+    stream2.addData((1L to 8L).map(i => ev(i, if (i % 2 == 0) "click" else "view")): _*)
+    val q2 = StreamSinks.parquetSink(stream2.toDF(), out2, ckpt2, Seq("etype"))
+    q2.processAllAvailable(); q2.stop()
+    stream2.addData((9L to 16L).map(i => ev(i, "click")): _*)
+    val q3 = StreamSinks.parquetSink(stream2.toDF(), out2, ckpt2, Seq("etype"))
+    q3.processAllAvailable(); q3.stop()
+    val ex = intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out2, "parquet",
+        smallFileBytes = 1024 * 1024, zOrderDims = Some(("id", "value")))
+    }
+    assert(ex.getMessage.contains("unpartitioned"))
+  }
+
   test("optimize: fewer than two small files is a no-op") {
     val s = spark
     import s.implicits._
@@ -154,6 +213,43 @@ class OptimizeSpec extends AnyFunSuite {
     assert(rep.compactedFiles == 0 && rep.outputFiles == 0)
     assert(StreamSinks.committedFiles(spark, out, "parquet").toSet == before,
       "no-op optimize must leave the manifest untouched")
+  }
+
+  test("optimize stages O(interval) manifest writes; the resumed writer compacts over them") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("opt_win_out")
+    val ckpt = freshDir("opt_win_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    def batch(b: Long): Unit = {
+      stream.addData((0L until 4L).map(i => (b * 4 + i, i * 1.0)))
+      val q = StreamSinks.parquetSink(stream.toDF().toDF("id", "v"), out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    (0L until 12L).foreach(batch) // latest batch id = 11; conf interval 10 → boundary 9
+
+    val rep = Optimize.optimizeSink(spark, out, "parquet", smallFileBytes = 1024 * 1024)
+    assert(rep.latestBatchId == 11)
+
+    // the swapped-in manifest is EXACTLY the reader window: the snapshot
+    // at the 9.compact boundary plus empty batches 10, 11 — not 0..11
+    val logFiles = new java.io.File(out, "_spark_metadata")
+      .listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(logFiles == Set("9.compact", "10", "11"),
+      s"staged manifest should hold the O(interval) window, got $logFiles")
+    assert(spark.read.parquet(out).count() == 48)
+
+    // the resumed writer crosses ITS next compaction boundary (19) —
+    // Spark's own log maintenance must compact over the staged window
+    (12L until 21L).foreach(batch)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 84, s"expected 84 rows, got ${after.count()}")
+    assert(after.select("id").distinct().count() == 84, "duplicates after boundary crossing")
+    val logAfter = new java.io.File(out, "_spark_metadata")
+      .listFiles().map(_.getName).toSet
+    assert(logAfter.contains("19.compact"),
+      s"writer's own compaction at 19 missing from $logAfter")
   }
 
   test("repair: a _COMMITTED stage rolls forward; an uncommitted stage rolls back") {
