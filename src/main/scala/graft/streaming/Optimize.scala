@@ -1,62 +1,75 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
 
-/** OPTIMIZE for LIVE manifest-committed streaming tables — in-place
-  * small-file compaction UNDER the `_spark_metadata` manifest.
+/** In-place REWRITES of LIVE manifest-committed streaming tables:
+  * OPTIMIZE (small-file compaction, optional Z-order re-clustering) and
+  * DELETE WHERE (row-level copy-on-write deletion) UNDER the
+  * `_spark_metadata` manifest.
   *
   * [[graft.sources.FileIO.compact]] rewrites a plain directory to a NEW
   * location; a streaming sink's table cannot move (its writer's
   * checkpoint and its readers both point at the path), and its readers
-  * list files through the manifest — so compaction must atomically
+  * list files through the manifest — so any rewrite must atomically
   * replace the MANIFEST's view while the data directory temporarily
   * holds both generations. Spark's sink log is add-only (no delete
-  * action since Spark 3), so retiring small files requires REBUILDING
-  * the log, not appending to it.
+  * action since Spark 3), so retiring files requires REBUILDING the
+  * log, not appending to it.
   *
-  * Protocol (the Sidecar single-commit-point discipline applied to
-  * Spark's fixed-location manifest):
+  * Shared protocol (the Sidecar single-commit-point discipline applied
+  * to Spark's fixed-location manifest):
   *  1. stop-the-writer guard (same as [[StreamSinks.vacuum]]) — refuses
   *     while any active streaming query in this session sinks here;
-  *  2. committed files below `smallFileBytes` are read back (partition
-  *     values re-attached from their Hive-style dir names as exact
-  *     strings) and rewritten as ⌈bytes/targetFileBytes⌉ files per the
-  *     layout, landing under the invisible `_graft_optimize_data`
-  *     staging dir, then moved to `graft-compact-<uuid>` names in their
-  *     final partition dirs — still invisible: nothing references them;
-  *  3. a replacement log is staged at `_graft_optimize_stage_meta`:
-  *     the batch-id WINDOW the reader resolves (`getAllValidBatches` of
-  *     the preserved latest id) is rewritten so every batch is empty
-  *     except the latest, which lists kept + compacted files. The
-  *     writer's latest batch id is PRESERVED, so a checkpointed writer
-  *     restarted after the swap appends batch N+1 normally and a
-  *     replayed batch ≤ N is still skipped (exactly-once intact);
+  *  2. the affected committed files are read back (partition values
+  *     re-attached from their Hive-style dir names as exact strings),
+  *     transformed (repacked / z-ordered / predicate-filtered), and land
+  *     under the invisible `_graft_optimize_data` staging dir, then move
+  *     to fresh names in their final partition dirs — still invisible:
+  *     nothing references them;
+  *  3. a replacement log is staged at `_graft_optimize_stage_meta` with
+  *     the writer's latest batch id PRESERVED (a checkpointed writer
+  *     restarted after the swap appends batch N+1 normally; a replayed
+  *     batch ≤ N is still skipped — exactly-once intact). Staging is
+  *     O(compactInterval) writes, never O(batches): the snapshot lands
+  *     as a manually-serialized `.compact` file at the conf-consistent
+  *     boundary ≤ latest plus empty tail batches (measured in
+  *     SCALING.md r15 — the naive 0..latest replay costs ~48 ms/batch,
+  *     hours at a production sink's batch counts);
   *  4. the swap: `_COMMITTED` marker lands in the stage dir, then
   *     `_spark_metadata` → `.bak`, stage → `_spark_metadata`, `.bak`
   *     deleted. A crash between renames leaves a state [[repairOptimize]]
   *     resolves DETERMINISTICALLY (marker present ⇒ roll forward,
   *     absent ⇒ roll back). CAVEAT (spec-pinned): in the window where
   *     `_spark_metadata` is renamed away, Spark readers FALL BACK to
-  *     plain directory listing and would see retired AND compacted
+  *     plain directory listing and would see retired AND rewritten
   *     generations together — run repair before serving reads after a
   *     crash, exactly as a half-restored database is fsck'd before use.
   *
-  * Retired small files stay on disk, unreferenced — invisible to
-  * manifest readers and swept by the graced [[StreamSinks.vacuum]] like
-  * any other orphan (in-flight readers that resolved the OLD manifest
-  * keep their files until the grace expires).
+  * Retired files stay on disk, unreferenced — invisible to manifest
+  * readers and swept by the graced [[StreamSinks.vacuum]] like any
+  * other orphan (in-flight readers that resolved the OLD manifest keep
+  * their files until the grace expires).
   *
-  * At 100 TB this is the maintenance pass that keeps a long-running
-  * sink's file count O(data/target) instead of O(batches × tasks): the
-  * rewrite cost is O(small bytes), never O(table).
+  * At 100 TB: OPTIMIZE keeps a long-running sink's file count
+  * O(data/target) instead of O(batches × tasks); DELETE rewrites ONLY
+  * the files that contain matches (found by a predicate-pushed scan) —
+  * the copy-on-write discipline that makes a takedown/GDPR pass
+  * O(affected bytes), never O(table).
   */
 object Optimize {
 
   final case class OptimizeReport(
       compactedFiles: Int,
+      outputFiles: Int,
+      keptFiles: Int,
+      latestBatchId: Long,
+      retired: Seq[String])
+
+  final case class DeleteReport(
+      rewrittenFiles: Int,
       outputFiles: Int,
       keptFiles: Int,
       latestBatchId: Long,
@@ -84,6 +97,126 @@ object Optimize {
     if (cut < 0) "" else rel.substring(0, cut)
   }
 
+  /** Scheme-normalized, URI-decoded comparison key for a file reference —
+    * `SinkFileStatus.path` is URI-encoded while `_metadata.file_path`
+    * and raw listings vary in scheme, so identity must compare decoded
+    * absolute paths. */
+  private def normKey(ref: String): String = {
+    val p =
+      try new Path(new java.net.URI(ref))
+      catch { case _: Exception => new Path(ref) }
+    Path.getPathWithoutSchemeAndAuthority(p).toString
+  }
+
+  /** Guard + open: stop-the-writer, no leftover stage/backup, log opened,
+    * latest id + committed entries resolved. */
+  private def guardAndOpen(
+      spark: SparkSession, path: String, op: String
+  ): (FileSystem, Long, Seq[SinkFileStatus]) = {
+    StreamSinks.requireNoActiveWriter(spark, path, op)
+    val fs = fsFor(spark, path)
+    require(
+      !fs.exists(bakDir(path)) && !fs.exists(stageMetaDir(path)) && !fs.exists(stageDataDir(path)),
+      s"$op($path): leftover stage/backup dirs from an interrupted run — run repairOptimize first")
+    val log = sinkLog(spark, metaDir(path).toString)
+    val latest: Long = log.getLatestBatchId().getOrElse(
+      throw new IllegalStateException(s"$op($path): no committed batches"))
+    (fs, latest, log.allFiles().toSeq)
+  }
+
+  /** Stage-write a transformed frame and move its files to fresh names in
+    * their final partition dirs — written files are returned, still
+    * unreferenced (invisible to every reader until the manifest swap).
+    * `write` receives the frame (partition values string-typed, verbatim
+    * round-trip) and the detected partition columns. */
+  private def stageRewrite(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      format: String,
+      srcPaths: Seq[String],
+      namePrefix: String
+  )(write: (DataFrame, Seq[String], String) => Unit): Seq[Path] = {
+    val rootAbs = graft.sources.FileIO.tableRootAbs(spark, path)
+    val partCols: Seq[String] = srcPaths
+      .map(p => partitionSubPath(p, rootAbs))
+      .filter(_.nonEmpty)
+      .headOption
+      .map(_.split('/').toSeq.map(_.split("=", 2)(0)))
+      .getOrElse(Nil)
+    val stageData = stageDataDir(path)
+    // partition values must round-trip VERBATIM into the rewritten dirs —
+    // string-typed inference, restored afterwards
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      val df = spark.read.format(format).option("basePath", path).load(srcPaths: _*)
+      write(df, partCols, stageData.toString)
+    } finally {
+      inferWas.fold(spark.conf.unset(inferKey))(v => spark.conf.set(inferKey, v))
+    }
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    def dataFilesUnder(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) dataFilesUnder(st.getPath)
+        else Seq(st.getPath)
+      }
+    val moved = dataFilesUnder(stageData).zipWithIndex.map { case (src, i) =>
+      val rel = src.toString.stripPrefix(fs.makeQualified(stageData).toString).stripPrefix("/")
+      val cut = rel.lastIndexOf('/')
+      val sub = if (cut < 0) "" else rel.substring(0, cut)
+      val destDir = if (sub.isEmpty) new Path(path) else new Path(path, sub)
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, s"$namePrefix-$uuid-$i.$format")
+      require(fs.rename(src, dest), s"stageRewrite: rename $src -> $dest failed")
+      dest
+    }
+    fs.delete(stageData, true)
+    moved
+  }
+
+  /** Stage the replacement manifest (O(compactInterval) writes — see the
+    * object scaladoc) and swap it live under the `_COMMITTED` marker. */
+  private def swapManifest(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      latestId: Long,
+      newEntries: Array[SinkFileStatus],
+      op: String
+  ): Unit = {
+    val stageMeta = stageMetaDir(path)
+    val stageLog = sinkLog(spark, stageMeta.toString)
+    val interval = spark.conf
+      .getOption("spark.sql.streaming.fileSink.log.compactInterval").map(_.toInt).getOrElse(10)
+    require(interval > 0, s"$op: bad fileSink.log.compactInterval $interval")
+    val head = latestId - ((latestId + 1) % interval) // newest boundary ≤ latest, or negative
+    if (head >= 0) {
+      val out = fs.create(new Path(stageMeta, s"$head.compact"), true)
+      try stageLog.serialize(newEntries, out) finally out.close()
+      ((head + 1) to latestId).foreach { id =>
+        require(stageLog.add(id, Array.empty[SinkFileStatus]),
+          s"$op: staging manifest batch $id failed")
+      }
+    } else {
+      (0L to latestId).foreach { id =>
+        val content = if (id == latestId) newEntries else Array.empty[SinkFileStatus]
+        require(stageLog.add(id, content), s"$op: staging manifest batch $id failed")
+      }
+    }
+    val mk = fs.create(marker(stageMeta), true); mk.close()
+
+    require(fs.rename(metaDir(path), bakDir(path)),
+      s"$op: could not retire the live manifest at ${metaDir(path)}")
+    require(fs.rename(stageMeta, metaDir(path)),
+      s"$op: could not promote the staged manifest — run repairOptimize")
+    fs.delete(marker(metaDir(path)), false)
+    fs.delete(bakDir(path), true)
+  }
+
   /** @param zOrderDims when set, the compacted files are also Z-ORDER
     *        clustered on the two dimensions ([[graft.sources.FileIO
     *        .zOrdered]]) — compaction and re-clustering in ONE rewrite
@@ -99,129 +232,97 @@ object Optimize {
       targetFileBytes: Long = 128L * 1024 * 1024,
       zOrderDims: Option[(String, String)] = None
   ): OptimizeReport = {
-    StreamSinks.requireNoActiveWriter(spark, path, "optimizeSink")
-    val fs = fsFor(spark, path)
-    require(
-      !fs.exists(bakDir(path)) && !fs.exists(stageMetaDir(path)) && !fs.exists(stageDataDir(path)),
-      s"optimizeSink($path): leftover stage/backup dirs from an interrupted run — " +
-        "run repairOptimize first")
-    val rootAbs = graft.sources.FileIO.tableRootAbs(spark, path)
-
-    val log = sinkLog(spark, metaDir(path).toString)
-    val latest = log.getLatestBatchId().getOrElse(
-      throw new IllegalStateException(s"optimizeSink($path): no committed batches"))
-    val all = log.allFiles().toSeq
+    val (fs, latestId, all) = guardAndOpen(spark, path, "optimizeSink")
     val (small, kept) = all.partition(_.size < smallFileBytes)
     if (small.size < 2) {
-      return OptimizeReport(0, 0, all.size, latest.asInstanceOf[Long], Nil)
+      return OptimizeReport(0, 0, all.size, latestId, Nil)
     }
-
-    // ---- stage the compacted data files -------------------------------
-    val smallPaths = small.map(_.sparkPath.toPath.toString)
-    val subPaths = small.map(s => partitionSubPath(s.path, rootAbs))
-    val partCols: Seq[String] = subPaths.filter(_.nonEmpty).headOption
-      .map(_.split('/').toSeq.map(_.split("=", 2)(0))).getOrElse(Nil)
     val totalSmall = small.map(_.size).sum
     val nOut = math.max(1L, (totalSmall + targetFileBytes - 1) / targetFileBytes).toInt
+    val smallPaths = small.map(_.sparkPath.toPath.toString)
 
-    val stageData = stageDataDir(path)
-    // partition values must round-trip VERBATIM into the rewritten dirs —
-    // string-typed inference, restored afterwards
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferWas = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    try {
-      val reader = spark.read.format(format).option("basePath", path)
-      val df = reader.load(smallPaths: _*)
-      require(zOrderDims.isEmpty || partCols.isEmpty,
-        s"optimizeSink($path): z-order clustering applies to unpartitioned tables " +
-          s"(this table partitions on ${partCols.mkString(",")})")
-      val writer = (zOrderDims, partCols) match {
-        case (Some((a, b)), _) => graft.sources.FileIO.zOrdered(df, a, b, nOut).write
-        case (None, Nil)       => df.coalesce(nOut).write
-        case (None, cols)      =>
-          df.repartition(nOut, cols.map(col): _*).write.partitionBy(cols: _*)
-      }
-      writer.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format).save(stageData.toString)
-    } finally {
-      inferWas.fold(spark.conf.unset(inferKey))(v => spark.conf.set(inferKey, v))
+    val moved = stageRewrite(spark, fs, path, format, smallPaths, "graft-compact") {
+      (df, partCols, stageDir) =>
+        require(zOrderDims.isEmpty || partCols.isEmpty,
+          s"optimizeSink($path): z-order clustering applies to unpartitioned tables " +
+            s"(this table partitions on ${partCols.mkString(",")})")
+        val writer = (zOrderDims, partCols) match {
+          case (Some((a, b)), _) => graft.sources.FileIO.zOrdered(df, a, b, nOut).write
+          case (None, Nil)       => df.coalesce(nOut).write
+          case (None, cols)      =>
+            df.repartition(nOut, cols.map(col): _*).write.partitionBy(cols: _*)
+        }
+        writer.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format).save(stageDir)
     }
 
-    // move staged files to their final partition dirs under fresh names —
-    // still unreferenced, so still invisible to every reader
-    val uuid = java.util.UUID.randomUUID().toString.take(8)
-    def dataFilesUnder(p: Path): Seq[Path] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (st.isDirectory) dataFilesUnder(st.getPath)
-        else Seq(st.getPath)
-      }
-    val staged = dataFilesUnder(stageData)
-    val moved = staged.zipWithIndex.map { case (src, i) =>
-      val rel = src.toString.stripPrefix(fs.makeQualified(stageData).toString).stripPrefix("/")
-      val cut = rel.lastIndexOf('/')
-      val sub = if (cut < 0) "" else rel.substring(0, cut)
-      val destDir = if (sub.isEmpty) new Path(path) else new Path(path, sub)
-      fs.mkdirs(destDir)
-      val dest = new Path(destDir, s"graft-compact-$uuid-$i.$format")
-      require(fs.rename(src, dest), s"optimizeSink: rename $src -> $dest failed")
-      dest
-    }
-    fs.delete(stageData, true)
-
-    // ---- stage the replacement manifest -------------------------------
-    // rebuild ONLY the window a reader resolves — O(compactInterval)
-    // metadata writes, never O(batches) (measured: the 0..latest rebuild
-    // this replaces cost ~48 ms/batch, unusable at a production sink's
-    // 100k batches). A reader of the sink log resolves from the newest
-    // `.compact` file: the snapshot lands as a manually-serialized
-    // compact file at the conf-consistent boundary ≤ latest, followed by
-    // empty plain batches up to latest (none of which is itself a
-    // boundary). A writer restarted after the swap appends latest+1 and,
-    // at its next boundary, compacts over exactly the ids we staged.
-    // Below the first boundary the full 0..latest replay is ≤ interval
-    // writes anyway.
-    val stageMeta = stageMetaDir(path)
-    val stageLog = sinkLog(spark, stageMeta.toString)
-    val latestId = latest.asInstanceOf[Long]
-    val newEntries: Array[SinkFileStatus] =
-      (kept.toArray ++ moved.map(p => SinkFileStatus(fs.getFileStatus(p))))
-    val interval = spark.conf
-      .getOption("spark.sql.streaming.fileSink.log.compactInterval").map(_.toInt).getOrElse(10)
-    require(interval > 0, s"optimizeSink: bad fileSink.log.compactInterval $interval")
-    val head = latestId - ((latestId + 1) % interval) // newest boundary ≤ latest, or negative
-    if (head >= 0) {
-      val out = fs.create(new Path(stageMeta, s"$head.compact"), true)
-      try stageLog.serialize(newEntries, out) finally out.close()
-      ((head + 1) to latestId).foreach { id =>
-        require(stageLog.add(id, Array.empty[SinkFileStatus]),
-          s"optimizeSink: staging manifest batch $id failed")
-      }
-    } else {
-      (0L to latestId).foreach { id =>
-        val content = if (id == latestId) newEntries else Array.empty[SinkFileStatus]
-        require(stageLog.add(id, content), s"optimizeSink: staging manifest batch $id failed")
-      }
-    }
-    val mk = fs.create(marker(stageMeta), true); mk.close()
-
-    // ---- the swap ------------------------------------------------------
-    require(fs.rename(metaDir(path), bakDir(path)),
-      s"optimizeSink: could not retire the live manifest at ${metaDir(path)}")
-    require(fs.rename(stageMeta, metaDir(path)),
-      s"optimizeSink: could not promote the staged manifest — run repairOptimize")
-    fs.delete(marker(metaDir(path)), false)
-    fs.delete(bakDir(path), true)
-
-    OptimizeReport(small.size, moved.size, kept.size, latestId,
-      small.map(_.sparkPath.toPath.toString))
+    swapManifest(spark, fs, path, latestId,
+      kept.toArray ++ moved.map(p => SinkFileStatus(fs.getFileStatus(p))), "optimizeSink")
+    OptimizeReport(small.size, moved.size, kept.size, latestId, smallPaths)
   }
 
-  /** Resolve an interrupted [[optimizeSink]] swap — deterministic:
-    * a live manifest wins (leftovers rolled back); no manifest + a
-    * `_COMMITTED`-marked stage rolls FORWARD; anything else restores the
-    * backup. Returns what it did. */
+  /** Row-level DELETE on a live manifest-committed table — COPY-ON-WRITE:
+    * only the files that actually CONTAIN matching rows are rewritten
+    * (found by one predicate-pushed scan projecting `_metadata.file_path`
+    * — file-count-bounded, and the pushed predicate skips row groups on
+    * the way); untouched files keep their manifest entries VERBATIM. The
+    * rewritten copies hold the survivors (`NOT predicate`, with
+    * three-valued logic handled: a NULL predicate row SURVIVES, matching
+    * SQL DELETE semantics); a file whose every row matches simply
+    * produces no copy. The swap, crash repair, writer-resume, and vacuum
+    * story are identical to [[optimizeSink]] — one shared protocol.
+    *
+    * `predicate` must reference DATA columns only (partition values ride
+    * through the rewrite as verbatim strings, so a typed partition
+    * predicate would mis-compare; partition-level deletion is directory
+    * surgery, a different tool). At 100 TB this is the takedown/GDPR
+    * primitive: cost O(files containing matches), never O(table).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: Column,
+      format: String = "parquet",
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): DeleteReport = {
+    val (fs, latestId, all) = guardAndOpen(spark, path, "deleteWhere")
+    val hitKeys = spark.read.format(format).load(path)
+      .filter(predicate)
+      .select(col("_metadata.file_path"))
+      .distinct()
+      .collect()
+      .map(r => normKey(r.getString(0)))
+      .toSet
+    val (hit, untouched) = all.partition(e => hitKeys.contains(normKey(e.path)))
+    require(hit.size == hitKeys.size,
+      s"deleteWhere($path): ${hitKeys.size} matched files but ${hit.size} manifest entries — " +
+        "scan and manifest disagree; refusing to rewrite")
+    if (hit.isEmpty) {
+      return DeleteReport(0, 0, all.size, latestId, Nil)
+    }
+    val hitPaths = hit.map(_.sparkPath.toPath.toString)
+    val nOut = math.max(1L,
+      (hit.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val moved = stageRewrite(spark, fs, path, format, hitPaths, "graft-delete") {
+      (df, partCols, stageDir) =>
+        // keep rows where the predicate is FALSE or NULL (SQL DELETE
+        // removes only definite matches)
+        val survivors = df.filter(not(coalesce(predicate, lit(false))))
+        val writer =
+          if (partCols.isEmpty) survivors.coalesce(nOut).write
+          else survivors.repartition(nOut, partCols.map(col): _*).write.partitionBy(partCols: _*)
+        writer.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format).save(stageDir)
+    }
+
+    swapManifest(spark, fs, path, latestId,
+      untouched.toArray ++ moved.map(p => SinkFileStatus(fs.getFileStatus(p))), "deleteWhere")
+    DeleteReport(hit.size, moved.size, untouched.size, latestId, hitPaths)
+  }
+
+  /** Resolve an interrupted [[optimizeSink]]/[[deleteWhere]] swap —
+    * deterministic: a live manifest wins (leftovers rolled back); no
+    * manifest + a `_COMMITTED`-marked stage rolls FORWARD; anything else
+    * restores the backup. Returns what it did. */
   def repairOptimize(spark: SparkSession, path: String): String = {
     val fs = fsFor(spark, path)
     val meta = metaDir(path)

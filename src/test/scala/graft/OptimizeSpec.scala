@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{Optimize, StreamSinks}
@@ -250,6 +251,63 @@ class OptimizeSpec extends AnyFunSuite {
       .listFiles().map(_.getName).toSet
     assert(logAfter.contains("19.compact"),
       s"writer's own compaction at 19 missing from $logAfter")
+  }
+
+  test("deleteWhere is copy-on-write: only match-bearing files rewrite, others verbatim") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("del_out")
+    val ckpt = freshDir("del_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    def batch(lo: Long): Unit = {
+      stream.addData((lo until lo + 100L).map(i => (i, i * 1.0)))
+      val q = StreamSinks.parquetSink(stream.toDF().toDF("id", "v"), out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(0L, 100L, 200L, 300L).foreach(batch) // ids 0..399 across 4 batches
+
+    val filesBefore = StreamSinks.committedFiles(spark, out, "parquet")
+    // targets live in exactly the batch-1 id range → only its file(s) rewrite
+    val rep = Optimize.deleteWhere(spark, out, col("id") >= 120L && col("id") < 180L)
+    assert(rep.rewrittenFiles >= 1 && rep.rewrittenFiles < filesBefore.size,
+      s"copy-on-write should touch a strict subset: ${rep.rewrittenFiles}/${filesBefore.size}")
+    assert(rep.latestBatchId == 3)
+
+    val after = spark.read.parquet(out)
+    assert(after.count() == 340, s"expected 340 survivors, got ${after.count()}")
+    assert(after.filter(col("id") >= 120L && col("id") < 180L).count() == 0, "matches survived")
+
+    // untouched files keep their manifest entries VERBATIM
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val filesAfter = StreamSinks.committedFiles(spark, out, "parquet").map(norm).toSet
+    val untouchedBefore = filesBefore.map(norm).toSet -- rep.retired.map(norm).toSet
+    assert(untouchedBefore.subsetOf(filesAfter), "an untouched file lost its manifest entry")
+    assert(filesAfter.exists(_.contains("graft-delete-")), "no rewritten copy in the manifest")
+
+    // delete-nothing is a no-op that never touches the manifest
+    val rep2 = Optimize.deleteWhere(spark, out, col("id") === -1L)
+    assert(rep2.rewrittenFiles == 0 && rep2.outputFiles == 0)
+    assert(StreamSinks.committedFiles(spark, out, "parquet").map(norm).toSet == filesAfter)
+
+    // NULL-predicate rows SURVIVE (SQL DELETE removes definite matches only)
+    val rep3 = Optimize.deleteWhere(spark, out,
+      org.apache.spark.sql.functions.when(col("id") < 50L, lit(true)))
+    assert(rep3.rewrittenFiles >= 1)
+    assert(spark.read.parquet(out).count() == 290,
+      "NULL-predicate rows must survive a delete")
+
+    // a file whose EVERY row matches yields no copy — just retirement
+    val total = spark.read.parquet(out).count()
+    val rep4 = Optimize.deleteWhere(spark, out, col("id") >= 300L) // batch 3 entirely
+    assert(spark.read.parquet(out).count() == total - 100)
+
+    // the writer resumes exactly-once after all that surgery
+    batch(400L)
+    assert(spark.read.parquet(out).count() == total, "resume after deletes lost or duped rows")
+    // and retired generations vacuum away without touching survivors
+    StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L)
+    assert(spark.read.parquet(out).count() == total)
   }
 
   test("repair: a _COMMITTED stage rolls forward; an uncommitted stage rolls back") {
