@@ -319,6 +319,66 @@ object Optimize {
     DeleteReport(hit.size, moved.size, untouched.size, latestId, hitPaths)
   }
 
+  /** Row-level UPDATE on a live manifest-committed table — the same
+    * copy-on-write shape as [[deleteWhere]]: one predicate-pushed scan
+    * finds the match-bearing files, only those rewrite with `set`
+    * expressions applied to matching rows (non-matching rows — including
+    * NULL-predicate rows — pass through byte-identical), untouched files
+    * keep their manifest entries verbatim, one staged-manifest swap
+    * commits. `set` columns must be existing DATA columns (schema is
+    * stable through the rewrite; partition columns live in dir names and
+    * cannot be updated in place — that is a move, not an update). */
+  def updateWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: Column,
+      set: Map[String, Column],
+      format: String = "parquet",
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): DeleteReport = {
+    require(set.nonEmpty, "updateWhere: empty SET")
+    val (fs, latestId, all) = guardAndOpen(spark, path, "updateWhere")
+    val hitKeys = spark.read.format(format).load(path)
+      .filter(predicate)
+      .select(col("_metadata.file_path"))
+      .distinct()
+      .collect()
+      .map(r => normKey(r.getString(0)))
+      .toSet
+    val (hit, untouched) = all.partition(e => hitKeys.contains(normKey(e.path)))
+    require(hit.size == hitKeys.size,
+      s"updateWhere($path): ${hitKeys.size} matched files but ${hit.size} manifest entries — " +
+        "scan and manifest disagree; refusing to rewrite")
+    if (hit.isEmpty) {
+      return DeleteReport(0, 0, all.size, latestId, Nil)
+    }
+    val hitPaths = hit.map(_.sparkPath.toPath.toString)
+    val nOut = math.max(1L,
+      (hit.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val moved = stageRewrite(spark, fs, path, format, hitPaths, "graft-update") {
+      (df, partCols, stageDir) =>
+        set.keys.foreach { c =>
+          require(df.columns.contains(c), s"updateWhere: SET column $c not in the table schema")
+          require(!partCols.contains(c),
+            s"updateWhere: $c is a partition column — updating it is a move, not an update")
+        }
+        val matchedOnly = coalesce(predicate, lit(false))
+        val updated = set.foldLeft(df) { case (acc, (c, e)) =>
+          acc.withColumn(c, org.apache.spark.sql.functions.when(matchedOnly, e).otherwise(col(c))
+            .cast(df.schema(c).dataType))
+        }
+        val writer =
+          if (partCols.isEmpty) updated.coalesce(nOut).write
+          else updated.repartition(nOut, partCols.map(col): _*).write.partitionBy(partCols: _*)
+        writer.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format).save(stageDir)
+    }
+
+    swapManifest(spark, fs, path, latestId,
+      untouched.toArray ++ moved.map(p => SinkFileStatus(fs.getFileStatus(p))), "updateWhere")
+    DeleteReport(hit.size, moved.size, untouched.size, latestId, hitPaths)
+  }
+
   /** Resolve an interrupted [[optimizeSink]]/[[deleteWhere]] swap —
     * deterministic: a live manifest wins (leftovers rolled back); no
     * manifest + a `_COMMITTED`-marked stage rolls FORWARD; anything else

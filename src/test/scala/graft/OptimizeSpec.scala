@@ -310,6 +310,41 @@ class OptimizeSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == total)
   }
 
+  test("updateWhere applies SET to matches only; non-matching files stay verbatim") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("upd_out")
+    val ckpt = freshDir("upd_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    def batch(lo: Long): Unit = {
+      stream.addData((lo until lo + 100L).map(i => (i, i * 1.0)))
+      val q = StreamSinks.parquetSink(stream.toDF().toDF("id", "v"), out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(0L, 100L, 200L).foreach(batch)
+    val filesBefore = StreamSinks.committedFiles(spark, out, "parquet")
+
+    val rep = Optimize.updateWhere(
+      spark, out, col("id").between(110L, 130L), Map("v" -> (col("v") * -1.0)))
+    assert(rep.rewrittenFiles >= 1 && rep.rewrittenFiles < filesBefore.size,
+      s"copy-on-write should touch a strict subset: ${rep.rewrittenFiles}/${filesBefore.size}")
+
+    val after = spark.read.parquet(out)
+    assert(after.count() == 300, "update changed the row count")
+    assert(after.filter(col("id").between(110L, 130L) && col("v") >= 0).count() == 0,
+      "a matching row kept its old value")
+    assert(after.filter(!col("id").between(110L, 130L) && col("v") < 0).count() == 0,
+      "a non-matching row was updated")
+
+    // schema must be stable through the rewrite (cast back to the
+    // original column type) and guards must refuse unknown/partition cols
+    assert(after.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    intercept[IllegalArgumentException] {
+      Optimize.updateWhere(spark, out, col("id") === 0L, Map("nope" -> lit(1)))
+    }
+  }
+
   test("repair: a _COMMITTED stage rolls forward; an uncommitted stage rolls back") {
     val s = spark
     import s.implicits._
