@@ -1175,6 +1175,87 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // ROW-LEVEL DELETE gate (r15 — the copy-on-write DML on a LIVE
+    // manifest table, oracle-gated end-to-end): orders stream-ingests
+    // through the exactly-once parquet sink in multiple micro-batches,
+    // then `Optimize.deleteWhere` removes a key slice by rewriting ONLY
+    // the match-bearing files under the staged-manifest swap. The
+    // oracle recomputes the survivors from the raw table. Reruns in one
+    // app are no-ops (the checkpoint admits no new files; the predicate
+    // matches nothing after the first pass), so bench passes measure
+    // the steady state.
+    "table_delete_cow" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_delete")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"),
+          col("o_orderpriority"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.Optimize.deleteWhere(spark, tbl, pmod(col("o_orderkey"), lit(10L)) < 3L)
+      spark.read
+        .parquet(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ROW-LEVEL UPDATE gate (r15 — updateWhere's oracle twin on the
+    // same recipe; the SET is a constant so reruns stay idempotent).
+    "table_update_cow" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_update")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderpriority"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.Optimize.updateWhere(
+        spark, tbl, col("o_orderpriority") === "1-URGENT", Map("cents" -> lit(0L)))
+      spark.read
+        .parquet(tbl)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // SMALL-FILE COMPACTION gate (r15 — upgrades [[compact]] from
     // spec-measured to oracle-gated): 64 micro-batch-sized files repack
     // through the shuffle-free coalesce path, and the aggregate is read
@@ -1227,6 +1308,21 @@ object FileIO {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_orderkey""".stripMargin,
+    "table_delete_cow" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 < 3)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "table_update_cow" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+        |                ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "compact_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
