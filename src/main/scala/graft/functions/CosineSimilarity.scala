@@ -134,6 +134,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.phraseSearchIdxTvf)
     ext.injectTableFunction(GraftExtensions.bpeTokenizeTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
+    // SQL DML/maintenance statements (GRAFT OPTIMIZE / DELETE / UPDATE /
+    // VACUUM / REPAIR) — a delegating parser: unrecognized text falls
+    // through to Spark's grammar untouched
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

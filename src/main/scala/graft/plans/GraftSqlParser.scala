@@ -1,0 +1,178 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** SQL spellings for the table-maintenance/DML family — a PARSER
+  * extension (SparkSessionExtensions.injectParser), the same seam Delta
+  * uses for OPTIMIZE/VACUUM: statements Spark's grammar doesn't know are
+  * intercepted BEFORE the delegate parser, everything else passes
+  * through untouched.
+  *
+  * Grammar (path literals single-quoted; case-insensitive keywords;
+  * WHERE/SET expressions parsed by Spark's OWN expression parser, so the
+  * full SQL expression language applies):
+  *
+  *   GRAFT OPTIMIZE '<path>' [FORMAT '<fmt>'] [ZORDER BY (a, b)]
+  *   GRAFT DELETE FROM '<path>' [FORMAT '<fmt>'] WHERE <expr>
+  *   GRAFT UPDATE '<path>' [FORMAT '<fmt>'] SET c1 = <expr>[, ...] WHERE <expr>
+  *   GRAFT VACUUM '<path>' [FORMAT '<fmt>'] [GRACE <n> MINUTES]
+  *   GRAFT REPAIR '<path>'
+  *
+  * Each returns its report as rows (the command pattern: metadata-scale
+  * output on the driver). A SQL-only user gets the full
+  * optimize/delete/update/vacuum/repair lifecycle without touching the
+  * Scala API.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  private val Optimize =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+  private val Delete =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val Update =
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
+  private val Repair =
+    """(?is)\s*GRAFT\s+REPAIR\s+'([^']+)'\s*;?\s*""".r
+
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case Optimize(path, fmt, a, b) =>
+        val z = (Option(a), Option(b)) match {
+          case (Some(x), Some(y)) => Some((x, y))
+          case _                  => None
+        }
+        Some(GraftOptimizeCommand(path, Option(fmt).getOrElse("parquet"), z))
+      case Delete(path, fmt, where) =>
+        delegate.parseExpression(where) // syntax-check NOW: parse errors surface at parse time
+        Some(GraftDeleteCommand(path, Option(fmt).getOrElse("parquet"), where))
+      case Update(path, fmt, setList, where) =>
+        val assigns = splitAssignments(setList)
+        assigns.foreach { case (_, e) => delegate.parseExpression(e) }
+        delegate.parseExpression(where)
+        Some(GraftUpdateCommand(path, Option(fmt).getOrElse("parquet"), assigns, where))
+      case Vacuum(path, fmt, grace) =>
+        Some(GraftVacuumCommand(path, Option(fmt).getOrElse("parquet"),
+          Option(grace).map(_.toLong * 60000L).getOrElse(10 * 60 * 1000L)))
+      case Repair(path) => Some(GraftRepairCommand(path))
+      case t if t.trim.toUpperCase.startsWith("GRAFT ") =>
+        throw new ParseException(
+          command = Some(t),
+          start = org.apache.spark.sql.catalyst.trees.Origin(),
+          errorClass = "PARSE_SYNTAX_ERROR",
+          messageParameters = Map(
+            "error" -> s"unrecognized GRAFT statement: ${t.trim.take(80)}",
+            "hint" -> " (expected OPTIMIZE / DELETE FROM / UPDATE / VACUUM / REPAIR)"))
+      case _ => None
+    }
+
+  /** Split `c1 = e1, c2 = e2` on TOP-LEVEL commas only (commas inside
+    * parens/quotes belong to the expressions). Expression TEXT is kept —
+    * the analyzer reflects over a command's Expression fields and would
+    * try to resolve them against the childless command node, so the
+    * commands carry SQL strings and re-parse at run() time. */
+  private[plans] def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"'        => quote = ch; cur += ch
+        case '(' | '['         => depth += 1; cur += ch
+        case ')' | ']'         => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.result(); cur.clear()
+        case _                 => cur += ch
+      }
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    parts.toSeq.map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"GRAFT UPDATE: bad assignment '$p' (expected col = expr)")
+      (p.substring(0, i).trim, p.substring(i + 1).trim)
+    }
+  }
+}
+
+private object GraftCommandOutput {
+  def report: Seq[Attribute] = Seq(
+    AttributeReference("rewritten_files", LongType, nullable = false)(),
+    AttributeReference("output_files", LongType, nullable = false)(),
+    AttributeReference("kept_files", LongType, nullable = false)(),
+    AttributeReference("latest_batch_id", LongType, nullable = false)())
+}
+
+case class GraftOptimizeCommand(
+    path: String, format: String, zOrderDims: Option[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.report
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.streaming.Optimize.optimizeSink(
+      spark, path, format, zOrderDims = zOrderDims)
+    Seq(Row(r.compactedFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
+  }
+}
+
+case class GraftDeleteCommand(path: String, format: String, whereSql: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.report
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.streaming.Optimize.deleteWhere(
+      spark, path, org.apache.spark.sql.functions.expr(whereSql), format)
+    Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
+  }
+}
+
+case class GraftUpdateCommand(
+    path: String, format: String, set: Seq[(String, String)], whereSql: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.report
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    val r = graft.streaming.Optimize.updateWhere(
+      spark, path, expr(whereSql),
+      set.map { case (c, e) => c -> expr(e) }.toMap, format)
+    Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
+  }
+}
+
+case class GraftVacuumCommand(path: String, format: String, graceMs: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("swept_file", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.streaming.StreamSinks.vacuum(spark, path, format, dryRun = false, graceMs)
+      .map(Row(_))
+}
+
+case class GraftRepairCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("status", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.streaming.Optimize.repairOptimize(spark, path)))
+}

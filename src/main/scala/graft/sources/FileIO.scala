@@ -1221,6 +1221,48 @@ object FileIO {
         .orderBy(col("o_orderstatus"))
     },
 
+    // SQL spelling of the copy-on-write delete (r15): the identical
+    // pipeline driven through `spark.sql("GRAFT DELETE FROM ...")` — the
+    // parser-extension statement — sharing table_delete_cow's oracle BY
+    // REFERENCE (the sql_span_dedup precedent): one contract, divergence
+    // impossible.
+    "sql_delete_cow" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_delete_sql")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"),
+          col("o_orderpriority"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.sql(s"GRAFT DELETE FROM '$tbl' WHERE pmod(o_orderkey, 10) < 3").collect(): Unit
+      spark.read
+        .parquet(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ROW-LEVEL UPDATE gate (r15 — updateWhere's oracle twin on the
     // same recipe; the SET is a constant so reruns stay idempotent).
     "table_update_cow" -> { (spark, dir) =>
@@ -1285,6 +1327,17 @@ object FileIO {
     }
   )
 
+  /** Shared by table_delete_cow and its GRAFT-SQL spelling
+    * sql_delete_cow — one contract, divergence impossible. */
+  private lazy val deleteCowOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE NOT (o_orderkey % 10 < 3)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // The looked-up row recomputed from the raw table; pruned_ok is the
     // constant-TRUE quality-bound scheme (sim_ann_ivf precedent).
@@ -1308,14 +1361,8 @@ object FileIO {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_orderkey""".stripMargin,
-    "table_delete_cow" ->
-      """SELECT o_orderstatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
-        |FROM orders
-        |WHERE NOT (o_orderkey % 10 < 3)
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+    "table_delete_cow" -> deleteCowOracle,
+    "sql_delete_cow" -> deleteCowOracle,
     "table_update_cow" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0

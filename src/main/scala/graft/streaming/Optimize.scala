@@ -363,11 +363,18 @@ object Optimize {
           require(!partCols.contains(c),
             s"updateWhere: $c is a partition column — updating it is a move, not an update")
         }
+        // ONE projection, not chained withColumns: every SET expression
+        // AND the predicate evaluate against the OLD row (standard SQL
+        // UPDATE semantics — an assignment never sees a sibling's result)
         val matchedOnly = coalesce(predicate, lit(false))
-        val updated = set.foldLeft(df) { case (acc, (c, e)) =>
-          acc.withColumn(c, org.apache.spark.sql.functions.when(matchedOnly, e).otherwise(col(c))
-            .cast(df.schema(c).dataType))
-        }
+        val updated = df.select(df.columns.toIndexedSeq.map { c =>
+          set.get(c) match {
+            case Some(e) =>
+              org.apache.spark.sql.functions.when(matchedOnly, e).otherwise(col(c))
+                .cast(df.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*)
         val writer =
           if (partCols.isEmpty) updated.coalesce(nOut).write
           else updated.repartition(nOut, partCols.map(col): _*).write.partitionBy(partCols: _*)

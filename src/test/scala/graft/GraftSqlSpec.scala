@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamSinks
+
+/** The GRAFT SQL statement family (parser extension): a SQL-only user
+  * drives the full maintenance/DML lifecycle — UPDATE, DELETE, OPTIMIZE,
+  * VACUUM, REPAIR — through `spark.sql`, with Spark's own expression
+  * parser supplying WHERE/SET semantics and everything non-GRAFT falling
+  * through to the stock grammar untouched.
+  */
+class GraftSqlSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def freshDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft_$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** A 3-batch unpartitioned sink table holding (id 0..299, v = id). */
+  private def buildTable(): String = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("gsql_out")
+    val ckpt = freshDir("gsql_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    Seq(0L, 100L, 200L).foreach { lo =>
+      stream.addData((lo until lo + 100L).map(i => (i, i * 1.0)))
+      val q = StreamSinks.parquetSink(stream.toDF().toDF("id", "v"), out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    out
+  }
+
+  test("the full lifecycle drives through spark.sql") {
+    val out = buildTable()
+
+    // UPDATE with a multi-assignment SET whose second expression carries
+    // a TOP-LEVEL-looking comma inside a call — the splitter must respect
+    // nesting — and whose RHS reads a column the SET also writes: both
+    // must evaluate against the OLD row
+    val upd = spark.sql(
+      s"GRAFT UPDATE '$out' SET v = -1.0, id = id + least(v, 1000.0) WHERE id < 5").collect()
+    assert(upd.length == 1 && upd(0).getLong(0) >= 1)
+    val t1 = spark.read.parquet(out)
+    // old row (id=4, v=4.0): id becomes 4 + least(4.0,1000)=8, v becomes -1 —
+    // proof the SET's id expression read the OLD v, not the assigned -1.0
+    assert(t1.filter("id = 8").count() == 2, "expected remapped (4→8) plus untouched id=8")
+    assert(t1.filter("id = 8 AND v = -1.0").count() == 1, "the remapped row carries v=-1")
+    assert(t1.filter("v = -1.0").count() == 5, "five updated rows")
+    assert(t1.count() == 300)
+
+    // DELETE
+    val del = spark.sql(s"GRAFT DELETE FROM '$out' WHERE id >= 290").collect()
+    assert(del.length == 1 && del(0).getLong(0) >= 1)
+    assert(spark.read.parquet(out).count() == 290)
+
+    // OPTIMIZE — all remaining files compact to one
+    val opt = spark.sql(s"GRAFT OPTIMIZE '$out'").collect()
+    assert(opt(0).getLong(1) >= 1, "optimize produced no output files")
+    assert(spark.read.parquet(out).count() == 290)
+
+    // VACUUM reclaims every retired generation
+    val swept = spark.sql(s"GRAFT VACUUM '$out' GRACE 0 MINUTES").collect()
+    assert(swept.nonEmpty, "vacuum after update+delete+optimize found nothing to sweep")
+    assert(spark.read.parquet(out).count() == 290)
+
+    // REPAIR on a clean table reports clean
+    assert(spark.sql(s"GRAFT REPAIR '$out'").collect()(0).getString(0) == "clean")
+  }
+
+  test("non-GRAFT SQL falls through; malformed GRAFT fails loudly") {
+    assert(spark.sql("SELECT 1 + 1 AS x").collect()(0).getInt(0) == 2)
+    val ex = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("GRAFT FROBNICATE 'nowhere'")
+    }
+    assert(ex.getMessage.contains("GRAFT"))
+  }
+}
