@@ -1298,6 +1298,54 @@ object FileIO {
         .orderBy(col("o_orderpriority"))
     },
 
+    // MERGE (upsert) gate (r15 — copy-on-write MERGE INTO on a live
+    // manifest table, oracle-gated end-to-end): the source carries
+    // updates (every o_orderkey % 10 < 2 gets cents = 0) AND inserts
+    // (offset keys), derived deterministically from the fixture so the
+    // oracle recomputes the post-merge table as a CASE + UNION ALL.
+    // Rerun-idempotent: a second pass re-applies identical updates and
+    // its former inserts match as updates to identical values.
+    "table_merge_cow" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_merge")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val updates = o
+        .filter(pmod(col("o_orderkey"), lit(10L)) < 2L)
+        .select(col("o_orderkey"), lit(0L).as("cents"), col("o_orderstatus"))
+      val inserts = o
+        .filter(pmod(col("o_orderkey"), lit(100L)) === 0L)
+        .select(
+          (col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          lit(42L).as("cents"),
+          lit("X").as("o_orderstatus"))
+      graft.streaming.Optimize.mergeInto(
+        spark, tbl, updates.unionByName(inserts), Seq("o_orderkey"))
+      spark.read
+        .parquet(tbl)
+        .select(col("o_orderkey"), col("cents"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // SMALL-FILE COMPACTION gate (r15 — upgrades [[compact]] from
     // spec-measured to oracle-gated): 64 micro-batch-sized files repack
     // through the shuffle-free coalesce path, and the aggregate is read
@@ -1360,6 +1408,18 @@ object FileIO {
         |WHERE o_custkey BETWEEN 10 AND 40
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "table_merge_cow" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 0
+        |         ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents,
+        |    o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, CAST(42 AS BIGINT) AS cents,
+        |    'X' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 100 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     "table_delete_cow" -> deleteCowOracle,
     "sql_delete_cow" -> deleteCowOracle,

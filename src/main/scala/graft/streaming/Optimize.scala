@@ -386,6 +386,134 @@ object Optimize {
     DeleteReport(hit.size, moved.size, untouched.size, latestId, hitPaths)
   }
 
+  /** MERGE (upsert) into a live manifest-committed table — copy-on-write:
+    * the classic "when matched update, when not matched insert" in one
+    * atomic manifest swap.
+    *
+    *  - MATCHED rows (table ∩ source on `keyCols`) live in some set of
+    *    files; ONLY those files rewrite, with each matched row replaced
+    *    by its source row (whole-row replacement — source must carry the
+    *    table's full schema). Found by a key-join projecting
+    *    `_metadata.file_path` — with a broadcast-able source this is one
+    *    scan of the table, no shuffle of the fact side.
+    *  - NOT-MATCHED source rows land as NEW files (an append, no rewrite).
+    *  - Untouched files keep their manifest entries verbatim; the swap,
+    *    repair, writer-resume and vacuum story are [[optimizeSink]]'s.
+    *
+    * Duplicate keys in `source` are refused loudly (a multi-match makes
+    * "replace the row" ambiguous — same rule as SQL MERGE's
+    * cardinality violation). At 100 TB: cost O(files containing matched
+    * keys) + O(inserted bytes), never O(table).
+    */
+  def mergeInto(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      format: String = "parquet",
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): DeleteReport = {
+    require(keyCols.nonEmpty, "mergeInto: empty key column list")
+    val (fs, latestId, all) = guardAndOpen(spark, path, "mergeInto")
+    val table = spark.read.format(format).load(path)
+    require(keyCols.forall(source.columns.contains) && keyCols.forall(table.columns.contains),
+      s"mergeInto: key columns ${keyCols.mkString(",")} must exist on both sides")
+    require(table.columns.sorted.sameElements(source.columns.sorted),
+      s"mergeInto: source schema ${source.columns.sorted.mkString(",")} must match the " +
+        s"table's ${table.columns.sorted.mkString(",")} (whole-row replacement)")
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"mergeInto: duplicate key in source (${dupKeys.headOption}) — ambiguous MERGE")
+
+    import org.apache.spark.sql.functions.broadcast
+    val srcKeys = source.select(keyCols.map(col): _*)
+    // the _metadata column must be projected BEFORE the join — it exists
+    // only directly on the file-source relation
+    val hitKeys = table
+      .select(col("_metadata.file_path").as("__graft_file") +: keyCols.map(col): _*)
+      .join(broadcast(srcKeys), keyCols)
+      .select(col("__graft_file"))
+      .distinct()
+      .collect()
+      .map(r => normKey(r.getString(0)))
+      .toSet
+    val (hit, untouched) = all.partition(e => hitKeys.contains(normKey(e.path)))
+    require(hit.size == hitKeys.size,
+      s"mergeInto($path): ${hitKeys.size} matched files but ${hit.size} manifest entries — " +
+        "scan and manifest disagree; refusing to rewrite")
+
+    val cols = table.columns.toIndexedSeq
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+
+    // not-matched inserts append as new files — no rewrite, pure add
+    val inserts = source.join(
+      table.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val insertDir = new Path(path, s"_graft_merge_ins_$uuid")
+    val nIns = inserts.persist()
+    val insFiles: Seq[Path] =
+      if (nIns.isEmpty) Nil
+      else {
+        nIns.select(cols.map(col): _*)
+          .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format)
+          .save(insertDir.toString)
+        val files = fs.listStatus(insertDir).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath)
+        files.zipWithIndex.map { case (src, i) =>
+          val dest = new Path(path, s"graft-merge-ins-$uuid-$i.$format")
+          require(fs.rename(src, dest), s"mergeInto: rename $src -> $dest failed")
+          dest
+        }
+      }
+    if (fs.exists(insertDir)) fs.delete(insertDir, true): Unit
+
+    // matched files rewrite with source rows replacing their key-matches
+    val moved: Seq[Path] =
+      if (hit.isEmpty) Nil
+      else {
+        val hitPaths = hit.map(_.sparkPath.toPath.toString)
+        val nOut = math.max(1L,
+          (hit.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+        stageRewrite(spark, fs, path, format, hitPaths, "graft-merge") {
+          (df, partCols, stageDir) =>
+            require(partCols.isEmpty || !partCols.exists(keyCols.contains),
+              s"mergeInto: key columns overlap partition columns ${partCols.mkString(",")} — " +
+                "partition surgery is a move, not a merge")
+            val srcPrefixed = broadcast(
+              source.select(cols.map(c => col(c).as(s"__src_$c")) :+
+                lit(true).as("__src_matched"): _*))
+            val joinCond = keyCols
+              .map(k => df(k) === srcPrefixed(s"__src_$k"))
+              .reduce(_ && _)
+            // replacement keys on the MATCH FLAG, not value coalesce — a
+            // legitimately-NULL source value must land as NULL, not fall
+            // back to the old value
+            val merged = df.join(srcPrefixed, joinCond, "left")
+              .select(cols.map { c =>
+                org.apache.spark.sql.functions
+                  .when(col("__src_matched").isNotNull, col(s"__src_$c"))
+                  .otherwise(col(c))
+                  .cast(df.schema(c).dataType).as(c)
+              }: _*)
+            val writer =
+              if (partCols.isEmpty) merged.coalesce(nOut).write
+              else merged.repartition(nOut, partCols.map(col): _*)
+                .write.partitionBy(partCols: _*)
+            writer.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format).save(stageDir)
+        }
+      }
+    nIns.unpersist(): Unit
+
+    swapManifest(spark, fs, path, latestId,
+      untouched.toArray ++ (moved ++ insFiles).map(p => SinkFileStatus(fs.getFileStatus(p))),
+      "mergeInto")
+    DeleteReport(hit.size, moved.size + insFiles.size, untouched.size, latestId,
+      hit.map(_.sparkPath.toPath.toString))
+  }
+
   /** Resolve an interrupted [[optimizeSink]]/[[deleteWhere]] swap —
     * deterministic: a live manifest wins (leftovers rolled back); no
     * manifest + a `_COMMITTED`-marked stage rolls FORWARD; anything else
@@ -397,6 +525,10 @@ object Optimize {
     val stage = stageMetaDir(path)
     val data = stageDataDir(path)
     if (fs.exists(data)) fs.delete(data, true)
+    // merge-insert staging debris (invisible `_graft_merge_ins_*` dirs)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_merge_ins_"))
+      .foreach(st => fs.delete(st.getPath, true))
     if (fs.exists(meta)) {
       // crash before the swap started (or after it finished): the live
       // manifest is authoritative; staged/backup leftovers are debris

@@ -345,6 +345,54 @@ class OptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeInto upserts copy-on-write: matched files rewrite, inserts append, NULLs land") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("mrg_out")
+    val ckpt = freshDir("mrg_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    def batch(lo: Long): Unit = {
+      stream.addData((lo until lo + 100L).map(i => (i, i * 1.0)))
+      val q = StreamSinks.parquetSink(stream.toDF().toDF("id", "v"), out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(0L, 100L, 200L).foreach(batch)
+    val filesBefore = StreamSinks.committedFiles(spark, out, "parquet").size
+
+    // matches in batch-1's id range only; one source v is NULL on purpose
+    val source = Seq(
+      (150L, Option(-150.0)), (155L, Option.empty[Double]),
+      (1000L, Option(1.0)), (1001L, Option(2.0))
+    ).toDF("id", "v")
+    val rep = Optimize.mergeInto(spark, out, source, Seq("id"))
+    assert(rep.rewrittenFiles >= 1 && rep.rewrittenFiles < filesBefore,
+      s"matched rewrite should touch a strict subset: ${rep.rewrittenFiles}/$filesBefore")
+
+    val t = spark.read.parquet(out)
+    assert(t.count() == 302, "2 inserts expected on top of 300")
+    assert(t.filter("id = 150 AND v = -150.0").count() == 1, "matched row not replaced")
+    // whole-row replacement: a legitimately-NULL source value must LAND,
+    // not fall back to the old value
+    assert(t.filter("id = 155 AND v IS NULL").count() == 1, "NULL source value lost")
+    assert(t.filter("id >= 1000").count() == 2, "inserts missing")
+    assert(t.filter("id = 149 AND v = 149.0").count() == 1, "a non-matched row changed")
+
+    // duplicate source keys make replacement ambiguous — refuse loudly
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out,
+        Seq((1L, Option(0.0)), (1L, Option(9.9))).toDF("id", "v"), Seq("id"))
+    }
+    // schema mismatch refused
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, Seq((1L, 1.0, "x")).toDF("id", "v", "extra"), Seq("id"))
+    }
+
+    // writer resumes exactly-once after the merge
+    batch(300L)
+    assert(spark.read.parquet(out).count() == 402, "resume after merge lost or duped rows")
+  }
+
   test("repair: a _COMMITTED stage rolls forward; an uncommitted stage rolls back") {
     val s = spark
     import s.implicits._
