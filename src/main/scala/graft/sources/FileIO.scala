@@ -1346,6 +1346,68 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // STREAMING CDC-UPSERT gate (r15 — `Optimize.upsertSink` end-to-end,
+    // oracle-gated): the SAME change set as table_merge_cow arrives as a
+    // CHANGE FEED instead of one batch — base rows first, then the
+    // update slice, then the inserts, each appended to the stream source
+    // dir between AvailableNow drives of the upsert sink. Batch MERGE
+    // and streamed CDC apply must land the IDENTICAL final state, so the
+    // oracle is shared by reference. Reruns are no-ops (the checkpoint
+    // has consumed every file).
+    "stream_upsert_cdc" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cdc_upsert")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      val sch = o.schema
+      def drive(): Unit = {
+        val q = graft.streaming.Optimize.upsertSink(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", 2).parquet(src)
+            .toDF("o_orderkey", "cents", "o_orderstatus"),
+          tbl, Seq("o_orderkey"), ckpt)
+        q.awaitTermination()
+      }
+      // stage-append a change-set into the live source dir (unique names)
+      def append(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val tmp = s"$base/tmp_$tag"
+        df.coalesce(2).write.mode(SaveMode.Overwrite).parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(src), spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .zipWithIndex.foreach { case (st, i) =>
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(src, s"feed_${tag}_$i.parquet")): Unit
+          }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+      }
+      if (!new java.io.File(src).exists()) {
+        append(o, "base"); drive()
+        append(
+          o.filter(pmod(col("o_orderkey"), lit(10L)) < 2L)
+            .select(col("o_orderkey"), lit(0L).as("cents"), col("o_orderstatus")),
+          "upd")
+        drive()
+        append(
+          o.filter(pmod(col("o_orderkey"), lit(100L)) === 0L)
+            .select(
+              (col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+              lit(42L).as("cents"),
+              lit("X").as("o_orderstatus")),
+          "ins")
+        drive()
+      } else drive() // rerun: checkpoint already consumed the feed — no-op
+      spark.read
+        .parquet(tbl)
+        .select(col("o_orderkey"), col("cents"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // SMALL-FILE COMPACTION gate (r15 — upgrades [[compact]] from
     // spec-measured to oracle-gated): 64 micro-batch-sized files repack
     // through the shuffle-free coalesce path, and the aggregate is read
@@ -1374,6 +1436,22 @@ object FileIO {
         .orderBy(col("o_orderstatus"))
     }
   )
+
+  /** Shared by table_merge_cow and the streaming CDC spelling
+    * stream_upsert_cdc — both land the SAME final state (batch MERGE ≡
+    * the same changes applied as a change feed), so one contract. */
+  private lazy val mergeCowOracle: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 < 2 THEN 0
+      |         ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents,
+      |    o_orderstatus
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS o_orderkey, CAST(42 AS BIGINT) AS cents,
+      |    'X' AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 100 = 0)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Shared by table_delete_cow and its GRAFT-SQL spelling
     * sql_delete_cow — one contract, divergence impossible. */
@@ -1409,18 +1487,8 @@ object FileIO {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_orderkey""".stripMargin,
-    "table_merge_cow" ->
-      """SELECT * FROM (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 10 < 2 THEN 0
-        |         ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents,
-        |    o_orderstatus
-        |  FROM orders
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS o_orderkey, CAST(42 AS BIGINT) AS cents,
-        |    'X' AS o_orderstatus
-        |  FROM orders WHERE o_orderkey % 100 = 0)
-        |ORDER BY o_orderkey""".stripMargin,
+    "table_merge_cow" -> mergeCowOracle,
+    "stream_upsert_cdc" -> mergeCowOracle,
     "table_delete_cow" -> deleteCowOracle,
     "sql_delete_cow" -> deleteCowOracle,
     "table_update_cow" ->

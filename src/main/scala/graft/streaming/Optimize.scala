@@ -514,6 +514,78 @@ object Optimize {
       hit.map(_.sparkPath.toPath.toString))
   }
 
+  /** Streaming UPSERT sink — CDC apply: every micro-batch MERGEs into the
+    * live manifest table ([[mergeInto]]), so the table holds one row per
+    * key with last-write-wins semantics, continuously.
+    *
+    * Exactly-once WITHOUT a ledger: Structured Streaming WALs offsets
+    * before execution, so a replayed batch carries the SAME rows; and
+    * re-merging an identical source is IDEMPOTENT by construction —
+    * its former updates re-apply the same values, its former inserts now
+    * match as updates to identical rows. A crash mid-merge leaves the
+    * swap's stage/backup dirs; the next batch runs [[repairOptimize]]
+    * first (deterministic roll forward/back) and then re-merges.
+    *
+    * The FIRST batch bootstraps the table: data files + a fresh sink log
+    * listing them as batch 0 (manifest-atomic — readers see nothing
+    * until the log exists).
+    *
+    * Each batch must be key-unique ([[mergeInto]]'s cardinality rule);
+    * CDC feeds with multiple changes per key per batch should
+    * pre-collapse to the latest change (one window over the batch —
+    * micro-batch-sized, not table-sized).
+    */
+  def upsertSink(
+      df: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      checkpoint: String,
+      format: String = "parquet",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = fsFor(spark, path)
+        if (!fs.exists(metaDir(path))) {
+          // bootstrap: land the first batch's files, then commit them as
+          // the log's batch 0 — the log's creation IS the publish point.
+          // A crashed prior bootstrap left only invisible debris: sweep
+          // its temp dirs; its moved-but-uncommitted files are orphans
+          // the graced vacuum reclaims.
+          if (fs.exists(new Path(path))) {
+            fs.listStatus(new Path(path)).toSeq
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith("_graft_upsert_boot_"))
+              .foreach(st => fs.delete(st.getPath, true))
+          }
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          val tmp = new Path(path, s"_graft_upsert_boot_$uuid")
+          batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format)
+            .save(tmp.toString)
+          val moved = fs.listStatus(tmp).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .zipWithIndex.map { case (st, i) =>
+              val dest = new Path(path, s"graft-upsert-$uuid-$i.$format")
+              require(fs.rename(st.getPath, dest), s"upsertSink bootstrap: rename failed")
+              dest
+            }
+          fs.delete(tmp, true)
+          val log = sinkLog(spark, metaDir(path).toString)
+          require(log.add(0L, moved.map(p => SinkFileStatus(fs.getFileStatus(p))).toArray),
+            "upsertSink bootstrap: batch-0 manifest commit failed")
+        } else {
+          repairOptimize(spark, path): Unit // heal any crashed prior swap
+          mergeInto(spark, path, batch, keyCols, format): Unit
+        }
+      }
+      .start()
+
   /** Resolve an interrupted [[optimizeSink]]/[[deleteWhere]] swap —
     * deterministic: a live manifest wins (leftovers rolled back); no
     * manifest + a `_COMMITTED`-marked stage rolls FORWARD; anything else

@@ -393,6 +393,43 @@ class OptimizeSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 402, "resume after merge lost or duped rows")
   }
 
+  test("upsertSink: last-write-wins per key, replay-idempotent, heals crashed swaps") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("ups_out")
+    val ckpt = freshDir("ups_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    def drive(rows: Seq[(Long, Double)]): Unit = {
+      stream.addData(rows: _*)
+      val q = Optimize.upsertSink(stream.toDF().toDF("id", "v"), out, Seq("id"), ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+
+    drive((1L to 10L).map(i => (i, 1.0)))          // bootstrap
+    drive((5L to 15L).map(i => (i, 2.0)))          // 5..10 update, 11..15 insert
+    drive((1L to 3L).map(i => (i, 3.0)))           // 1..3 update
+
+    val t = spark.read.parquet(out)
+    assert(t.count() == 15, s"15 distinct keys expected, got ${t.count()}")
+    assert(t.filter("id <= 3 AND v = 3.0").count() == 3)
+    assert(t.filter("id = 4 AND v = 1.0").count() == 1)
+    assert(t.filter("id >= 5 AND id <= 15 AND v = 2.0").count() == 11)
+
+    // a crashed swap (uncommitted stage debris) heals on the next batch
+    val stage = Paths.get(out, "_graft_optimize_stage_meta")
+    Files.createDirectory(stage)
+    Files.writeString(stage.resolve("0"), "garbage-uncommitted")
+    drive(Seq((100L, 9.0)))
+    assert(!Files.exists(stage), "the sink did not heal the crashed swap")
+    val t2 = spark.read.parquet(out)
+    assert(t2.count() == 16 && t2.filter("id = 100 AND v = 9.0").count() == 1)
+
+    // retired generations vacuum away; survivors intact
+    StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L)
+    assert(spark.read.parquet(out).count() == 16)
+  }
+
   test("repair: a _COMMITTED stage rolls forward; an uncommitted stage rolls back") {
     val s = spark
     import s.implicits._
