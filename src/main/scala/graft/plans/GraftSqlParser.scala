@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   GRAFT OPTIMIZE '<path>' [FORMAT '<fmt>'] [ZORDER BY (a, b)]
   *   GRAFT DELETE FROM '<path>' [FORMAT '<fmt>'] WHERE <expr>
   *   GRAFT UPDATE '<path>' [FORMAT '<fmt>'] SET c1 = <expr>[, ...] WHERE <expr>
+  *   GRAFT MERGE INTO '<path>' [FORMAT '<fmt>'] USING <viewName> ON (k1[, k2...])
   *   GRAFT VACUUM '<path>' [FORMAT '<fmt>'] [GRACE <n> MINUTES]
   *   GRAFT REPAIR '<path>'
   *
@@ -58,6 +59,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
   private val Repair =
     """(?is)\s*GRAFT\s+REPAIR\s+'([^']+)'\s*;?\s*""".r
+  private val Merge =
+    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+USING\s+([\w.]+)\s+ON\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
@@ -79,6 +82,9 @@ object GraftSqlParser {
         Some(GraftVacuumCommand(path, Option(fmt).getOrElse("parquet"),
           Option(grace).map(_.toLong * 60000L).getOrElse(10 * 60 * 1000L)))
       case Repair(path) => Some(GraftRepairCommand(path))
+      case Merge(path, fmt, view, keys) =>
+        Some(GraftMergeCommand(path, Option(fmt).getOrElse("parquet"), view,
+          keys.split(',').map(_.trim).toSeq))
       case t if t.trim.toUpperCase.startsWith("GRAFT ") =>
         throw new ParseException(
           command = Some(t),
@@ -157,6 +163,17 @@ case class GraftUpdateCommand(
     val r = graft.streaming.Optimize.updateWhere(
       spark, path, expr(whereSql),
       set.map { case (c, e) => c -> expr(e) }.toMap, format)
+    Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
+  }
+}
+
+case class GraftMergeCommand(
+    path: String, format: String, sourceView: String, keyCols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.report
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.streaming.Optimize.mergeInto(
+      spark, path, spark.table(sourceView), keyCols, format)
     Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }
 }

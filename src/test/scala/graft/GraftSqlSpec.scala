@@ -76,6 +76,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"GRAFT REPAIR '$out'").collect()(0).getString(0) == "clean")
   }
 
+  test("GRAFT MERGE INTO upserts from a registered view; ZORDER optimize spelling works") {
+    val s = spark
+    import s.implicits._
+    val out = buildTable()
+
+    Seq((5L, -5.0), (400L, 400.0)).toDF("id", "v").createOrReplaceTempView("graft_sql_merge_src")
+    val rep = spark.sql(
+      s"GRAFT MERGE INTO '$out' USING graft_sql_merge_src ON (id)").collect()
+    assert(rep(0).getLong(0) >= 1, "no matched file rewritten")
+    val t = spark.read.parquet(out)
+    assert(t.count() == 301, "one insert expected")
+    assert(t.filter("id = 5 AND v = -5.0").count() == 1, "matched row not replaced")
+    assert(t.filter("id = 400").count() == 1, "insert missing")
+
+    // the ZORDER spelling of OPTIMIZE re-clusters in the same statement
+    val opt = spark.sql(s"GRAFT OPTIMIZE '$out' ZORDER BY (id, v)").collect()
+    assert(opt(0).getLong(1) >= 1, "z-ordered optimize produced no files")
+    assert(spark.read.parquet(out).count() == 301)
+  }
+
   test("non-GRAFT SQL falls through; malformed GRAFT fails loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect()(0).getInt(0) == 2)
     val ex = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
