@@ -26,4 +26,13 @@ object PlanBridge {
     * (Spark 4 removed the public `.expr` accessor). */
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** FULLY-CONVERTED catalyst tree of a Column. [[expression]] can return
+    * an opaque `ColumnNodeExpression` leaf wrapping the Spark-4 column-
+    * node tree (so catalyst traversals see nothing inside); this runs the
+    * session-independent node→expression converter first — use it when
+    * the CONTENTS (attributes, literals) must be inspected. */
+  def catalystExpression(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

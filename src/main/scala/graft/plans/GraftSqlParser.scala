@@ -54,7 +54,7 @@ object GraftSqlParser {
   private val Delete =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update =
-    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+SET\s+(.+?)\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
   private val Repair =
@@ -73,7 +73,13 @@ object GraftSqlParser {
       case Delete(path, fmt, where) =>
         delegate.parseExpression(where) // syntax-check NOW: parse errors surface at parse time
         Some(GraftDeleteCommand(path, Option(fmt).getOrElse("parquet"), where))
-      case Update(path, fmt, setList, where) =>
+      case Update(path, fmt, rest) =>
+        // the SET list and the statement's own WHERE split at the first
+        // TOP-LEVEL `WHERE` token — a WHERE inside a subquery's parens or
+        // a string literal belongs to its SET expression
+        val (setList, where) = splitTopLevelWhere(rest).getOrElse(
+          throw new IllegalArgumentException(
+            s"GRAFT UPDATE: missing top-level WHERE clause in: $rest"))
         val assigns = splitAssignments(setList)
         assigns.foreach { case (_, e) => delegate.parseExpression(e) }
         delegate.parseExpression(where)
@@ -92,9 +98,34 @@ object GraftSqlParser {
           errorClass = "PARSE_SYNTAX_ERROR",
           messageParameters = Map(
             "error" -> s"unrecognized GRAFT statement: ${t.trim.take(80)}",
-            "hint" -> " (expected OPTIMIZE / DELETE FROM / UPDATE / VACUUM / REPAIR)"))
+            "hint" -> " (expected OPTIMIZE / DELETE FROM / UPDATE / MERGE INTO / VACUUM / REPAIR)"))
       case _ => None
     }
+
+  /** First TOP-LEVEL `WHERE` keyword (depth 0, outside quotes, word-
+    * bounded, case-insensitive) splits `<set list> WHERE <predicate>`. */
+  private[plans] def splitTopLevelWhere(s: String): Option[(String, String)] = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case 'w' | 'W' if depth == 0 &&
+            i + 5 <= s.length && s.substring(i, i + 5).equalsIgnoreCase("where") &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+            (i + 5 == s.length || !Character.isLetterOrDigit(s.charAt(i + 5)) && s.charAt(i + 5) != '_') =>
+          return Some((s.substring(0, i).trim, s.substring(i + 5).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
 
   /** Split `c1 = e1, c2 = e2` on TOP-LEVEL commas only (commas inside
     * parens/quotes belong to the expressions). Expression TEXT is kept —

@@ -108,6 +108,38 @@ object Optimize {
     Path.getPathWithoutSchemeAndAuthority(p).toString
   }
 
+  /** The table's partition columns, read off the committed entries'
+    * Hive-style dir names — metadata-scale string parsing. */
+  private def tablePartCols(
+      spark: SparkSession, path: String, all: Seq[SinkFileStatus]): Seq[String] = {
+    val rootAbs = graft.sources.FileIO.tableRootAbs(spark, path)
+    all.map(e => partitionSubPath(e.path, rootAbs)).filter(_.nonEmpty).headOption
+      .map(_.split('/').toSeq.map(_.split("=", 2)(0)))
+      .getOrElse(Nil)
+  }
+
+  /** Column names a (possibly unresolved) predicate references — via the
+    * FULL node→catalyst conversion (the plain wrapper is an opaque leaf
+    * catalyst traversals cannot see into). */
+  private def refNames(c: Column): Set[String] = {
+    val e = org.apache.spark.sql.graftbridge.PlanBridge.catalystExpression(c)
+    (e.collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      u.nameParts.last } ++
+      e.collect { case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name }).toSet
+  }
+
+  /** The documented data-columns-only rule, enforced loudly: a partition
+    * column rides through the rewrite as a verbatim STRING, so a typed
+    * predicate over it would silently mis-compare on the rewrite side
+    * (e.g. double-vs-string coercion to null keeping every row). */
+  private def requireDataColumnPredicate(
+      op: String, predicate: Column, partCols: Seq[String]): Unit = {
+    val overlap = refNames(predicate).intersect(partCols.toSet)
+    require(overlap.isEmpty,
+      s"$op: predicate references partition column(s) ${overlap.mkString(",")} — " +
+        "partition-level surgery is directory pruning, not a row rewrite; data columns only")
+  }
+
   /** Guard + open: stop-the-writer, no leftover stage/backup, log opened,
     * latest id + committed entries resolved. */
   private def guardAndOpen(
@@ -285,6 +317,7 @@ object Optimize {
       targetFileBytes: Long = 128L * 1024 * 1024
   ): DeleteReport = {
     val (fs, latestId, all) = guardAndOpen(spark, path, "deleteWhere")
+    requireDataColumnPredicate("deleteWhere", predicate, tablePartCols(spark, path, all))
     val hitKeys = spark.read.format(format).load(path)
       .filter(predicate)
       .select(col("_metadata.file_path"))
@@ -338,6 +371,7 @@ object Optimize {
   ): DeleteReport = {
     require(set.nonEmpty, "updateWhere: empty SET")
     val (fs, latestId, all) = guardAndOpen(spark, path, "updateWhere")
+    requireDataColumnPredicate("updateWhere", predicate, tablePartCols(spark, path, all))
     val hitKeys = spark.read.format(format).load(path)
       .filter(predicate)
       .select(col("_metadata.file_path"))
@@ -415,14 +449,20 @@ object Optimize {
   ): DeleteReport = {
     require(keyCols.nonEmpty, "mergeInto: empty key column list")
     val (fs, latestId, all) = guardAndOpen(spark, path, "mergeInto")
+    val partCols0 = tablePartCols(spark, path, all)
+    require(!partCols0.exists(keyCols.contains),
+      s"mergeInto: key columns overlap partition columns ${partCols0.mkString(",")} — " +
+        "partition surgery is a move, not a merge")
     val table = spark.read.format(format).load(path)
     require(keyCols.forall(source.columns.contains) && keyCols.forall(table.columns.contains),
       s"mergeInto: key columns ${keyCols.mkString(",")} must exist on both sides")
     require(table.columns.sorted.sameElements(source.columns.sorted),
       s"mergeInto: source schema ${source.columns.sorted.mkString(",")} must match the " +
         s"table's ${table.columns.sorted.mkString(",")} (whole-row replacement)")
+    source.persist()
     val dupKeys = source.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
+    if (dupKeys.nonEmpty) source.unpersist(): Unit
     require(dupKeys.isEmpty,
       s"mergeInto: duplicate key in source (${dupKeys.headOption}) — ambiguous MERGE")
 
@@ -454,16 +494,32 @@ object Optimize {
     val insFiles: Seq[Path] =
       if (nIns.isEmpty) Nil
       else {
-        nIns.select(cols.map(col): _*)
+        // a PARTITIONED table's inserts must land inside their partition
+        // dirs (a flat root file would corrupt partition discovery for
+        // every reader), so the staging write partitions and the move
+        // preserves the sub-path — the same discipline as stageRewrite
+        val base = nIns.select(cols.map(col): _*)
           .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format)
+        val w =
+          if (partCols0.isEmpty) base.write
+          else base.write.partitionBy(partCols0: _*)
+        w.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format)
           .save(insertDir.toString)
-        val files = fs.listStatus(insertDir).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .map(_.getPath)
-        files.zipWithIndex.map { case (src, i) =>
-          val dest = new Path(path, s"graft-merge-ins-$uuid-$i.$format")
+        def filesUnder(p: Path): Seq[Path] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("_") || n.startsWith(".")) Nil
+            else if (st.isDirectory) filesUnder(st.getPath)
+            else Seq(st.getPath)
+          }
+        filesUnder(insertDir).zipWithIndex.map { case (src, i) =>
+          val rel = src.toString.stripPrefix(fs.makeQualified(insertDir).toString)
+            .stripPrefix("/")
+          val cut = rel.lastIndexOf('/')
+          val sub = if (cut < 0) "" else rel.substring(0, cut)
+          val destDir = if (sub.isEmpty) new Path(path) else new Path(path, sub)
+          fs.mkdirs(destDir)
+          val dest = new Path(destDir, s"graft-merge-ins-$uuid-$i.$format")
           require(fs.rename(src, dest), s"mergeInto: rename $src -> $dest failed")
           dest
         }
@@ -479,9 +535,6 @@ object Optimize {
           (hit.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
         stageRewrite(spark, fs, path, format, hitPaths, "graft-merge") {
           (df, partCols, stageDir) =>
-            require(partCols.isEmpty || !partCols.exists(keyCols.contains),
-              s"mergeInto: key columns overlap partition columns ${partCols.mkString(",")} — " +
-                "partition surgery is a move, not a merge")
             val srcPrefixed = broadcast(
               source.select(cols.map(c => col(c).as(s"__src_$c")) :+
                 lit(true).as("__src_matched"): _*))
@@ -506,6 +559,7 @@ object Optimize {
         }
       }
     nIns.unpersist(): Unit
+    source.unpersist(): Unit
 
     swapManifest(spark, fs, path, latestId,
       untouched.toArray ++ (moved ++ insFiles).map(p => SinkFileStatus(fs.getFileStatus(p))),
@@ -530,10 +584,16 @@ object Optimize {
     * listing them as batch 0 (manifest-atomic — readers see nothing
     * until the log exists).
     *
-    * Each batch must be key-unique ([[mergeInto]]'s cardinality rule);
-    * CDC feeds with multiple changes per key per batch should
-    * pre-collapse to the latest change (one window over the batch —
-    * micro-batch-sized, not table-sized).
+    * Each batch must be key-unique ([[mergeInto]]'s cardinality rule,
+    * enforced from batch 0); CDC feeds with multiple changes per key per
+    * batch should pre-collapse to the latest change (one window over the
+    * batch — micro-batch-sized, not table-sized).
+    *
+    * LIMITATION: inside foreachBatch the stop-the-writer guard sees the
+    * CLONED micro-batch session, whose query manager is empty — it
+    * cannot detect another streaming sink in the OUTER session writing
+    * this path. Like cross-session writers, that hazard is on the
+    * operator: run at most one writer per table path.
     */
   def upsertSink(
       df: DataFrame,
@@ -551,7 +611,21 @@ object Optimize {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fs = fsFor(spark, path)
+        // heal BEFORE the bootstrap-vs-merge branch: a crash between the
+        // swap's two renames leaves NO live manifest — deciding on
+        // metaDir existence alone would re-bootstrap and silently reset
+        // the table. Any swap debris means a prior mutation was in
+        // flight; repair resolves it deterministically and only a
+        // debris-free missing manifest is a true first bootstrap.
+        val debris = fs.exists(stageMetaDir(path)) || fs.exists(bakDir(path)) ||
+          fs.exists(stageDataDir(path))
+        if (debris) repairOptimize(spark, path): Unit
         if (!fs.exists(metaDir(path))) {
+          val dup = batch.groupBy(keyCols.map(col): _*)
+            .count().filter(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"upsertSink bootstrap: duplicate key in first batch (${dup.headOption}) — " +
+              "the one-row-per-key invariant must hold from batch 0")
           // bootstrap: land the first batch's files, then commit them as
           // the log's batch 0 — the log's creation IS the publish point.
           // A crashed prior bootstrap left only invisible debris: sweep
@@ -580,7 +654,6 @@ object Optimize {
           require(log.add(0L, moved.map(p => SinkFileStatus(fs.getFileStatus(p))).toArray),
             "upsertSink bootstrap: batch-0 manifest commit failed")
         } else {
-          repairOptimize(spark, path): Unit // heal any crashed prior swap
           mergeInto(spark, path, batch, keyCols, format): Unit
         }
       }
@@ -596,6 +669,10 @@ object Optimize {
     val bak = bakDir(path)
     val stage = stageMetaDir(path)
     val data = stageDataDir(path)
+    if (!fs.exists(new Path(path))) {
+      throw new IllegalStateException(
+        s"repairOptimize($path): path does not exist — not a sink table")
+    }
     if (fs.exists(data)) fs.delete(data, true)
     // merge-insert staging debris (invisible `_graft_merge_ins_*` dirs)
     fs.listStatus(new Path(path)).toSeq

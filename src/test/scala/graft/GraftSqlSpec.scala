@@ -96,6 +96,23 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 301)
   }
 
+  test("UPDATE's SET/WHERE split respects parens and string literals") {
+    val out = buildTable()
+    // a quoted ' WHERE ' inside a SET expression must NOT split the
+    // statement; the real WHERE is the top-level one
+    val rep = spark.sql(
+      s"GRAFT UPDATE '$out' SET v = CASE WHEN 'no where here' = 'x' THEN v ELSE -7.0 END " +
+        "WHERE id < 2").collect()
+    assert(rep(0).getLong(0) >= 1)
+    val t = spark.read.parquet(out)
+    assert(t.filter("v = -7.0").count() == 2, "quoted WHERE broke the SET/WHERE split")
+    assert(t.count() == 300)
+    // missing top-level WHERE fails loudly
+    intercept[Exception] {
+      spark.sql(s"GRAFT UPDATE '$out' SET v = 0.0")
+    }
+  }
+
   test("non-GRAFT SQL falls through; malformed GRAFT fails loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect()(0).getInt(0) == 2)
     val ex = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {

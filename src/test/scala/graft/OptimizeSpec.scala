@@ -430,6 +430,107 @@ class OptimizeSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 16)
   }
 
+  test("mergeInto on a PARTITIONED table: inserts land inside partition dirs, table stays readable") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("mrgp_out")
+    val ckpt = freshDir("mrgp_ckpt")
+    val stream = MemoryStream[Ev]
+    stream.addData((1L to 8L).map(i => ev(i, if (i % 2 == 0) "click" else "view")): _*)
+    val q = StreamSinks.parquetSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q.processAllAvailable(); q.stop()
+
+    // tuples, not the inner Ev case class (no encoder scope in toDF here)
+    val source = Seq(
+      (2L, ev(2L, "click").ts, "click", -1.0), // update in etype=click
+      (99L, ev(99L, "view").ts, "view", 99 * 1.5) // insert into etype=view
+    ).toDF("id", "ts", "etype", "value")
+    Optimize.mergeInto(spark, out, source, Seq("id"))
+
+    val t = spark.read.parquet(out)
+    assert(t.count() == 9, "insert missing on the partitioned table")
+    assert(t.filter("id = 2 AND value = -1.0").count() == 1, "matched row not replaced")
+    // the insert's file must sit INSIDE its partition dir — a flat root
+    // file would corrupt partition discovery for every reader
+    assert(t.filter("id = 99 AND etype = 'view'").count() == 1,
+      "insert lost its partition value")
+    val viewDir = new java.io.File(out, "etype=view")
+    assert(viewDir.listFiles().exists(_.getName.contains("graft-merge-ins-")),
+      "insert file not placed in its partition dir")
+    // key-overlapping-partition refusal
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, source, Seq("etype"))
+    }
+  }
+
+  test("deleteWhere/updateWhere refuse partition-column predicates loudly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("delp_out")
+    val ckpt = freshDir("delp_ckpt")
+    val stream = MemoryStream[Ev]
+    stream.addData((1L to 8L).map(i => ev(i, if (i % 2 == 0) "click" else "view")): _*)
+    val q = StreamSinks.parquetSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q.processAllAvailable(); q.stop()
+    val ex = intercept[IllegalArgumentException] {
+      Optimize.deleteWhere(spark, out, col("etype") === "click")
+    }
+    assert(ex.getMessage.contains("partition column"))
+    intercept[IllegalArgumentException] {
+      Optimize.updateWhere(spark, out, col("etype") === "click", Map("value" -> lit(0.0)))
+    }
+    // data rows untouched by the refused attempts
+    assert(spark.read.parquet(out).count() == 8)
+  }
+
+  test("upsertSink never re-bootstraps over a crashed swap (heals first)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("upsc_out")
+    val ckpt = freshDir("upsc_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    def drive(rows: Seq[(Long, Double)]): Unit = {
+      stream.addData(rows: _*)
+      val q = Optimize.upsertSink(stream.toDF().toDF("id", "v"), out, Seq("id"), ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    drive((1L to 20L).map(i => (i, 1.0)))
+
+    // simulate a crash BETWEEN the swap's two renames during a merge:
+    // no live manifest, a fully-committed stage, a backup
+    val meta = Paths.get(out, "_spark_metadata")
+    val stage = Paths.get(out, "_graft_optimize_stage_meta")
+    val bak = Paths.get(out, "_spark_metadata.bak")
+    Files.move(meta, stage)
+    Files.writeString(stage.resolve("_COMMITTED"), "")
+    Files.createDirectory(bak)
+    Files.writeString(bak.resolve("junk"), "previous generation")
+
+    // the next batch must roll the swap FORWARD and merge — a naive
+    // metaDir-existence bootstrap would reset the table to one batch
+    drive(Seq((21L, 2.0)))
+    val t = spark.read.parquet(out)
+    assert(t.count() == 21, s"table was reset by a re-bootstrap: ${t.count()} rows")
+    assert(t.filter("id = 5 AND v = 1.0").count() == 1, "pre-crash row lost")
+    assert(t.filter("id = 21 AND v = 2.0").count() == 1, "post-heal merge missing")
+
+    // bootstrap enforces the one-row-per-key invariant from batch 0
+    val out2 = freshDir("upsd_out")
+    val ckpt2 = freshDir("upsd_ckpt")
+    val stream2 = MemoryStream[(Long, Double)]
+    stream2.addData(Seq((1L, 1.0), (1L, 2.0)): _*)
+    val q2 = Optimize.upsertSink(stream2.toDF().toDF("id", "v"), out2, Seq("id"), ckpt2)
+    val exc = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(exc.getMessage.contains("duplicate key") ||
+      Option(exc.getCause).exists(_.getMessage.contains("duplicate key")))
+  }
+
   test("repair: a _COMMITTED stage rolls forward; an uncommitted stage rolls back") {
     val s = spark
     import s.implicits._
