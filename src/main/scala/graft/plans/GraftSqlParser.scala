@@ -22,8 +22,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   GRAFT DELETE FROM '<path>' [FORMAT '<fmt>'] WHERE <expr>
   *   GRAFT UPDATE '<path>' [FORMAT '<fmt>'] SET c1 = <expr>[, ...] WHERE <expr>
   *   GRAFT MERGE INTO '<path>' [FORMAT '<fmt>'] USING <viewName> ON (k1[, k2...])
+  *     [WHEN MATCHED UPDATE SET c1 = <expr>[, ...]] [WHEN NOT MATCHED IGNORE]
   *   GRAFT VACUUM '<path>' [FORMAT '<fmt>'] [GRACE <n> MINUTES]
   *   GRAFT REPAIR '<path>'
+  *   GRAFT HISTORY '<path>'
+  *   GRAFT RESTORE '<path>' [FORMAT '<fmt>'] TO VERSION <n>
+  *   GRAFT EXPIRE HISTORY '<path>' KEEP <n>
+  *
+  * MERGE's `WHEN MATCHED UPDATE SET` makes the merge COLUMN-LEVEL (the
+  * source may carry a column subset; expressions address the table row
+  * as `t` and the source row as `s`); `WHEN NOT MATCHED IGNORE` skips
+  * inserts (update-only merge). Without either clause MERGE is the
+  * whole-row upsert.
   *
   * Each returns its report as rows (the command pattern: metadata-scale
   * output on the driver). A SQL-only user gets the full
@@ -60,7 +70,13 @@ object GraftSqlParser {
   private val Repair =
     """(?is)\s*GRAFT\s+REPAIR\s+'([^']+)'\s*;?\s*""".r
   private val Merge =
-    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+USING\s+([\w.]+)\s+ON\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+USING\s+([\w.]+)\s+ON\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)(?:\s+WHEN\s+MATCHED\s+UPDATE\s+SET\s+(.+?))?(\s+WHEN\s+NOT\s+MATCHED\s+IGNORE)?\s*;?\s*""".r
+  private val History =
+    """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val ExpireHistory =
+    """(?is)\s*GRAFT\s+EXPIRE\s+HISTORY\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
@@ -88,9 +104,17 @@ object GraftSqlParser {
         Some(GraftVacuumCommand(path, Option(fmt).getOrElse("parquet"),
           Option(grace).map(_.toLong * 60000L).getOrElse(10 * 60 * 1000L)))
       case Repair(path) => Some(GraftRepairCommand(path))
-      case Merge(path, fmt, view, keys) =>
+      case Merge(path, fmt, view, keys, matchedSet, noInsert) =>
+        val assigns = Option(matchedSet).map(splitAssignments).getOrElse(Nil)
+        assigns.foreach { case (_, e) => delegate.parseExpression(e) }
         Some(GraftMergeCommand(path, Option(fmt).getOrElse("parquet"), view,
-          keys.split(',').map(_.trim).toSeq))
+          keys.split(',').map(_.trim).toSeq, assigns,
+          insertNotMatched = Option(noInsert).isEmpty))
+      case History(path) => Some(GraftHistoryCommand(path))
+      case Restore(path, fmt, version) =>
+        Some(GraftRestoreCommand(path, Option(fmt).getOrElse("parquet"), version.toLong))
+      case ExpireHistory(path, keep) =>
+        Some(GraftExpireHistoryCommand(path, keep.toInt))
       case t if t.trim.toUpperCase.startsWith("GRAFT ") =>
         throw new ParseException(
           command = Some(t),
@@ -98,7 +122,8 @@ object GraftSqlParser {
           errorClass = "PARSE_SYNTAX_ERROR",
           messageParameters = Map(
             "error" -> s"unrecognized GRAFT statement: ${t.trim.take(80)}",
-            "hint" -> " (expected OPTIMIZE / DELETE FROM / UPDATE / MERGE INTO / VACUUM / REPAIR)"))
+            "hint" -> (" (expected OPTIMIZE / DELETE FROM / UPDATE / MERGE INTO / VACUUM / " +
+              "REPAIR / HISTORY / RESTORE / EXPIRE HISTORY)")))
       case _ => None
     }
 
@@ -199,14 +224,50 @@ case class GraftUpdateCommand(
 }
 
 case class GraftMergeCommand(
-    path: String, format: String, sourceView: String, keyCols: Seq[String])
+    path: String, format: String, sourceView: String, keyCols: Seq[String],
+    matchedSet: Seq[(String, String)] = Nil, insertNotMatched: Boolean = true)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.report
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    val set =
+      if (matchedSet.isEmpty) None
+      else Some(matchedSet.map { case (c, e) => c -> expr(e) }.toMap)
     val r = graft.streaming.Optimize.mergeInto(
-      spark, path, spark.table(sourceView), keyCols, format)
+      spark, path, spark.table(sourceView), keyCols, format,
+      matchedSet = set, insertNotMatched = insertNotMatched)
     Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }
+}
+
+case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)(),
+    AttributeReference("modified_ms", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.streaming.Optimize.listVersions(spark, path)
+      .map(v => Row(v.version, v.files.toLong, v.modifiedMs))
+}
+
+case class GraftRestoreCommand(path: String, format: String, version: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("restored_files", LongType, nullable = false)(),
+    AttributeReference("archived_current_as", LongType, nullable = false)(),
+    AttributeReference("latest_batch_id", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.streaming.Optimize.restoreTable(spark, path, version, format)
+    Seq(Row(r.restoredVersion, r.restoredFiles.toLong, r.archivedCurrentAs, r.latestBatchId))
+  }
+}
+
+case class GraftExpireHistoryCommand(path: String, keep: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("expired_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.streaming.Optimize.expireHistory(spark, path, keep).map(Row(_))
 }
 
 case class GraftVacuumCommand(path: String, format: String, graceMs: Long)

@@ -1408,6 +1408,94 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // COLUMN-LEVEL MERGE gate (r16 — `WHEN MATCHED UPDATE SET` over a
+    // PARTIAL-COLUMN source, oracle-gated): the source carries only the
+    // key and a cap column, the SET expression mixes both sides
+    // (LEAST(t.cents, s.cap)), and WHEN NOT MATCHED is skipped — the
+    // natural CDC shape for a feed that doesn't know the full row.
+    // LEAST is idempotent, so bench re-passes land the same state.
+    "table_merge_cols" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_merge_cols")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val source = o
+        .filter(pmod(col("o_orderkey"), lit(10L)) < 2L)
+        .select(col("o_orderkey"), (col("o_orderkey") * 31L).as("cap"))
+      graft.streaming.Optimize.mergeInto(
+        spark, tbl, source, Seq("o_orderkey"),
+        matchedSet = Some(Map("cents" -> expr("least(t.cents, s.cap)"))),
+        insertNotMatched = false)
+      spark.read
+        .parquet(tbl)
+        .select(col("o_orderkey"), col("cents"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // TABLE HISTORY + RESTORE gate (r16 — every manifest swap archives
+    // the outgoing generation; RESTORE swaps an archived version back
+    // in, itself archived so it is undoable): a DELETE removes a key
+    // slice, then `restoreTable` to the pre-delete version — the oracle
+    // recomputes the FULL table, so a green hash proves the restore
+    // byte-reproduced the deleted generation. Rerun-idempotent: each
+    // pass deletes and restores again (history grows, state converges).
+    "table_restore" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_restore")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.Optimize.deleteWhere(spark, tbl, pmod(col("o_orderkey"), lit(10L)) < 3L)
+      val vPre = graft.streaming.Optimize.listVersions(spark, tbl).map(_.version).max
+      graft.streaming.Optimize.restoreTable(spark, tbl, vPre)
+      spark.read
+        .parquet(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // SMALL-FILE COMPACTION gate (r15 — upgrades [[compact]] from
     // spec-measured to oracle-gated): 64 micro-batch-sized files repack
     // through the shuffle-free coalesce path, and the aggregate is read
@@ -1489,6 +1577,22 @@ object FileIO {
         |ORDER BY o_orderkey""".stripMargin,
     "table_merge_cow" -> mergeCowOracle,
     "stream_upsert_cdc" -> mergeCowOracle,
+    "table_merge_cols" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 < 2
+        |       THEN LEAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey * 31)
+        |       ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents,
+        |  o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // restore-after-delete ≡ the untouched table
+    "table_restore" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "table_delete_cow" -> deleteCowOracle,
     "sql_delete_cow" -> deleteCowOracle,
     "table_update_cow" ->

@@ -49,9 +49,34 @@ import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFi
   *     crash, exactly as a half-restored database is fsck'd before use.
   *
   * Retired files stay on disk, unreferenced — invisible to manifest
-  * readers and swept by the graced [[StreamSinks.vacuum]] like any
-  * other orphan (in-flight readers that resolved the OLD manifest keep
-  * their files until the grace expires).
+  * readers. They are NOT immediately vacuum-able: every swap ARCHIVES
+  * the outgoing manifest as `_graft_history/v<N>` (an O(1) rename), and
+  * [[StreamSinks.vacuum]] protects any file a history version still
+  * references — so [[restoreTable]] can roll the table back to any
+  * retained version, and cross-session readers that resolved an OLD
+  * manifest keep their files until the operator runs [[expireHistory]].
+  * After expiry the files become plain orphans, and vacuum ages them
+  * from the LAST MAINTENANCE time (the `_graft_last_maintenance` marker
+  * touched by every swap/expiry), NOT from their original mtimes — a
+  * retired file keeps its old write-time mtime, so an mtime-based grace
+  * would sweep it the instant it was expired, under any in-flight
+  * reader (the r15 hazard this marker closes).
+  *
+  * CONCURRENT-READER hazard, every swap (not only crash repair): in the
+  * window between the swap's two renames there is NO `_spark_metadata`,
+  * and a Spark reader that lists the directory in that window FALLS
+  * BACK to plain listing — it sees retired AND rewritten generations
+  * together (doubled rows; deleted rows resurrected). The window is two
+  * metadata renames wide, but it exists on every healthy
+  * optimize/delete/update/merge/restore. [[guardAndOpen]] stops
+  * writers, never readers; a reader that PLANNED against the old
+  * manifest before the swap is safe (its file list is resolved, and the
+  * files survive under history protection) — only a reader that LISTS
+  * inside the window races. No tombstone can make Spark's fallback
+  * listing fail loudly (it is Spark-internal behavior, not ours), so
+  * serve planning-time readers from a catalog/snapshot layer if the
+  * window matters, and always run [[repairOptimize]] before serving
+  * reads after a crash.
   *
   * At 100 TB: OPTIMIZE keeps a long-running sink's file count
   * O(data/target) instead of O(batches × tasks); DELETE rewrites ONLY
@@ -83,6 +108,66 @@ object Optimize {
   private def stageMetaDir(path: String) = new Path(s"$path/_graft_optimize_stage_meta")
   private def stageDataDir(path: String) = new Path(s"$path/_graft_optimize_data")
   private def marker(stage: Path) = new Path(stage, "_COMMITTED")
+  private def historyDir(path: String) = new Path(s"$path/_graft_history")
+  private[streaming] def maintMarker(path: String) = new Path(s"$path/_graft_last_maintenance")
+
+  /** Touch the maintenance marker: its mtime is the last instant the
+    * table's referenced-file set changed (swap or history expiry).
+    * [[StreamSinks.vacuum]] ages orphans from max(file mtime, marker
+    * mtime) so files retired/expired by maintenance get the FULL grace
+    * window from the maintenance event, not from their original write
+    * time. */
+  private def touchMaintMarker(fs: FileSystem, path: String): Unit = {
+    val out = fs.create(maintMarker(path), true)
+    out.close()
+  }
+
+  private val VersionRe = "v(\\d+)".r
+
+  /** Archived manifest generations, oldest first. `files` is the number
+    * of data files that version references; `modifiedMs` the archive
+    * time. A version whose manifest cannot be parsed (crash debris that
+    * was archived for safety) reports files = -1 and cannot be
+    * restored. */
+  final case class HistoryVersion(version: Long, files: Int, modifiedMs: Long)
+
+  private def versionDirs(fs: FileSystem, path: String): Seq[(Long, Path, Long)] = {
+    val h = historyDir(path)
+    if (!fs.exists(h)) Nil
+    else
+      fs.listStatus(h).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(n) if st.isDirectory => Seq((n.toLong, st.getPath, st.getModificationTime))
+          case _                              => Nil
+        }
+      }.sortBy(_._1)
+  }
+
+  private def versionEntries(
+      spark: SparkSession, dir: Path): Option[Seq[SinkFileStatus]] =
+    try Some(sinkLog(spark, dir.toString).allFiles().toSeq)
+    catch { case _: Exception => None } // unreadable archived debris: protects nothing
+
+  /** Every data file some archived history version still references —
+    * the vacuum-protection set that keeps [[restoreTable]] possible.
+    * Metadata-scale: O(versions × manifest entries). */
+  private[streaming] def historyProtectedFiles(
+      spark: SparkSession, path: String): Set[String] = {
+    val fs = fsFor(spark, path)
+    versionDirs(fs, path).flatMap { case (_, dir, _) =>
+      versionEntries(spark, dir).getOrElse(Nil).map(e => normKey(e.path))
+    }.toSet
+  }
+
+  /** Archive a retired manifest dir as the next history version — one
+    * rename, never a copy. */
+  private def archiveToHistory(fs: FileSystem, path: String, retired: Path): Long = {
+    val next = versionDirs(fs, path).lastOption.map(_._1 + 1).getOrElse(1L)
+    fs.mkdirs(historyDir(path))
+    val dest = new Path(historyDir(path), s"v$next")
+    require(fs.rename(retired, dest), s"archiveToHistory: rename $retired -> $dest failed")
+    next
+  }
 
   private def sinkLog(spark: SparkSession, logPath: String): FileStreamSinkLog =
     new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, logPath)
@@ -246,16 +331,18 @@ object Optimize {
     require(fs.rename(stageMeta, metaDir(path)),
       s"$op: could not promote the staged manifest — run repairOptimize")
     fs.delete(marker(metaDir(path)), false)
-    fs.delete(bakDir(path), true)
+    archiveToHistory(fs, path, bakDir(path)): Unit
+    touchMaintMarker(fs, path)
   }
 
-  /** @param zOrderDims when set, the compacted files are also Z-ORDER
-    *        clustered on the two dimensions ([[graft.sources.FileIO
-    *        .zOrdered]]) — compaction and re-clustering in ONE rewrite
-    *        (a long-running sink's batches arrive time-clustered at
-    *        best; this restores 2-D file skipping as part of the same
-    *        maintenance pass). Unpartitioned tables only: a partitioned
-    *        layout already carries its first dimension in the dirs. */
+  /** @param zOrderDims when set, the rewrite is a RE-CLUSTERING, not a
+    *        small-file pass: ALL data files rewrite Z-ORDER clustered on
+    *        the two dimensions ([[graft.sources.FileIO.zOrdered]]) —
+    *        the small-file threshold is a compaction economy and would
+    *        silently skip the requested re-clustering on an
+    *        already-compacted (large-file) table. Unpartitioned tables
+    *        only: a partitioned layout already carries its first
+    *        dimension in the dirs. */
   def optimizeSink(
       spark: SparkSession,
       path: String,
@@ -265,8 +352,12 @@ object Optimize {
       zOrderDims: Option[(String, String)] = None
   ): OptimizeReport = {
     val (fs, latestId, all) = guardAndOpen(spark, path, "optimizeSink")
-    val (small, kept) = all.partition(_.size < smallFileBytes)
-    if (small.size < 2) {
+    // ZORDER BY means "re-cluster the table": every file participates;
+    // plain OPTIMIZE repacks only files below the small-file threshold
+    val (small, kept) =
+      if (zOrderDims.isDefined) (all, Seq.empty[SinkFileStatus])
+      else all.partition(_.size < smallFileBytes)
+    if (small.size < (if (zOrderDims.isDefined) 1 else 2)) {
       return OptimizeReport(0, 0, all.size, latestId, Nil)
     }
     val totalSmall = small.map(_.size).sum
@@ -371,7 +462,17 @@ object Optimize {
   ): DeleteReport = {
     require(set.nonEmpty, "updateWhere: empty SET")
     val (fs, latestId, all) = guardAndOpen(spark, path, "updateWhere")
-    requireDataColumnPredicate("updateWhere", predicate, tablePartCols(spark, path, all))
+    val partCols0 = tablePartCols(spark, path, all)
+    requireDataColumnPredicate("updateWhere", predicate, partCols0)
+    // SET VALUE expressions read partition columns as verbatim STRINGS
+    // during the rewrite — `SET v = part_col * 2` would silently
+    // mis-evaluate, the exact hazard the predicate guard exists for
+    set.foreach { case (c, e) =>
+      val overlap = refNames(e).intersect(partCols0.toSet)
+      require(overlap.isEmpty,
+        s"updateWhere: SET $c = ... reads partition column(s) ${overlap.mkString(",")} — " +
+          "partition values are verbatim strings during the rewrite; data columns only")
+    }
     val hitKeys = spark.read.format(format).load(path)
       .filter(predicate)
       .select(col("_metadata.file_path"))
@@ -425,19 +526,35 @@ object Optimize {
     * atomic manifest swap.
     *
     *  - MATCHED rows (table ∩ source on `keyCols`) live in some set of
-    *    files; ONLY those files rewrite, with each matched row replaced
-    *    by its source row (whole-row replacement — source must carry the
-    *    table's full schema). Found by a key-join projecting
-    *    `_metadata.file_path` — with a broadcast-able source this is one
-    *    scan of the table, no shuffle of the fact side.
-    *  - NOT-MATCHED source rows land as NEW files (an append, no rewrite).
+    *    files; ONLY those files rewrite. By default each matched row is
+    *    replaced by its source row (whole-row replacement — source must
+    *    carry the table's full schema). With `matchedSet` the merge is
+    *    COLUMN-LEVEL: only the named columns change, every other column
+    *    passes through — the `WHEN MATCHED THEN UPDATE SET c = expr`
+    *    clause of SQL MERGE. SET expressions reference the two sides by
+    *    alias: `t` is the table row, `s` the source row (the Delta
+    *    `updateExpr` convention), e.g. `expr("t.cents + s.delta")`. A
+    *    column-level source need only carry `keyCols` plus whatever its
+    *    SET expressions read.
+    *  - NOT-MATCHED source rows land as NEW files (an append, no
+    *    rewrite) — requires the source to carry the full table schema.
+    *    `insertNotMatched = false` skips them (an update-only merge, the
+    *    natural pairing for a partial-column source).
     *  - Untouched files keep their manifest entries verbatim; the swap,
     *    repair, writer-resume and vacuum story are [[optimizeSink]]'s.
     *
     * Duplicate keys in `source` are refused loudly (a multi-match makes
     * "replace the row" ambiguous — same rule as SQL MERGE's
-    * cardinality violation). At 100 TB: cost O(files containing matched
-    * keys) + O(inserted bytes), never O(table).
+    * cardinality violation).
+    *
+    * SCALE: the source joins the table twice (hit-file discovery, and
+    * the matched-file rewrite). Both joins broadcast the source ONLY
+    * when its materialized size is ≤ `maxBroadcastBytes` (measured off
+    * the persisted plan's stats — the source is cached and counted for
+    * the cardinality check anyway); a large backfill source falls back
+    * to a plain shuffle join instead of shipping 100 GB to every
+    * executor. Hit-file pruning is unaffected — cost stays O(files
+    * containing matched keys) + O(inserted bytes), never O(table).
     */
   def mergeInto(
       spark: SparkSession,
@@ -445,7 +562,10 @@ object Optimize {
       source: DataFrame,
       keyCols: Seq[String],
       format: String = "parquet",
-      targetFileBytes: Long = 128L * 1024 * 1024
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxBroadcastBytes: Long = 64L * 1024 * 1024,
+      matchedSet: Option[Map[String, Column]] = None,
+      insertNotMatched: Boolean = true
   ): DeleteReport = {
     require(keyCols.nonEmpty, "mergeInto: empty key column list")
     val (fs, latestId, all) = guardAndOpen(spark, path, "mergeInto")
@@ -456,9 +576,36 @@ object Optimize {
     val table = spark.read.format(format).load(path)
     require(keyCols.forall(source.columns.contains) && keyCols.forall(table.columns.contains),
       s"mergeInto: key columns ${keyCols.mkString(",")} must exist on both sides")
-    require(table.columns.sorted.sameElements(source.columns.sorted),
-      s"mergeInto: source schema ${source.columns.sorted.mkString(",")} must match the " +
-        s"table's ${table.columns.sorted.mkString(",")} (whole-row replacement)")
+    matchedSet match {
+      case None =>
+        require(table.columns.sorted.sameElements(source.columns.sorted),
+          s"mergeInto: source schema ${source.columns.sorted.mkString(",")} must match the " +
+            s"table's ${table.columns.sorted.mkString(",")} (whole-row replacement)")
+      case Some(set) =>
+        require(set.nonEmpty, "mergeInto: empty WHEN MATCHED UPDATE SET")
+        set.keys.foreach { c =>
+          require(table.columns.contains(c),
+            s"mergeInto: SET column $c not in the table schema")
+          require(!partCols0.contains(c),
+            s"mergeInto: $c is a partition column — updating it is a move, not a merge")
+          require(!keyCols.contains(c),
+            s"mergeInto: SET column $c is a merge key — updating keys is ambiguous")
+        }
+        // same hazard as updateWhere's guard: partition values are
+        // verbatim strings during the rewrite
+        set.foreach { case (c, e) =>
+          val overlap = refNames(e).intersect(partCols0.toSet)
+          require(overlap.isEmpty,
+            s"mergeInto: SET $c = ... reads partition column(s) ${overlap.mkString(",")} — " +
+              "partition values are verbatim strings during the rewrite; data columns only")
+        }
+        if (insertNotMatched) {
+          require(table.columns.sorted.sameElements(source.columns.sorted),
+            "mergeInto: WHEN NOT MATCHED inserts need the full table schema on the source " +
+              s"(got ${source.columns.sorted.mkString(",")}); pass insertNotMatched = false " +
+              "for an update-only merge over a partial-column source")
+        }
+    }
     source.persist()
     val dupKeys = source.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
@@ -467,12 +614,20 @@ object Optimize {
       s"mergeInto: duplicate key in source (${dupKeys.headOption}) — ambiguous MERGE")
 
     import org.apache.spark.sql.functions.broadcast
+    // the cardinality check above materialized the persisted source, so
+    // its plan stats carry the real cached size — the broadcast gate
+    // (a fresh QueryExecution picks up the cache substitution)
+    val srcBytes = spark.sessionState
+      .executePlan(source.queryExecution.logical).optimizedPlan.stats.sizeInBytes
+    val useBroadcast = srcBytes <= BigInt(maxBroadcastBytes)
+    def gated(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+
     val srcKeys = source.select(keyCols.map(col): _*)
     // the _metadata column must be projected BEFORE the join — it exists
     // only directly on the file-source relation
     val hitKeys = table
       .select(col("_metadata.file_path").as("__graft_file") +: keyCols.map(col): _*)
-      .join(broadcast(srcKeys), keyCols)
+      .join(gated(srcKeys), keyCols)
       .select(col("__graft_file"))
       .distinct()
       .collect()
@@ -487,12 +642,13 @@ object Optimize {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
 
     // not-matched inserts append as new files — no rewrite, pure add
-    val inserts = source.join(
-      table.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val inserts =
+      if (!insertNotMatched) spark.emptyDataFrame
+      else source.join(table.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
     val insertDir = new Path(path, s"_graft_merge_ins_$uuid")
     val nIns = inserts.persist()
     val insFiles: Seq[Path] =
-      if (nIns.isEmpty) Nil
+      if (!insertNotMatched || nIns.isEmpty) Nil
       else {
         // a PARTITIONED table's inserts must land inside their partition
         // dirs (a flat root file would corrupt partition discovery for
@@ -535,22 +691,45 @@ object Optimize {
           (hit.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
         stageRewrite(spark, fs, path, format, hitPaths, "graft-merge") {
           (df, partCols, stageDir) =>
-            val srcPrefixed = broadcast(
-              source.select(cols.map(c => col(c).as(s"__src_$c")) :+
-                lit(true).as("__src_matched"): _*))
-            val joinCond = keyCols
-              .map(k => df(k) === srcPrefixed(s"__src_$k"))
-              .reduce(_ && _)
-            // replacement keys on the MATCH FLAG, not value coalesce — a
-            // legitimately-NULL source value must land as NULL, not fall
-            // back to the old value
-            val merged = df.join(srcPrefixed, joinCond, "left")
-              .select(cols.map { c =>
-                org.apache.spark.sql.functions
-                  .when(col("__src_matched").isNotNull, col(s"__src_$c"))
-                  .otherwise(col(c))
-                  .cast(df.schema(c).dataType).as(c)
-              }: _*)
+            val merged = matchedSet match {
+              case None =>
+                val srcPrefixed = gated(
+                  source.select(cols.map(c => col(c).as(s"__src_$c")) :+
+                    lit(true).as("__src_matched"): _*))
+                val joinCond = keyCols
+                  .map(k => df(k) === srcPrefixed(s"__src_$k"))
+                  .reduce(_ && _)
+                // replacement keys on the MATCH FLAG, not value coalesce —
+                // a legitimately-NULL source value must land as NULL, not
+                // fall back to the old value
+                df.join(srcPrefixed, joinCond, "left")
+                  .select(cols.map { c =>
+                    org.apache.spark.sql.functions
+                      .when(col("__src_matched").isNotNull, col(s"__src_$c"))
+                      .otherwise(col(c))
+                      .cast(df.schema(c).dataType).as(c)
+                  }: _*)
+              case Some(set) =>
+                // column-level WHEN MATCHED UPDATE SET: the join exposes
+                // the table row as `t` and the source row as `s`; every
+                // SET expression (and the match test) evaluates against
+                // the OLD t-row — standard SQL UPDATE semantics
+                val srcS = gated(source.withColumn("__graft_matched", lit(true))).alias("s")
+                val joinCond = keyCols
+                  .map(k => col(s"t.$k") === col(s"s.$k"))
+                  .reduce(_ && _)
+                df.alias("t").join(srcS, joinCond, "left")
+                  .select(cols.map { c =>
+                    set.get(c) match {
+                      case Some(e) =>
+                        org.apache.spark.sql.functions
+                          .when(col("s.__graft_matched").isNotNull, e)
+                          .otherwise(col(s"t.$c"))
+                          .cast(df.schema(c).dataType).as(c)
+                      case None => col(s"t.$c").as(c)
+                    }
+                  }: _*)
+            }
             val writer =
               if (partCols.isEmpty) merged.coalesce(nOut).write
               else merged.repartition(nOut, partCols.map(col): _*)
@@ -680,17 +859,28 @@ object Optimize {
       .foreach(st => fs.delete(st.getPath, true))
     if (fs.exists(meta)) {
       // crash before the swap started (or after it finished): the live
-      // manifest is authoritative; staged/backup leftovers are debris
-      val swept = Seq(stage, bak).filter(fs.exists)
-      swept.foreach(fs.delete(_, true))
+      // manifest is authoritative. An UNCOMMITTED stage is debris; a
+      // leftover BACKUP is the crash-between-promotion-and-archive case
+      // — it is the real previous generation, so it archives into
+      // history (completing the interrupted swap) instead of deleting.
+      val sweptStage = fs.exists(stage)
+      if (sweptStage) fs.delete(stage, true): Unit
+      val archived = if (fs.exists(bak)) Some(archiveToHistory(fs, path, bak)) else None
       fs.delete(marker(meta), false)
-      if (swept.isEmpty) "clean" else s"rolled-back: swept ${swept.mkString(", ")}"
+      if (archived.isDefined) touchMaintMarker(fs, path)
+      (sweptStage, archived) match {
+        case (false, None)    => "clean"
+        case (true, None)     => s"rolled-back: swept $stage"
+        case (s, Some(v))     =>
+          s"rolled-back: archived backup as v$v${if (s) s", swept $stage" else ""}"
+      }
     } else if (fs.exists(stage) && fs.exists(marker(stage))) {
       // crash between the two renames: the stage was fully committed —
-      // finish the promotion
+      // finish the promotion (and archive the retired generation)
       require(fs.rename(stage, meta), s"repairOptimize: promote $stage failed")
       fs.delete(marker(meta), false)
-      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(bak)) archiveToHistory(fs, path, bak): Unit
+      touchMaintMarker(fs, path)
       "rolled-forward"
     } else if (fs.exists(bak)) {
       // incomplete stage: the old manifest is the only committed truth
@@ -701,5 +891,95 @@ object Optimize {
       throw new IllegalStateException(
         s"repairOptimize($path): no manifest, no committed stage, no backup — not a sink table")
     }
+  }
+
+  /** The table's archived manifest generations, oldest first — one entry
+    * per swap ([[optimizeSink]]/[[deleteWhere]]/[[updateWhere]]/
+    * [[mergeInto]]/[[restoreTable]] each push exactly one). */
+  def listVersions(spark: SparkSession, path: String): Seq[HistoryVersion] = {
+    val fs = fsFor(spark, path)
+    versionDirs(fs, path).map { case (v, dir, mtime) =>
+      HistoryVersion(v, versionEntries(spark, dir).map(_.size).getOrElse(-1), mtime)
+    }
+  }
+
+  /** TIME-TRAVEL read of an archived version: the historical manifest's
+    * file list, loaded directly (no swap, no mutation). Works only while
+    * the version's files survive — i.e. until [[expireHistory]] releases
+    * them to vacuum. */
+  def readVersion(
+      spark: SparkSession, path: String, version: Long, format: String = "parquet"
+  ): DataFrame = {
+    val fs = fsFor(spark, path)
+    val dir = versionDirs(fs, path).collectFirst { case (v, d, _) if v == version => d }
+      .getOrElse(throw new IllegalArgumentException(
+        s"readVersion($path): no history version $version — see listVersions"))
+    val entries = versionEntries(spark, dir).getOrElse(throw new IllegalStateException(
+      s"readVersion($path): v$version is unreadable archived debris, not a manifest"))
+    val paths = entries.map(_.sparkPath.toPath.toString)
+    val missing = paths.filterNot(p => fs.exists(new Path(p)))
+    require(missing.isEmpty,
+      s"readVersion($path): v$version references ${missing.size} vacuumed file(s) " +
+        s"(first: ${missing.headOption.getOrElse("")}) — the version is no longer readable")
+    spark.read.format(format).option("basePath", path).load(paths: _*)
+  }
+
+  final case class RestoreReport(
+      restoredVersion: Long,
+      restoredFiles: Int,
+      archivedCurrentAs: Long,
+      latestBatchId: Long)
+
+  /** RESTORE the table to an archived version — `GRAFT RESTORE ... TO
+    * VERSION n`. The historical manifest's entries swap in under the
+    * same staged-manifest protocol as every other mutation (crash repair
+    * included), with the writer's CURRENT latest batch id preserved, so
+    * a checkpointed writer resumes exactly-once over the restored state.
+    * The outgoing (pre-restore) manifest archives as a NEW version —
+    * restore is itself undoable, never destructive.
+    *
+    * Requires every file the target version references to still exist:
+    * vacuum protects history-referenced files by construction, so a
+    * restore can only be refused after [[expireHistory]] released the
+    * version's files — and then it refuses LOUDLY, file named. */
+  def restoreTable(
+      spark: SparkSession, path: String, version: Long, format: String = "parquet"
+  ): RestoreReport = {
+    val (fs, latestId, _) = guardAndOpen(spark, path, "restoreTable")
+    val dir = versionDirs(fs, path).collectFirst { case (v, d, _) if v == version => d }
+      .getOrElse(throw new IllegalArgumentException(
+        s"restoreTable($path): no history version $version — see listVersions"))
+    val entries = versionEntries(spark, dir).getOrElse(throw new IllegalStateException(
+      s"restoreTable($path): v$version is unreadable archived debris, not a manifest"))
+    val missing = entries
+      .map(_.sparkPath.toPath.toString)
+      .filterNot(p => fs.exists(new Path(p)))
+    require(missing.isEmpty,
+      s"restoreTable($path): v$version references ${missing.size} vacuumed file(s) " +
+        s"(first: ${missing.headOption.getOrElse("")}) — expireHistory released them; " +
+        "the version is unrestorable")
+    swapManifest(spark, fs, path, latestId, entries.toArray, "restoreTable")
+    val archivedAs = versionDirs(fs, path).last._1
+    RestoreReport(version, entries.size, archivedAs, latestId)
+  }
+
+  /** Drop all but the newest `keep` history versions, releasing the
+    * files ONLY they referenced to the graced vacuum. This is the
+    * storage-reclaim half of the history contract: swaps are O(1)
+    * renames and history manifests are metadata-scale, but the RETIRED
+    * DATA FILES history protects are table-scale — an unexpired history
+    * pins every generation's bytes forever. Run it on the vacuum
+    * cadence once the restore window (e.g. "1 day of generations") has
+    * passed. Touches the maintenance marker, so released files get the
+    * full vacuum grace from the EXPIRY instant, not their write time.
+    * Returns the expired version numbers. */
+  def expireHistory(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
+    require(keep >= 0, s"expireHistory: keep=$keep")
+    val fs = fsFor(spark, path)
+    val vs = versionDirs(fs, path)
+    val expire = if (keep == 0) vs else vs.dropRight(keep)
+    expire.foreach { case (_, dir, _) => fs.delete(dir, true) }
+    if (expire.nonEmpty) touchMaintMarker(fs, path)
+    expire.map(_._1)
   }
 }

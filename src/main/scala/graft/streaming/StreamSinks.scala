@@ -183,6 +183,19 @@ object StreamSinks {
     * skipped — a batch whose manifest commit lands after the sweep
     * started keeps its data (writers from OTHER sessions are invisible
     * to the first guard; the grace window is what protects them).
+    *
+    * Two more protections for files retired by the DML/OPTIMIZE swaps
+    * ([[graft.streaming.Optimize]]):
+    *  - any file an archived HISTORY version still references is never
+    *    swept (so `restoreTable`/`readVersion` stay possible until the
+    *    operator runs `expireHistory`);
+    *  - a file's age is measured from max(its mtime, the table's last
+    *    maintenance event): a retired file keeps its original write-time
+    *    mtime, so an mtime-only grace would sweep it the INSTANT its
+    *    history version expired — under any cross-session reader
+    *    mid-scan. The `_graft_last_maintenance` marker (touched by every
+    *    swap and expiry) restarts the grace clock at the event that
+    *    actually orphaned the file.
     */
   def vacuum(
       spark: SparkSession,
@@ -210,10 +223,17 @@ object StreamSinks {
     val committed = committedFiles(spark, path, format)
       .map(u => Path.getPathWithoutSchemeAndAuthority(new Path(u)).toString)
       .toSet
+    val historyProtected = graft.streaming.Optimize.historyProtectedFiles(spark, path)
+    val lastMaint = {
+      val m = graft.streaming.Optimize.maintMarker(path)
+      if (fs.exists(m)) fs.getFileStatus(m).getModificationTime else 0L
+    }
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphans = dataFiles(root).filter(st =>
-      st.getModificationTime <= cutoff &&
-        !committed.contains(Path.getPathWithoutSchemeAndAuthority(st.getPath).toString))
+    val orphans = dataFiles(root).filter { st =>
+      val key = Path.getPathWithoutSchemeAndAuthority(st.getPath).toString
+      math.max(st.getModificationTime, lastMaint) <= cutoff &&
+        !committed.contains(key) && !historyProtected.contains(key)
+    }
     if (!dryRun) orphans.foreach(st => fs.delete(st.getPath, false))
     orphans.map(_.getPath.toString)
   }
@@ -299,7 +319,9 @@ object StreamSinks {
       listed == committed,
       s"promote($path): directory and manifest disagree after sweep — " +
         s"unlisted committed files: ${(committed -- listed).take(3).mkString(", ")}; " +
-        s"extra files: ${(listed -- committed).take(3).mkString(", ")}")
+        s"extra files: ${(listed -- committed).take(3).mkString(", ")}" +
+        " (retired generations pinned by _graft_history block promotion: run " +
+        "Optimize.expireHistory(spark, path, keep = 0) first if the extras are graft-* files)")
     PromoteReport(committed.size, swept)
   }
 

@@ -67,13 +67,58 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(opt(0).getLong(1) >= 1, "optimize produced no output files")
     assert(spark.read.parquet(out).count() == 290)
 
-    // VACUUM reclaims every retired generation
+    // HISTORY lists one archived version per mutation (update, delete,
+    // optimize), and they PIN the retired generations against VACUUM
+    val hist = spark.sql(s"GRAFT HISTORY '$out'").collect()
+    assert(hist.length == 3, s"expected 3 archived versions, got ${hist.length}")
+    val protectedSweep = spark.sql(s"GRAFT VACUUM '$out' GRACE 0 MINUTES").collect()
+    assert(protectedSweep.isEmpty,
+      "vacuum swept history-protected generations — RESTORE would be impossible")
+
+    // EXPIRE HISTORY releases them; VACUUM then reclaims every retired
+    // generation
+    val expired = spark.sql(s"GRAFT EXPIRE HISTORY '$out' KEEP 0").collect()
+    assert(expired.length == 3)
     val swept = spark.sql(s"GRAFT VACUUM '$out' GRACE 0 MINUTES").collect()
     assert(swept.nonEmpty, "vacuum after update+delete+optimize found nothing to sweep")
     assert(spark.read.parquet(out).count() == 290)
 
     // REPAIR on a clean table reports clean
     assert(spark.sql(s"GRAFT REPAIR '$out'").collect()(0).getString(0) == "clean")
+  }
+
+  test("GRAFT RESTORE rolls the table back to an archived version through SQL") {
+    val out = buildTable()
+    spark.sql(s"GRAFT DELETE FROM '$out' WHERE id < 100").collect(): Unit
+    assert(spark.read.parquet(out).count() == 200)
+
+    val v = spark.sql(s"GRAFT HISTORY '$out'").collect().map(_.getLong(0)).max
+    val rep = spark.sql(s"GRAFT RESTORE '$out' TO VERSION $v").collect()
+    assert(rep(0).getLong(0) == v, "restored_version mismatch")
+    assert(spark.read.parquet(out).count() == 300, "restore did not bring the deleted rows back")
+    // the pre-restore state was archived — restore is undoable via SQL too
+    val undoV = rep(0).getLong(2)
+    spark.sql(s"GRAFT RESTORE '$out' TO VERSION $undoV").collect(): Unit
+    assert(spark.read.parquet(out).count() == 200, "undoing the restore failed")
+  }
+
+  test("GRAFT MERGE WHEN MATCHED UPDATE SET drives a column-level, update-only merge") {
+    val s = spark
+    import s.implicits._
+    val out = buildTable()
+
+    // partial-column source: keys + a delta — WHEN NOT MATCHED IGNORE
+    // makes it a pure update merge (155 matches, 900 is ignored)
+    Seq((155L, 10.0), (900L, 99.0)).toDF("id", "delta")
+      .createOrReplaceTempView("graft_sql_merge_cols_src")
+    val rep = spark.sql(
+      s"GRAFT MERGE INTO '$out' USING graft_sql_merge_cols_src ON (id) " +
+        "WHEN MATCHED UPDATE SET v = t.v + s.delta WHEN NOT MATCHED IGNORE").collect()
+    assert(rep(0).getLong(0) >= 1, "no matched file rewritten")
+    val t = spark.read.parquet(out)
+    assert(t.count() == 300, "IGNORE still inserted")
+    assert(t.filter("id = 155 AND v = 165.0").count() == 1, "SET expression not applied")
+    assert(t.filter("id = 900").count() == 0, "not-matched row inserted despite IGNORE")
   }
 
   test("GRAFT MERGE INTO upserts from a registered view; ZORDER optimize spelling works") {

@@ -85,9 +85,18 @@ class OptimizeSpec extends AnyFunSuite {
       s"expected ${rep.outputFiles} compacted files, manifest lists ${filesAfter.size}")
     assert(filesAfter.forall(_.contains("graft-compact-")), s"stale manifest entries: $filesAfter")
 
-    // retired files still on disk (in-flight readers), but orphans now —
-    // the graced vacuum reclaims them without touching the rows
+    // retired files still on disk (in-flight readers), but orphans now.
+    // The swap archived the outgoing manifest as history v1, and vacuum
+    // PROTECTS history-referenced files (restoreTable stays possible)
     assert(dataFileCount(out) > filesAfter.size, "retired files should linger until vacuum")
+    val sweptProtected = StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L)
+    assert(!sweptProtected.exists(p => rep.retired.map(q =>
+      Paths.get(q).getFileName.toString).contains(Paths.get(p).getFileName.toString)),
+      "vacuum swept a history-protected retired file")
+    assert(Optimize.listVersions(spark, out).map(_.version) == Seq(1L),
+      "the swap should have archived exactly one history version")
+    // after the operator expires history, the retired generation sweeps
+    assert(Optimize.expireHistory(spark, out, keep = 0) == Seq(1L))
     val swept = StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L)
     assert(rep.retired.map(p => Paths.get(p).getFileName.toString).toSet
       .subsetOf(swept.map(p => Paths.get(p).getFileName.toString).toSet),
@@ -125,9 +134,10 @@ class OptimizeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("STALE"))
 
-    // the maintenance recipe: vacuum retires the old generation from the
-    // LISTING (the identity the sidecar fingerprints), then refresh
-    // re-indexes — O(changed files) — and lookups serve again
+    // the maintenance recipe: expire the restore history, vacuum the old
+    // generation out of the LISTING (the identity the sidecar
+    // fingerprints), then refresh re-indexes — O(changed files)
+    Optimize.expireHistory(spark, out, keep = 0)
     StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L)
     // regression pin (r15 bug): vacuum's lister must NOT recurse into
     // `_`-prefixed sidecar dirs — if it had swept the sidecar, refresh
@@ -574,5 +584,247 @@ class OptimizeSpec extends AnyFunSuite {
 
     // idempotent: a second repair on a clean table reports clean
     assert(Optimize.repairOptimize(spark, out) == "clean")
+  }
+
+  private def buildIdTable(name: String, batches: Seq[Long]): (String, String) = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir(s"${name}_out")
+    val ckpt = freshDir(s"${name}_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    batches.foreach { lo =>
+      stream.addData((lo until lo + 100L).map(i => (i, i * 1.0)))
+      val q = StreamSinks.parquetSink(stream.toDF().toDF("id", "v"), out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    (out, ckpt)
+  }
+
+  test("history + restore: every swap archives a version; restore rolls back and is itself undoable") {
+    val (out, _) = buildIdTable("hist", Seq(0L, 100L, 200L))
+    val before = spark.read.parquet(out).select("id", "v").collect().toSet
+
+    // two mutations → two archived versions, oldest first
+    Optimize.deleteWhere(spark, out, col("id") < 50L)
+    Optimize.updateWhere(spark, out, col("id") === 60L, Map("v" -> lit(-60.0)))
+    val afterMutations = spark.read.parquet(out).select("id", "v").collect().toSet
+    val versions = Optimize.listVersions(spark, out)
+    assert(versions.map(_.version) == Seq(1L, 2L), s"unexpected history: $versions")
+    assert(versions.forall(_.files > 0), "archived manifests should parse and list files")
+
+    // time-travel read of v1 — the pre-delete generation, no mutation
+    assert(Optimize.readVersion(spark, out, 1L).select("id", "v").collect().toSet == before,
+      "readVersion(v1) must serve the pre-delete rows")
+    assert(spark.read.parquet(out).select("id", "v").collect().toSet == afterMutations,
+      "readVersion must not mutate the live table")
+
+    // restore to v1: full pre-delete state; the pre-restore manifest
+    // archives as v3 — restore is undoable
+    val rep = Optimize.restoreTable(spark, out, 1L)
+    assert(rep.restoredVersion == 1L && rep.archivedCurrentAs == 3L)
+    assert(spark.read.parquet(out).select("id", "v").collect().toSet == before,
+      "restore(v1) did not reproduce the pre-delete table")
+    // undo the restore: back to the post-mutation state
+    Optimize.restoreTable(spark, out, 3L): Unit
+    assert(spark.read.parquet(out).select("id", "v").collect().toSet == afterMutations,
+      "restoring the archived pre-restore version must undo the restore")
+
+    // unknown version refused loudly
+    intercept[IllegalArgumentException] { Optimize.restoreTable(spark, out, 99L) }
+  }
+
+  test("restore refuses loudly once expireHistory + vacuum released the version's files") {
+    val (out, _) = buildIdTable("histexp", Seq(0L, 100L))
+    Optimize.deleteWhere(spark, out, col("id") < 150L) // retires every file of v1
+    assert(Optimize.listVersions(spark, out).map(_.version) == Seq(1L))
+
+    // protected: vacuum cannot touch v1's files, restore still works
+    StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L)
+    Optimize.restoreTable(spark, out, 1L): Unit
+    assert(spark.read.parquet(out).count() == 200, "protected restore lost rows")
+
+    // release: expire ALL history, vacuum, and the (now re-retired)
+    // generation really is gone — restore refuses, file named
+    Optimize.deleteWhere(spark, out, col("id") < 150L)
+    val vPre = Optimize.listVersions(spark, out).map(_.version).max
+    Optimize.expireHistory(spark, out, keep = 0)
+    assert(Optimize.listVersions(spark, out).isEmpty)
+    StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L)
+    intercept[IllegalArgumentException] { Optimize.restoreTable(spark, out, vPre) }
+
+    // keep = n retains the NEWEST n versions
+    Optimize.updateWhere(spark, out, col("id") === 199L, Map("v" -> lit(0.0)))
+    Optimize.updateWhere(spark, out, col("id") === 198L, Map("v" -> lit(0.0)))
+    val vs = Optimize.listVersions(spark, out).map(_.version)
+    assert(vs.size == 2)
+    Optimize.expireHistory(spark, out, keep = 1)
+    assert(Optimize.listVersions(spark, out).map(_.version) == Seq(vs.max))
+  }
+
+  test("vacuum ages orphans from the last maintenance event, not the file mtime") {
+    val (out, _) = buildIdTable("vacage", Seq(0L, 100L))
+    val rep = Optimize.optimizeSink(spark, out, "parquet", smallFileBytes = 1024 * 1024)
+    assert(rep.compactedFiles >= 2)
+    Optimize.expireHistory(spark, out, keep = 0) // release the retired files
+
+    // BACKDATE the retired files: on disk they look hours old (a swap
+    // retires files without rewriting them, so they keep their original
+    // write-time mtimes — the r15 hazard)
+    val old = System.currentTimeMillis() - 3600 * 1000L
+    rep.retired.foreach { p =>
+      assert(new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else s"file:$p")).setLastModified(old))
+    }
+    // a graced vacuum must NOT sweep them: the maintenance marker is
+    // fresh, so their effective age is the expiry instant, not the mtime
+    val sweptEarly = StreamSinks.vacuum(spark, out, "parquet", dryRun = true, graceMs = 60000L)
+    assert(sweptEarly.isEmpty,
+      s"graced vacuum swept just-released files on stale mtimes: $sweptEarly")
+
+    // once the marker itself is old, the grace has genuinely expired
+    val marker = new java.io.File(out, "_graft_last_maintenance")
+    assert(marker.exists() && marker.setLastModified(old))
+    val swept = StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 60000L)
+    assert(rep.retired.map(p => Paths.get(p).getFileName.toString).toSet
+      .subsetOf(swept.map(p => Paths.get(p).getFileName.toString).toSet),
+      "expired-grace vacuum missed the retired files")
+    assert(spark.read.parquet(out).count() == 200)
+  }
+
+  test("mergeInto WHEN MATCHED UPDATE SET: column-level merge over a partial-column source") {
+    val s = spark
+    import s.implicits._
+    val (out, _) = buildIdTable("mrgcols", Seq(0L, 100L, 200L))
+    val filesBefore = StreamSinks.committedFiles(spark, out, "parquet").size
+
+    // source carries keys + a delta column only — NOT the table schema
+    val source = Seq((110L, 5.0), (120L, 7.0)).toDF("id", "delta")
+    val rep = Optimize.mergeInto(
+      spark, out, source, Seq("id"),
+      matchedSet = Some(Map("v" -> org.apache.spark.sql.functions.expr("t.v + s.delta"))),
+      insertNotMatched = false)
+    assert(rep.rewrittenFiles >= 1 && rep.rewrittenFiles < filesBefore,
+      "column-level merge should rewrite only match-bearing files")
+
+    val t = spark.read.parquet(out)
+    assert(t.count() == 300, "update-only merge must not insert")
+    assert(t.filter("id = 110 AND v = 115.0").count() == 1, "SET expression not applied")
+    assert(t.filter("id = 120 AND v = 127.0").count() == 1, "SET expression not applied")
+    assert(t.filter("id = 111 AND v = 111.0").count() == 1, "a non-matched row changed")
+
+    // a partial-column source with inserts enabled is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, source, Seq("id"),
+        matchedSet = Some(Map("v" -> org.apache.spark.sql.functions.expr("s.delta"))))
+    }
+    assert(ex.getMessage.contains("insertNotMatched"))
+    // updating a merge key is ambiguous — refused
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, source, Seq("id"),
+        matchedSet = Some(Map("id" -> lit(0L))), insertNotMatched = false)
+    }
+
+    // full-schema source: column-level SET + not-matched INSERTS compose
+    val source2 = Seq((130L, 1000.0), (900L, 9.0)).toDF("id", "v")
+    Optimize.mergeInto(spark, out, source2, Seq("id"),
+      matchedSet = Some(Map("v" -> org.apache.spark.sql.functions.expr("s.v + t.v")))): Unit
+    val t2 = spark.read.parquet(out)
+    assert(t2.count() == 301, "insert missing")
+    assert(t2.filter("id = 130 AND v = 1130.0").count() == 1)
+    assert(t2.filter("id = 900 AND v = 9.0").count() == 1)
+  }
+
+  test("mergeInto SET guards refuse partition-column reads and writes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("mrgg_out")
+    val ckpt = freshDir("mrgg_ckpt")
+    val stream = MemoryStream[Ev]
+    stream.addData((1L to 8L).map(i => ev(i, if (i % 2 == 0) "click" else "view")): _*)
+    val q = StreamSinks.parquetSink(stream.toDF(), out, ckpt, Seq("etype"))
+    q.processAllAvailable(); q.stop()
+
+    val src = Seq((2L, 1.0)).toDF("id", "delta")
+    // writing a partition column
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, src, Seq("id"),
+        matchedSet = Some(Map("etype" -> lit("x"))), insertNotMatched = false)
+    }
+    // reading a partition column in a SET value (verbatim string during
+    // the rewrite — the updateWhere guard, applied to merge)
+    val ex = intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, src, Seq("id"),
+        matchedSet = Some(Map("value" ->
+          org.apache.spark.sql.functions.expr("length(t.etype) * 1.0"))),
+        insertNotMatched = false)
+    }
+    assert(ex.getMessage.contains("partition column"))
+    // updateWhere enforces the same rule on ITS SET values
+    val ex2 = intercept[IllegalArgumentException] {
+      Optimize.updateWhere(spark, out, col("id") === 2L,
+        Map("value" -> org.apache.spark.sql.functions.expr("length(etype) * 1.0")))
+    }
+    assert(ex2.getMessage.contains("partition column"))
+  }
+
+  test("mergeInto size-gates the source broadcast: large sources shuffle-join, small broadcast") {
+    val s = spark
+    import s.implicits._
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString: Unit }
+      override def onFailure(
+          funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def drain(): Seq[String] = {
+      // the listener bus is async: wait until the captured set is quiet
+      var last = -1
+      var cur = plans.synchronized(plans.size)
+      val deadline = System.currentTimeMillis() + 15000
+      while (cur != last && System.currentTimeMillis() < deadline) {
+        last = cur; Thread.sleep(300); cur = plans.synchronized(plans.size)
+      }
+      plans.synchronized(plans.toSeq)
+    }
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val autoWas = spark.conf.getOption(autoKey)
+    val aqeWas = spark.conf.getOption(aqeKey)
+    spark.conf.set(autoKey, "-1") // isolate the gate: only OUR hint can broadcast
+    spark.conf.set(aqeKey, "-1")
+    spark.listenerManager.register(listener)
+    try {
+      // ABOVE the gate (threshold 0): both the discovery join and the
+      // rewrite join must plan WITHOUT a broadcast exchange
+      val (out1, _) = buildIdTable("mrgbig", Seq(0L, 100L))
+      plans.synchronized(plans.clear())
+      Optimize.mergeInto(spark, out1,
+        Seq((50L, -1.0), (150L, -2.0)).toDF("id", "v"), Seq("id"),
+        maxBroadcastBytes = 0L): Unit
+      val bigPlans = drain()
+      assert(bigPlans.nonEmpty, "listener captured no plans")
+      assert(!bigPlans.exists(_.contains("BroadcastExchange")),
+        "an above-threshold source was still broadcast")
+      assert(spark.read.parquet(out1).count() == 200)
+
+      // UNDER the gate (default threshold, tiny source): the hint fires
+      val (out2, _) = buildIdTable("mrgsmall", Seq(0L, 100L))
+      plans.synchronized(plans.clear())
+      Optimize.mergeInto(spark, out2,
+        Seq((50L, -1.0), (150L, -2.0)).toDF("id", "v"), Seq("id")): Unit
+      val smallPlans = drain()
+      assert(smallPlans.exists(_.contains("BroadcastExchange")),
+        "a below-threshold source was not broadcast")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      autoWas.fold(spark.conf.unset(autoKey))(v => spark.conf.set(autoKey, v))
+      aqeWas.fold(spark.conf.unset(aqeKey))(v => spark.conf.set(aqeKey, v))
+    }
   }
 }
