@@ -118,6 +118,7 @@ object CosineSimilarity {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.adcDistanceDescriptor)
     ext.injectFunction(GraftExtensions.signBandKeysDescriptor)
     ext.injectFunction(GraftExtensions.signBandProbesDescriptor)
     ext.injectTableFunction(GraftExtensions.similarityJoinTvf)
@@ -150,6 +151,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "graft_cosine expects exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
+    }
+  )
+
+  private val adcDistanceDescriptor = (
+    FunctionIdentifier("graft_adc_distance"),
+    new ExpressionInfo(classOf[AdcDistance].getName, "graft_adc_distance"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_adc_distance expects exactly 2 arguments")
+      AdcDistance(children.head, children(1))
     }
   )
 
@@ -666,6 +676,8 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      adcDistanceDescriptor._1, adcDistanceDescriptor._2, adcDistanceDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       signBandKeysDescriptor._1, signBandKeysDescriptor._2, signBandKeysDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(

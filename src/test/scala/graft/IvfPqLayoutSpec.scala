@@ -37,6 +37,77 @@ class IvfPqLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("train's group-sample cap: no-op at/under the cap, deterministic + bounded above it") {
+    val e = corpus()
+    val coarse = IvfIndex.train(e, k = 10, iters = 3)
+    val assigned = IvfIndex.assignAuto(e, coarse)
+    val maxGroup = assigned.groupBy("cl").count()
+      .agg(max(col("count"))).collect()(0).getLong(0).toInt
+
+    // a cap that admits every group trains BIT-IDENTICAL books to the
+    // unbounded default — sampling only ever engages above the cap
+    val tight = IvfPq.train(assigned, coarse, m = 8, nCodes = 16, maxGroupSample = maxGroup)
+    val loose = IvfPq.train(assigned, coarse, m = 8, nCodes = 16)
+    assert(tight.books.keySet === loose.books.keySet)
+    tight.books.foreach { case (cl, subs) =>
+      subs.zip(loose.books(cl)).foreach { case (s1, s2) =>
+        assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq,
+          s"cap == max group size changed the books for cl=$cl")
+      }
+    }
+
+    // SKEW fixture: a duplicated centroid funnels EVERY vector into
+    // cluster 0 (ties break low) — the hot-cluster shape that OOM'd the
+    // unbounded spelling at scale. A cap far below the group size must
+    // (a) stay deterministic across partitionings and (b) still search.
+    val one = IvfIndex.Model(Array(coarse.centroids.head, coarse.centroids.head))
+    val hotA = IvfIndex.assignAuto(e.repartition(1), one)
+    val hotB = IvfIndex.assignAuto(e.repartition(7), one)
+    assert(hotA.groupBy("cl").count().collect().map(_.getInt(0)).toSet == Set(0),
+      "fixture failed: expected every vector in cluster 0")
+    val capA = IvfPq.train(hotA, one, m = 8, nCodes = 16, maxGroupSample = 32)
+    val capB = IvfPq.train(hotB, one, m = 8, nCodes = 16, maxGroupSample = 32)
+    capA.books(0).zip(capB.books(0)).foreach { case (s1, s2) =>
+      assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq,
+        "capped training changed under repartitioning")
+    }
+    val probes = e.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val r = IvfPq.searchPq(e, IvfPq.encode(hotA, capA), probes, capA,
+      nProbe = 1, topK = 5, shortlist = 25)
+    assert(r.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L),
+      "search over sample-capped books lost candidates")
+    // the cap must refuse to starve Lloyd of seeds
+    intercept[IllegalArgumentException] {
+      IvfPq.train(hotA, one, m = 8, nCodes = 16, maxGroupSample = 8)
+    }
+  }
+
+  test("graft_adc_distance: native expression matches the manual sum; malformed inputs -> NULL") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val table = Seq(Seq(1.0, 2.0, 4.0), Seq(8.0, 16.0, 32.0))
+    val df = Seq(
+      (Seq(0, 2), table, 33.0),  // 1 + 32
+      (Seq(2, 1), table, 20.0),  // 4 + 16
+      (Seq(1, 1), table, 18.0)   // 2 + 16
+    ).toDF("codes", "tbl", "want")
+    val got = df
+      .withColumn("d", graft.functions.AdcDistance.column(col("codes"), col("tbl")))
+      .collect()
+    got.foreach(r => assert(r.getDouble(3) === r.getDouble(2), s"ADC mismatch: $r"))
+
+    // subspace-count mismatch and out-of-range codes yield NULL, loudly
+    // absent rather than silently wrong
+    val bad = Seq(
+      (Seq(0), table),       // m mismatch (1 code, 2 subspaces)
+      (Seq(0, 9), table)     // code 9 out of range
+    ).toDF("codes", "tbl")
+      .withColumn("d", graft.functions.AdcDistance.column(col("codes"), col("tbl")))
+      .collect()
+    assert(bad.forall(_.isNullAt(2)), s"malformed ADC input did not yield NULL: ${bad.toSeq}")
+  }
+
   test("empty coarse clusters (no codebook) are skipped, not crashed on") {
     val e = corpus()
     val coarse = IvfIndex.train(e, k = 8, iters = 3)

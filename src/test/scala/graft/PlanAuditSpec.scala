@@ -247,6 +247,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "the code scan lost its planning-time partition filter — full-layout sweep")
   }
 
+  test("PQ search is UDF-free: candidate scoring runs as the native ADC expression") {
+    // r15 verdict low-item 3: the ADC scorer was the one Scala UDF left
+    // on a hot path — per-candidate boxing plus a whole-stage codegen
+    // break. It is now graft_adc_distance over the broadcast probe
+    // frame's table column; a reintroduced UDF fails here.
+    val p = executed("sim_ann_ivfpq_idx")
+    val txt = collectAll(p) { case x => x }.map(_.verboseString(10)).mkString("\n")
+    assert(!txt.contains("ScalaUDF") && !txt.contains("UDF("),
+      "a Scala UDF reappeared in the PQ search plan")
+    assert(txt.contains("graft_adc_distance"),
+      "the native ADC expression is not in the PQ search plan")
+  }
+
   test("star join broadcasts its dimension tables") {
     val bc = collectAll(executed("join_star_broadcast")) { case b: BroadcastExchangeExec => b }
     assert(bc.size >= 2, s"expected >=2 broadcast exchanges, got ${bc.size}")
