@@ -51,10 +51,9 @@ object BpeProbe {
         .distinct().count()
       println(s"BPEPROBE dir=$dir docs=$nDocs distinct_words=$vocabN")
 
-      // the retired per-round-job trainer: unit cost at gate depth
-      val (m30, t30) = timed(Bpe.trainMerges(expanded, "text", 30))
-      println(f"BPEPROBE trainer=spark_per_round merges=${m30.size} total_s=$t30%.1f " +
-        f"per_round_s=${t30 / math.max(1, m30.size)}%.3f")
+      // (r16) the per-round-job trainer is retired to test scope — its
+      // r15 unit costs stand in SCALING.md (~0.8 s/round at this width);
+      // the probe measures the one production trainer at depth.
 
       // incremental trainer: cumulative totals at doubling depths
       var merges: Seq[String] = Seq.empty

@@ -376,14 +376,14 @@ object ScaleRehearsal {
         docsBig.select(sum(regexp_count(col("text"), lit(selectivePhrase.mkString(" ")))))
           .collect().head.getLong(0)
 
-      // BPE (r14): training cost = 1 corpus-sized vocab aggregation + 30
-      // vocab-sized merge rounds (each a tiny shuffle + 1-row collect) —
+      // BPE (r14/r16): training cost = 1 corpus-sized vocab aggregation +
+      // a driver-side merge recurrence over the distinct-word table —
       // the claim is that cost tracks the CORPUS only through the first
       // aggregation (the 10k-word docsWide vocab is corpus-size-
       // independent, so per-m growth isolates that first scan); apply is
       // a pure per-row map whose cost is corpus-linear with no shuffle.
       lazy val bigMerges: Seq[String] =
-        graft.operators.Bpe.trainMerges(docsBig, "text", 30)
+        graft.operators.Bpe.trainMergesFast(docsBig, "text", 30)
 
       // Postings DELTA refresh (r14): append ONE small doc file to the
       // docsBig corpus and refresh — the claim is that refresh cost is
@@ -420,7 +420,7 @@ object ScaleRehearsal {
         a.toLong
       }
       def bpeTrainRun(): Long =
-        graft.operators.Bpe.trainMerges(docsWide, "text", 30).size.toLong
+        graft.operators.Bpe.trainMergesFast(docsWide, "text", 30).size.toLong
       def bpeApplyRun(): Long =
         graft.operators.Bpe.tokenize(docsBig, "doc_id", "text", bigMerges)
           .agg(sum(col("n_bpe_tokens"))).collect().head.getLong(0)

@@ -22,8 +22,8 @@ class BpeSpec extends AnyFunSuite {
       1L -> "lower lower power tower flower",
       2L -> "slow slower slowest low lowest",
       3L -> "power flower tower glow")
-    val m1 = Bpe.trainMerges(d.repartition(1), "text", 10)
-    val m7 = Bpe.trainMerges(d.repartition(7), "text", 10)
+    val m1 = BpeReferenceTrainer.trainMerges(d.repartition(1), "text", 10)
+    val m7 = BpeReferenceTrainer.trainMerges(d.repartition(7), "text", 10)
     assert(m1 === m7, "merge sequence changed under repartitioning")
     assert(m1.nonEmpty && m1.size === 10)
   }
@@ -32,7 +32,7 @@ class BpeSpec extends AnyFunSuite {
     // 'zq' and 'ab' both appear exactly 3 times as adjacent pairs; the
     // first merge must be the smaller pattern '|a|b'
     val d = docs(1L -> "ab ab ab zq zq zq")
-    val m = Bpe.trainMerges(d, "text", 1)
+    val m = BpeReferenceTrainer.trainMerges(d, "text", 1)
     assert(m === Seq("|a|b"))
   }
 
@@ -59,7 +59,7 @@ class BpeSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tokens_str"))
       .toMap
 
-  test("trainMergesFast ≡ trainMerges merge-for-merge (fixture + ties + overlap + exhaustion)") {
+  test("trainMergesFast ≡ the reference per-round trainer merge-for-merge (fixture + ties + overlap + exhaustion)") {
     val fixtures = Seq(
       docs(1L -> "ab ab ab zq zq zq"),                       // the tie case
       docs(1L -> "aaa aaaa aa"),                             // overlap ranking + greedy update
@@ -69,9 +69,9 @@ class BpeSpec extends AnyFunSuite {
       docs(1L -> "ab", 2L -> "ba"),                          // exhaustion well before nMerges
       Tables.documents(spark, "/root/testdata/sf0.001"))
     fixtures.foreach { d =>
-      val slow = Bpe.trainMerges(d, "text", 30)
+      val slow = BpeReferenceTrainer.trainMerges(d, "text", 30)
       val fast = Bpe.trainMergesFast(d, "text", 30)
-      assert(fast === slow, "incremental trainer diverged from the per-round Spark trainer")
+      assert(fast === slow, "incremental trainer diverged from the reference per-round trainer")
     }
   }
 
@@ -106,7 +106,7 @@ class BpeSpec extends AnyFunSuite {
     }: _*)
     val merges = Bpe.trainMergesFast(d, "text", 40)
     assert(merges.nonEmpty)
-    assert(merges === Bpe.trainMerges(d, "text", 40))
+    assert(merges === BpeReferenceTrainer.trainMerges(d, "text", 40))
     assert(tokensBy(Bpe.tokenizeFast, d, merges) === tokensBy(Bpe.tokenizeChain, d, merges))
   }
 
@@ -141,6 +141,63 @@ class BpeSpec extends AnyFunSuite {
     assert(stale === toks("graft_bpe_stale_fresh"),
       "same-name re-registration served the FIRST corpus' merges — stale tokenization")
     assert(stale === Seq(3L))
+  }
+
+  test("BPE model round-trips through saveBpeModel/loadBpeModel (tokenize parity)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMergesFast(d, "text", 30)
+    val fp = Bpe.contentFingerprint(d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
+    val m = Bpe.BpeModel(merges, "text", 30, 1L, fp)
+    Bpe.saveBpeModel(spark, m, s"$dir/model")
+    val loaded = Bpe.loadBpeModel(spark, s"$dir/model")
+    assert(loaded === m, "model did not round-trip bit-exactly")
+    // the loaded merges tokenize identically — the whole point of persistence
+    assert(tokensBy(Bpe.tokenizeChain, d, loaded.merges) === tokensBy(Bpe.tokenizeChain, d, merges))
+  }
+
+  test("trainOrLoadMerges: serves a FRESH model without retraining; stale fingerprint retrains") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_tol").toString
+    val path = s"$dir/model"
+    val before = Bpe.trainInvocations.get()
+    val m1 = Bpe.trainOrLoadMerges(d, "text", 30, path)
+    assert(Bpe.trainInvocations.get() == before + 1, "first call must train")
+    // a 'restarted application' (no in-JVM state involved here) SERVES
+    val m2 = Bpe.trainOrLoadMerges(d, "text", 30, path)
+    assert(m2 === m1)
+    assert(Bpe.trainInvocations.get() == before + 1, "a fresh persisted model must serve, not retrain")
+    // different params → the stored model is NOT this tokenizer: retrain
+    Bpe.trainOrLoadMerges(d, "text", 10, path): Unit
+    assert(Bpe.trainInvocations.get() == before + 2, "param mismatch must retrain")
+    // different corpus (fingerprint mismatch) → retrain + overwrite
+    import spark.implicits._
+    val other = Seq((1L, "zq zq zq ab ab")).toDF("doc_id", "text")
+    val m3 = Bpe.trainOrLoadMerges(other, "text", 10, path)
+    assert(Bpe.trainInvocations.get() == before + 3, "fingerprint mismatch must retrain")
+    assert(m3 === Bpe.trainMergesFast(other, "text", 10))
+  }
+
+  test("TVF serves the persisted model across a simulated restart (modelDir conf)") {
+    graft.functions.GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_store").toString
+    val confKey = "spark.graft.bpe.modelDir"
+    spark.conf.set(confKey, dir)
+    try {
+      docs(1L -> "banana bandana cabana").createOrReplaceTempView("graft_bpe_persist_t")
+      def run(): Seq[(Long, Long, String)] =
+        spark.sql("SELECT doc_id, n_bpe_tokens, tokens_md5 FROM " +
+            "graft_bpe_tokenize('graft_bpe_persist_t', 'doc_id', 'text', 8) ORDER BY doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val first = run()
+      val trained = Bpe.trainInvocations.get()
+      // simulated restart: the in-JVM cache dies with the JVM — clear it;
+      // the TVF must SERVE the persisted model, not retrain
+      Bpe.clearMergeCacheForTest()
+      assert(run() === first, "restart changed the tokenization")
+      assert(Bpe.trainInvocations.get() == trained,
+        "the TVF retrained after a restart despite a fresh persisted model")
+    } finally spark.conf.unset(confKey)
   }
 
   test("tokenize counts cells exactly and hashes the full token string") {
