@@ -133,6 +133,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.maxsimTvf)
     ext.injectTableFunction(GraftExtensions.phraseSearchTvf)
     ext.injectTableFunction(GraftExtensions.phraseSearchIdxTvf)
+    ext.injectTableFunction(GraftExtensions.bm25Tvf)
     ext.injectTableFunction(GraftExtensions.bpeTokenizeTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
     // SQL DML/maintenance statements (GRAFT OPTIMIZE / DELETE / UPDATE /
@@ -496,6 +497,32 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for BM25 ranked retrieval over a PERSISTED postings
+    * index: graft_bm25(docsPath, indexDir, query, k) → (rnk, doc_id,
+    * score). Lowering is [[graft.operators.TextIndex.bm25Search]] —
+    * term-pruned tf legs, embedded doclen statistics, the Exact
+    * quantization chain — including the staleness refusal. */
+  private[graft] val bm25Tvf = (
+    FunctionIdentifier("graft_bm25"),
+    new ExpressionInfo(graft.operators.TextIndex.getClass.getName, "graft_bm25"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 4,
+        s"graft_bm25 expects (docsPath, indexDir, query, k), got ${children.length}")
+      val str = tvfStr("graft_bm25") _
+      val spark = SparkSession.active
+      val q = str(children(2), "query").split("\\s+").toSeq.filter(_.nonEmpty)
+      val k = children(3) match {
+        case Literal(v: Int, _) => v
+        case other =>
+          throw new IllegalArgumentException(s"graft_bm25: k must be an int literal, got $other")
+      }
+      graft.operators.TextIndex
+        .bm25Search(spark, str(children(0), "docsPath"), str(children(1), "indexDir"), q, k)
+        .queryExecution.analyzed
+    }
+  )
+
   /** SQL surface for the deterministic BPE tokenizer, TRAIN + APPLY in
     * one call: graft_bpe_tokenize(docsTable, idCol, textCol, nMerges)
     * → (idCol, n_bpe_tokens, tokens_md5). Lowering is `Bpe`'s (greedy
@@ -704,6 +731,8 @@ object GraftExtensions {
       maxsimTvf._1, maxsimTvf._2, maxsimTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       phraseSearchTvf._1, phraseSearchTvf._2, phraseSearchTvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      bm25Tvf._1, bm25Tvf._2, bm25Tvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       bpeTokenizeTvf._1, bpeTokenizeTvf._2, bpeTokenizeTvf._3)
     // SQL names for the typed sketch Aggregators (UDAFs can't ride

@@ -95,13 +95,29 @@ object TextIndex {
           "would silently drop"))
       (f, id)
     }
-    docs
+    val mapped = broadcast(mapping.toDF("__sf", "src_file"))
+    val tokens = docs
       .select(
         col("_metadata.file_path").as("__sf"),
         col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
-      .join(broadcast(mapping.toDF("__sf", "src_file")), Seq("__sf"))
+      .join(mapped, Seq("__sf"))
       .select(col("term"), col("doc_id"), col("pos"), col("src_file"))
+    // DOC-LENGTH rows (r16, the BM25 statistics): one NULL-term row per
+    // doc with pos = its token count. Rides the SAME versioned layout
+    // (masked/compacted/deleted with its file's generation like any
+    // posting); term filters never match NULL so phrase legs are
+    // unaffected, and the doclen read is parquet-stats-pruned to the
+    // null-bearing files (IsNull pushes down on null_count). This is
+    // what keeps BM25 from re-scanning the corpus for |D| at query time.
+    val doclens = docs
+      .select(
+        col("_metadata.file_path").as("__sf"),
+        col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("pos"))
+      .join(mapped, Seq("__sf"))
+      .select(lit(null).cast("string").as("term"), col("doc_id"), col("pos"), col("src_file"))
+    tokens.unionByName(doclens)
   }
 
   private def scanAndWrite(
@@ -260,11 +276,11 @@ object TextIndex {
     * clustered files → per-term pruning) instead of re-exploding the
     * corpus. Refuses loudly when the doc table changed after indexing —
     * a stale index would silently miss occurrences in new files. */
-  def phraseSearchIndexed(
-      spark: SparkSession,
-      docsPath: String,
-      indexDir: String,
-      phrase: Seq[String]): DataFrame = {
+  /** Staleness gate shared by every index-serving query: the index's
+    * fingerprint must equal the doc table's CURRENT listing, else the
+    * result would silently miss (or double) occurrences. */
+  private def requireFreshIndex(
+      spark: SparkSession, docsPath: String, indexDir: String): graft.sources.Sidecar.Current = {
     import graft.sources.{FileIO, Sidecar}
     val cur = Sidecar.current(spark, indexDir).getOrElse(throw new IllegalArgumentException(
       s"no committed postings index at $indexDir — build one with buildPostingsIndex first"))
@@ -277,7 +293,103 @@ object TextIndex {
           s"(${gone.size} indexed file(s) vanished, ${fresh.size} unindexed file(s) appeared) — " +
           "searching it would silently miss occurrences; refresh with updatePostingsIndex")
     }
+    cur
+  }
+
+  def phraseSearchIndexed(
+      spark: SparkSession,
+      docsPath: String,
+      indexDir: String,
+      phrase: Seq[String]): DataFrame = {
+    val cur = requireFreshIndex(spark, docsPath, indexDir)
     phraseSearch(maskedPostings(spark, indexDir, cur).select("term", "doc_id", "pos"), phrase)
+  }
+
+  /** BM25 RANKED retrieval through the persisted postings (Robertson/
+    * Spärck Jones; the Lucene-variant IDF ln((N − df + 0.5)/(df + 0.5)
+    * + 1)): top-k docs for a bag-of-terms query, scored
+    *
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    *
+    * entirely from the index — the tf legs read ONLY the query terms'
+    * posting rows (term-range-clustered files → stats-pruned scan,
+    * plan-pinned), |D| comes from the doclen rows the build embeds
+    * (NULL-term rows, pruned via null_count stats), and N/avgdl are one
+    * metadata-scale aggregate over those doclen rows. No corpus scan,
+    * no regex — the ranked upgrade over boolean [[phraseSearch]], and
+    * the lexical leg [[graft.operators.Similarity]]'s rrfFuse composes
+    * with (it consumes any (doc_id, rnk) leg).
+    *
+    * ENGINE-PORTABLE determinism (the Exact discipline): idf quantizes
+    * to the 1e-6 lattice straight after the one transcendental (ln),
+    * each (doc, term) contribution quantizes to an INTEGER count of
+    * 1e-6 units, and the final score is an integer sum — so Spark and
+    * DuckDB (different libm) can only disagree if ln lands within an
+    * ulp of a lattice edge, and ordering ties break on doc_id over
+    * exact integers. All remaining arithmetic is IEEE
+    * mul/div/add on identical literals — bit-deterministic by
+    * definition. Returns (rnk, doc_id, score).
+    */
+  def bm25Search(
+      spark: SparkSession,
+      docsPath: String,
+      indexDir: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Search needs at least one term")
+    require(k > 0, s"bm25Search: k=$k")
+    val cur = requireFreshIndex(spark, docsPath, indexDir)
+    val live = maskedPostings(spark, indexDir, cur)
+    val doclen = live
+      .filter(col("term").isNull)
+      .select(col("doc_id"), col("pos").cast("double").as("dl"))
+    val st = doclen.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("total")).collect()(0)
+    require(!st.isNullAt(1) && st.getLong(0) > 0L,
+      s"bm25Search: index at $indexDir has no doc-length rows — built before r16; rebuild " +
+        "with buildPostingsIndex (or compact after a refresh) to embed BM25 statistics")
+    val nDocs = st.getLong(0)
+    // doc lengths are integer-valued doubles: their sum and this division
+    // are exact/deterministic across engines
+    val avgdl = st.getDouble(1) / nDocs
+    val terms = query.distinct
+    val tf = live
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf quantized at 1e-6 immediately after ln; contribution quantized
+    // to integer 1e-6 units; score = exact integer sum (order-free)
+    val idfQ = floor(
+      log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val contrib = floor(
+      col("idf_q") * (col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))) *
+        lit(1000000.0) + lit(0.5)).cast("long")
+    val scored = tf
+      .join(broadcast(df.withColumn("idf_q", idfQ).select(col("term"), col("idf_q"))), Seq("term"))
+      .join(doclen, Seq("doc_id"))
+      .withColumn("c", contrib)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("s"))
+    // top-k WITHOUT a global window (the fleet-wide scale rule): sort +
+    // limit plans TakeOrderedAndProject (per-partition heaps, never a
+    // single-task funnel), then rank assignment is a k×k broadcast
+    // nested-loop count over the k survivors — bounded by k, not data
+    val top = scored.orderBy(col("s").desc, col("doc_id").asc).limit(k)
+    val before = top.select(col("doc_id").as("b_id"), col("s").as("b_s"))
+    top
+      .join(
+        broadcast(before),
+        col("b_s") > col("s") || (col("b_s") === col("s") && col("b_id") < col("doc_id")),
+        "left")
+      .groupBy(col("doc_id"), col("s"))
+      .agg((count(col("b_id")) + lit(1)).cast("long").as("rnk"))
+      .select(col("rnk"), col("doc_id"), (col("s") / lit(1000000.0)).as("score"))
   }
 
   /** Exact consecutive-phrase occurrence counts through the postings:
@@ -346,6 +458,34 @@ object TextIndex {
            |ORDER BY doc_id""".stripMargin)
     },
 
+    // BM25 RANKED retrieval gate (r16): top-20 docs for the fixture
+    // terms, scored entirely from the persisted index (tf legs pruned to
+    // the query terms, |D| from the embedded doclen rows, N/avgdl one
+    // metadata aggregate). The oracle recomputes the full Robertson
+    // formula in DuckDB with the identical literal text and the Exact
+    // quantization chain — a green hash pins scores AND ranking across
+    // engines.
+    "text_bm25" -> { (spark, dir) =>
+      val docsPath = s"$dir/documents.parquet"
+      val idx = Tables.gateScratchDir(spark, dir, "postings_bm25")
+      buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+      bm25Search(spark, docsPath, idx, FixturePhrase, 20)
+        .orderBy(col("rnk"))
+    },
+
+    // The SQL spelling: one graft_bm25 TABLE FUNCTION call — same oracle
+    // BY REFERENCE, so a SQL-only user gets ranked retrieval too.
+    "sql_bm25" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val docsPath = s"$dir/documents.parquet"
+      val idx = Tables.gateScratchDir(spark, dir, "postings_bm25_sql")
+      buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+      spark.sql(
+        s"""SELECT rnk, doc_id, score
+           |FROM graft_bm25('$docsPath', '$idx', '${FixturePhrase.mkString(" ")}', 20)
+           |ORDER BY rnk""".stripMargin)
+    },
+
     // The SQL spelling: the same leg-join plan reached through the
     // graft_phrase_search TABLE FUNCTION — same oracle BY REFERENCE, so
     // a SQL-only user gets index-shaped phrase counting from one call.
@@ -370,11 +510,51 @@ object TextIndex {
        |WHERE tri = '${FixturePhrase.mkString(" ")}'
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The full BM25 recomputation in DuckDB — literal-for-literal the
+    * Spark expression ([[bm25Search]]'s determinism note): same k1/b
+    * literals, same association order, same 1e-6 quantization chain,
+    * same integer score sum, same (s DESC, doc_id ASC) top-k with the
+    * rank defined as 1 + |rows sorting strictly before|. */
+  private val bm25Oracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM t),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS total FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS term FROM t) q
+       |  WHERE term IN (${FixturePhrase.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id, term),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |idf AS (
+       |  SELECT term,
+       |    FLOOR(ln((st.n - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS idf_q
+       |  FROM dft CROSS JOIN st),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(SUM(CAST(FLOOR(
+       |      idf.idf_q * (tf.tf * (1.2 + 1) /
+       |        (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (st.total / st.n))))
+       |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+       |  FROM tf
+       |  JOIN idf ON idf.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN st
+       |  GROUP BY tf.doc_id),
+       |top AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id ASC LIMIT 20)
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM top b
+       |        WHERE b.s > a.s OR (b.s = a.s AND b.doc_id < a.doc_id)) + 1 AS BIGINT) AS rnk,
+       |  a.doc_id, a.s / 1000000.0 AS score
+       |FROM top a
+       |ORDER BY rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_phrase_search" -> phraseOracle,
     // persisted-index and TVF spellings share the contract by reference
     "text_phrase_search_idx" -> phraseOracle,
     "sql_phrase_search_idx" -> phraseOracle,
-    "sql_phrase_search" -> phraseOracle
+    "sql_phrase_search" -> phraseOracle,
+    "text_bm25" -> bm25Oracle,
+    "sql_bm25" -> bm25Oracle
   )
 }

@@ -234,6 +234,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"phrase legs lost the term pushdown: $pushed")
   }
 
+  test("text_bm25 pushes the query-term filter and the doclen IsNull into the index scans") {
+    // BM25's scale contract: the tf leg reads ONLY the query terms'
+    // posting rows (In(term, ...) at the scan of the term-range-
+    // clustered layout), and the doc-length statistics read prunes to
+    // the null-term rows via null_count stats — neither is a full-index
+    // post-scan filter, and the corpus itself is never scanned.
+    val pushed = collectAll(executed("text_bm25")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings_bm25")) =>
+        f.metadata.getOrElse("PushedFilters", "[]")
+    }
+    assert(pushed.nonEmpty, "no scan over the BM25 postings index found")
+    assert(pushed.exists(s => s.contains("In(term") || s.contains("EqualTo(term")),
+      s"the tf leg lost the term pushdown: $pushed")
+    assert(pushed.exists(_.contains("IsNull(term")),
+      s"the doclen read lost its IsNull pushdown: $pushed")
+  }
+
   test("sim_ann_ivfpq_idx prunes the code scan to the probed cl= partitions") {
     // the persisted PQ layout's whole point: the candidate stage reads
     // nProbe cluster directories of ~10 B/vec codes, never the corpus —

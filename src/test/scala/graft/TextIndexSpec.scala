@@ -156,6 +156,47 @@ class TextIndexSpec extends AnyFunSuite {
     assert(idxHits(docsPath, idx, "small", "query", "line") === Map(1L -> 1L))
   }
 
+  test("bm25: term-bearing docs only, sane ordering, k-truncation, staleness, delta refresh") {
+    val (docsPath, idx) = freshDirs()
+    docs(
+      1L -> "apple banana banana",          // both query terms, short
+      2L -> "banana cherry cherry cherry",  // one query term, longer
+      3L -> "apple apple apple apple",      // one term, high tf
+      4L -> "durian durian"                 // no query terms
+    ).coalesce(1).write.parquet(docsPath)
+    TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+
+    def run(k: Int): Seq[(Long, Long, Double)] =
+      TextIndex.bm25Search(spark, docsPath, idx, Seq("apple", "banana"), k)
+        .orderBy("rnk").collect()
+        .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+
+    val all = run(10)
+    assert(all.map(_._2).toSet === Set(1L, 2L, 3L), "only term-bearing docs may score")
+    assert(all.map(_._1) === Seq(1L, 2L, 3L), "ranks must be dense from 1")
+    assert(all.map(_._3) === all.map(_._3).sorted.reverse, "scores must be rank-ordered")
+    // doc 1 carries BOTH terms with tf 1+2 in the shortest doc — it must
+    // outrank doc 2 (single term, tf 1, longer doc)
+    val byDoc = all.map(t => t._2 -> t._1).toMap
+    assert(byDoc(1L) < byDoc(2L), s"both-term short doc did not outrank: $all")
+    // k truncates
+    assert(run(2).map(_._1) === Seq(1L, 2L))
+
+    // staleness refusal, then the DELTA refresh carries doclen rows so
+    // the appended doc both scores and shifts N/avgdl consistently
+    docs(5L -> "apple").coalesce(1).write.mode("append").parquet(docsPath)
+    val ex = intercept[IllegalStateException] {
+      TextIndex.bm25Search(spark, docsPath, idx, Seq("apple"), 5)
+    }
+    assert(ex.getMessage.contains("STALE"))
+    TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx): Unit
+    val after = run(10)
+    assert(after.map(_._2).contains(5L), "refreshed index lost the appended doc in BM25")
+    // the one-term one-token doc has the best length normalization for
+    // 'apple' — sanity that its score is positive and finite
+    assert(after.forall(t => t._3 > 0.0 && !t._3.isNaN))
+  }
+
   test("persisted index build plan is UDF-free and tags exactly the listed generations") {
     val (docsPath, _) = freshDirs()
     docs(1L -> "small query line", 2L -> "a b").write.parquet(docsPath)
