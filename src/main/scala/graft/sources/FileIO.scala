@@ -82,6 +82,28 @@ object FileIO {
     spread(bx.cast("long")).bitwiseOR(shiftleft(spread(by.cast("long")), 1))
   }
 
+  /** N-dimensional Morton interleave (r16): bit i of dimension d lands
+    * at curve position i·n + d — the 2-D mask cascade's general form,
+    * spelled as builtin shift/mask/or Column arithmetic (bits·n terms,
+    * all inside whole-stage codegen; no UDF). `bits` per dimension, so
+    * the curve fits a signed long for bits·n ≤ 63. Dimension 0 owns the
+    * LOWEST bit of each group, matching [[mortonCode]] exactly at
+    * n = 2, bits = 16 (spec-pinned). */
+  private[graft] def mortonCodeN(
+      buckets: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
+    val n = buckets.size
+    require(n >= 2, s"mortonCodeN needs >= 2 dimensions, got $n")
+    require(bits * n <= 63, s"mortonCodeN: $bits bits x $n dims overflows a signed long")
+    buckets.zipWithIndex
+      .flatMap { case (v, d) =>
+        val vl = v.cast("long")
+        (0 until bits).map { i =>
+          shiftleft(shiftright(vl, i).bitwiseAND(lit(1L)), i * n + d)
+        }
+      }
+      .reduce(_ bitwiseOR _)
+  }
+
   /** Z-ORDER clustered write — the TWO-dimensional data-skipping layout:
     * each numeric dimension is min/max-scaled to a 16-bit bucket, the
     * buckets interleave into a Morton curve position, and the data is
@@ -122,18 +144,51 @@ object FileIO {
       dimA: String,
       dimB: String,
       files: Int
+  ): DataFrame = zOrderedN(df, Seq(dimA, dimB), files)
+
+  /** N-dimensional Z-order write (r16): partition-prune-hostile tables
+    * often filter on 3–4 independent keys (tenant × time × entity);
+    * two 16-bit dims were a curve-width limit, not a semantic one. Bits
+    * per dimension shrink to keep the curve in a signed long
+    * (min(16, 63/n)), so pruning resolution per dim degrades gracefully
+    * as dims grow — the standard lakehouse trade (4 dims ≈ 15 bits
+    * each). Same one metadata-scale min/max collect, same
+    * range-partition + sort along the curve, same builtin-only
+    * arithmetic. */
+  def writeZOrderedN(
+      df: DataFrame,
+      path: String,
+      dims: Seq[String],
+      files: Int,
+      format: String = "parquet"
+  ): Unit =
+    zOrderedN(df, dims, files).write
+      .mode(SaveMode.Overwrite)
+      .format(format)
+      .save(path)
+
+  private[graft] def zOrderedN(
+      df: DataFrame,
+      dims: Seq[String],
+      files: Int
   ): DataFrame = {
-    val Array(b) = df
-      .agg(
-        min(col(dimA)).cast("double").as("amin"), max(col(dimA)).cast("double").as("amax"),
-        min(col(dimB)).cast("double").as("bmin"), max(col(dimB)).cast("double").as("bmax"))
-      .collect()
+    require(dims.size >= 2, s"z-order needs >= 2 dimensions, got ${dims.mkString(",")}")
+    val bits = math.min(16, 63 / dims.size)
+    val maxBucket = (1L << bits) - 1
+    val aggs = dims.flatMap(d => Seq(
+      min(col(d)).cast("double").as(s"${d}_min"),
+      max(col(d)).cast("double").as(s"${d}_max")))
+    val Array(b) = df.agg(aggs.head, aggs.tail: _*).collect()
     def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)
-      else least(lit(65535L), floor((c.cast("double") - lit(lo)) * lit(65535.0 / (hi - lo))).cast("long"))
-    val z = mortonCode(
-      bucket(col(dimA), b.getDouble(0), b.getDouble(1)),
-      bucket(col(dimB), b.getDouble(2), b.getDouble(3)))
+      else least(lit(maxBucket),
+        floor((c.cast("double") - lit(lo)) * lit(maxBucket / (hi - lo))).cast("long"))
+    val buckets = dims.zipWithIndex.map { case (d, i) =>
+      bucket(col(d), b.getDouble(2 * i), b.getDouble(2 * i + 1))
+    }
+    val z =
+      if (dims.size == 2) mortonCode(buckets(0), buckets(1)) // the 2-D mask-cascade fast path
+      else mortonCodeN(buckets, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
@@ -1175,6 +1230,60 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // 3-DIMENSIONAL Z-ORDER gate (r16 — [[writeZOrderedN]]): orders
+    // re-clustered on (custkey, date, cents), then a 3-way box query
+    // read back through the layout. The oracle recomputes from the RAW
+    // table (pure reorganization), and `files_pruned_ok` packs the
+    // skipping evidence for EACH dimension ALONE into the hashed result:
+    // every single-dimension box must admit strictly fewer candidate
+    // files than the layout holds — the third dimension is the one a
+    // 2-D curve cannot serve.
+    "zorder_scan3" -> { (spark, dir) =>
+      val p = out(dir, "orders_zorder3")
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderdate"),
+          col("o_orderdate").cast("timestamp").cast("long").as("odate_sec"))
+      writeZOrderedN(o, p, Seq("o_custkey", "odate_sec", "cents"), files = 16)
+      val dLo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+      val dHi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+      val boxes = spark.read
+        .parquet(p)
+        .select(
+          col("_metadata.file_path").as("f"),
+          col("o_custkey"), col("o_orderdate"), col("cents"))
+        .groupBy(col("f"))
+        .agg(
+          min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+          min(col("o_orderdate")).as("dmin"), max(col("o_orderdate")).as("dmax"),
+          min(col("cents")).as("pmin"), max(col("cents")).as("pmax"))
+      def cand(hit: org.apache.spark.sql.Column): (Long, Long) = {
+        val st = boxes.agg(sum(when(hit, 1L).otherwise(0L)), count(lit(1))).collect()(0)
+        (st.getLong(0), st.getLong(1))
+      }
+      val (cA, total) = cand(col("cmax") >= 10L && col("cmin") <= 40L)
+      val (cB, _) = cand(col("dmax") >= dLo && col("dmin") < dHi)
+      val (cC, _) = cand(col("pmax") >= 1000000L && col("pmin") <= 4000000L)
+      val prunedAll = cA < total && cB < total && cC < total
+      spark.read
+        .parquet(p)
+        .filter(
+          col("o_custkey").between(10L, 40L) &&
+            col("o_orderdate") >= dLo && col("o_orderdate") < dHi &&
+            col("cents").between(1000000L, 4000000L))
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("cents"),
+          col("o_orderdate"),
+          lit(prunedAll).as("files_pruned_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ROW-LEVEL DELETE gate (r15 — the copy-on-write DML on a LIVE
     // manifest table, oracle-gated end-to-end): orders stream-ingests
     // through the exactly-once parquet sink in multiple micro-batches,
@@ -1574,6 +1683,16 @@ object FileIO {
         |WHERE o_custkey BETWEEN 10 AND 40
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "zorder_scan3" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  o_orderdate, TRUE AS files_pruned_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 40
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) BETWEEN 1000000 AND 4000000
         |ORDER BY o_orderkey""".stripMargin,
     "table_merge_cow" -> mergeCowOracle,
     "stream_upsert_cdc" -> mergeCowOracle,

@@ -43,6 +43,53 @@ class ZOrderCompactionSpec extends AnyFunSuite {
     assert(got(3) === ((1L << 0) | (1L << 2) | (1L << 1) | (1L << 5)))
   }
 
+  test("mortonCodeN: n=2/bits=16 is bit-identical to mortonCode; 3-dim round-robin known values") {
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (3L, 5L), (12345L, 54321L))
+    val both = pairs
+      .toDF("a", "b")
+      .select(
+        sources.FileIO.mortonCode(col("a"), col("b")).as("z2"),
+        sources.FileIO.mortonCodeN(Seq(col("a"), col("b")), 16).as("zn"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"mortonCodeN(n=2) diverged from the mask cascade: $r"))
+    // 3 dims: bit i of dim d → position 3i + d
+    val z3 = Seq((1L, 1L, 1L), (2L, 0L, 4L))
+      .toDF("a", "b", "c")
+      .select(sources.FileIO.mortonCodeN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z3(0) === 7L)                      // bits 0,1,2
+    assert(z3(1) === ((1L << 3) | (1L << 8))) // a bit1→pos3, c bit2→pos8
+  }
+
+  test("writeZOrderedN(3 dims): selective filters on EACH dimension prune; rows identical") {
+    val li = Tables
+      .lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val total = li.count()
+    // 64 files → the top 6 curve bits hold 2 bits of EACH dimension (a
+    // 4×4×4 tile grid); at 16 files a dim would own a single top bit and
+    // file-level boxes could only halve the scan
+    val zPath = "/root/repo/tmp/graft_io/zorder3_layout"
+    sources.FileIO.writeZOrderedN(
+      li, zPath, Seq("l_orderkey", "l_partkey", "l_suppkey"), files = 64)
+
+    val Array(okMax, pkMax, skMax) = li
+      .agg(max(col("l_orderkey")), max(col("l_partkey")), max(col("l_suppkey")))
+      .collect().flatMap(r => Array(r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rows identical through the reorganization
+    val exp = li.agg(count(lit(1)), sum(col("l_quantity"))).collect()(0)
+    assert(spark.read.parquet(zPath).agg(count(lit(1)), sum(col("l_quantity"))).collect()(0)
+      === exp, "3-dim z-ordered layout changed the relation")
+    // ~1/16-wide box on each dim alone must prune meaningfully — the
+    // third dimension is the one the 2-D curve cannot serve
+    for ((c, mx) <- Seq(("l_orderkey", okMax), ("l_partkey", pkMax), ("l_suppkey", skMax))) {
+      val read = scanOutputRows(spark.read.parquet(zPath).filter(col(c) <= mx / 16))
+      assert(read * 2 < total, s"3-dim z-order did not prune on $c: read $read of $total")
+    }
+  }
+
   test("writeZOrdered: selective filters on EITHER dimension prune; one-dim sort does not") {
     val li = Tables
       .lineitem(spark, sf)
