@@ -61,6 +61,19 @@ object PqProbe {
             f"spillRows=${sp.count()} corpusRows=$n")
         }
       }
+      // sample-capped training (r16): the per-(cl,sub) Lloyd group cap
+      // that bounds task memory on skewed clusters — recall cost of
+      // training books on a deterministic sample vs the full group
+      // (groups at this SF are far under the 64k default, so the forced
+      // caps below are the ONLY way they engage)
+      for (cap <- Seq(65536, 256, 64, 16)) {
+        val pq = IvfPq.train(assigned, coarse, m = 8, nCodes = 16, maxGroupSample = cap)
+        val ann = IvfPq.searchPq(e, IvfPq.encode(assigned, pq), probes, pq,
+          nProbe, topK = 5, shortlist = 50)
+        val hits = ann.join(bf, Seq("q_id", "vec_id")).count()
+        println(f"PQCAP $dir m=8 codes=16 shortlist=50 cap=$cap " +
+          f"recall@5=${hits.toDouble / (5.0 * q)}%.3f")
+      }
       // bytes per vector, measured on disk (parquet, snappy): the raw
       // float32 corpus vs SQ8 vs PQ codes (m=8, 16 codes)
       def bytesOf(df: org.apache.spark.sql.DataFrame, name: String): Long = {
