@@ -700,6 +700,30 @@ object Similarity {
         .limit(20)
     },
 
+    // BM25-FED hybrid retrieval (r16 — closes the r15 gap "RRF's lexical
+    // leg rescans raw text"): the lexical leg is [[graft.operators
+    // .TextIndex.bm25Search]] over the PERSISTED postings index (ranked,
+    // term-pruned, no corpus scan), fused with the exact cosine leg by
+    // the same rrfFuse. The oracle recomputes BOTH legs — the BM25 CTE
+    // is shared with text_bm25 BY TEXT (one formula, divergence
+    // impossible) — and the fused ordering.
+    "search_rrf_bm25" -> { (spark, dir) =>
+      val docsPath = s"$dir/documents.parquet"
+      val idx = graft.Tables.gateScratchDir(spark, dir, "postings_rrf_bm25")
+      TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+      val lex = TextIndex
+        .bm25Search(spark, docsPath, idx, TextIndex.FixturePhrase, 100)
+        .select(col("doc_id").as("id"), col("rnk").as("rank"))
+      val e = corpus(spark, dir)
+      val probe = e.filter(col("vec_id") < 1).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val vec = cosineTopK(e, probe, 100)
+        .select(col("vec_id").as("id"), col("rnk").as("rank"))
+      rrfFuse(Seq("bm25" -> lex, "vec" -> vec), rrfK = 60)
+        .select(col("id").as("doc_id"), col("bm25_rank"), col("vec_rank"), col("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // The SQL spelling: the same two legs fused through the
     // graft_rrf_fuse TABLE FUNCTION (GraftExtensions) over temp views —
     // same oracle by reference, so a SQL-only user gets hybrid
@@ -1426,6 +1450,27 @@ object Similarity {
     // Shared BY REFERENCE with the graft_rrf_fuse TVF spelling.
     "search_hybrid_rrf" -> hybridRrfOracle,
     "sql_rrf_fuse" -> hybridRrfOracle,
+    // BM25 leg shared by TEXT with text_bm25's oracle (TextIndex
+    // .bm25RankedCte) + the exact quantized-cosine leg + the RRF fold
+    "search_rrf_bm25" ->
+      s"""WITH ${TextIndex.bm25RankedCte(100)},
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, ${duckQdot("v", "v")} AS n2 FROM e),
+         |scored AS (
+         |  SELECT a.vec_id, ${duckQdot("q.v", "a.v")} / sqrt(q.n2 * a.n2) AS cos
+         |  FROM n q JOIN n a ON q.vec_id = 0 AND a.vec_id <> 0),
+         |vecl AS (
+         |  SELECT vec_id AS id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
+         |  FROM (SELECT * FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 100)),
+         |lexl AS (SELECT doc_id AS id, rnk AS bm25_rank FROM bm_rank),
+         |f AS (
+         |  SELECT COALESCE(lexl.id, vecl.id) AS doc_id, lexl.bm25_rank, vecl.vec_rank,
+         |    COALESCE(1000000000 // (60 + lexl.bm25_rank), 0)
+         |      + COALESCE(1000000000 // (60 + vecl.vec_rank), 0) AS rrf_score
+         |  FROM lexl FULL OUTER JOIN vecl ON lexl.id = vecl.id)
+         |SELECT doc_id, bm25_rank, vec_rank, CAST(rrf_score AS BIGINT) AS rrf_score
+         |FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "dedup_embed_cosine" -> allPairsCosineOracle,
     // Scale-regime gate: the oracle recomputes the planted lattice
     // perturbation and the exact quantized pair cosines (so n_eligible

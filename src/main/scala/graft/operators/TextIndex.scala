@@ -514,38 +514,47 @@ object TextIndex {
     * Spark expression ([[bm25Search]]'s determinism note): same k1/b
     * literals, same association order, same 1e-6 quantization chain,
     * same integer score sum, same (s DESC, doc_id ASC) top-k with the
-    * rank defined as 1 + |rows sorting strictly before|. */
-  private val bm25Oracle: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       |dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM t),
-       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS total FROM dl),
-       |tf AS (
+    * rank defined as 1 + |rows sorting strictly before|. Exposed as a
+    * CTE chain ending in `bm_rank(rnk, doc_id, s)` so compositions
+    * (the RRF fusion gate) reuse ONE formula text — two copies could
+    * drift. */
+  private[graft] def bm25RankedCte(k: Int): String =
+    s"""bm_t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |bm_dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM bm_t),
+       |bm_st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS total FROM bm_dl),
+       |bm_tf AS (
        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-       |  FROM (SELECT doc_id, unnest(ts) AS term FROM t) q
+       |  FROM (SELECT doc_id, unnest(ts) AS term FROM bm_t) q
        |  WHERE term IN (${FixturePhrase.map(t => s"'$t'").mkString(", ")})
        |  GROUP BY doc_id, term),
-       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-       |idf AS (
+       |bm_dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM bm_tf GROUP BY term),
+       |bm_idf AS (
        |  SELECT term,
-       |    FLOOR(ln((st.n - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS idf_q
-       |  FROM dft CROSS JOIN st),
-       |sc AS (
-       |  SELECT tf.doc_id,
+       |    FLOOR(ln((bm_st.n - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS idf_q
+       |  FROM bm_dft CROSS JOIN bm_st),
+       |bm_sc AS (
+       |  SELECT bm_tf.doc_id,
        |    CAST(SUM(CAST(FLOOR(
-       |      idf.idf_q * (tf.tf * (1.2 + 1) /
-       |        (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (st.total / st.n))))
+       |      bm_idf.idf_q * (bm_tf.tf * (1.2 + 1) /
+       |        (bm_tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * bm_dl.dl / (bm_st.total / bm_st.n))))
        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
-       |  FROM tf
-       |  JOIN idf ON idf.term = tf.term
-       |  JOIN dl ON dl.doc_id = tf.doc_id
-       |  CROSS JOIN st
-       |  GROUP BY tf.doc_id),
-       |top AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id ASC LIMIT 20)
-       |SELECT
-       |  CAST((SELECT COUNT(*) FROM top b
-       |        WHERE b.s > a.s OR (b.s = a.s AND b.doc_id < a.doc_id)) + 1 AS BIGINT) AS rnk,
-       |  a.doc_id, a.s / 1000000.0 AS score
-       |FROM top a
+       |  FROM bm_tf
+       |  JOIN bm_idf ON bm_idf.term = bm_tf.term
+       |  JOIN bm_dl ON bm_dl.doc_id = bm_tf.doc_id
+       |  CROSS JOIN bm_st
+       |  GROUP BY bm_tf.doc_id),
+       |bm_top AS (SELECT doc_id, s FROM bm_sc ORDER BY s DESC, doc_id ASC LIMIT $k),
+       |bm_rank AS (
+       |  SELECT
+       |    CAST((SELECT COUNT(*) FROM bm_top b
+       |          WHERE b.s > a.s OR (b.s = a.s AND b.doc_id < a.doc_id)) + 1 AS BIGINT) AS rnk,
+       |    a.doc_id, a.s
+       |  FROM bm_top a)""".stripMargin
+
+  private val bm25Oracle: String =
+    s"""WITH ${bm25RankedCte(20)}
+       |SELECT rnk, doc_id, s / 1000000.0 AS score
+       |FROM bm_rank
        |ORDER BY rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(

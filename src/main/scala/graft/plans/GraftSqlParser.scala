@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * WHERE/SET expressions parsed by Spark's OWN expression parser, so the
   * full SQL expression language applies):
   *
-  *   GRAFT OPTIMIZE '<path>' [FORMAT '<fmt>'] [ZORDER BY (a, b)]
+  *   GRAFT OPTIMIZE '<path>' [FORMAT '<fmt>'] [ZORDER BY (a, b[, c...])] [SORT BY (a[, b...])]
   *   GRAFT DELETE FROM '<path>' [FORMAT '<fmt>'] WHERE <expr>
   *   GRAFT UPDATE '<path>' [FORMAT '<fmt>'] SET c1 = <expr>[, ...] WHERE <expr>
   *   GRAFT MERGE INTO '<path>' [FORMAT '<fmt>'] USING <viewName> ON (k1[, k2...])
@@ -60,7 +60,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
   private val Optimize =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\))?(?:\s+SORT\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""".r
   private val Delete =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update =
@@ -80,12 +80,10 @@ object GraftSqlParser {
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case Optimize(path, fmt, a, b) =>
-        val z = (Option(a), Option(b)) match {
-          case (Some(x), Some(y)) => Some((x, y))
-          case _                  => None
-        }
-        Some(GraftOptimizeCommand(path, Option(fmt).getOrElse("parquet"), z))
+      case Optimize(path, fmt, z, s) =>
+        val zDims = Option(z).map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+        val sDims = Option(s).map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+        Some(GraftOptimizeCommand(path, Option(fmt).getOrElse("parquet"), zDims, sDims))
       case Delete(path, fmt, where) =>
         delegate.parseExpression(where) // syntax-check NOW: parse errors surface at parse time
         Some(GraftDeleteCommand(path, Option(fmt).getOrElse("parquet"), where))
@@ -190,12 +188,12 @@ private object GraftCommandOutput {
 }
 
 case class GraftOptimizeCommand(
-    path: String, format: String, zOrderDims: Option[(String, String)])
+    path: String, format: String, zOrderDims: Seq[String], sortDims: Seq[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.report
   override def run(spark: SparkSession): Seq[Row] = {
     val r = graft.streaming.Optimize.optimizeSink(
-      spark, path, format, zOrderDims = zOrderDims)
+      spark, path, format, zOrderDimsN = zOrderDims, sortDims = sortDims)
     Seq(Row(r.compactedFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }
 }

@@ -1605,6 +1605,69 @@ object FileIO {
         .orderBy(col("o_orderstatus"))
     },
 
+    // IN-PLACE SORTED RE-CLUSTERING gate (r16 — `GRAFT OPTIMIZE ... SORT
+    // BY` on a LIVE manifest table): orders stream-ingest in ingest
+    // order (each file spans the full key range — the scattered layout
+    // the DML skew soak measures), then ONE in-place sorted rewrite
+    // restores key locality under the staged-manifest swap. The oracle
+    // recomputes the range query from the raw table (pure
+    // reorganization), and `files_pruned_ok` hashes the evidence: after
+    // the rewrite the key-range box must admit strictly fewer candidate
+    // files than the table holds.
+    "table_sort_cluster" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "sort_cluster")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(8).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // target ~8 output files at every SF so the pruning evidence is
+      // non-vacuous (the SQL spelling is exercised in GraftSqlSpec)
+      val hfs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tblBytes = spark.read.parquet(tbl).inputFiles
+        .map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      graft.streaming.Optimize.optimizeSink(
+        spark, tbl, "parquet",
+        targetFileBytes = math.max(4L * 1024, tblBytes / 8),
+        sortDims = Seq("o_orderkey"))
+      val boxes = spark.read
+        .parquet(tbl)
+        .select(col("_metadata.file_path").as("f"), col("o_orderkey"))
+        .groupBy(col("f"))
+        .agg(min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"))
+      val st = boxes
+        .agg(
+          sum(when(col("kmax") >= 100L && col("kmin") <= 500L, 1L).otherwise(0L)),
+          count(lit(1)))
+        .collect()(0)
+      val prunedOk = st.getLong(0) < st.getLong(1)
+      spark.read
+        .parquet(tbl)
+        .filter(col("o_orderkey").between(100L, 500L))
+        .select(
+          col("o_orderkey"), col("cents"), col("o_orderstatus"),
+          lit(prunedOk).as("files_pruned_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // SMALL-FILE COMPACTION gate (r15 — upgrades [[compact]] from
     // spec-measured to oracle-gated): 64 micro-batch-sized files repack
     // through the shuffle-free coalesce path, and the aggregate is read
@@ -1721,6 +1784,13 @@ object FileIO {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "table_sort_cluster" ->
+      """SELECT o_orderkey,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  o_orderstatus, TRUE AS files_pruned_ok
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND 500
+        |ORDER BY o_orderkey""".stripMargin,
     "compact_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -342,22 +342,44 @@ object Optimize {
     *        silently skip the requested re-clustering on an
     *        already-compacted (large-file) table. Unpartitioned tables
     *        only: a partitioned layout already carries its first
-    *        dimension in the dirs. */
+    *        dimension in the dirs.
+    * @param zOrderDimsN the n-dimensional spelling of the same
+    *        ([[graft.sources.FileIO.zOrderedN]], r16) — mutually
+    *        exclusive with `zOrderDims`.
+    * @param sortDims when set, ALL files rewrite RANGE-CLUSTERED +
+    *        sorted on the given columns (the in-place twin of
+    *        [[graft.sources.FileIO.writeSorted]], r16) — the layout
+    *        maintenance the DML skew soak prescribes when a table is
+    *        mutated and filtered by the SAME key: after it, a key-slice
+    *        DELETE/UPDATE/MERGE touches O(slice-width) files instead of
+    *        the whole table (SCALING.md r16). Mutually exclusive with
+    *        the z-order spellings; unpartitioned tables only. */
   def optimizeSink(
       spark: SparkSession,
       path: String,
       format: String = "parquet",
       smallFileBytes: Long = 32L * 1024 * 1024,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      zOrderDims: Option[(String, String)] = None
+      zOrderDims: Option[(String, String)] = None,
+      zOrderDimsN: Seq[String] = Nil,
+      sortDims: Seq[String] = Nil
   ): OptimizeReport = {
+    require(zOrderDims.isEmpty || zOrderDimsN.isEmpty,
+      "optimizeSink: pass zOrderDims OR zOrderDimsN, not both")
+    val zDims: Seq[String] =
+      if (zOrderDimsN.nonEmpty) zOrderDimsN
+      else zOrderDims.map(t => Seq(t._1, t._2)).getOrElse(Nil)
+    require(zDims.isEmpty || sortDims.isEmpty,
+      "optimizeSink: ZORDER BY and SORT BY are mutually exclusive re-clusterings")
+    val recluster = zDims.nonEmpty || sortDims.nonEmpty
     val (fs, latestId, all) = guardAndOpen(spark, path, "optimizeSink")
-    // ZORDER BY means "re-cluster the table": every file participates;
-    // plain OPTIMIZE repacks only files below the small-file threshold
+    // a re-clustering (ZORDER/SORT BY) means "rewrite the table": every
+    // file participates; plain OPTIMIZE repacks only files below the
+    // small-file threshold
     val (small, kept) =
-      if (zOrderDims.isDefined) (all, Seq.empty[SinkFileStatus])
+      if (recluster) (all, Seq.empty[SinkFileStatus])
       else all.partition(_.size < smallFileBytes)
-    if (small.size < (if (zOrderDims.isDefined) 1 else 2)) {
+    if (small.size < (if (recluster) 1 else 2)) {
       return OptimizeReport(0, 0, all.size, latestId, Nil)
     }
     val totalSmall = small.map(_.size).sum
@@ -366,15 +388,17 @@ object Optimize {
 
     val moved = stageRewrite(spark, fs, path, format, smallPaths, "graft-compact") {
       (df, partCols, stageDir) =>
-        require(zOrderDims.isEmpty || partCols.isEmpty,
-          s"optimizeSink($path): z-order clustering applies to unpartitioned tables " +
+        require(!recluster || partCols.isEmpty,
+          s"optimizeSink($path): re-clustering applies to unpartitioned tables " +
             s"(this table partitions on ${partCols.mkString(",")})")
-        val writer = (zOrderDims, partCols) match {
-          case (Some((a, b)), _) => graft.sources.FileIO.zOrdered(df, a, b, nOut).write
-          case (None, Nil)       => df.coalesce(nOut).write
-          case (None, cols)      =>
-            df.repartition(nOut, cols.map(col): _*).write.partitionBy(cols: _*)
-        }
+        val writer =
+          if (zDims.nonEmpty) graft.sources.FileIO.zOrderedN(df, zDims, nOut).write
+          else if (sortDims.nonEmpty)
+            df.repartitionByRange(nOut, sortDims.map(col): _*)
+              .sortWithinPartitions(sortDims.map(col): _*)
+              .write
+          else if (partCols.isEmpty) df.coalesce(nOut).write
+          else df.repartition(nOut, partCols.map(col): _*).write.partitionBy(partCols: _*)
         writer.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format).save(stageDir)
     }
 

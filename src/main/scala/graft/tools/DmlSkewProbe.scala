@@ -123,6 +123,18 @@ object DmlSkewProbe {
       spark, rescued, col("id").between(lo, hi) && pmod(col("id"), lit(7L)) === 0L))
     println(f"DMLSKEW layout=rescued op=delete rewritten=${d2.rewrittenFiles} " +
       f"total=${d2.rewrittenFiles + d2.keptFiles} sec=$d2Sec%.2f")
+
+    // the SAME-key rescue (r16 SORT BY): when the mutation key IS the
+    // cluster key, the 1-D sorted in-place rewrite drives the rewrite
+    // fraction to O(slice width) — the guidance SCALING.md records
+    val sorted = build("scattered", "sortrescue")
+    val (_, sSec) = timed(graft.streaming.Optimize.optimizeSink(
+      spark, sorted, "parquet", targetFileBytes = 128L * 1024, sortDims = Seq("id")))
+    println(f"DMLSKEW layout=scattered op=sort_rewrite total=${files(sorted)} sec=$sSec%.2f")
+    val (d3, d3Sec) = timed(graft.streaming.Optimize.deleteWhere(
+      spark, sorted, col("id").between(lo, hi) && pmod(col("id"), lit(7L)) === 0L))
+    println(f"DMLSKEW layout=sortrescued op=delete rewritten=${d3.rewrittenFiles} " +
+      f"total=${d3.rewrittenFiles + d3.keptFiles} sec=$d3Sec%.2f")
     spark.stop()
   }
 }

@@ -141,6 +141,20 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 301)
   }
 
+  test("GRAFT OPTIMIZE SORT BY re-clusters in place; ZORDER+SORT together refused") {
+    val out = buildTable()
+    val before = spark.read.parquet(out).count()
+    val rep = spark.sql(s"GRAFT OPTIMIZE '$out' SORT BY (id)").collect()
+    assert(rep(0).getLong(1) >= 1, "sorted optimize produced no files")
+    assert(spark.read.parquet(out).count() == before, "sorted re-cluster changed the rows")
+    // a re-clustering rewrites ALL files, large or small (the ZORDER rule)
+    assert(rep(0).getLong(2) == 0, "SORT BY kept files out of the rewrite")
+    val ex = intercept[Exception] {
+      spark.sql(s"GRAFT OPTIMIZE '$out' ZORDER BY (id, v) SORT BY (id)").collect()
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
+  }
+
   test("UPDATE's SET/WHERE split respects parens and string literals") {
     val out = buildTable()
     // a quoted ' WHERE ' inside a SET expression must NOT split the

@@ -210,6 +210,69 @@ class OptimizeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unpartitioned"))
   }
 
+  test("optimize with sortDims: in-place sorted re-cluster restores key-slice locality") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("opt_sort_out")
+    val ckpt = freshDir("opt_sort_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    // SCATTERED ingest: each batch carries ids ≡ b (mod 8) — every file
+    // spans the full id range, the DML-skew shape
+    def batch(b: Long): Unit = {
+      stream.addData((0L until 1000L).map(i => (i * 8 + b, i * 1.0)))
+      val q = StreamSinks.parquetSink(stream.toDF().toDF("id", "v"), out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    (0L until 8L).foreach(batch)
+    val before = spark.read.parquet(out).select("id", "v").collect().toSet
+
+    def sliceFiles(): (Long, Long) = {
+      val boxes = spark.read.parquet(out)
+        .select(org.apache.spark.sql.functions.col("_metadata.file_path").as("f"), col("id"))
+        .groupBy("f")
+        .agg(org.apache.spark.sql.functions.min("id").as("kmin"),
+          org.apache.spark.sql.functions.max("id").as("kmax"))
+      val st = boxes.agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            col("kmax") >= 900L && col("kmin") <= 1100L, 1L).otherwise(0L)),
+        org.apache.spark.sql.functions.count(lit(1))).collect()(0)
+      (st.getLong(0), st.getLong(1))
+    }
+    val (hitBefore, totalBefore) = sliceFiles()
+    assert(hitBefore == totalBefore, "fixture failed: scattered ingest should hit every file")
+
+    val rep = Optimize.optimizeSink(
+      spark, out, "parquet", targetFileBytes = 16 * 1024, sortDims = Seq("id"))
+    assert(rep.keptFiles == 0, "SORT BY must rewrite every file")
+    assert(rep.outputFiles >= 4, s"wanted a multi-file sorted layout, got ${rep.outputFiles}")
+    assert(spark.read.parquet(out).select("id", "v").collect().toSet == before,
+      "sorted re-cluster changed the rows")
+    val (hitAfter, totalAfter) = sliceFiles()
+    assert(hitAfter < totalAfter,
+      s"sorted layout did not localize the key slice: $hitAfter/$totalAfter")
+
+    // mutual exclusion + partitioned refusal
+    intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out, "parquet",
+        sortDims = Seq("id"), zOrderDims = Some(("id", "v")))
+    }
+    val out2 = freshDir("opt_sortp_out")
+    val ckpt2 = freshDir("opt_sortp_ckpt")
+    val stream2 = MemoryStream[Ev]
+    stream2.addData((1L to 8L).map(i => ev(i, if (i % 2 == 0) "click" else "view")): _*)
+    val q2 = StreamSinks.parquetSink(stream2.toDF(), out2, ckpt2, Seq("etype"))
+    q2.processAllAvailable(); q2.stop()
+    stream2.addData((9L to 16L).map(i => ev(i, "click")): _*)
+    val q3 = StreamSinks.parquetSink(stream2.toDF(), out2, ckpt2, Seq("etype"))
+    q3.processAllAvailable(); q3.stop()
+    val ex = intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out2, "parquet", sortDims = Seq("id"))
+    }
+    assert(ex.getMessage.contains("unpartitioned"))
+  }
+
   test("optimize: fewer than two small files is a no-op") {
     val s = spark
     import s.implicits._
