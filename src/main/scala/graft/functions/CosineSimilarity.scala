@@ -134,6 +134,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.phraseSearchTvf)
     ext.injectTableFunction(GraftExtensions.phraseSearchIdxTvf)
     ext.injectTableFunction(GraftExtensions.bm25Tvf)
+    ext.injectTableFunction(GraftExtensions.tableVersionTvf)
     ext.injectTableFunction(GraftExtensions.bpeTokenizeTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
     // SQL DML/maintenance statements (GRAFT OPTIMIZE / DELETE / UPDATE /
@@ -523,6 +524,35 @@ object GraftExtensions {
     }
   )
 
+  /** SQL surface for TIME TRAVEL over a history-archived manifest table:
+    * graft_table_version('<path>', n[, '<format>']) reads the rows of
+    * archived version n ([[graft.streaming.Optimize.readVersion]]) —
+    * no swap, no mutation, loud refusal once `GRAFT EXPIRE HISTORY` +
+    * vacuum released the version's files. Pairs with `GRAFT HISTORY`
+    * (list) and `GRAFT RESTORE` (swap back). */
+  private[graft] val tableVersionTvf = (
+    FunctionIdentifier("graft_table_version"),
+    new ExpressionInfo(
+      graft.streaming.Optimize.getClass.getName, "graft_table_version"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length == 2 || children.length == 3,
+        s"graft_table_version expects (path, version[, format]), got ${children.length}")
+      val str = tvfStr("graft_table_version") _
+      val spark = SparkSession.active
+      val version = children(1) match {
+        case Literal(v: Int, _)  => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_table_version: version must be an integer literal, got $other")
+      }
+      val fmt = if (children.length == 3) str(children(2), "format") else "parquet"
+      graft.streaming.Optimize
+        .readVersion(spark, str(children.head, "path"), version, fmt)
+        .queryExecution.analyzed
+    }
+  )
+
   /** SQL surface for the deterministic BPE tokenizer, TRAIN + APPLY in
     * one call: graft_bpe_tokenize(docsTable, idCol, textCol, nMerges)
     * → (idCol, n_bpe_tokens, tokens_md5). Lowering is `Bpe`'s (greedy
@@ -733,6 +763,8 @@ object GraftExtensions {
       phraseSearchTvf._1, phraseSearchTvf._2, phraseSearchTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       bm25Tvf._1, bm25Tvf._2, bm25Tvf._3)
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      tableVersionTvf._1, tableVersionTvf._2, tableVersionTvf._3)
     spark.sessionState.tableFunctionRegistry.registerFunction(
       bpeTokenizeTvf._1, bpeTokenizeTvf._2, bpeTokenizeTvf._3)
     // SQL names for the typed sketch Aggregators (UDAFs can't ride

@@ -1668,6 +1668,51 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // TIME-TRAVEL SQL gate (r16 — `graft_table_version` TVF): a DELETE
+    // retires the pre-delete generation into history; the TVF reads
+    // THAT archived version's rows while the live table keeps the
+    // delete applied. The oracle recomputes the FULL table — a green
+    // hash proves the archived generation is byte-faithful — and the
+    // live read stays the deleted state (checked by the spec; the gate
+    // hashes the time-travel read). Rerun-idempotent: the second pass's
+    // delete matches nothing (no new version), so max(version) is still
+    // the pre-delete manifest.
+    "sql_time_travel" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val base = Tables.gateScratchDir(spark, dir, "time_travel")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.sql(s"GRAFT DELETE FROM '$tbl' WHERE pmod(o_orderkey, 10) < 3").collect(): Unit
+      val vPre = spark.sql(s"GRAFT HISTORY '$tbl'").collect().map(_.getLong(0)).max
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+           |FROM graft_table_version('$tbl', $vPre)
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // SMALL-FILE COMPACTION gate (r15 — upgrades [[compact]] from
     // spec-measured to oracle-gated): 64 micro-batch-sized files repack
     // through the shuffle-free coalesce path, and the aggregate is read
@@ -1712,6 +1757,17 @@ object FileIO {
       |    'X' AS o_orderstatus
       |  FROM orders WHERE o_orderkey % 100 = 0)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Shared by table_restore (restore-after-delete ≡ the untouched
+    * table) and sql_time_travel (the archived pre-delete generation ≡
+    * the untouched table) — one contract. */
+  private lazy val fullOrdersAggOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 
   /** Shared by table_delete_cow and its GRAFT-SQL spelling
     * sql_delete_cow — one contract, divergence impossible. */
@@ -1767,14 +1823,10 @@ object FileIO {
         |  o_orderstatus
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
-    // restore-after-delete ≡ the untouched table
-    "table_restore" ->
-      """SELECT o_orderstatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
-        |FROM orders
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+    // restore-after-delete ≡ the untouched table; the time-travel read
+    // of the pre-delete version shares the contract BY REFERENCE
+    "table_restore" -> fullOrdersAggOracle,
+    "sql_time_travel" -> fullOrdersAggOracle,
     "table_delete_cow" -> deleteCowOracle,
     "sql_delete_cow" -> deleteCowOracle,
     "table_update_cow" ->

@@ -155,6 +155,34 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("mutually exclusive"))
   }
 
+  test("graft_table_version TVF time-travels an archived generation; live table unchanged") {
+    graft.functions.GraftExtensions.register(spark)
+    val out = buildTable()
+    spark.sql(s"GRAFT DELETE FROM '$out' WHERE id < 100").collect(): Unit
+    assert(spark.read.parquet(out).count() == 200)
+    val v = spark.sql(s"GRAFT HISTORY '$out'").collect().map(_.getLong(0)).max
+    // the archived pre-delete generation serves THROUGH SQL...
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_table_version('$out', $v)")
+      .collect()(0).getLong(0) == 300, "time travel lost the archived rows")
+    // ...without mutating the live table
+    assert(spark.read.parquet(out).count() == 200, "time-travel read mutated the table")
+    // expired version refuses loudly
+    spark.sql(s"GRAFT EXPIRE HISTORY '$out' KEEP 0").collect(): Unit
+    intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM graft_table_version('$out', $v)").collect()
+    }
+  }
+
+  test("GRAFT OPTIMIZE TARGET n MB sizes the rewrite's output files") {
+    val out = buildTable()
+    // 1 MB target on a tiny table → one output file; the clause parses
+    // and reaches optimizeSink (a bad spelling still fails loudly)
+    val rep = spark.sql(s"GRAFT OPTIMIZE '$out' SORT BY (id) TARGET 1 MB").collect()
+    assert(rep(0).getLong(1) == 1, s"expected one ~1MB output file, got ${rep(0).getLong(1)}")
+    assert(spark.read.parquet(out).count() == 300)
+    intercept[Exception] { spark.sql(s"GRAFT OPTIMIZE '$out' TARGET MB") }
+  }
+
   test("UPDATE's SET/WHERE split respects parens and string literals") {
     val out = buildTable()
     // a quoted ' WHERE ' inside a SET expression must NOT split the
