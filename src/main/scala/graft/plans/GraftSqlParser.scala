@@ -61,7 +61,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
   private val Optimize =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\))?(?:\s+SORT\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+TARGET\s+(\d+)\s+MB)?\s*;?\s*""".r
+    // ZORDER BY accepts ONE-or-more columns so a single-dimension z-order
+    // reaches zOrderedN's targeted "needs >= 2 dimensions" require instead
+    // of falling through to the generic unrecognized-statement error
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+SORT\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+TARGET\s+(\d+)\s+MB)?\s*;?\s*""".r
   private val Delete =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update =

@@ -159,13 +159,43 @@ object Optimize {
     }.toSet
   }
 
+  /** Monotonic version high-water marker: the largest version id EVER
+    * issued, persisted so `GRAFT EXPIRE HISTORY KEEP 0` can never cause
+    * id reuse — without it, numbering restarted at max(existing)+1 = v1
+    * after a full expiry, and a stale `RESTORE TO VERSION n` aimed at an
+    * expired generation could silently restore a DIFFERENT, newer
+    * generation that inherited the number. Underscore-prefixed inside
+    * `_graft_history` (the VersionRe lister skips it; expiry deletes
+    * only version dirs, so the counter survives a KEEP 0). */
+  private def vmaxMarker(path: String) = new Path(historyDir(path), "_vmax")
+
+  private def readVmax(fs: FileSystem, path: String): Long = {
+    val m = vmaxMarker(path)
+    if (!fs.exists(m)) 0L
+    else {
+      val in = fs.open(m)
+      val body = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      try body.toLong catch { case _: NumberFormatException => 0L }
+    }
+  }
+
+  private def writeVmax(fs: FileSystem, path: String, v: Long): Unit = {
+    val out = fs.create(vmaxMarker(path), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Archive a retired manifest dir as the next history version — one
-    * rename, never a copy. */
+    * rename, never a copy. Version ids come off the persisted high-water
+    * counter (never reused across expiry epochs), with the live listing
+    * as a floor for pre-counter tables. */
   private def archiveToHistory(fs: FileSystem, path: String, retired: Path): Long = {
-    val next = versionDirs(fs, path).lastOption.map(_._1 + 1).getOrElse(1L)
     fs.mkdirs(historyDir(path))
+    val next = math.max(
+      versionDirs(fs, path).lastOption.map(_._1).getOrElse(0L),
+      readVmax(fs, path)) + 1
     val dest = new Path(historyDir(path), s"v$next")
     require(fs.rename(retired, dest), s"archiveToHistory: rename $retired -> $dest failed")
+    writeVmax(fs, path, next)
     next
   }
 
@@ -210,6 +240,27 @@ object Optimize {
     val e = org.apache.spark.sql.graftbridge.PlanBridge.catalystExpression(c)
     (e.collect { case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
       u.nameParts.last } ++
+      e.collect { case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name }).toSet
+  }
+
+  /** Column names a column-level-merge SET expression references ON THE
+    * TABLE SIDE only: unqualified or `t.`-qualified attributes. A merge
+    * SET expression addresses the table row as `t` and the source row as
+    * `s` (the Delta updateExpr convention) — a SOURCE column that merely
+    * SHARES a name with a partition column (`s.cap` on a table
+    * partitioned by `cap`) never reads the partition value, so counting
+    * it (as the bare nameParts.last compare did) was a loud false
+    * positive blocking a legitimate merge. Any other qualifier is also
+    * excluded: it cannot resolve to the bare rewrite frame's partition
+    * column either. */
+  private def tableSideRefNames(c: Column): Set[String] = {
+    val e = org.apache.spark.sql.graftbridge.PlanBridge.catalystExpression(c)
+    (e.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.size == 1 ||
+            (u.nameParts.size == 2 && u.nameParts.head.equalsIgnoreCase("t")) =>
+        u.nameParts.last
+    } ++
       e.collect { case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name }).toSet
   }
 
@@ -616,9 +667,11 @@ object Optimize {
             s"mergeInto: SET column $c is a merge key — updating keys is ambiguous")
         }
         // same hazard as updateWhere's guard: partition values are
-        // verbatim strings during the rewrite
+        // verbatim strings during the rewrite. TABLE-SIDE references
+        // only — `s.<name>` reads the SOURCE and is always legitimate
+        // even when the table partitions on the same name
         set.foreach { case (c, e) =>
-          val overlap = refNames(e).intersect(partCols0.toSet)
+          val overlap = tableSideRefNames(e).intersect(partCols0.toSet)
           require(overlap.isEmpty,
             s"mergeInto: SET $c = ... reads partition column(s) ${overlap.mkString(",")} — " +
               "partition values are verbatim strings during the rewrite; data columns only")

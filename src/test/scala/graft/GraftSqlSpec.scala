@@ -153,6 +153,12 @@ class GraftSqlSpec extends AnyFunSuite {
       spark.sql(s"GRAFT OPTIMIZE '$out' ZORDER BY (id, v) SORT BY (id)").collect()
     }
     assert(ex.getMessage.contains("mutually exclusive"))
+    // ONE z-order column parses (the grammar accepts it) and surfaces the
+    // TARGETED dimensionality error, not "unrecognized GRAFT statement"
+    val ex1 = intercept[Exception] {
+      spark.sql(s"GRAFT OPTIMIZE '$out' ZORDER BY (id)").collect()
+    }
+    assert(ex1.getMessage.contains(">= 2 dimensions"), s"wrong error: ${ex1.getMessage}")
   }
 
   test("graft_table_version TVF time-travels an archived generation; live table unchanged") {

@@ -830,6 +830,36 @@ class OptimizeSpec extends AnyFunSuite {
         Map("value" -> org.apache.spark.sql.functions.expr("length(etype) * 1.0")))
     }
     assert(ex2.getMessage.contains("partition column"))
+
+    // a SOURCE column that merely SHARES the partition column's name is
+    // legitimate: `s.etype` reads the source row, never the verbatim
+    // partition string — the bare-name guard used to refuse this loudly
+    val srcSameName = Seq((2L, 99.5)).toDF("id", "etype")
+    Optimize.mergeInto(spark, out, srcSameName, Seq("id"),
+      matchedSet = Some(Map("value" -> org.apache.spark.sql.functions.expr("s.etype"))),
+      insertNotMatched = false): Unit
+    val merged = spark.read.parquet(out)
+    assert(merged.filter("id = 2 AND value = 99.5").count() == 1,
+      "s-qualified SET over a partition-name-sharing source column did not apply")
+    assert(merged.filter("id = 2 AND etype = 'click'").count() == 1,
+      "the partition value itself must ride through the rewrite verbatim")
+  }
+
+  test("history version ids are never reused across expiry epochs") {
+    val (out, _) = buildIdTable("vmax", Seq(0L, 100L))
+    Optimize.deleteWhere(spark, out, col("id") === 0L)
+    Optimize.updateWhere(spark, out, col("id") === 1L, Map("v" -> lit(0.0)))
+    assert(Optimize.listVersions(spark, out).map(_.version) == Seq(1L, 2L))
+
+    // full expiry, then another swap: the persisted high-water counter
+    // keeps numbering monotonic — a stale `RESTORE TO VERSION 1` can
+    // only fail loudly (unknown version), never silently hit a NEWER
+    // generation that inherited the recycled id
+    Optimize.expireHistory(spark, out, keep = 0)
+    Optimize.deleteWhere(spark, out, col("id") === 2L)
+    assert(Optimize.listVersions(spark, out).map(_.version) == Seq(3L),
+      "version ids were reused after EXPIRE HISTORY KEEP 0")
+    intercept[IllegalArgumentException] { Optimize.restoreTable(spark, out, 1L) }
   }
 
   test("mergeInto size-gates the source broadcast: large sources shuffle-join, small broadcast") {
