@@ -96,27 +96,39 @@ object TextIndex {
       (f, id)
     }
     val mapped = broadcast(mapping.toDF("__sf", "src_file"))
+    // `dl` (the doc's token count) rides DENORMALIZED on every posting
+    // row (r17): BM25's per-(doc,term) normalization then reads it off
+    // the already-term-pruned tf leg — the r16 shape re-joined the tf
+    // leg against a corpus-wide doclen exchange at every query. One int
+    // per row is the classic IR denormalization trade (RLE/dictionary
+    // encodes it to near-nothing in parquet), bought once at build time.
     val tokens = docs
       .select(
         col("_metadata.file_path").as("__sf"),
         col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("dl"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
       .join(mapped, Seq("__sf"))
-      .select(col("term"), col("doc_id"), col("pos"), col("src_file"))
-    // DOC-LENGTH rows (r16, the BM25 statistics): one NULL-term row per
-    // doc with pos = its token count. Rides the SAME versioned layout
-    // (masked/compacted/deleted with its file's generation like any
-    // posting); term filters never match NULL so phrase legs are
-    // unaffected, and the doclen read is parquet-stats-pruned to the
-    // null-bearing files (IsNull pushes down on null_count). This is
-    // what keeps BM25 from re-scanning the corpus for |D| at query time.
+      .select(col("term"), col("doc_id"), col("pos"), col("dl"), col("src_file"))
+    // DOC-LENGTH rows (r16, the BM25 corpus statistics): one NULL-term
+    // row per doc with pos = dl = its token count. Rides the SAME
+    // versioned layout (masked/compacted/deleted with its file's
+    // generation like any posting); term filters never match NULL so
+    // phrase legs are unaffected, and the N/avgdl read is parquet-stats-
+    // pruned to the null-bearing files (IsNull pushes down on
+    // null_count). This is what keeps BM25 from re-scanning the corpus
+    // for |D| at query time — and ZERO-length docs live ONLY here (they
+    // have no token rows), so N/avgdl must come from these rows, never
+    // from distinct-ing the token side.
     val doclens = docs
       .select(
         col("_metadata.file_path").as("__sf"),
         col(idCol).as("doc_id"),
         size(split(col(textCol), " ")).as("pos"))
       .join(mapped, Seq("__sf"))
-      .select(lit(null).cast("string").as("term"), col("doc_id"), col("pos"), col("src_file"))
+      .select(
+        lit(null).cast("string").as("term"), col("doc_id"), col("pos"),
+        col("pos").as("dl"), col("src_file"))
     tokens.unionByName(doclens)
   }
 
@@ -192,6 +204,7 @@ object TextIndex {
         org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("src_file", org.apache.spark.sql.types.StringType))))
 
   /** INCREMENTAL postings refresh — O(changed files) in SCAN *and*
@@ -313,9 +326,14 @@ object TextIndex {
     *
     * entirely from the index — the tf legs read ONLY the query terms'
     * posting rows (term-range-clustered files → stats-pruned scan,
-    * plan-pinned), |D| comes from the doclen rows the build embeds
-    * (NULL-term rows, pruned via null_count stats), and N/avgdl are one
-    * metadata-scale aggregate over those doclen rows. No corpus scan,
+    * plan-pinned), |D| rides DENORMALIZED on each posting row (`dl`,
+    * r17 — so the normalization joins NOTHING corpus-wide; the r16
+    * shape re-joined the tf leg against every doc's length at every
+    * query), and N/avgdl are one metadata-scale aggregate over the
+    * NULL-term doc-length rows the build embeds (pruned via null_count
+    * stats; their per-file counts also gate PARTIAL doclen coverage
+    * loudly — a pre-r16 index delta-refreshed since would otherwise
+    * silently drop every pre-refresh doc from scoring). No corpus scan,
     * no regex — the ranked upgrade over boolean [[phraseSearch]], and
     * the lexical leg [[graft.operators.Similarity]]'s rrfFuse composes
     * with (it consumes any (doc_id, rnk) leg).
@@ -342,24 +360,44 @@ object TextIndex {
     require(k > 0, s"bm25Search: k=$k")
     val cur = requireFreshIndex(spark, docsPath, indexDir)
     val live = maskedPostings(spark, indexDir, cur)
-    val doclen = live
-      .filter(col("term").isNull)
-      .select(col("doc_id"), col("pos").cast("double").as("dl"))
-    val st = doclen.agg(
-      count(lit(1)).as("n"),
-      sum(col("dl")).as("total")).collect()(0)
-    require(!st.isNullAt(1) && st.getLong(0) > 0L,
-      s"bm25Search: index at $indexDir has no doc-length rows — built before r16; rebuild " +
+    // an index whose rows predate the denormalized doc length cannot
+    // score — refuse loudly, never serve nulls into the normalization
+    require(live.columns.contains("dl"),
+      s"bm25Search: index at $indexDir predates the per-row doc-length column — rebuild " +
         "with buildPostingsIndex (or compact after a refresh) to embed BM25 statistics")
-    val nDocs = st.getLong(0)
+    // N/avgdl come from the NULL-term doc-length rows (one per doc —
+    // zero-length docs exist ONLY here), counted per source file so
+    // PARTIAL coverage is a loud refusal: an index built before the
+    // doclen rows existed and then delta-refreshed passes a mere
+    // non-empty check while undercounting N/avgdl AND silently dropping
+    // every pre-refresh doc from scoring — wrong rankings, no error.
+    // One metadata-scale aggregate (one row per indexed FILE).
+    val dlByFile = live
+      .filter(col("term").isNull)
+      .groupBy(col("src_file"))
+      .agg(count(lit(1)).as("n"), sum(col("dl").cast("double")).as("total"))
+      .collect()
+    val covered = dlByFile.map(_.getString(0)).toSet
+    val uncovered = cur.fingerprint -- covered
+    require(uncovered.isEmpty,
+      s"bm25Search: index at $indexDir has doc-length rows for only ${covered.size} of " +
+        s"${cur.fingerprint.size} indexed file(s) — built before r16 and delta-refreshed " +
+        s"since (first uncovered: ${uncovered.headOption.getOrElse("")}); scoring would " +
+        "silently drop every pre-refresh doc. Rebuild with buildPostingsIndex or compact")
+    val nDocs = dlByFile.map(_.getLong(1)).sum
+    require(nDocs > 0L,
+      s"bm25Search: index at $indexDir holds no documents — nothing to rank")
     // doc lengths are integer-valued doubles: their sum and this division
     // are exact/deterministic across engines
-    val avgdl = st.getDouble(1) / nDocs
+    val avgdl = dlByFile.map(_.getDouble(2)).sum / nDocs
     val terms = query.distinct
+    // tf leg: term-pruned scan; the per-doc length rides each posting
+    // row, so the normalization needs NO join against an
+    // un-term-filtered postings leg (the r16 corpus-wide exchange)
     val tf = live
       .filter(col("term").isin(terms: _*))
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).cast("double").as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf quantized at 1e-6 immediately after ln; contribution quantized
     // to integer 1e-6 units; score = exact integer sum (order-free)
@@ -372,7 +410,6 @@ object TextIndex {
         lit(1000000.0) + lit(0.5)).cast("long")
     val scored = tf
       .join(broadcast(df.withColumn("idf_q", idfQ).select(col("term"), col("idf_q"))), Seq("term"))
-      .join(doclen, Seq("doc_id"))
       .withColumn("c", contrib)
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("s"))

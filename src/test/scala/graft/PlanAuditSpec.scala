@@ -234,22 +234,53 @@ class PlanAuditSpec extends AnyFunSuite {
       s"phrase legs lost the term pushdown: $pushed")
   }
 
-  test("text_bm25 pushes the query-term filter and the doclen IsNull into the index scans") {
-    // BM25's scale contract: the tf leg reads ONLY the query terms'
-    // posting rows (In(term, ...) at the scan of the term-range-
-    // clustered layout), and the doc-length statistics read prunes to
-    // the null-term rows via null_count stats — neither is a full-index
-    // post-scan filter, and the corpus itself is never scanned.
-    val pushed = collectAll(executed("text_bm25")) {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains("postings_bm25")) =>
-        f.metadata.getOrElse("PushedFilters", "[]")
+  test("text_bm25: every postings leg in the ranked plan is term-pruned; stats read is IsNull-pruned") {
+    // BM25's scale contract (r17 shape): the per-doc length rides
+    // DENORMALIZED on the posting rows, so the ranked plan joins NO
+    // un-term-filtered postings leg — EVERY index scan in the final
+    // plan must carry the query-term pushdown (the r16 plan re-joined
+    // the tf leg against a corpus-wide doclen exchange here). The
+    // N/avgdl corpus statistics run as a SIDE aggregate during query
+    // construction; a listener capture pins that ITS scan prunes to the
+    // NULL-term rows via null_count stats. The corpus itself is never
+    // scanned either way.
+    val side = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = side.synchronized {
+        collectAll(qe.executedPlan) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("postings_bm25")) =>
+            side += f.metadata.getOrElse("PushedFilters", "[]"): Unit
+        }: Unit
+      }
+      override def onFailure(
+          funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
     }
+    spark.listenerManager.register(listener)
+    val pushed =
+      try {
+        val p = collectAll(executed("text_bm25")) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("postings_bm25")) =>
+            f.metadata.getOrElse("PushedFilters", "[]")
+        }
+        // drain the async listener bus: wait until the capture is quiet
+        var last = -1
+        var cur = side.synchronized(side.size)
+        val deadline = System.currentTimeMillis() + 15000
+        while (cur != last && System.currentTimeMillis() < deadline) {
+          last = cur; Thread.sleep(300); cur = side.synchronized(side.size)
+        }
+        p
+      } finally spark.listenerManager.unregister(listener)
     assert(pushed.nonEmpty, "no scan over the BM25 postings index found")
-    assert(pushed.exists(s => s.contains("In(term") || s.contains("EqualTo(term")),
-      s"the tf leg lost the term pushdown: $pushed")
-    assert(pushed.exists(_.contains("IsNull(term")),
-      s"the doclen read lost its IsNull pushdown: $pushed")
+    assert(pushed.forall(s => s.contains("In(term") || s.contains("EqualTo(term")),
+      s"an un-term-filtered postings leg joined into the ranked BM25 plan: $pushed")
+    assert(side.synchronized(side.exists(_.contains("IsNull(term"))),
+      s"the corpus-stats read lost its IsNull pushdown: ${side.synchronized(side.toSeq)}")
   }
 
   test("sim_ann_ivfpq_idx prunes the code scan to the probed cl= partitions") {

@@ -197,6 +197,58 @@ class TextIndexSpec extends AnyFunSuite {
     assert(after.forall(t => t._3 > 0.0 && !t._3.isNaN))
   }
 
+  test("bm25 refuses PARTIAL doclen coverage and pre-dl indexes loudly; delta rows carry dl") {
+    val (docsPath, idx) = freshDirs()
+    docs(1L -> "apple banana", 2L -> "apple apple apple").coalesce(1).write.parquet(docsPath)
+    TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    docs(3L -> "banana").coalesce(1).write.mode("append").parquet(docsPath)
+    TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx): Unit
+
+    // DELTA versions carry the denormalized doc length like the full
+    // build: every token row holds its doc's token count
+    val cur = graft.sources.Sidecar.current(spark, idx).get
+    assert(cur.liveVersions.size == 2, "expected base + delta version dirs")
+    val live = spark.read.parquet(cur.liveDirs(idx): _*)
+    assert(live.columns.contains("dl"))
+    assert(live.filter("term IS NOT NULL AND (dl IS NULL OR dl <= 0)").count() == 0,
+      "a token row lost its doc length")
+    assert(live.filter("doc_id = 3 AND term IS NOT NULL").collect()
+      .forall(_.getAs[Int]("dl") == 1), "delta rows carry the wrong doc length")
+    assert(TextIndex.bm25Search(spark, docsPath, idx, Seq("apple"), 5).count() == 2)
+
+    // rewrite one committed version dir in place (test-only surgery)
+    def rewriteDir(dir: String)(
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = dir + "_surgery"
+      f(spark.read.parquet(dir)).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir)))
+    }
+
+    // SIMULATE the pre-r16-then-delta-refreshed hazard: strip the BASE
+    // version's doclen rows — the fingerprint still matches the corpus
+    // and doclen rows EXIST (the delta's), so a non-empty check would
+    // pass while N/avgdl undercount and every base doc silently drops
+    // from scoring. The per-file coverage guard refuses instead.
+    rewriteDir(cur.liveDirs(idx).last)(_.filter("term IS NOT NULL"))
+    val exCov = intercept[IllegalArgumentException] {
+      TextIndex.bm25Search(spark, docsPath, idx, Seq("apple"), 5)
+    }
+    assert(exCov.getMessage.contains("doc-length rows for only"), exCov.getMessage)
+    // phrase search is unaffected — it never reads doc lengths
+    assert(TextIndex.phraseSearchIndexed(spark, docsPath, idx, Seq("apple")).count() == 2)
+
+    // an index PREDATING the per-row dl column entirely: loud schema
+    // refusal, never nulls into the normalization
+    cur.liveDirs(idx).foreach(d => rewriteDir(d)(_.drop("dl")))
+    val exDl = intercept[IllegalArgumentException] {
+      TextIndex.bm25Search(spark, docsPath, idx, Seq("apple"), 5)
+    }
+    assert(exDl.getMessage.contains("predates the per-row doc-length column"), exDl.getMessage)
+  }
+
   test("persisted index build plan is UDF-free and tags exactly the listed generations") {
     val (docsPath, _) = freshDirs()
     docs(1L -> "small query line", 2L -> "a b").write.parquet(docsPath)
