@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * full SQL expression language applies):
   *
   *   GRAFT OPTIMIZE '<path>' [FORMAT '<fmt>'] [ZORDER BY (a, b[, c...])] [SORT BY (a[, b...])]
-  *     [TARGET <n> MB]
+  *     [TARGET <n> MB] [WHERE <partition predicate>]
   *   GRAFT DELETE FROM '<path>' [FORMAT '<fmt>'] WHERE <expr>
   *   GRAFT UPDATE '<path>' [FORMAT '<fmt>'] SET c1 = <expr>[, ...] WHERE <expr>
   *   GRAFT MERGE INTO '<path>' [FORMAT '<fmt>'] USING <viewName> ON (k1[, k2...])
@@ -64,7 +64,7 @@ object GraftSqlParser {
     // ZORDER BY accepts ONE-or-more columns so a single-dimension z-order
     // reaches zOrderedN's targeted "needs >= 2 dimensions" require instead
     // of falling through to the generic unrecognized-statement error
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+SORT\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+TARGET\s+(\d+)\s+MB)?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+SORT\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+TARGET\s+(\d+)\s+MB)?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val Delete =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update =
@@ -84,11 +84,12 @@ object GraftSqlParser {
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case Optimize(path, fmt, z, s, tgt) =>
+      case Optimize(path, fmt, z, s, tgt, where) =>
         val zDims = Option(z).map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
         val sDims = Option(s).map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+        Option(where).foreach(delegate.parseExpression(_): Unit) // syntax-check at parse time
         Some(GraftOptimizeCommand(path, Option(fmt).getOrElse("parquet"), zDims, sDims,
-          Option(tgt).map(_.toLong * 1024 * 1024)))
+          Option(tgt).map(_.toLong * 1024 * 1024), Option(where)))
       case Delete(path, fmt, where) =>
         delegate.parseExpression(where) // syntax-check NOW: parse errors surface at parse time
         Some(GraftDeleteCommand(path, Option(fmt).getOrElse("parquet"), where))
@@ -194,14 +195,15 @@ private object GraftCommandOutput {
 
 case class GraftOptimizeCommand(
     path: String, format: String, zOrderDims: Seq[String], sortDims: Seq[String],
-    targetFileBytes: Option[Long] = None)
+    targetFileBytes: Option[Long] = None, whereSql: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.report
   override def run(spark: SparkSession): Seq[Row] = {
     val r = graft.streaming.Optimize.optimizeSink(
       spark, path, format,
       targetFileBytes = targetFileBytes.getOrElse(128L * 1024 * 1024),
-      zOrderDimsN = zOrderDims, sortDims = sortDims)
+      zOrderDimsN = zOrderDims, sortDims = sortDims,
+      partitionWhere = whereSql.map(org.apache.spark.sql.functions.expr))
     Seq(Row(r.compactedFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }
 }

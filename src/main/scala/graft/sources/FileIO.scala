@@ -167,10 +167,18 @@ object FileIO {
       .format(format)
       .save(path)
 
+  /** @param prefix partition columns to cluster AHEAD of the curve —
+    *        the partition-scoped OPTIMIZE shape (r17): range-partitioning
+    *        on (prefix..., __z) keeps each Hive partition's rows together
+    *        so the `partitionBy` write splits tasks along partition
+    *        boundaries and every partition dir's files still cover tight
+    *        curve tiles. Empty (the default) is the plain table-wide
+    *        curve. */
   private[graft] def zOrderedN(
       df: DataFrame,
       dims: Seq[String],
-      files: Int
+      files: Int,
+      prefix: Seq[String] = Nil
   ): DataFrame = {
     require(dims.size >= 2, s"z-order needs >= 2 dimensions, got ${dims.mkString(",")}")
     val bits = math.min(16, 63 / dims.size)
@@ -189,9 +197,10 @@ object FileIO {
     val z =
       if (dims.size == 2) mortonCode(buckets(0), buckets(1)) // the 2-D mask-cascade fast path
       else mortonCodeN(buckets, bits)
+    val keys = prefix.map(col) :+ col("__z")
     df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
+      .repartitionByRange(files, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop("__z")
   }
 
@@ -1668,6 +1677,85 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // PARTITION-SCOPED OPTIMIZE gate (r17 — `GRAFT OPTIMIZE ... WHERE
+    // <partition predicate>` lifts the partitioned-table re-clustering
+    // refusal): orders stream-ingest into a HIVE-PARTITIONED manifest
+    // table (one dir per o_orderstatus, each partition's files spanning
+    // the full key range in ingest order), then ONE scoped SORT BY
+    // rewrite re-clusters ONLY partition F under the staged-manifest
+    // swap. The oracle recomputes partition F's key slice from the raw
+    // table (pure reorganization); two evidence flags ride the hashed
+    // result: `untouched_ok` (every OTHER partition's file identities —
+    // rel#mtime#len — byte-identical through the swap) and
+    // `files_pruned_ok` (inside F, the key-range box admits strictly
+    // fewer candidate files than F holds — the re-cluster actually
+    // restored locality). Rerun-idempotent: the scoped rewrite is
+    // deterministic and the untouched set is re-captured each pass.
+    "table_optimize_part" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "opt_part")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("o_orderstatus")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def outsideIds: Set[String] = dataFileIds(spark, tbl)
+        .filterNot(_.rel.startsWith("o_orderstatus=F/")).map(_.identity).toSet
+      val beforeOutside = outsideIds
+      // size the scoped rewrite to several output files at every SF so
+      // the pruning evidence is non-vacuous
+      val hfs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fBytes = spark.read.parquet(tbl).inputFiles
+        .filter(_.contains("/o_orderstatus=F/"))
+        .map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+          new java.net.URI(f))).getLen)
+        .sum
+      graft.streaming.Optimize.optimizeSink(
+        spark, tbl, "parquet",
+        targetFileBytes = math.max(2048L, fBytes / 6),
+        sortDims = Seq("o_orderkey"),
+        partitionWhere = Some(col("o_orderstatus") === "F"))
+      val untouchedOk = outsideIds == beforeOutside
+      val boxes = spark.read
+        .parquet(tbl)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("_metadata.file_path").as("f"), col("o_orderkey"))
+        .groupBy(col("f"))
+        .agg(min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"))
+      val st = boxes
+        .agg(
+          sum(when(col("kmax") >= 100L && col("kmin") <= 500L, 1L).otherwise(0L)),
+          count(lit(1)))
+        .collect()(0)
+      val prunedOk = st.getLong(0) < st.getLong(1)
+      spark.read
+        .parquet(tbl)
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey").between(100L, 500L))
+        .select(
+          col("o_orderkey"), col("cents"),
+          lit(untouchedOk).as("untouched_ok"),
+          lit(prunedOk).as("files_pruned_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // TIME-TRAVEL SQL gate (r16 — `graft_table_version` TVF): a DELETE
     // retires the pre-delete generation into history; the TVF reads
     // THAT archived version's rows while the live table keeps the
@@ -1836,6 +1924,13 @@ object FileIO {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "table_optimize_part" ->
+      """SELECT o_orderkey,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  TRUE AS untouched_ok, TRUE AS files_pruned_ok
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 100 AND 500
+        |ORDER BY o_orderkey""".stripMargin,
     "table_sort_cluster" ->
       """SELECT o_orderkey,
         |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

@@ -276,6 +276,69 @@ object Optimize {
         "partition-level surgery is directory pruning, not a row rewrite; data columns only")
   }
 
+  /** PARTITION-SCOPED maintenance selection (r17): split the committed
+    * entries into (selected, untouched) by evaluating `pred` against
+    * each PARTITION's values — decoded from the Hive dir names as exact
+    * STRINGS (the same verbatim-string discipline the rewrite itself
+    * uses, so `WHERE dt = '2026-01-01'` compares exactly what the
+    * directory layout says; numeric comparisons compare lexically and a
+    * scope predicate should not use them). Evaluation is METADATA-scale:
+    * one driver-local row per distinct partition, never a data scan. At
+    * 100 TB this is what makes table maintenance schedulable — compact /
+    * re-cluster yesterday's partition while the other 3 652 stay
+    * byte-untouched, instead of whole-table-or-refuse.
+    *
+    * The predicate must reference partition columns ONLY (row-level
+    * surgery is deleteWhere/updateWhere — the mirror image of their
+    * data-columns-only rule), and the table must actually be
+    * Hive-partitioned. */
+  private def selectPartitionScope(
+      spark: SparkSession,
+      path: String,
+      all: Seq[SinkFileStatus],
+      partCols: Seq[String],
+      pred: Column,
+      op: String
+  ): (Seq[SinkFileStatus], Seq[SinkFileStatus]) = {
+    require(partCols.nonEmpty,
+      s"$op($path): WHERE partition scope needs a Hive-partitioned table — " +
+        "this table has no partition dirs")
+    val refs = refNames(pred)
+    val bad = refs -- partCols.toSet
+    require(refs.nonEmpty,
+      s"$op: partition-scope predicate references no columns — " +
+        s"name the partition column(s) ${partCols.mkString(",")}")
+    require(bad.isEmpty,
+      s"$op: partition-scope predicate references data column(s) ${bad.mkString(",")} — " +
+        s"scope selects PARTITIONS (${partCols.mkString(",")}); row-level surgery is " +
+        "deleteWhere/updateWhere")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    val rootAbs = graft.sources.FileIO.tableRootAbs(spark, path)
+    val subs = all.map(e => partitionSubPath(e.path, rootAbs)).distinct.sorted
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    subs.foreach { sub =>
+      val vals = sub.split('/').toSeq.map { seg =>
+        val kv = seg.split("=", 2)
+        require(kv.length == 2, s"$op: non-Hive partition segment '$seg' under $path")
+        unescapePathName(kv(0)) ->
+          (if (kv(1) == "__HIVE_DEFAULT_PARTITION__") null else unescapePathName(kv(1)))
+      }.toMap
+      rows.add(org.apache.spark.sql.Row.fromSeq(sub +: partCols.map(vals.getOrElse(_, null))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "__graft_sub", org.apache.spark.sql.types.StringType) +:
+        partCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    val selected = spark.createDataFrame(rows, schema)
+      .filter(pred)
+      .select(col("__graft_sub"))
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    all.partition(e => selected.contains(partitionSubPath(e.path, rootAbs)))
+  }
+
   /** Guard + open: stop-the-writer, no leftover stage/backup, log opened,
     * latest id + committed entries resolved. */
   private def guardAndOpen(
@@ -404,7 +467,21 @@ object Optimize {
     *        mutated and filtered by the SAME key: after it, a key-slice
     *        DELETE/UPDATE/MERGE touches O(slice-width) files instead of
     *        the whole table (SCALING.md r16). Mutually exclusive with
-    *        the z-order spellings; unpartitioned tables only. */
+    *        the z-order spellings; unpartitioned tables only — UNLESS
+    *        the rewrite is partition-scoped (below).
+    * @param partitionWhere PARTITION SCOPE (r17 — `GRAFT OPTIMIZE ...
+    *        WHERE <partition predicate>`): compaction/re-clustering
+    *        applies ONLY to the partitions the predicate selects
+    *        ([[selectPartitionScope]] — partition columns only, exact
+    *        STRING comparison against the dir-name values); every other
+    *        partition's manifest entries ride through the swap VERBATIM
+    *        and its files are never read. This also LIFTS the
+    *        partitioned-table re-clustering refusal: within the scope,
+    *        SORT BY / ZORDER range-cluster on (partition cols, keys) and
+    *        write back through `partitionBy`, so each selected partition
+    *        dir gets its own tight key/curve ranges. The 100 TB shape:
+    *        re-cluster yesterday's `dt=` partition after its late data
+    *        settled — cost O(selected partitions), never O(table). */
   def optimizeSink(
       spark: SparkSession,
       path: String,
@@ -413,7 +490,8 @@ object Optimize {
       targetFileBytes: Long = 128L * 1024 * 1024,
       zOrderDims: Option[(String, String)] = None,
       zOrderDimsN: Seq[String] = Nil,
-      sortDims: Seq[String] = Nil
+      sortDims: Seq[String] = Nil,
+      partitionWhere: Option[Column] = None
   ): OptimizeReport = {
     require(zOrderDims.isEmpty || zOrderDimsN.isEmpty,
       "optimizeSink: pass zOrderDims OR zOrderDimsN, not both")
@@ -424,12 +502,24 @@ object Optimize {
       "optimizeSink: ZORDER BY and SORT BY are mutually exclusive re-clusterings")
     val recluster = zDims.nonEmpty || sortDims.nonEmpty
     val (fs, latestId, all) = guardAndOpen(spark, path, "optimizeSink")
-    // a re-clustering (ZORDER/SORT BY) means "rewrite the table": every
-    // file participates; plain OPTIMIZE repacks only files below the
-    // small-file threshold
-    val (small, kept) =
-      if (recluster) (all, Seq.empty[SinkFileStatus])
-      else all.partition(_.size < smallFileBytes)
+    val tPartCols = tablePartCols(spark, path, all)
+    // partition scope: out-of-scope entries ride through the swap
+    // verbatim, exactly like a copy-on-write DML's untouched files
+    val (scope, outOfScope) = partitionWhere match {
+      case None       => (all, Seq.empty[SinkFileStatus])
+      case Some(pred) => selectPartitionScope(spark, path, all, tPartCols, pred, "optimizeSink")
+    }
+    // re-clustering keys must never BE partition columns — a partition
+    // column is a directory, clustered by construction
+    (zDims ++ sortDims).foreach(d => require(!tPartCols.contains(d),
+      s"optimizeSink: re-clustering key $d is a partition column — already a directory level"))
+    // a re-clustering (ZORDER/SORT BY) means "rewrite the scope": every
+    // in-scope file participates; plain OPTIMIZE repacks only files
+    // below the small-file threshold
+    val (small, keptInScope) =
+      if (recluster) (scope, Seq.empty[SinkFileStatus])
+      else scope.partition(_.size < smallFileBytes)
+    val kept = keptInScope ++ outOfScope
     if (small.size < (if (recluster) 1 else 2)) {
       return OptimizeReport(0, 0, all.size, latestId, Nil)
     }
@@ -439,15 +529,27 @@ object Optimize {
 
     val moved = stageRewrite(spark, fs, path, format, smallPaths, "graft-compact") {
       (df, partCols, stageDir) =>
-        require(!recluster || partCols.isEmpty,
-          s"optimizeSink($path): re-clustering applies to unpartitioned tables " +
-            s"(this table partitions on ${partCols.mkString(",")})")
+        require(!recluster || partCols.isEmpty || partitionWhere.nonEmpty,
+          s"optimizeSink($path): whole-table re-clustering applies to unpartitioned tables " +
+            s"(this table partitions on ${partCols.mkString(",")}) — scope it with a " +
+            "partition predicate (GRAFT OPTIMIZE ... WHERE <partition predicate>)")
+        val clusterKeys = if (zDims.nonEmpty) zDims else sortDims
         val writer =
-          if (zDims.nonEmpty) graft.sources.FileIO.zOrderedN(df, zDims, nOut).write
-          else if (sortDims.nonEmpty)
-            df.repartitionByRange(nOut, sortDims.map(col): _*)
-              .sortWithinPartitions(sortDims.map(col): _*)
-              .write
+          if (recluster && partCols.isEmpty)
+            (if (zDims.nonEmpty) graft.sources.FileIO.zOrderedN(df, zDims, nOut)
+             else
+               df.repartitionByRange(nOut, clusterKeys.map(col): _*)
+                 .sortWithinPartitions(clusterKeys.map(col): _*)).write
+          else if (recluster)
+            // partition-scoped re-cluster: range-cluster on (partition
+            // cols, keys) so tasks split along partition boundaries and
+            // each partition dir's files cover tight key/curve ranges
+            (if (zDims.nonEmpty)
+               graft.sources.FileIO.zOrderedN(df, zDims, nOut, prefix = partCols)
+             else
+               df.repartitionByRange(nOut, (partCols ++ clusterKeys).map(col): _*)
+                 .sortWithinPartitions((partCols ++ clusterKeys).map(col): _*))
+              .write.partitionBy(partCols: _*)
           else if (partCols.isEmpty) df.coalesce(nOut).write
           else df.repartition(nOut, partCols.map(col): _*).write.partitionBy(partCols: _*)
         writer.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format).save(stageDir)

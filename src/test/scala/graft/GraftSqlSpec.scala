@@ -161,6 +161,43 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ex1.getMessage.contains(">= 2 dimensions"), s"wrong error: ${ex1.getMessage}")
   }
 
+  test("GRAFT OPTIMIZE ... WHERE scopes the rewrite to the selected partitions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("gsql_scope_out")
+    val ckpt = freshDir("gsql_scope_ckpt")
+    val stream = MemoryStream[(Long, String, Double)]
+    Seq(0L, 100L).foreach { lo =>
+      stream.addData((lo until lo + 100L).map(i =>
+        (i, if (i % 2 == 0) "click" else "view", i * 1.0)))
+      val q = StreamSinks.parquetSink(
+        stream.toDF().toDF("id", "etype", "v"), out, ckpt, Seq("etype"))
+      q.processAllAvailable(); q.stop()
+    }
+    def entries(part: String): Set[String] =
+      StreamSinks.committedFiles(spark, out, "parquet").filter(_.contains(s"etype=$part")).toSet
+    val viewBefore = entries("view")
+    val rep = spark
+      .sql(s"GRAFT OPTIMIZE '$out' SORT BY (id) WHERE etype = 'click'").collect()
+    assert(rep(0).getLong(0) >= 2, "scoped rewrite covered no files")
+    assert(rep(0).getLong(2) == viewBefore.size, "out-of-scope files not kept verbatim")
+    assert(entries("view") == viewBefore, "the unselected partition changed")
+    assert(entries("click").forall(_.contains("graft-compact-")))
+    assert(spark.read.parquet(out).count() == 200)
+    // a data-column scope predicate is refused loudly through SQL too
+    val ex = intercept[Exception] {
+      spark.sql(s"GRAFT OPTIMIZE '$out' WHERE v > 0").collect()
+    }
+    assert(ex.getMessage.contains("data column"), ex.getMessage)
+    // WHERE on an unpartitioned table names the real problem
+    val flat = buildTable()
+    val exFlat = intercept[Exception] {
+      spark.sql(s"GRAFT OPTIMIZE '$flat' WHERE id > 0").collect()
+    }
+    assert(exFlat.getMessage.contains("Hive-partitioned"), exFlat.getMessage)
+  }
+
   test("graft_table_version TVF time-travels an archived generation; live table unchanged") {
     graft.functions.GraftExtensions.register(spark)
     val out = buildTable()

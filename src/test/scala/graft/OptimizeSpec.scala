@@ -845,6 +845,98 @@ class OptimizeSpec extends AnyFunSuite {
       "the partition value itself must ride through the rewrite verbatim")
   }
 
+  test("partition-scoped OPTIMIZE rewrites only the selected partitions; refusals are loud") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("opt_scope_out")
+    val ckpt = freshDir("opt_scope_ckpt")
+    val stream = MemoryStream[Ev]
+    runBatch(stream, out, ckpt, (1L to 8L).map(i => ev(i, if (i % 2 == 0) "click" else "view")))
+    runBatch(stream, out, ckpt, (9L to 16L).map(i => ev(i, if (i % 2 == 0) "click" else "view")))
+    runBatch(stream, out, ckpt, (17L to 24L).map(i => ev(i, if (i % 2 == 0) "click" else "view")))
+    val before = spark.read.parquet(out).select("id", "etype", "value").collect().toSet
+    def entries(part: String): Set[String] =
+      StreamSinks.committedFiles(spark, out, "parquet").filter(_.contains(s"etype=$part")).toSet
+    val viewBefore = entries("view")
+    val clickBefore = entries("click")
+    assert(clickBefore.size >= 3 && viewBefore.size >= 3, "harness: want small files per partition")
+
+    // scoped COMPACTION: only click's small files repack; view's
+    // manifest entries ride through the swap verbatim
+    val rep = Optimize.optimizeSink(
+      spark, out, "parquet", smallFileBytes = 1024 * 1024,
+      partitionWhere = Some(col("etype") === "click"))
+    assert(rep.compactedFiles == clickBefore.size, "scope must cover exactly click's files")
+    assert(rep.keptFiles == viewBefore.size, "out-of-scope files must be kept verbatim")
+    assert(entries("view") == viewBefore, "untouched partition's manifest entries changed")
+    assert(entries("click").forall(_.contains("graft-compact-")), "click did not rewrite")
+    assert(spark.read.parquet(out).select("id", "etype", "value").collect().toSet == before)
+
+    // scoped SORT BY on the PARTITIONED table (the lifted refusal):
+    // view re-clusters key-sorted, click's compacted files stay put
+    val clickAfter = entries("click")
+    val rep2 = Optimize.optimizeSink(
+      spark, out, "parquet", targetFileBytes = 2048,
+      sortDims = Seq("id"), partitionWhere = Some(col("etype") === "view"))
+    assert(rep2.compactedFiles == viewBefore.size && rep2.keptFiles == clickAfter.size)
+    assert(entries("click") == clickAfter, "scoped re-cluster touched the other partition")
+    assert(spark.read.parquet(out).select("id", "etype", "value").collect().toSet == before)
+    // the re-clustered partition's files carry disjoint-ish key ranges
+    val boxes = spark.read.parquet(out)
+      .filter(col("etype") === "view")
+      .select(col("_metadata.file_path").as("f"), col("id"))
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("id").as("lo"),
+        org.apache.spark.sql.functions.max("id").as("hi"))
+      .collect()
+    if (boxes.length >= 2) {
+      val hit = boxes.count(r => r.getAs[Long]("hi") >= 1L && r.getAs[Long]("lo") <= 5L)
+      assert(hit < boxes.length, "scoped sort restored no key locality")
+    }
+
+    // refusals: a DATA-column scope predicate; a no-column predicate;
+    // a re-clustering key that IS a partition column; WHERE on an
+    // unpartitioned table; unscoped recluster on a partitioned table
+    val exData = intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out, "parquet",
+        partitionWhere = Some(col("value") > 0.0))
+    }
+    assert(exData.getMessage.contains("data column"), exData.getMessage)
+    intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out, "parquet", partitionWhere = Some(lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out, "parquet",
+        sortDims = Seq("etype"), partitionWhere = Some(col("etype") === "view"))
+    }
+    val (flat, _) = buildIdTable("scopeflat", Seq(0L))
+    val exFlat = intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, flat, "parquet", partitionWhere = Some(col("id") > 0L))
+    }
+    assert(exFlat.getMessage.contains("Hive-partitioned"), exFlat.getMessage)
+    val exUnscoped = intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out, "parquet", sortDims = Seq("id"))
+    }
+    assert(exUnscoped.getMessage.contains("partition predicate"), exUnscoped.getMessage)
+
+    // CRASH REPAIR across a scoped swap: manufacture the mid-swap state
+    // from the live (scoped-optimized) manifest — committed stage, no
+    // live manifest, junk backup — and roll forward; rows AND the
+    // untouched partition's entries survive
+    val meta = Paths.get(out, "_spark_metadata")
+    val stage = Paths.get(out, "_graft_optimize_stage_meta")
+    val bak = Paths.get(out, "_spark_metadata.bak")
+    val clickStable = entries("click")
+    Files.move(meta, stage)
+    Files.writeString(stage.resolve("_COMMITTED"), "")
+    Files.createDirectory(bak)
+    Files.writeString(bak.resolve("junk"), "old generation")
+    assert(Optimize.repairOptimize(spark, out) == "rolled-forward")
+    assert(spark.read.parquet(out).select("id", "etype", "value").collect().toSet == before)
+    assert(entries("click") == clickStable, "repair lost the untouched partition's entries")
+  }
+
   test("history version ids are never reused across expiry epochs") {
     val (out, _) = buildIdTable("vmax", Seq(0L, 100L))
     Optimize.deleteWhere(spark, out, col("id") === 0L)
