@@ -14,9 +14,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * intercepted BEFORE the delegate parser, everything else passes
   * through untouched.
   *
-  * Grammar (path literals single-quoted; case-insensitive keywords;
-  * WHERE/SET expressions parsed by Spark's OWN expression parser, so the
-  * full SQL expression language applies):
+  * Grammar (table references are single-quoted PATH literals or unquoted
+  * catalog NAMES — a name resolves via the session catalog to the
+  * registered external table's location, the reference's query-by-NAME
+  * guarantee extended to mutations, and the catalog relation refreshes
+  * after a by-name mutation so `spark.table(name)` serves the swapped
+  * manifest immediately; case-insensitive keywords; WHERE/SET
+  * expressions parsed by Spark's OWN expression parser, so the full SQL
+  * expression language applies):
   *
   *   GRAFT OPTIMIZE '<path>' [FORMAT '<fmt>'] [ZORDER BY (a, b[, c...])] [SORT BY (a[, b...])]
   *     [TARGET <n> MB] [WHERE <partition predicate>]
@@ -60,40 +65,77 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+  // Every statement's table reference is a quoted PATH ('…') or an
+  // unquoted catalog NAME ([db.]table) — the reference's query-by-NAME
+  // guarantee (README.md:13,17) extended to mutations: names resolve via
+  // the session catalog to the registered external table's location
+  // (StreamSinks.registerTable) at run() time. Two capture groups per
+  // reference: (path, name), exactly one non-null.
+  private val Ref = """(?:'([^']+)'|([A-Za-z_][\w.]*))"""
   private val Optimize =
     // ZORDER BY accepts ONE-or-more columns so a single-dimension z-order
     // reaches zOrderedN's targeted "needs >= 2 dimensions" require instead
     // of falling through to the generic unrecognized-statement error
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+SORT\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+TARGET\s+(\d+)\s+MB)?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+OPTIMIZE\s+""" + Ref + """(?:\s+FORMAT\s+'([^']+)')?(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+SORT\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?(?:\s+TARGET\s+(\d+)\s+MB)?(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
   private val Delete =
-    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+WHERE\s+(.+?)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+DELETE\s+FROM\s+""" + Ref + """(?:\s+FORMAT\s+'([^']+)')?\s+WHERE\s+(.+?)\s*;?\s*""").r
   private val Update =
-    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+SET\s+(.+?)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+UPDATE\s+""" + Ref + """(?:\s+FORMAT\s+'([^']+)')?\s+SET\s+(.+?)\s*;?\s*""").r
   private val Vacuum =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+VACUUM\s+""" + Ref + """(?:\s+FORMAT\s+'([^']+)')?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""").r
   private val Repair =
-    """(?is)\s*GRAFT\s+REPAIR\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+REPAIR\s+""" + Ref + """\s*;?\s*""").r
   private val Merge =
-    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+USING\s+([\w.]+)\s+ON\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)(?:\s+WHEN\s+MATCHED\s+UPDATE\s+SET\s+(.+?))?(\s+WHEN\s+NOT\s+MATCHED\s+IGNORE)?\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+MERGE\s+INTO\s+""" + Ref + """(?:\s+FORMAT\s+'([^']+)')?\s+USING\s+([\w.]+)\s+ON\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)(?:\s+WHEN\s+MATCHED\s+UPDATE\s+SET\s+(.+?))?(\s+WHEN\s+NOT\s+MATCHED\s+IGNORE)?\s*;?\s*""").r
   private val History =
-    """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
   private val Restore =
-    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'(?:\s+FORMAT\s+'([^']+)')?\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+RESTORE\s+""" + Ref + """(?:\s+FORMAT\s+'([^']+)')?\s+TO\s+VERSION\s+(\d+)\s*;?\s*""").r
   private val ExpireHistory =
-    """(?is)\s*GRAFT\s+EXPIRE\s+HISTORY\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+EXPIRE\s+HISTORY\s+""" + Ref + """\s+KEEP\s+(\d+)\s*;?\s*""").r
+
+  /** Resolve a statement's table reference to a filesystem location:
+    * quoted paths pass through; catalog names dereference to the
+    * registered table's location. Loud on unknown names and on views
+    * (a view has no location to mutate). */
+  private[plans] def loc(spark: SparkSession, ref: String, byName: Boolean): String =
+    if (!byName) ref
+    else {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(ref)
+      val catalog = spark.sessionState.catalog
+      // tableExists consults the EXTERNAL catalog only, so a temp view
+      // name lands on the unknown-table error — correct: a view has no
+      // storage location to mutate
+      require(catalog.tableExists(ident),
+        s"GRAFT: unknown table '$ref' — register the sink directory first " +
+          "(StreamSinks.registerTable) or pass a quoted '<path>'")
+      val meta = catalog.getTableMetadata(ident)
+      require(meta.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW,
+        s"GRAFT: '$ref' is a view — GRAFT DML mutates STORAGE; name a registered " +
+          "external table or pass a quoted '<path>'")
+      new org.apache.hadoop.fs.Path(meta.location).toString
+    }
+
+  /** After a by-name mutation, drop the catalog's cached relation/file
+    * listing so `spark.table(name)` immediately serves the swapped
+    * manifest. */
+  private[plans] def refreshIfNamed(spark: SparkSession, ref: String, byName: Boolean): Unit =
+    if (byName) spark.catalog.refreshTable(ref)
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case Optimize(path, fmt, z, s, tgt, where) =>
+      case Optimize(path, name, fmt, z, s, tgt, where) =>
         val zDims = Option(z).map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
         val sDims = Option(s).map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
         Option(where).foreach(delegate.parseExpression(_): Unit) // syntax-check at parse time
-        Some(GraftOptimizeCommand(path, Option(fmt).getOrElse("parquet"), zDims, sDims,
-          Option(tgt).map(_.toLong * 1024 * 1024), Option(where)))
-      case Delete(path, fmt, where) =>
+        Some(GraftOptimizeCommand(Option(path).getOrElse(name),
+          Option(fmt).getOrElse("parquet"), zDims, sDims,
+          Option(tgt).map(_.toLong * 1024 * 1024), Option(where), byName = path == null))
+      case Delete(path, name, fmt, where) =>
         delegate.parseExpression(where) // syntax-check NOW: parse errors surface at parse time
-        Some(GraftDeleteCommand(path, Option(fmt).getOrElse("parquet"), where))
-      case Update(path, fmt, rest) =>
+        Some(GraftDeleteCommand(Option(path).getOrElse(name),
+          Option(fmt).getOrElse("parquet"), where, byName = path == null))
+      case Update(path, name, fmt, rest) =>
         // the SET list and the statement's own WHERE split at the first
         // TOP-LEVEL `WHERE` token — a WHERE inside a subquery's parens or
         // a string literal belongs to its SET expression
@@ -103,22 +145,30 @@ object GraftSqlParser {
         val assigns = splitAssignments(setList)
         assigns.foreach { case (_, e) => delegate.parseExpression(e) }
         delegate.parseExpression(where)
-        Some(GraftUpdateCommand(path, Option(fmt).getOrElse("parquet"), assigns, where))
-      case Vacuum(path, fmt, grace) =>
-        Some(GraftVacuumCommand(path, Option(fmt).getOrElse("parquet"),
-          Option(grace).map(_.toLong * 60000L).getOrElse(10 * 60 * 1000L)))
-      case Repair(path) => Some(GraftRepairCommand(path))
-      case Merge(path, fmt, view, keys, matchedSet, noInsert) =>
+        Some(GraftUpdateCommand(Option(path).getOrElse(name),
+          Option(fmt).getOrElse("parquet"), assigns, where, byName = path == null))
+      case Vacuum(path, name, fmt, grace) =>
+        Some(GraftVacuumCommand(Option(path).getOrElse(name),
+          Option(fmt).getOrElse("parquet"),
+          Option(grace).map(_.toLong * 60000L).getOrElse(10 * 60 * 1000L),
+          byName = path == null))
+      case Repair(path, name) =>
+        Some(GraftRepairCommand(Option(path).getOrElse(name), byName = path == null))
+      case Merge(path, name, fmt, view, keys, matchedSet, noInsert) =>
         val assigns = Option(matchedSet).map(splitAssignments).getOrElse(Nil)
         assigns.foreach { case (_, e) => delegate.parseExpression(e) }
-        Some(GraftMergeCommand(path, Option(fmt).getOrElse("parquet"), view,
+        Some(GraftMergeCommand(Option(path).getOrElse(name),
+          Option(fmt).getOrElse("parquet"), view,
           keys.split(',').map(_.trim).toSeq, assigns,
-          insertNotMatched = Option(noInsert).isEmpty))
-      case History(path) => Some(GraftHistoryCommand(path))
-      case Restore(path, fmt, version) =>
-        Some(GraftRestoreCommand(path, Option(fmt).getOrElse("parquet"), version.toLong))
-      case ExpireHistory(path, keep) =>
-        Some(GraftExpireHistoryCommand(path, keep.toInt))
+          insertNotMatched = Option(noInsert).isEmpty, byName = path == null))
+      case History(path, name) =>
+        Some(GraftHistoryCommand(Option(path).getOrElse(name), byName = path == null))
+      case Restore(path, name, fmt, version) =>
+        Some(GraftRestoreCommand(Option(path).getOrElse(name),
+          Option(fmt).getOrElse("parquet"), version.toLong, byName = path == null))
+      case ExpireHistory(path, name, keep) =>
+        Some(GraftExpireHistoryCommand(Option(path).getOrElse(name), keep.toInt,
+          byName = path == null))
       case t if t.trim.toUpperCase.startsWith("GRAFT ") =>
         throw new ParseException(
           command = Some(t),
@@ -195,45 +245,53 @@ private object GraftCommandOutput {
 
 case class GraftOptimizeCommand(
     path: String, format: String, zOrderDims: Seq[String], sortDims: Seq[String],
-    targetFileBytes: Option[Long] = None, whereSql: Option[String] = None)
+    targetFileBytes: Option[Long] = None, whereSql: Option[String] = None,
+    byName: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.report
   override def run(spark: SparkSession): Seq[Row] = {
     val r = graft.streaming.Optimize.optimizeSink(
-      spark, path, format,
+      spark, GraftSqlParser.loc(spark, path, byName), format,
       targetFileBytes = targetFileBytes.getOrElse(128L * 1024 * 1024),
       zOrderDimsN = zOrderDims, sortDims = sortDims,
       partitionWhere = whereSql.map(org.apache.spark.sql.functions.expr))
+    GraftSqlParser.refreshIfNamed(spark, path, byName)
     Seq(Row(r.compactedFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }
 }
 
-case class GraftDeleteCommand(path: String, format: String, whereSql: String)
+case class GraftDeleteCommand(
+    path: String, format: String, whereSql: String, byName: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.report
   override def run(spark: SparkSession): Seq[Row] = {
     val r = graft.streaming.Optimize.deleteWhere(
-      spark, path, org.apache.spark.sql.functions.expr(whereSql), format)
+      spark, GraftSqlParser.loc(spark, path, byName),
+      org.apache.spark.sql.functions.expr(whereSql), format)
+    GraftSqlParser.refreshIfNamed(spark, path, byName)
     Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }
 }
 
 case class GraftUpdateCommand(
-    path: String, format: String, set: Seq[(String, String)], whereSql: String)
+    path: String, format: String, set: Seq[(String, String)], whereSql: String,
+    byName: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.report
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
     val r = graft.streaming.Optimize.updateWhere(
-      spark, path, expr(whereSql),
+      spark, GraftSqlParser.loc(spark, path, byName), expr(whereSql),
       set.map { case (c, e) => c -> expr(e) }.toMap, format)
+    GraftSqlParser.refreshIfNamed(spark, path, byName)
     Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }
 }
 
 case class GraftMergeCommand(
     path: String, format: String, sourceView: String, keyCols: Seq[String],
-    matchedSet: Seq[(String, String)] = Nil, insertNotMatched: Boolean = true)
+    matchedSet: Seq[(String, String)] = Nil, insertNotMatched: Boolean = true,
+    byName: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.report
   override def run(spark: SparkSession): Seq[Row] = {
@@ -242,23 +300,26 @@ case class GraftMergeCommand(
       if (matchedSet.isEmpty) None
       else Some(matchedSet.map { case (c, e) => c -> expr(e) }.toMap)
     val r = graft.streaming.Optimize.mergeInto(
-      spark, path, spark.table(sourceView), keyCols, format,
+      spark, GraftSqlParser.loc(spark, path, byName), spark.table(sourceView), keyCols, format,
       matchedSet = set, insertNotMatched = insertNotMatched)
+    GraftSqlParser.refreshIfNamed(spark, path, byName)
     Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }
 }
 
-case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
+case class GraftHistoryCommand(path: String, byName: Boolean = false)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("files", LongType, nullable = false)(),
     AttributeReference("modified_ms", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    graft.streaming.Optimize.listVersions(spark, path)
+    graft.streaming.Optimize.listVersions(spark, GraftSqlParser.loc(spark, path, byName))
       .map(v => Row(v.version, v.files.toLong, v.modifiedMs))
 }
 
-case class GraftRestoreCommand(path: String, format: String, version: Long)
+case class GraftRestoreCommand(
+    path: String, format: String, version: Long, byName: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("restored_version", LongType, nullable = false)(),
@@ -266,30 +327,41 @@ case class GraftRestoreCommand(path: String, format: String, version: Long)
     AttributeReference("archived_current_as", LongType, nullable = false)(),
     AttributeReference("latest_batch_id", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val r = graft.streaming.Optimize.restoreTable(spark, path, version, format)
+    val r = graft.streaming.Optimize.restoreTable(
+      spark, GraftSqlParser.loc(spark, path, byName), version, format)
+    GraftSqlParser.refreshIfNamed(spark, path, byName)
     Seq(Row(r.restoredVersion, r.restoredFiles.toLong, r.archivedCurrentAs, r.latestBatchId))
   }
 }
 
-case class GraftExpireHistoryCommand(path: String, keep: Int) extends LeafRunnableCommand {
+case class GraftExpireHistoryCommand(path: String, keep: Int, byName: Boolean = false)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("expired_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    graft.streaming.Optimize.expireHistory(spark, path, keep).map(Row(_))
+    graft.streaming.Optimize
+      .expireHistory(spark, GraftSqlParser.loc(spark, path, byName), keep).map(Row(_))
 }
 
-case class GraftVacuumCommand(path: String, format: String, graceMs: Long)
+case class GraftVacuumCommand(
+    path: String, format: String, graceMs: Long, byName: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("swept_file", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    graft.streaming.StreamSinks.vacuum(spark, path, format, dryRun = false, graceMs)
+    graft.streaming.StreamSinks.vacuum(
+      spark, GraftSqlParser.loc(spark, path, byName), format, dryRun = false, graceMs)
       .map(Row(_))
 }
 
-case class GraftRepairCommand(path: String) extends LeafRunnableCommand {
+case class GraftRepairCommand(path: String, byName: Boolean = false)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("status", StringType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.streaming.Optimize.repairOptimize(spark, path)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val status =
+      graft.streaming.Optimize.repairOptimize(spark, GraftSqlParser.loc(spark, path, byName))
+    GraftSqlParser.refreshIfNamed(spark, path, byName)
+    Seq(Row(status))
+  }
 }

@@ -1381,6 +1381,53 @@ object FileIO {
         .orderBy(col("o_orderstatus"))
     },
 
+    // CATALOG-NAME DML gate (r17 — the reference's query-by-NAME
+    // guarantee extended to MUTATIONS): the sink directory registers as
+    // an external catalog table, `GRAFT DELETE FROM <name>` resolves the
+    // name to the table's location through the session catalog, and the
+    // read-back is `spark.table(<name>)` — so a green hash ALSO proves
+    // the catalog read serves the swapped manifest (committed survivors
+    // only), not a plain listing of live + retired generations. Shares
+    // table_delete_cow's oracle BY REFERENCE: one contract for the path
+    // and name spellings.
+    "sql_delete_by_name" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_delete_byname")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"),
+          col("o_orderpriority"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val name = s"graft_byname_orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.streaming.StreamSinks.registerTable(spark, name, tbl, "parquet", Nil)
+      spark.sql(s"GRAFT DELETE FROM $name WHERE pmod(o_orderkey, 10) < 3").collect(): Unit
+      spark.table(name)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ROW-LEVEL UPDATE gate (r15 — updateWhere's oracle twin on the
     // same recipe; the SET is a constant so reruns stay idempotent).
     "table_update_cow" -> { (spark, dir) =>
@@ -1917,6 +1964,7 @@ object FileIO {
     "sql_time_travel" -> fullOrdersAggOracle,
     "table_delete_cow" -> deleteCowOracle,
     "sql_delete_cow" -> deleteCowOracle,
+    "sql_delete_by_name" -> deleteCowOracle,
     "table_update_cow" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0

@@ -161,6 +161,40 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ex1.getMessage.contains(">= 2 dimensions"), s"wrong error: ${ex1.getMessage}")
   }
 
+  test("catalog-name GRAFT DML: register, DELETE by name, table read sees it, RESTORE by name") {
+    val out = buildTable()
+    val name = "graft_sql_byname"
+    StreamSinks.registerTable(spark, name, out, "parquet", Nil)
+    assert(spark.table(name).count() == 300)
+
+    val rep = spark.sql(s"GRAFT DELETE FROM $name WHERE id < 100").collect()
+    assert(rep(0).getLong(0) >= 1, "by-name delete rewrote no files")
+    // the catalog read must serve the SWAPPED manifest — committed
+    // survivors only, never live + retired generations together
+    assert(spark.table(name).count() == 200, "spark.table did not see the by-name mutation")
+    assert(spark.read.parquet(out).count() == 200, "path read disagrees with the name read")
+
+    // HISTORY and RESTORE by the same name complete the lifecycle
+    val v = spark.sql(s"GRAFT HISTORY $name").collect().map(_.getLong(0)).max
+    spark.sql(s"GRAFT RESTORE $name TO VERSION $v").collect(): Unit
+    assert(spark.table(name).count() == 300, "by-name restore did not surface")
+
+    // unknown names and views are refused loudly
+    val exU = intercept[Exception] {
+      spark.sql("GRAFT DELETE FROM no_such_graft_table WHERE id < 1").collect()
+    }
+    assert(exU.getMessage.contains("unknown table"), exU.getMessage)
+    spark.sql(s"CREATE OR REPLACE VIEW graft_byname_view AS SELECT * FROM $name")
+    val exV = intercept[Exception] {
+      spark.sql("GRAFT DELETE FROM graft_byname_view WHERE id < 1").collect()
+    }
+    assert(exV.getMessage.toLowerCase.contains("view"), exV.getMessage)
+
+    // the quoted-path spelling stays green next to the name spelling
+    spark.sql(s"GRAFT DELETE FROM '$out' WHERE id >= 250").collect(): Unit
+    assert(spark.read.parquet(out).count() == 250)
+  }
+
   test("GRAFT OPTIMIZE ... WHERE scopes the rewrite to the selected partitions") {
     val s = spark
     import s.implicits._
