@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   GRAFT UPDATE '<path>' [FORMAT '<fmt>'] SET c1 = <expr>[, ...] WHERE <expr>
   *   GRAFT MERGE INTO '<path>' [FORMAT '<fmt>'] USING <viewName> ON (k1[, k2...])
   *     [WHEN MATCHED UPDATE SET c1 = <expr>[, ...]] [WHEN NOT MATCHED IGNORE]
+  *     [WHEN NOT MATCHED BY SOURCE DELETE]
   *   GRAFT VACUUM '<path>' [FORMAT '<fmt>'] [GRACE <n> MINUTES]
   *   GRAFT REPAIR '<path>'
   *   GRAFT HISTORY '<path>'
@@ -86,7 +87,7 @@ object GraftSqlParser {
   private val Repair =
     ("""(?is)\s*GRAFT\s+REPAIR\s+""" + Ref + """\s*;?\s*""").r
   private val Merge =
-    ("""(?is)\s*GRAFT\s+MERGE\s+INTO\s+""" + Ref + """(?:\s+FORMAT\s+'([^']+)')?\s+USING\s+([\w.]+)\s+ON\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)(?:\s+WHEN\s+MATCHED\s+UPDATE\s+SET\s+(.+?))?(\s+WHEN\s+NOT\s+MATCHED\s+IGNORE)?\s*;?\s*""").r
+    ("""(?is)\s*GRAFT\s+MERGE\s+INTO\s+""" + Ref + """(?:\s+FORMAT\s+'([^']+)')?\s+USING\s+([\w.]+)\s+ON\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)(?:\s+WHEN\s+MATCHED\s+UPDATE\s+SET\s+(.+?))?(\s+WHEN\s+NOT\s+MATCHED\s+IGNORE)?(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+DELETE)?\s*;?\s*""").r
   private val History =
     ("""(?is)\s*GRAFT\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
   private val Restore =
@@ -154,13 +155,14 @@ object GraftSqlParser {
           byName = path == null))
       case Repair(path, name) =>
         Some(GraftRepairCommand(Option(path).getOrElse(name), byName = path == null))
-      case Merge(path, name, fmt, view, keys, matchedSet, noInsert) =>
+      case Merge(path, name, fmt, view, keys, matchedSet, noInsert, syncDelete) =>
         val assigns = Option(matchedSet).map(splitAssignments).getOrElse(Nil)
         assigns.foreach { case (_, e) => delegate.parseExpression(e) }
         Some(GraftMergeCommand(Option(path).getOrElse(name),
           Option(fmt).getOrElse("parquet"), view,
           keys.split(',').map(_.trim).toSeq, assigns,
-          insertNotMatched = Option(noInsert).isEmpty, byName = path == null))
+          insertNotMatched = Option(noInsert).isEmpty,
+          deleteNotMatchedBySource = Option(syncDelete).nonEmpty, byName = path == null))
       case History(path, name) =>
         Some(GraftHistoryCommand(Option(path).getOrElse(name), byName = path == null))
       case Restore(path, name, fmt, version) =>
@@ -291,7 +293,7 @@ case class GraftUpdateCommand(
 case class GraftMergeCommand(
     path: String, format: String, sourceView: String, keyCols: Seq[String],
     matchedSet: Seq[(String, String)] = Nil, insertNotMatched: Boolean = true,
-    byName: Boolean = false)
+    deleteNotMatchedBySource: Boolean = false, byName: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.report
   override def run(spark: SparkSession): Seq[Row] = {
@@ -301,7 +303,8 @@ case class GraftMergeCommand(
       else Some(matchedSet.map { case (c, e) => c -> expr(e) }.toMap)
     val r = graft.streaming.Optimize.mergeInto(
       spark, GraftSqlParser.loc(spark, path, byName), spark.table(sourceView), keyCols, format,
-      matchedSet = set, insertNotMatched = insertNotMatched)
+      matchedSet = set, insertNotMatched = insertNotMatched,
+      deleteNotMatchedBySource = deleteNotMatchedBySource)
     GraftSqlParser.refreshIfNamed(spark, path, byName)
     Seq(Row(r.rewrittenFiles.toLong, r.outputFiles.toLong, r.keptFiles.toLong, r.latestBatchId))
   }

@@ -1573,6 +1573,62 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // FULL-SYNC MERGE gate (r17 — `WHEN NOT MATCHED BY SOURCE DELETE`
+    // completes the MERGE triad): ONE merge applies updates (keys
+    // %10 < 2 zero their cents), inserts (offset keys), AND deletes
+    // every table row absent from the source (keys %10 >= 5) in a
+    // single staged-manifest swap — the full-sync CDC shape ("make the
+    // table equal the source"). The oracle recomputes the final state
+    // as CASE + anti-filter + UNION ALL from the raw table.
+    // Rerun-idempotent: after the first pass every table row is in the
+    // source, so the second pass re-applies identical values and
+    // deletes nothing.
+    "table_merge_sync" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_merge_sync")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val updatesAndKeeps = o
+        .filter(pmod(col("o_orderkey"), lit(10L)) < 5L)
+        .select(
+          col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(10L)) < 2L, lit(0L)).otherwise(col("cents"))
+            .as("cents"),
+          col("o_orderstatus"))
+      val inserts = o
+        .filter(pmod(col("o_orderkey"), lit(100L)) === 0L)
+        .select(
+          (col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          lit(42L).as("cents"),
+          lit("X").as("o_orderstatus"))
+      graft.streaming.Optimize.mergeInto(
+        spark, tbl, updatesAndKeeps.unionByName(inserts), Seq("o_orderkey"),
+        deleteNotMatchedBySource = true)
+      spark.read
+        .parquet(tbl)
+        .select(col("o_orderkey"), col("cents"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // COLUMN-LEVEL MERGE gate (r16 — `WHEN MATCHED UPDATE SET` over a
     // PARTIAL-COLUMN source, oracle-gated): the source carries only the
     // key and a cap column, the SET expression mixes both sides
@@ -1950,6 +2006,20 @@ object FileIO {
         |ORDER BY o_orderkey""".stripMargin,
     "table_merge_cow" -> mergeCowOracle,
     "stream_upsert_cdc" -> mergeCowOracle,
+    // the full-sync final state: updated keeps + inserts, source-absent
+    // keys (o_orderkey % 10 >= 5) deleted
+    "table_merge_sync" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 0
+        |         ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 10 < 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, CAST(42 AS BIGINT) AS cents,
+        |    'X' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "table_merge_cols" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 < 2

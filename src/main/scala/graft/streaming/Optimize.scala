@@ -717,6 +717,15 @@ object Optimize {
     *    rewrite) — requires the source to carry the full table schema.
     *    `insertNotMatched = false` skips them (an update-only merge, the
     *    natural pairing for a partial-column source).
+    *  - `deleteNotMatchedBySource = true` adds the third MERGE clause
+    *    (`WHEN NOT MATCHED BY SOURCE DELETE`, r17 — full-sync CDC): table
+    *    rows whose keys are ABSENT from the source are deleted in the
+    *    SAME one-swap commit. Hit-file discovery gains an anti-join leg
+    *    (files holding only source-absent rows must rewrite too — to
+    *    nothing, like a full-match deleteWhere file), so a full sync is
+    *    honestly O(files holding any row), i.e. usually the whole table:
+    *    the cost of "make the table equal the source" is the table, and
+    *    the gate/spec pin that rather than hide it.
     *  - Untouched files keep their manifest entries verbatim; the swap,
     *    repair, writer-resume and vacuum story are [[optimizeSink]]'s.
     *
@@ -742,7 +751,8 @@ object Optimize {
       targetFileBytes: Long = 128L * 1024 * 1024,
       maxBroadcastBytes: Long = 64L * 1024 * 1024,
       matchedSet: Option[Map[String, Column]] = None,
-      insertNotMatched: Boolean = true
+      insertNotMatched: Boolean = true,
+      deleteNotMatchedBySource: Boolean = false
   ): DeleteReport = {
     require(keyCols.nonEmpty, "mergeInto: empty key column list")
     val (fs, latestId, all) = guardAndOpen(spark, path, "mergeInto")
@@ -804,14 +814,28 @@ object Optimize {
     val srcKeys = source.select(keyCols.map(col): _*)
     // the _metadata column must be projected BEFORE the join — it exists
     // only directly on the file-source relation
-    val hitKeys = table
+    val fileKeyed = table
       .select(col("_metadata.file_path").as("__graft_file") +: keyCols.map(col): _*)
+    val matchedFiles = fileKeyed
       .join(gated(srcKeys), keyCols)
       .select(col("__graft_file"))
       .distinct()
       .collect()
       .map(r => normKey(r.getString(0)))
       .toSet
+    // NOT MATCHED BY SOURCE: files holding any source-ABSENT row must
+    // rewrite too (their copies simply omit those rows) — the anti-join
+    // leg of hit-file discovery
+    val antiFiles =
+      if (!deleteNotMatchedBySource) Set.empty[String]
+      else fileKeyed
+        .join(gated(srcKeys), keyCols, "left_anti")
+        .select(col("__graft_file"))
+        .distinct()
+        .collect()
+        .map(r => normKey(r.getString(0)))
+        .toSet
+    val hitKeys = matchedFiles ++ antiFiles
     val (hit, untouched) = all.partition(e => hitKeys.contains(normKey(e.path)))
     require(hit.size == hitKeys.size,
       s"mergeInto($path): ${hitKeys.size} matched files but ${hit.size} manifest entries — " +
@@ -870,6 +894,9 @@ object Optimize {
           (hit.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
         stageRewrite(spark, fs, path, format, hitPaths, "graft-merge") {
           (df, partCols, stageDir) =>
+            // NOT MATCHED BY SOURCE DELETE keeps only matched rows of a
+            // rewritten file (the survivors filter rides the SAME match
+            // flag the replacement keys on)
             val merged = matchedSet match {
               case None =>
                 val srcPrefixed = gated(
@@ -881,13 +908,16 @@ object Optimize {
                 // replacement keys on the MATCH FLAG, not value coalesce —
                 // a legitimately-NULL source value must land as NULL, not
                 // fall back to the old value
-                df.join(srcPrefixed, joinCond, "left")
-                  .select(cols.map { c =>
-                    org.apache.spark.sql.functions
-                      .when(col("__src_matched").isNotNull, col(s"__src_$c"))
-                      .otherwise(col(c))
-                      .cast(df.schema(c).dataType).as(c)
-                  }: _*)
+                val joined = df.join(srcPrefixed, joinCond, "left")
+                val survivors =
+                  if (deleteNotMatchedBySource) joined.filter(col("__src_matched").isNotNull)
+                  else joined
+                survivors.select(cols.map { c =>
+                  org.apache.spark.sql.functions
+                    .when(col("__src_matched").isNotNull, col(s"__src_$c"))
+                    .otherwise(col(c))
+                    .cast(df.schema(c).dataType).as(c)
+                }: _*)
               case Some(set) =>
                 // column-level WHEN MATCHED UPDATE SET: the join exposes
                 // the table row as `t` and the source row as `s`; every
@@ -897,17 +927,21 @@ object Optimize {
                 val joinCond = keyCols
                   .map(k => col(s"t.$k") === col(s"s.$k"))
                   .reduce(_ && _)
-                df.alias("t").join(srcS, joinCond, "left")
-                  .select(cols.map { c =>
-                    set.get(c) match {
-                      case Some(e) =>
-                        org.apache.spark.sql.functions
-                          .when(col("s.__graft_matched").isNotNull, e)
-                          .otherwise(col(s"t.$c"))
-                          .cast(df.schema(c).dataType).as(c)
-                      case None => col(s"t.$c").as(c)
-                    }
-                  }: _*)
+                val joined = df.alias("t").join(srcS, joinCond, "left")
+                val survivors =
+                  if (deleteNotMatchedBySource)
+                    joined.filter(col("s.__graft_matched").isNotNull)
+                  else joined
+                survivors.select(cols.map { c =>
+                  set.get(c) match {
+                    case Some(e) =>
+                      org.apache.spark.sql.functions
+                        .when(col("s.__graft_matched").isNotNull, e)
+                        .otherwise(col(s"t.$c"))
+                        .cast(df.schema(c).dataType).as(c)
+                    case None => col(s"t.$c").as(c)
+                  }
+                }: _*)
             }
             val writer =
               if (partCols.isEmpty) merged.coalesce(nOut).write

@@ -161,6 +161,21 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ex1.getMessage.contains(">= 2 dimensions"), s"wrong error: ${ex1.getMessage}")
   }
 
+  test("GRAFT MERGE ... WHEN NOT MATCHED BY SOURCE DELETE full-syncs through SQL") {
+    val s = spark
+    import s.implicits._
+    val out = buildTable() // ids 0..299
+    (0L until 100L).map(i => (i, -1.0)).toDF("id", "v")
+      .createOrReplaceTempView("graft_sync_src")
+    val rep = spark.sql(
+      s"GRAFT MERGE INTO '$out' USING graft_sync_src ON (id) " +
+        "WHEN NOT MATCHED BY SOURCE DELETE").collect()
+    assert(rep(0).getLong(0) >= 1)
+    val t = spark.read.parquet(out)
+    assert(t.count() == 100, "SQL full sync must land the source row count")
+    assert(t.filter("v = -1.0").count() == 100, "matched rows not replaced")
+  }
+
   test("catalog-name GRAFT DML: register, DELETE by name, table read sees it, RESTORE by name") {
     val out = buildTable()
     val name = "graft_sql_byname"

@@ -798,6 +798,47 @@ class OptimizeSpec extends AnyFunSuite {
     assert(t2.filter("id = 900 AND v = 9.0").count() == 1)
   }
 
+  test("mergeInto WHEN NOT MATCHED BY SOURCE DELETE: full sync in one swap; guards intact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    val (out, _) = buildIdTable("mrgsync", Seq(0L, 100L, 200L)) // ids 0..299
+    val keeps = (0L until 150L).map(i => (i, if (i < 50) -1.0 * i else i * 1.0))
+    val source = (keeps :+ ((900L, 9.0))).toDF("id", "v")
+    Optimize.mergeInto(spark, out, source, Seq("id"), deleteNotMatchedBySource = true): Unit
+    val t = spark.read.parquet(out)
+    assert(t.count() == 151, "full sync must land exactly the source's row count")
+    assert(t.filter("id >= 150 AND id < 900").count() == 0, "source-absent rows survived")
+    assert(t.filter("id = 900 AND v = 9.0").count() == 1, "insert missing")
+    assert(t.filter("id = 10 AND v = -10.0").count() == 1, "update not applied")
+    assert(t.filter("id = 100 AND v = 100.0").count() == 1, "an untouched keep row changed")
+
+    // replay-idempotent: every table row is now in the source
+    Optimize.mergeInto(spark, out, source, Seq("id"), deleteNotMatchedBySource = true): Unit
+    assert(spark.read.parquet(out).count() == 151)
+
+    // the cardinality guard and the whole-row schema rule hold under sync
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, Seq((1L, 1.0), (1L, 2.0)).toDF("id", "v"), Seq("id"),
+        deleteNotMatchedBySource = true)
+    }
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, Seq((1L, 5.0)).toDF("id", "delta"), Seq("id"),
+        deleteNotMatchedBySource = true)
+    }
+
+    // column-level SET + sync over a partial-column source: matched rows
+    // take the SET, source-absent rows delete, nothing inserts
+    val colSrc = (0L until 100L).map(i => (i, 1.0)).toDF("id", "delta")
+    Optimize.mergeInto(spark, out, colSrc, Seq("id"),
+      matchedSet = Some(Map("v" -> expr("t.v + s.delta"))), insertNotMatched = false,
+      deleteNotMatchedBySource = true): Unit
+    val t2 = spark.read.parquet(out)
+    assert(t2.count() == 100, "sync delete under a column-level merge missed rows")
+    assert(t2.filter("id = 10 AND v = -9.0").count() == 1, "SET not applied on the old value")
+    assert(t2.filter("id = 60 AND v = 61.0").count() == 1)
+  }
+
   test("mergeInto SET guards refuse partition-column reads and writes") {
     val s = spark
     import s.implicits._
