@@ -1672,6 +1672,61 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // MERGE SCHEMA-EVOLUTION gate (r17 — a source shipping a NEW column
+    // EVOLVES the live manifest table through the whole-row merge):
+    // matched rows take the new column's source values, inserts carry
+    // it, non-matched rows — in rewritten AND untouched files alike —
+    // read as typed NULLs under the mergeSchema read, and untouched
+    // files keep their old schema verbatim (no O(table) backfill). The
+    // oracle recomputes legacy-nulls + new values from the raw table.
+    // Rerun-idempotent: a replayed merge re-applies identical values
+    // onto the already-evolved files.
+    "table_merge_evolve" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "cow_merge_evolve")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val updates = o
+        .filter(pmod(col("o_orderkey"), lit(10L)) < 2L)
+        .select(
+          col("o_orderkey"), lit(0L).as("cents"), col("o_orderstatus"),
+          pmod(col("o_orderkey"), lit(3L)).as("tier")) // the NEW column
+      val inserts = o
+        .filter(pmod(col("o_orderkey"), lit(100L)) === 0L)
+        .select(
+          (col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          lit(42L).as("cents"),
+          lit("X").as("o_orderstatus"),
+          lit(7L).as("tier"))
+      graft.streaming.Optimize.mergeInto(
+        spark, tbl, updates.unionByName(inserts), Seq("o_orderkey"),
+        evolveSchema = true)
+      spark.read
+        .option("mergeSchema", "true")
+        .parquet(tbl)
+        .select(col("o_orderkey"), col("cents"), col("o_orderstatus"), col("tier"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // TABLE HISTORY + RESTORE gate (r16 — every manifest swap archives
     // the outgoing generation; RESTORE swaps an archived version back
     // in, itself archived so it is undoable): a DELETE removes a key
@@ -2027,6 +2082,22 @@ object FileIO {
         |       ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents,
         |  o_orderstatus
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // legacy rows read NULL for the evolved column; matched rows carry
+    // the source's values, inserts their literal
+    "table_merge_evolve" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 0
+        |         ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents,
+        |    o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN o_orderkey % 3
+        |         ELSE CAST(NULL AS BIGINT) END AS tier
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, CAST(42 AS BIGINT) AS cents,
+        |    'X' AS o_orderstatus, CAST(7 AS BIGINT) AS tier
+        |  FROM orders WHERE o_orderkey % 100 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     // restore-after-delete ≡ the untouched table; the time-travel read
     // of the pre-delete version shares the contract BY REFERENCE

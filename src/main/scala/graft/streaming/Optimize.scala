@@ -717,6 +717,19 @@ object Optimize {
     *    rewrite) — requires the source to carry the full table schema.
     *    `insertNotMatched = false` skips them (an update-only merge, the
     *    natural pairing for a partial-column source).
+    *  - `evolveSchema = true` (r17) lets a source with NEW columns
+    *    EVOLVE the table through a whole-row merge: the new columns
+    *    (add-only — a shared column changing TYPE is refused loudly)
+    *    append to the rewritten and inserted files, matched rows take
+    *    their source values, non-matched rows in rewritten files carry
+    *    typed NULLs, and UNTOUCHED files keep their old schema verbatim
+    *    — read the evolved table with `mergeSchema` (the
+    *    schema_evolution gate's machinery), exactly like a mid-stream
+    *    producer upgrade. Cost is unchanged: evolution rides the same
+    *    copy-on-write rewrite, never an O(table) backfill; a later
+    *    OPTIMIZE homogenizes the schema as a side effect of compaction.
+    *    Whole-row merges only (the Delta updateAll/insertAll rule) —
+    *    a column-level `matchedSet` with evolution is refused.
     *  - `deleteNotMatchedBySource = true` adds the third MERGE clause
     *    (`WHEN NOT MATCHED BY SOURCE DELETE`, r17 — full-sync CDC): table
     *    rows whose keys are ABSENT from the source are deleted in the
@@ -752,7 +765,8 @@ object Optimize {
       maxBroadcastBytes: Long = 64L * 1024 * 1024,
       matchedSet: Option[Map[String, Column]] = None,
       insertNotMatched: Boolean = true,
-      deleteNotMatchedBySource: Boolean = false
+      deleteNotMatchedBySource: Boolean = false,
+      evolveSchema: Boolean = false
   ): DeleteReport = {
     require(keyCols.nonEmpty, "mergeInto: empty key column list")
     val (fs, latestId, all) = guardAndOpen(spark, path, "mergeInto")
@@ -763,12 +777,33 @@ object Optimize {
     val table = spark.read.format(format).load(path)
     require(keyCols.forall(source.columns.contains) && keyCols.forall(table.columns.contains),
       s"mergeInto: key columns ${keyCols.mkString(",")} must exist on both sides")
+    // add-only schema evolution: new source columns append; shared
+    // columns must keep their types (a type CHANGE silently corrupting
+    // old files' reads is the hazard evolution must refuse)
+    val newCols: Seq[String] =
+      if (evolveSchema) source.columns.toSeq.filterNot(table.columns.contains) else Nil
     matchedSet match {
+      case None if evolveSchema =>
+        require(table.columns.forall(source.columns.contains),
+          s"mergeInto: schema evolution is ADD-ONLY — the source must still carry every " +
+            s"existing column (missing: " +
+            s"${table.columns.filterNot(source.columns.contains).mkString(",")})")
+        table.columns.foreach { c =>
+          val tt = table.schema(c).dataType
+          val st = source.schema(c).dataType
+          require(tt == st,
+            s"mergeInto: schema evolution is ADD-ONLY — column $c changes type $tt -> $st; " +
+              "evolve by adding columns, never by retyping (old files would misread)")
+        }
       case None =>
         require(table.columns.sorted.sameElements(source.columns.sorted),
           s"mergeInto: source schema ${source.columns.sorted.mkString(",")} must match the " +
-            s"table's ${table.columns.sorted.mkString(",")} (whole-row replacement)")
+            s"table's ${table.columns.sorted.mkString(",")} (whole-row replacement; pass " +
+            "evolveSchema = true to ADD the new columns)")
       case Some(set) =>
+        require(!evolveSchema,
+          "mergeInto: schema evolution applies to WHOLE-ROW merges (the updateAll/insertAll " +
+            "shape) — drop matchedSet or drop evolveSchema")
         require(set.nonEmpty, "mergeInto: empty WHEN MATCHED UPDATE SET")
         set.keys.foreach { c =>
           require(table.columns.contains(c),
@@ -841,7 +876,7 @@ object Optimize {
       s"mergeInto($path): ${hitKeys.size} matched files but ${hit.size} manifest entries — " +
         "scan and manifest disagree; refusing to rewrite")
 
-    val cols = table.columns.toIndexedSeq
+    val cols = (table.columns.toSeq ++ newCols).toIndexedSeq
     val uuid = java.util.UUID.randomUUID().toString.take(8)
 
     // not-matched inserts append as new files — no rewrite, pure add
@@ -899,16 +934,27 @@ object Optimize {
             // flag the replacement keys on)
             val merged = matchedSet match {
               case None =>
+                // schema evolution: the OLD files' frame gains the new
+                // columns as typed NULLs, so non-matched rows in a
+                // rewritten file read as legacy (null) exactly like rows
+                // in untouched files do under mergeSchema. Missing
+                // columns are computed against the ACTUAL hit-file frame
+                // (not the table's sampled schema): a later merge may
+                // rewrite legacy files of an already-evolved table, and
+                // a replayed merge reads already-evolved hit files —
+                // both land on the same result.
+                val dfE = cols.filterNot(df.columns.contains).foldLeft(df)((d, c) =>
+                  d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
                 val srcPrefixed = gated(
                   source.select(cols.map(c => col(c).as(s"__src_$c")) :+
                     lit(true).as("__src_matched"): _*))
                 val joinCond = keyCols
-                  .map(k => df(k) === srcPrefixed(s"__src_$k"))
+                  .map(k => dfE(k) === srcPrefixed(s"__src_$k"))
                   .reduce(_ && _)
                 // replacement keys on the MATCH FLAG, not value coalesce —
                 // a legitimately-NULL source value must land as NULL, not
                 // fall back to the old value
-                val joined = df.join(srcPrefixed, joinCond, "left")
+                val joined = dfE.join(srcPrefixed, joinCond, "left")
                 val survivors =
                   if (deleteNotMatchedBySource) joined.filter(col("__src_matched").isNotNull)
                   else joined
@@ -916,7 +962,7 @@ object Optimize {
                   org.apache.spark.sql.functions
                     .when(col("__src_matched").isNotNull, col(s"__src_$c"))
                     .otherwise(col(c))
-                    .cast(df.schema(c).dataType).as(c)
+                    .cast(dfE.schema(c).dataType).as(c)
                 }: _*)
               case Some(set) =>
                 // column-level WHEN MATCHED UPDATE SET: the join exposes

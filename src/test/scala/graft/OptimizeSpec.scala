@@ -839,6 +839,69 @@ class OptimizeSpec extends AnyFunSuite {
     assert(t2.filter("id = 60 AND v = 61.0").count() == 1)
   }
 
+  test("mergeInto evolveSchema: add-only evolution, loud refusals, sidecars refresh after") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    val (out, _) = buildIdTable("mrgevo", Seq(0L, 100L)) // ids 0..199, cols (id, v)
+    graft.sources.FileIO.buildBloomIndex(spark, out, "id"): Unit
+
+    val srcNew = Seq((10L, 99.0, "gold"), (900L, 9.0, "new")).toDF("id", "v", "tag")
+    // a new column WITHOUT the flag is refused toward it
+    val exNo = intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, srcNew, Seq("id"))
+    }
+    assert(exNo.getMessage.contains("evolveSchema"), exNo.getMessage)
+    // a shared column changing TYPE is refused even with the flag
+    val exTy = intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out,
+        Seq((10L, "oops", "x")).toDF("id", "v", "tag"), Seq("id"), evolveSchema = true)
+    }
+    assert(exTy.getMessage.contains("ADD-ONLY"), exTy.getMessage)
+    // dropping an existing column is refused (add-only, both directions)
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out,
+        Seq((10L, "x")).toDF("id", "tag"), Seq("id"), evolveSchema = true)
+    }
+    // evolution is whole-row only (the updateAll/insertAll rule)
+    intercept[IllegalArgumentException] {
+      Optimize.mergeInto(spark, out, srcNew, Seq("id"),
+        matchedSet = Some(Map("v" -> expr("s.v"))), evolveSchema = true)
+    }
+
+    val rep = Optimize.mergeInto(spark, out, srcNew, Seq("id"), evolveSchema = true)
+    assert(rep.rewrittenFiles >= 1)
+    val t = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(t.count() == 201)
+    assert(t.filter("id = 10 AND v = 99.0 AND tag = 'gold'").count() == 1)
+    assert(t.filter("id = 900 AND v = 9.0 AND tag = 'new'").count() == 1)
+    assert(t.filter("tag IS NULL").count() == 199, "legacy rows must read as typed NULLs")
+
+    // copy-on-write, not a backfill: at least one committed file still
+    // carries the OLD schema
+    val files = StreamSinks.committedFiles(spark, out, "parquet")
+    assert(files.exists(f => !spark.read.parquet(f).columns.contains("tag")),
+      "every file rewrote — evolution became an O(table) backfill")
+
+    // the staled sidecar refreshes O(changed files) and serves the
+    // evolved table, new rows included — after the standard maintenance
+    // cadence (expire + vacuum) reclaims the retired generation, since
+    // the raw-listing sidecar would otherwise index retired files too
+    Optimize.expireHistory(spark, out, keep = 0): Unit
+    StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L): Unit
+    val (added, removed) = graft.sources.FileIO.refreshBloomIndex(spark, out, "id")
+    assert(added >= 1 && removed >= 1, s"expected a delta refresh, got ($added, $removed)")
+    val (rows, _, _) = graft.sources.FileIO.bloomPointLookup(spark, out, "id", 900L)
+    assert(rows.count() == 1, "evolved table lost the inserted key through the sidecar")
+    val (updRows, _, _) = graft.sources.FileIO.bloomPointLookup(spark, out, "id", 10L)
+    assert(updRows.filter("v = 99.0").count() == 1 && updRows.count() == 1)
+
+    // a replayed merge lands the identical state on already-evolved files
+    Optimize.mergeInto(spark, out, srcNew, Seq("id"), evolveSchema = true): Unit
+    val t2 = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(t2.count() == 201 && t2.filter("tag IS NULL").count() == 199)
+  }
+
   test("mergeInto SET guards refuse partition-column reads and writes") {
     val s = spark
     import s.implicits._
