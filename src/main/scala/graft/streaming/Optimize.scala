@@ -103,10 +103,10 @@ object Optimize {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def metaDir(path: String) = new Path(s"$path/_spark_metadata")
-  private def bakDir(path: String) = new Path(s"$path/_spark_metadata.bak")
-  private def stageMetaDir(path: String) = new Path(s"$path/_graft_optimize_stage_meta")
-  private def stageDataDir(path: String) = new Path(s"$path/_graft_optimize_data")
+  private[streaming] def metaDir(path: String) = new Path(s"$path/_spark_metadata")
+  private[streaming] def bakDir(path: String) = new Path(s"$path/_spark_metadata.bak")
+  private[streaming] def stageMetaDir(path: String) = new Path(s"$path/_graft_optimize_stage_meta")
+  private[streaming] def stageDataDir(path: String) = new Path(s"$path/_graft_optimize_data")
   private def marker(stage: Path) = new Path(stage, "_COMMITTED")
   private def historyDir(path: String) = new Path(s"$path/_graft_history")
   private[streaming] def maintMarker(path: String) = new Path(s"$path/_graft_last_maintenance")
@@ -148,15 +148,53 @@ object Optimize {
     try Some(sinkLog(spark, dir.toString).allFiles().toSeq)
     catch { case _: Exception => None } // unreadable archived debris: protects nothing
 
-  /** Every data file some archived history version still references —
-    * the vacuum-protection set that keeps [[restoreTable]] possible.
-    * Metadata-scale: O(versions × manifest entries). */
-  private[streaming] def historyProtectedFiles(
-      spark: SparkSession, path: String): Set[String] = {
+  /** The `_PROTECTED` snapshot (r17): ONE file under `_graft_history`
+    * listing every data-file path any archived version references, so a
+    * vacuum sweep reads ONE file instead of re-opening every archived
+    * FileStreamSinkLog (O(versions) log parses per sweep — measured in
+    * SCALING.md r17 at 50 retained versions). Maintained at the rare
+    * maintenance events (archive / expire), read at the frequent one
+    * (vacuum). Crash ordering is conservative in both directions: the
+    * snapshot writes BEFORE an archive's rename (a crash between leaves
+    * it OVER-protecting — safe, heals at the next maintenance) and
+    * AFTER an expiry's deletes (same direction). */
+  private def protectedMarker(path: String) = new Path(historyDir(path), "_PROTECTED")
+
+  private def writeProtected(fs: FileSystem, path: String, set: Set[String]): Unit = {
+    fs.mkdirs(historyDir(path))
+    val out = fs.create(protectedMarker(path), true)
+    try out.write(set.toSeq.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readProtected(fs: FileSystem, path: String): Option[Set[String]] = {
+    val m = protectedMarker(path)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
+  /** The snapshot's ground truth, recomputed by opening every archived
+    * manifest — the pre-r17 per-sweep cost, now paid only at
+    * archive/expire time (and as the read fallback for tables whose
+    * history predates the snapshot). */
+  private def scanProtectedFiles(spark: SparkSession, path: String): Set[String] = {
     val fs = fsFor(spark, path)
     versionDirs(fs, path).flatMap { case (_, dir, _) =>
       versionEntries(spark, dir).getOrElse(Nil).map(e => normKey(e.path))
     }.toSet
+  }
+
+  /** Every data file some archived history version still references —
+    * the vacuum-protection set that keeps [[restoreTable]] possible.
+    * One `_PROTECTED` read when the snapshot exists; the full
+    * O(versions) manifest scan only for pre-snapshot tables. */
+  private[streaming] def historyProtectedFiles(
+      spark: SparkSession, path: String): Set[String] = {
+    val fs = fsFor(spark, path)
+    readProtected(fs, path).getOrElse(scanProtectedFiles(spark, path))
   }
 
   /** Monotonic version high-water marker: the largest version id EVER
@@ -187,19 +225,29 @@ object Optimize {
   /** Archive a retired manifest dir as the next history version — one
     * rename, never a copy. Version ids come off the persisted high-water
     * counter (never reused across expiry epochs), with the live listing
-    * as a floor for pre-counter tables. */
-  private def archiveToHistory(fs: FileSystem, path: String, retired: Path): Long = {
+    * as a floor for pre-counter tables. The `_PROTECTED` snapshot gains
+    * the version's files BEFORE the rename (crash ⇒ over-protection,
+    * never a sweepable restore target), and the archived dir's mtime is
+    * stamped to the ARCHIVE instant so age-based retention measures from
+    * the swap, not from the manifest's last batch write. */
+  private def archiveToHistory(
+      spark: SparkSession, fs: FileSystem, path: String, retired: Path): Long = {
     fs.mkdirs(historyDir(path))
     val next = math.max(
       versionDirs(fs, path).lastOption.map(_._1).getOrElse(0L),
       readVmax(fs, path)) + 1
+    val entries = versionEntries(spark, retired).getOrElse(Nil).map(e => normKey(e.path))
+    val cur = readProtected(fs, path).getOrElse(scanProtectedFiles(spark, path))
+    writeProtected(fs, path, cur ++ entries)
     val dest = new Path(historyDir(path), s"v$next")
     require(fs.rename(retired, dest), s"archiveToHistory: rename $retired -> $dest failed")
+    try fs.setTimes(dest, System.currentTimeMillis(), -1)
+    catch { case _: UnsupportedOperationException => () } // best-effort on exotic FS
     writeVmax(fs, path, next)
     next
   }
 
-  private def sinkLog(spark: SparkSession, logPath: String): FileStreamSinkLog =
+  private[streaming] def sinkLog(spark: SparkSession, logPath: String): FileStreamSinkLog =
     new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, logPath)
 
   /** The file's partition sub-path relative to the table root — "" for
@@ -445,7 +493,7 @@ object Optimize {
     require(fs.rename(stageMeta, metaDir(path)),
       s"$op: could not promote the staged manifest — run repairOptimize")
     fs.delete(marker(metaDir(path)), false)
-    archiveToHistory(fs, path, bakDir(path)): Unit
+    archiveToHistory(spark, fs, path, bakDir(path)): Unit
     touchMaintMarker(fs, path)
   }
 
@@ -1124,7 +1172,7 @@ object Optimize {
       // history (completing the interrupted swap) instead of deleting.
       val sweptStage = fs.exists(stage)
       if (sweptStage) fs.delete(stage, true): Unit
-      val archived = if (fs.exists(bak)) Some(archiveToHistory(fs, path, bak)) else None
+      val archived = if (fs.exists(bak)) Some(archiveToHistory(spark, fs, path, bak)) else None
       fs.delete(marker(meta), false)
       if (archived.isDefined) touchMaintMarker(fs, path)
       (sweptStage, archived) match {
@@ -1138,7 +1186,7 @@ object Optimize {
       // finish the promotion (and archive the retired generation)
       require(fs.rename(stage, meta), s"repairOptimize: promote $stage failed")
       fs.delete(marker(meta), false)
-      if (fs.exists(bak)) archiveToHistory(fs, path, bak): Unit
+      if (fs.exists(bak)) archiveToHistory(spark, fs, path, bak): Unit
       touchMaintMarker(fs, path)
       "rolled-forward"
     } else if (fs.exists(bak)) {
@@ -1236,9 +1284,54 @@ object Optimize {
     require(keep >= 0, s"expireHistory: keep=$keep")
     val fs = fsFor(spark, path)
     val vs = versionDirs(fs, path)
-    val expire = if (keep == 0) vs else vs.dropRight(keep)
+    expireVersions(spark, fs, path, if (keep == 0) vs else vs.dropRight(keep))
+  }
+
+  /** AGE-based history expiry — the default retention policy
+    * [[StreamSinks.vacuum]] applies each sweep (r17, conf
+    * `spark.graft.history.retainMs`, default 7 days): without it, a
+    * frequently mutated table pins every retired generation's data
+    * bytes FOREVER unless an operator remembers `GRAFT EXPIRE HISTORY`
+    * — table-scale unbounded growth as a silent default. Age is the
+    * version dir's mtime, stamped at ARCHIVE time. */
+  def expireHistoryOlderThan(spark: SparkSession, path: String, maxAgeMs: Long): Seq[Long] = {
+    require(maxAgeMs >= 0, s"expireHistoryOlderThan: maxAgeMs=$maxAgeMs")
+    val fs = fsFor(spark, path)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    expireVersions(spark, fs, path, versionDirs(fs, path).filter(_._3 <= cutoff))
+  }
+
+  private def expireVersions(
+      spark: SparkSession, fs: FileSystem, path: String,
+      expire: Seq[(Long, Path, Long)]): Seq[Long] = {
     expire.foreach { case (_, dir, _) => fs.delete(dir, true) }
-    if (expire.nonEmpty) touchMaintMarker(fs, path)
+    if (expire.nonEmpty) {
+      // recompute the protection snapshot from the SURVIVING versions
+      // (after the deletes: a crash between leaves the snapshot
+      // over-protecting, the safe direction)
+      writeProtected(fs, path, scanProtectedFiles(spark, path))
+      touchMaintMarker(fs, path)
+    }
     expire.map(_._1)
+  }
+
+  /** What history currently PINS (r17 — the growth-visibility half of
+    * the retention contract): how many versions are retained, and how
+    * many files/bytes they protect beyond the live committed set —
+    * i.e. storage reclaimable only through expiry. */
+  final case class HistoryPinReport(versions: Int, pinnedFiles: Int, pinnedBytes: Long)
+
+  def historyPinReport(spark: SparkSession, path: String, format: String = "parquet")
+  : HistoryPinReport = {
+    val fs = fsFor(spark, path)
+    val live = StreamSinks.committedFiles(spark, path, format)
+      .map(u => Path.getPathWithoutSchemeAndAuthority(new Path(u)).toString)
+      .toSet
+    val pinned = (historyProtectedFiles(spark, path) -- live).toSeq
+    val bytes = pinned.map { p =>
+      val hp = new Path(p)
+      if (fs.exists(hp)) fs.getFileStatus(hp).getLen else 0L
+    }.sum
+    HistoryPinReport(versionDirs(fs, path).size, pinned.size, bytes)
   }
 }

@@ -188,7 +188,13 @@ object StreamSinks {
     * ([[graft.streaming.Optimize]]):
     *  - any file an archived HISTORY version still references is never
     *    swept (so `restoreTable`/`readVersion` stay possible until the
-    *    operator runs `expireHistory`);
+    *    version expires). Unbounded pinning is NOT the default (r17):
+    *    each sweep first expires versions older than
+    *    `spark.graft.history.retainMs` (default 7 days — the Delta
+    *    VACUUM retention convention; set it higher for longer restore
+    *    windows, or Long.MaxValue to pin forever), and whatever remains
+    *    pinned is REPORTED on stdout (version/file/byte counts) so the
+    *    growth is never silent;
     *  - a file's age is measured from max(its mtime, the table's last
     *    maintenance event): a retired file keeps its original write-time
     *    mtime, so an mtime-only grace would sweep it the INSTANT its
@@ -223,7 +229,27 @@ object StreamSinks {
     val committed = committedFiles(spark, path, format)
       .map(u => Path.getPathWithoutSchemeAndAuthority(new Path(u)).toString)
       .toSet
+    // default retention: age out archived generations past the window so
+    // history never pins retired bytes forever by silent default
+    val retainMs = spark.conf
+      .getOption("spark.graft.history.retainMs").map(_.toLong)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    val expired = graft.streaming.Optimize.expireHistoryOlderThan(spark, path, retainMs)
     val historyProtected = graft.streaming.Optimize.historyProtectedFiles(spark, path)
+    // growth visibility: whatever history still pins is reported, never
+    // silent (reuses this sweep's committed set + protection read —
+    // operators get the same numbers on demand via historyPinReport)
+    val pinned = (historyProtected -- committed).toSeq
+    if (expired.nonEmpty || pinned.nonEmpty) {
+      val pinnedBytes = pinned.map { p =>
+        val hp = new Path(p)
+        if (fs.exists(hp)) fs.getFileStatus(hp).getLen else 0L
+      }.sum
+      println(s"vacuum($path): expired ${expired.size} history version(s) past " +
+        s"${retainMs / 1000}s retention; history still pins ${pinned.size} file(s) / " +
+        s"$pinnedBytes bytes (GRAFT EXPIRE HISTORY or spark.graft.history.retainMs " +
+        "to release)")
+    }
     val lastMaint = {
       val m = graft.streaming.Optimize.maintMarker(path)
       if (fs.exists(m)) fs.getFileStatus(m).getModificationTime else 0L
@@ -445,6 +471,104 @@ object StreamSinks {
         refreshIndexes(batch.sparkSession, path, bloomKeys, postingsCols)
       }
       .start()
+
+  /** SELF-COMPACTING manifest sink (r17) — closes the reference's known
+    * flaw at the SINK level: a file-per-checkpoint writer grows its file
+    * count without bound between manual maintenance runs (reference
+    * RowOrcBucketingSink.java:157-164 — one ORC file per checkpoint,
+    * swept only by hand). This sink appends each micro-batch to the
+    * `_spark_metadata` manifest exactly-once and, whenever the COMMITTED
+    * small-file count crosses `maxSmallFiles`, runs the in-place
+    * [[Optimize.optimizeSink]] under the same staged-manifest swap — so
+    * a long soak's file count SAW-TOOTHS around the threshold instead of
+    * growing O(batches). Unpartitioned tables (the partitioned layout's
+    * maintenance is the partition-scoped OPTIMIZE, run on the operator
+    * cadence).
+    *
+    * Exactly-once: batch data lands at fresh UUID names, INVISIBLE until
+    * `log.add(batchId, …)` commits them; a replayed batch finds its id
+    * already committed and skips (its moved-but-uncommitted files from a
+    * crash are orphans the graced vacuum reclaims); a crash mid-compact
+    * leaves swap debris the NEXT batch heals via [[Optimize
+    * .repairOptimize]] before appending. The writer's latest batch id
+    * survives each compaction, so checkpoint restarts resume seamlessly.
+    *
+    * `reclaimOnCompact` (default true): after each auto-compaction the
+    * retired generation expires and zero-grace vacuums — the policy's
+    * POINT is bounded storage, and full reclaim is also what keeps the
+    * raw-listing index sidecars (`bloomKeys`/`postingsCols`, refreshed
+    * after every batch) CORRECT: retired files left on disk would
+    * re-enter the sidecars and serve duplicate rows silently. The trade
+    * (documented, spec-pinned): no time travel for this table and a
+    * cross-session reader mid-scan of a just-retired file loses it —
+    * single-writer-single-reader-session tables only, or pass
+    * `reclaimOnCompact = false` WITHOUT index hooks and run graced
+    * vacuum + expiry on the operator cadence.
+    *
+    * LIMITATION (shared with [[Optimize.upsertSink]]): inside
+    * foreachBatch the stop-the-writer guard sees the cloned micro-batch
+    * session — run at most one writer per table path. */
+  def compactingParquetSink(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      maxSmallFiles: Int = 16,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      reclaimOnCompact: Boolean = true,
+      bloomKeys: Seq[String] = Nil,
+      postingsCols: Option[(String, String)] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    require(maxSmallFiles >= 1, s"compactingParquetSink: maxSmallFiles=$maxSmallFiles")
+    require(reclaimOnCompact || (bloomKeys.isEmpty && postingsCols.isEmpty),
+      "compactingParquetSink: index hooks need reclaimOnCompact — retired files left on " +
+        "disk would re-enter the raw-listing sidecars and serve duplicates silently")
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        import org.apache.spark.sql.execution.streaming.sinks.SinkFileStatus
+        val spark = batch.sparkSession
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // heal a crashed compaction BEFORE touching the manifest
+        val debris = fs.exists(Optimize.stageMetaDir(path)) ||
+          fs.exists(Optimize.bakDir(path)) || fs.exists(Optimize.stageDataDir(path))
+        if (debris) Optimize.repairOptimize(spark, path): Unit
+        val log = Optimize.sinkLog(spark, Optimize.metaDir(path).toString)
+        if (!log.getLatestBatchId().exists(_ >= batchId)) {
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          val tmp = new Path(path, s"_graft_appendsink_$uuid")
+          batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+          val moved = fs.listStatus(tmp).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .zipWithIndex.map { case (st, i) =>
+              val dest = new Path(path, s"graft-append-$batchId-$uuid-$i.parquet")
+              require(fs.rename(st.getPath, dest),
+                s"compactingParquetSink: rename ${st.getPath} -> $dest failed")
+              dest
+            }
+          fs.delete(tmp, true)
+          require(
+            log.add(batchId, moved.map(p => SinkFileStatus(fs.getFileStatus(p))).toArray),
+            s"compactingParquetSink: manifest commit for batch $batchId failed")
+        } // else: checkpoint replay of a committed batch — exactly-once skip
+        // the small-file policy, measured on COMMITTED files only
+        val small = log.allFiles().count(_.size < smallFileBytes)
+        if (small > maxSmallFiles) {
+          Optimize.optimizeSink(spark, path, "parquet", smallFileBytes, targetFileBytes): Unit
+          if (reclaimOnCompact) {
+            Optimize.expireHistory(spark, path, keep = 0): Unit
+            vacuum(spark, path, "parquet", dryRun = false, graceMs = 0L): Unit
+          }
+        }
+        refreshIndexes(spark, path, bloomKeys, postingsCols)
+      }
+      .start()
+  }
 
   /** The maintenance step of [[maintainedParquetSink]], callable on its
     * own for tables written by other paths (the vacuum/promote cadence). */

@@ -1041,6 +1041,46 @@ class OptimizeSpec extends AnyFunSuite {
     assert(entries("click") == clickStable, "repair lost the untouched partition's entries")
   }
 
+  test("_PROTECTED snapshot serves vacuum protection in ONE read; retention auto-expires") {
+    val (out, _) = buildIdTable("prot", Seq(0L, 100L))
+    Optimize.deleteWhere(spark, out, col("id") < 10L) // archives v1
+    Optimize.updateWhere(spark, out, col("id") === 20L, Map("v" -> lit(0.0))) // archives v2
+    val snap = Paths.get(out, "_graft_history", "_PROTECTED")
+    assert(Files.exists(snap), "archive did not write the protection snapshot")
+    val pin0 = Optimize.historyPinReport(spark, out)
+    assert(pin0.versions == 2 && pin0.pinnedFiles > 0 && pin0.pinnedBytes > 0)
+
+    // CORRUPT every archived manifest: re-opening the logs would now
+    // yield an EMPTY protection set, so if the pinned set is unchanged
+    // and vacuum still refuses to sweep, the protection came from the
+    // single `_PROTECTED` read — the per-sweep O(versions) log parses
+    // are gone
+    Seq("v1", "v2").foreach { v =>
+      val d = Paths.get(out, "_graft_history", v)
+      java.nio.file.Files.list(d).forEach(f => Files.writeString(f, "garbage"))
+    }
+    val pin1 = Optimize.historyPinReport(spark, out)
+    assert(pin1.pinnedFiles == pin0.pinnedFiles,
+      "protection changed after manifest corruption — vacuum re-opened the archived logs")
+    val swept = StreamSinks.vacuum(spark, out, "parquet", dryRun = true, graceMs = 0L)
+    assert(swept.isEmpty, s"vacuum swept snapshot-protected files: $swept")
+
+    // default retention (7 d) expires nothing young; retainMs = 0
+    // expires everything on the next sweep, releasing the pinned bytes
+    val key = "spark.graft.history.retainMs"
+    spark.conf.set(key, "0")
+    try {
+      Thread.sleep(10)
+      StreamSinks.vacuum(spark, out, "parquet", dryRun = true, graceMs = 60000L): Unit
+      assert(Optimize.listVersions(spark, out).isEmpty, "retention did not expire history")
+      assert(Optimize.historyPinReport(spark, out).pinnedFiles == 0)
+    } finally spark.conf.unset(key)
+
+    // the high-water counter survived expiry through the snapshot path
+    Optimize.deleteWhere(spark, out, col("id") === 30L)
+    assert(Optimize.listVersions(spark, out).map(_.version) == Seq(3L))
+  }
+
   test("history version ids are never reused across expiry epochs") {
     val (out, _) = buildIdTable("vmax", Seq(0L, 100L))
     Optimize.deleteWhere(spark, out, col("id") === 0L)
