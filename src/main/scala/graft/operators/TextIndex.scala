@@ -102,12 +102,20 @@ object TextIndex {
     // leg against a corpus-wide doclen exchange at every query. One int
     // per row is the classic IR denormalization trade (RLE/dictionary
     // encodes it to near-nothing in parquet), bought once at build time.
-    val tokens = docs
+    // The token array materializes ONCE in its own projection: spelling
+    // size(split(..)) next to posexplode(split(..)) re-tokenized every
+    // document twice (CollapseProject refuses to inline a non-cheap
+    // alias used twice, so the explicit projection is what pins the
+    // single evaluation — measured 2x on the build without it).
+    val withToks = docs
       .select(
         col("_metadata.file_path").as("__sf"),
         col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).as("dl"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+        split(col(textCol), " ").as("__toks"))
+    val tokens = withToks
+      .select(
+        col("__sf"), col("doc_id"), size(col("__toks")).as("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .join(mapped, Seq("__sf"))
       .select(col("term"), col("doc_id"), col("pos"), col("dl"), col("src_file"))
     // DOC-LENGTH rows (r16, the BM25 corpus statistics): one NULL-term
@@ -120,11 +128,8 @@ object TextIndex {
     // for |D| at query time — and ZERO-length docs live ONLY here (they
     // have no token rows), so N/avgdl must come from these rows, never
     // from distinct-ing the token side.
-    val doclens = docs
-      .select(
-        col("_metadata.file_path").as("__sf"),
-        col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).as("pos"))
+    val doclens = withToks
+      .select(col("__sf"), col("doc_id"), size(col("__toks")).as("pos"))
       .join(mapped, Seq("__sf"))
       .select(
         lit(null).cast("string").as("term"), col("doc_id"), col("pos"),
