@@ -380,8 +380,19 @@ object TextIndex {
     val dlByFile = live
       .filter(col("term").isNull)
       .groupBy(col("src_file"))
-      .agg(count(lit(1)).as("n"), sum(col("dl").cast("double")).as("total"))
+      .agg(count(lit(1)).as("n"), sum(col("dl").cast("double")).as("total"),
+        count(when(col("dl").isNull, lit(1))).as("null_dl"))
       .collect()
+    // a doc-length ROW whose dl VALUE is null is the schema-merge twin
+    // of missing coverage: a still-fresh pre-r16 base with an r17+ delta
+    // infers the dl column from the delta file, passes the per-file
+    // coverage check below, then NPEs (or mis-scores) on the legacy
+    // rows' nulls — refuse with the same rebuild guidance instead (r18)
+    val nullDl = dlByFile.map(_.getLong(3)).sum
+    require(nullDl == 0L,
+      s"bm25Search: index at $indexDir has $nullDl doc-length row(s) with NULL dl — " +
+        "rows predate the per-row doc-length column (schema-merged from a newer delta). " +
+        "Rebuild with buildPostingsIndex or compact after a refresh")
     val covered = dlByFile.map(_.getString(0)).toSet
     val uncovered = cur.fingerprint -- covered
     require(uncovered.isEmpty,

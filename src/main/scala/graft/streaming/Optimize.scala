@@ -160,19 +160,49 @@ object Optimize {
     * AFTER an expiry's deletes (same direction). */
   private def protectedMarker(path: String) = new Path(historyDir(path), "_PROTECTED")
 
+  /** First line of every valid snapshot. A reader that does not see it
+    * (empty file, truncated debris, pre-r18 format) treats the snapshot
+    * as ABSENT and falls back to the full manifest scan — a torn
+    * snapshot can slow a sweep down, never under-protect it. */
+  private val ProtectedHeader = "#graft-protected-v1"
+
+  /** Temp-write + atomic rename (r18): the r17 in-place
+    * `fs.create(overwrite)` left a window where a crash mid-write — or a
+    * concurrent vacuum reading between create and close — saw an
+    * empty/truncated set as authoritative and swept files archived
+    * versions still reference. Now the only transient states a reader
+    * can observe are the OLD complete snapshot or (between the delete
+    * and the rename) no snapshot at all, which falls back to scanning. */
   private def writeProtected(fs: FileSystem, path: String, set: Set[String]): Unit = {
     fs.mkdirs(historyDir(path))
-    val out = fs.create(protectedMarker(path), true)
-    try out.write(set.toSeq.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val tmp = new Path(historyDir(path),
+      s"_PROTECTED.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write((ProtectedHeader +: set.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(protectedMarker(path), false)
+    require(fs.rename(tmp, protectedMarker(path)),
+      s"writeProtected($path): rename $tmp -> ${protectedMarker(path)} failed")
   }
 
   private def readProtected(fs: FileSystem, path: String): Option[Set[String]] = {
     val m = protectedMarker(path)
     if (!fs.exists(m)) None
     else {
-      val in = fs.open(m)
-      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+      val body =
+        try {
+          val in = fs.open(m)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch {
+          // unreadable snapshot (torn write, checksum mismatch, FS
+          // hiccup): not authoritative — scan fallback, never a crash
+          // and never an under-protecting partial read
+          case _: java.io.IOException => return None
+        }
+      val lines = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      // header missing ⇒ empty or garbled or pre-header debris: not
+      // authoritative, fall back to the ground-truth scan
+      if (lines.headOption.contains(ProtectedHeader)) Some(lines.drop(1).toSet) else None
     }
   }
 
@@ -186,6 +216,32 @@ object Optimize {
       versionEntries(spark, dir).getOrElse(Nil).map(e => normKey(e.path))
     }.toSet
   }
+
+  /** STRICT recompute for snapshot persistence (r18): `None` if ANY
+    * version's manifest is unreadable. The lenient scan is fine for a
+    * single sweep's protection read (an FS hiccup under-protects one
+    * sweep, the grace window absorbs it), but PERSISTING a set computed
+    * while a manifest was transiently unreadable would bake the
+    * under-protection into the durable `_PROTECTED`, where every later
+    * sweep trusts it. */
+  private def scanProtectedFilesStrict(
+      spark: SparkSession, path: String): Option[Set[String]] = {
+    val fs = fsFor(spark, path)
+    val per = versionDirs(fs, path).map { case (_, dir, _) => versionEntries(spark, dir) }
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.flatten.map(e => normKey(e.path)).toSet)
+  }
+
+  /** Persist the recomputed snapshot, or — when a survivor's manifest is
+    * transiently unreadable — DROP the snapshot so protection reads fall
+    * back to scanning until the next maintenance event can rebuild it
+    * cleanly (unreadability then costs one sweep, never bakes in). */
+  private def rewriteOrDropProtected(
+      spark: SparkSession, fs: FileSystem, path: String, extra: Set[String]): Unit =
+    scanProtectedFilesStrict(spark, path) match {
+      case Some(set) => writeProtected(fs, path, set ++ extra)
+      case None      => fs.delete(protectedMarker(path), false): Unit
+    }
 
   /** Every data file some archived history version still references —
     * the vacuum-protection set that keeps [[restoreTable]] possible.
@@ -206,6 +262,35 @@ object Optimize {
     * `_graft_history` (the VersionRe lister skips it; expiry deletes
     * only version dirs, so the counter survives a KEEP 0). */
   private def vmaxMarker(path: String) = new Path(historyDir(path), "_vmax")
+
+  /** Age-stamp epoch marker (r18): present ⇔ every version dir's mtime
+    * was written by stamp-aware code (archive-instant stamps). Versions
+    * archived by pre-r17 code kept the retired manifest dir's OLD mtime
+    * through the rename, so the first age-based expiry after an upgrade
+    * could instantly expire a version archived minutes earlier whose
+    * manifest happened to be >retention old. One-time migration: on
+    * first sight of an unstamped history, stamp every existing version
+    * dir's mtime to NOW (the conservative direction — their retention
+    * clock restarts), then drop the marker so later sweeps trust mtimes. */
+  private def stampEpochMarker(path: String) = new Path(historyDir(path), "_stamp_epoch")
+
+  /** Returns true if mtimes were already authoritative; false if this
+    * call just performed the one-time migration (nothing should expire
+    * on the migrating sweep — every stamp is seconds old). */
+  private def ensureStamped(fs: FileSystem, path: String): Boolean = {
+    val m = stampEpochMarker(path)
+    if (fs.exists(m)) true
+    else {
+      val now = System.currentTimeMillis()
+      versionDirs(fs, path).foreach { case (_, dir, _) =>
+        try fs.setTimes(dir, now, -1)
+        catch { case _: UnsupportedOperationException => () }
+      }
+      fs.mkdirs(historyDir(path))
+      val out = fs.create(m, true); out.close()
+      false
+    }
+  }
 
   private def readVmax(fs: FileSystem, path: String): Long = {
     val m = vmaxMarker(path)
@@ -233,12 +318,15 @@ object Optimize {
   private def archiveToHistory(
       spark: SparkSession, fs: FileSystem, path: String, retired: Path): Long = {
     fs.mkdirs(historyDir(path))
+    ensureStamped(fs, path): Unit
     val next = math.max(
       versionDirs(fs, path).lastOption.map(_._1).getOrElse(0L),
       readVmax(fs, path)) + 1
-    val entries = versionEntries(spark, retired).getOrElse(Nil).map(e => normKey(e.path))
-    val cur = readProtected(fs, path).getOrElse(scanProtectedFiles(spark, path))
-    writeProtected(fs, path, cur ++ entries)
+    val entries = versionEntries(spark, retired).getOrElse(Nil).map(e => normKey(e.path)).toSet
+    readProtected(fs, path) match {
+      case Some(cur) => writeProtected(fs, path, cur ++ entries)
+      case None      => rewriteOrDropProtected(spark, fs, path, entries)
+    }
     val dest = new Path(historyDir(path), s"v$next")
     require(fs.rename(retired, dest), s"archiveToHistory: rename $retired -> $dest failed")
     try fs.setTimes(dest, System.currentTimeMillis(), -1)
@@ -1297,8 +1385,30 @@ object Optimize {
   def expireHistoryOlderThan(spark: SparkSession, path: String, maxAgeMs: Long): Seq[Long] = {
     require(maxAgeMs >= 0, s"expireHistoryOlderThan: maxAgeMs=$maxAgeMs")
     val fs = fsFor(spark, path)
+    if (versionDirs(fs, path).isEmpty) return Nil
+    // pre-r17 archives kept the retired manifest's old mtime — migrate
+    // before trusting ages, and expire nothing on the migrating sweep
+    if (!ensureStamped(fs, path)) return Nil
     val cutoff = System.currentTimeMillis() - maxAgeMs
     expireVersions(spark, fs, path, versionDirs(fs, path).filter(_._3 <= cutoff))
+  }
+
+  /** Read-only twin of [[expireHistoryOlderThan]] for dry-run sweeps
+    * (r18): reports which versions a real sweep WOULD expire, deleting
+    * nothing, rewriting no snapshot, touching no marker. An unstamped
+    * (pre-migration) history reports none — the real sweep's first act
+    * would be the mtime migration, after which nothing is past any
+    * window. */
+  def historyVersionsOlderThan(
+      spark: SparkSession, path: String, maxAgeMs: Long): Seq[Long] = {
+    require(maxAgeMs >= 0, s"historyVersionsOlderThan: maxAgeMs=$maxAgeMs")
+    val fs = fsFor(spark, path)
+    val vs = versionDirs(fs, path)
+    if (vs.isEmpty || !fs.exists(stampEpochMarker(path))) Nil
+    else {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      vs.filter(_._3 <= cutoff).map(_._1)
+    }
   }
 
   private def expireVersions(
@@ -1308,8 +1418,9 @@ object Optimize {
     if (expire.nonEmpty) {
       // recompute the protection snapshot from the SURVIVING versions
       // (after the deletes: a crash between leaves the snapshot
-      // over-protecting, the safe direction)
-      writeProtected(fs, path, scanProtectedFiles(spark, path))
+      // over-protecting, the safe direction); a transiently unreadable
+      // survivor drops the snapshot instead of persisting a partial set
+      rewriteOrDropProtected(spark, fs, path, Set.empty)
       touchMaintMarker(fs, path)
     }
     expire.map(_._1)

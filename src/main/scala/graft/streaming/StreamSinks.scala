@@ -234,7 +234,13 @@ object StreamSinks {
     val retainMs = spark.conf
       .getOption("spark.graft.history.retainMs").map(_.toLong)
       .getOrElse(7L * 24 * 3600 * 1000)
-    val expired = graft.streaming.Optimize.expireHistoryOlderThan(spark, path, retainMs)
+    // dryRun is a PREVIEW: report which versions a real sweep would
+    // expire, but delete no history, rewrite no snapshot, reset no
+    // grace clock (r18 — the r17 sweep expired history even on dryRun,
+    // so a preview destroyed restore targets)
+    val expired =
+      if (dryRun) graft.streaming.Optimize.historyVersionsOlderThan(spark, path, retainMs)
+      else graft.streaming.Optimize.expireHistoryOlderThan(spark, path, retainMs)
     val historyProtected = graft.streaming.Optimize.historyProtectedFiles(spark, path)
     // growth visibility: whatever history still pins is reported, never
     // silent (reuses this sweep's committed set + protection read —
@@ -245,7 +251,8 @@ object StreamSinks {
         val hp = new Path(p)
         if (fs.exists(hp)) fs.getFileStatus(hp).getLen else 0L
       }.sum
-      println(s"vacuum($path): expired ${expired.size} history version(s) past " +
+      println(s"vacuum($path): ${if (dryRun) "would expire" else "expired"} " +
+        s"${expired.size} history version(s) past " +
         s"${retainMs / 1000}s retention; history still pins ${pinned.size} file(s) / " +
         s"$pinnedBytes bytes (GRAFT EXPIRE HISTORY or spark.graft.history.retainMs " +
         "to release)")

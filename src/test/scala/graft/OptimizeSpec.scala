@@ -1066,12 +1066,20 @@ class OptimizeSpec extends AnyFunSuite {
     assert(swept.isEmpty, s"vacuum swept snapshot-protected files: $swept")
 
     // default retention (7 d) expires nothing young; retainMs = 0
-    // expires everything on the next sweep, releasing the pinned bytes
+    // expires everything on the next REAL sweep, releasing the pinned
+    // bytes — but a dryRun sweep is a PREVIEW: it reports the would-be
+    // expiry and deletes nothing (r18; the r17 dryRun destroyed restore
+    // targets)
     val key = "spark.graft.history.retainMs"
     spark.conf.set(key, "0")
     try {
       Thread.sleep(10)
       StreamSinks.vacuum(spark, out, "parquet", dryRun = true, graceMs = 60000L): Unit
+      assert(Optimize.listVersions(spark, out).map(_.version) == Seq(1L, 2L),
+        "a dryRun vacuum EXPIRED history — preview must be read-only")
+      assert(Optimize.historyVersionsOlderThan(spark, out, 0L) == Seq(1L, 2L),
+        "dryRun preview did not report the would-expire versions")
+      StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 60000L): Unit
       assert(Optimize.listVersions(spark, out).isEmpty, "retention did not expire history")
       assert(Optimize.historyPinReport(spark, out).pinnedFiles == 0)
     } finally spark.conf.unset(key)
@@ -1096,6 +1104,69 @@ class OptimizeSpec extends AnyFunSuite {
     assert(Optimize.listVersions(spark, out).map(_.version) == Seq(3L),
       "version ids were reused after EXPIRE HISTORY KEEP 0")
     intercept[IllegalArgumentException] { Optimize.restoreTable(spark, out, 1L) }
+  }
+
+  test("garbled or empty _PROTECTED falls back to scanning — never under-protects") {
+    val (out, _) = buildIdTable("protgarble", Seq(0L, 100L))
+    Optimize.deleteWhere(spark, out, col("id") < 10L) // archives v1
+    val snap = Paths.get(out, "_graft_history", "_PROTECTED")
+    assert(Files.exists(snap))
+    val pin0 = Optimize.historyPinReport(spark, out)
+    assert(pin0.pinnedFiles > 0)
+    // torn-write debris: an EMPTY snapshot must read as absent (scan
+    // fallback), not as an authoritative empty protection set
+    Files.writeString(snap, "")
+    assert(Optimize.historyPinReport(spark, out).pinnedFiles == pin0.pinnedFiles,
+      "an empty _PROTECTED was trusted as an empty protection set")
+    // garbled (headerless) content: same fallback
+    Files.writeString(snap, "not/a/real/path\njunk")
+    assert(Optimize.historyPinReport(spark, out).pinnedFiles == pin0.pinnedFiles,
+      "a headerless _PROTECTED was trusted verbatim")
+    val swept = StreamSinks.vacuum(spark, out, "parquet", dryRun = true, graceMs = 0L)
+    assert(swept.isEmpty, s"vacuum swept history-pinned files under a garbled snapshot: $swept")
+  }
+
+  test("expiry drops the snapshot instead of persisting one computed past an unreadable survivor") {
+    val (out, _) = buildIdTable("protstrict", Seq(0L, 100L))
+    Optimize.deleteWhere(spark, out, col("id") < 10L) // archives v1
+    Optimize.updateWhere(spark, out, col("id") === 20L, Map("v" -> lit(0.0))) // archives v2
+    // corrupt the SURVIVOR's manifest: the post-expiry recompute cannot
+    // read it, so persisting the recomputed set would durably
+    // under-protect v2's files
+    val v2 = Paths.get(out, "_graft_history", "v2")
+    Files.list(v2).forEach(f => Files.writeString(f, "garbage"))
+    assert(Optimize.expireHistory(spark, out, keep = 1) == Seq(1L))
+    val snap = Paths.get(out, "_graft_history", "_PROTECTED")
+    assert(!Files.exists(snap),
+      "a protection snapshot computed while a survivor's manifest was unreadable " +
+        "was persisted — under-protection baked into the durable file")
+  }
+
+  test("pre-stamp history versions are mtime-migrated, never instantly expired") {
+    val (out, _) = buildIdTable("protstamp", Seq(0L, 100L))
+    Optimize.deleteWhere(spark, out, col("id") < 10L) // archives v1 (stamped)
+    // simulate a pre-r18 upgrade: no stamp-epoch marker, and the version
+    // dir's mtime is the retired manifest's OLD time (rename preserved it)
+    val marker = Paths.get(out, "_graft_history", "_stamp_epoch")
+    Files.delete(marker)
+    val v1 = Paths.get(out, "_graft_history", "v1")
+    Files.setLastModifiedTime(v1, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 30L * 24 * 3600 * 1000))
+    val week = 7L * 24 * 3600 * 1000
+    // preview over an unstamped history: nothing reportable-expirable
+    assert(Optimize.historyVersionsOlderThan(spark, out, week).isEmpty)
+    // first real sweep migrates (stamps every dir to now) and expires
+    // NOTHING — without it, a version archived minutes ago whose
+    // manifest mtime was 30 d old would be destroyed on sight
+    assert(Optimize.expireHistoryOlderThan(spark, out, week).isEmpty,
+      "the migrating sweep expired an unstamped version")
+    assert(Files.exists(marker), "migration did not drop the stamp-epoch marker")
+    assert(Optimize.listVersions(spark, out).map(_.version) == Seq(1L))
+    // stamped now: a second windowed sweep retains it, a zero-window
+    // sweep expires it through the normal path
+    assert(Optimize.expireHistoryOlderThan(spark, out, week).isEmpty)
+    Thread.sleep(10)
+    assert(Optimize.expireHistoryOlderThan(spark, out, 0L) == Seq(1L))
   }
 
   test("mergeInto size-gates the source broadcast: large sources shuffle-join, small broadcast") {

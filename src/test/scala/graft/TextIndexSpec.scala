@@ -240,6 +240,21 @@ class TextIndexSpec extends AnyFunSuite {
     // phrase search is unaffected — it never reads doc lengths
     assert(TextIndex.phraseSearchIndexed(spark, docsPath, idx, Seq("apple")).count() == 2)
 
+    // NULL dl VALUES on doc-length rows (r18): a pre-dl base whose
+    // doclen rows schema-merge a NULL dl from a newer delta passes the
+    // per-file coverage check (the rows EXIST) and then NPE'd at
+    // Row.getDouble on the null per-file sum — must be the same loud
+    // rebuild refusal instead (surgery on the DELTA's doclen rows: the
+    // NULL-dl guard fires before the coverage one)
+    rewriteDir(cur.liveDirs(idx).head)(df =>
+      df.withColumn("dl",
+        org.apache.spark.sql.functions.when(df("term").isNull,
+          org.apache.spark.sql.functions.lit(null)).otherwise(df("dl"))))
+    val exNull = intercept[IllegalArgumentException] {
+      TextIndex.bm25Search(spark, docsPath, idx, Seq("apple"), 5)
+    }
+    assert(exNull.getMessage.contains("NULL dl"), exNull.getMessage)
+
     // an index PREDATING the per-row dl column entirely: loud schema
     // refusal, never nulls into the normalization
     cur.liveDirs(idx).foreach(d => rewriteDir(d)(_.drop("dl")))
