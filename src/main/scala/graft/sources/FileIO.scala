@@ -1914,6 +1914,81 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // TYPED partition-scope RANGE gate (r18): the same scoped-rewrite
+    // contract as `table_optimize_part`, but over an INT-valued
+    // partition column (`hour` in {8,9,10,11}) with a RANGE scope
+    // spelled as a STRING literal — `hour >= '10'`. r17 compared the
+    // Hive dir-name strings lexically, so "9" >= "10" selected hour=9:
+    // the wrong partition rewrote and `untouched_ok` here would hash
+    // false. Typed inference (r18) casts the dir values long before
+    // evaluating, so the scope is exactly {10, 11}. Evidence flags as
+    // in the equality gate: `untouched_ok` pins hour<10 file identities
+    // byte-identical through the swap, `files_pruned_ok` pins restored
+    // key locality inside the scope.
+    "table_optimize_part_range" -> { (spark, dir) =>
+      val base = Tables.gateScratchDir(spark, dir, "opt_part_range")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          (pmod(col("o_orderkey"), lit(4)) + lit(8)).cast("int").as("hour"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("hour")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def outsideIds: Set[String] = dataFileIds(spark, tbl)
+        .filter(f => f.rel.split('/').head.stripPrefix("hour=").toLong < 10L)
+        .map(_.identity).toSet
+      val beforeOutside = outsideIds
+      val hfs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fBytes = spark.read.parquet(tbl).inputFiles
+        .filter(f => f.contains("/hour=10/") || f.contains("/hour=11/"))
+        .map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+          new java.net.URI(f))).getLen)
+        .sum
+      graft.streaming.Optimize.optimizeSink(
+        spark, tbl, "parquet",
+        targetFileBytes = math.max(2048L, fBytes / 6),
+        sortDims = Seq("o_orderkey"),
+        partitionWhere = Some(col("hour") >= "10"))
+      val untouchedOk = outsideIds == beforeOutside
+      val boxes = spark.read
+        .parquet(tbl)
+        .filter(col("hour") >= 10)
+        .select(col("_metadata.file_path").as("f"), col("o_orderkey"))
+        .groupBy(col("f"))
+        .agg(min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"))
+      val st = boxes
+        .agg(
+          sum(when(col("kmax") >= 100L && col("kmin") <= 500L, 1L).otherwise(0L)),
+          count(lit(1)))
+        .collect()(0)
+      val prunedOk = st.getLong(0) < st.getLong(1)
+      spark.read
+        .parquet(tbl)
+        .filter(col("hour") >= 10 && col("o_orderkey").between(100L, 500L))
+        .select(
+          col("o_orderkey"), col("cents"), col("hour").cast("int").as("hour"),
+          lit(untouchedOk).as("untouched_ok"),
+          lit(prunedOk).as("files_pruned_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // TIME-TRAVEL SQL gate (r16 — `graft_table_version` TVF): a DELETE
     // retires the pre-delete generation into history; the TVF reads
     // THAT archived version's rows while the live table keeps the
@@ -2119,6 +2194,14 @@ object FileIO {
         |  TRUE AS untouched_ok, TRUE AS files_pruned_ok
         |FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 100 AND 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "table_optimize_part_range" ->
+      """SELECT o_orderkey,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  CAST(o_orderkey % 4 + 8 AS INTEGER) AS hour,
+        |  TRUE AS untouched_ok, TRUE AS files_pruned_ok
+        |FROM orders
+        |WHERE o_orderkey % 4 + 8 >= 10 AND o_orderkey BETWEEN 100 AND 500
         |ORDER BY o_orderkey""".stripMargin,
     "table_sort_cluster" ->
       """SELECT o_orderkey,

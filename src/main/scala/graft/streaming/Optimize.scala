@@ -412,13 +412,22 @@ object Optimize {
         "partition-level surgery is directory pruning, not a row rewrite; data columns only")
   }
 
-  /** PARTITION-SCOPED maintenance selection (r17): split the committed
-    * entries into (selected, untouched) by evaluating `pred` against
-    * each PARTITION's values — decoded from the Hive dir names as exact
-    * STRINGS (the same verbatim-string discipline the rewrite itself
-    * uses, so `WHERE dt = '2026-01-01'` compares exactly what the
-    * directory layout says; numeric comparisons compare lexically and a
-    * scope predicate should not use them). Evaluation is METADATA-scale:
+  /** PARTITION-SCOPED maintenance selection (r17, TYPED r18): split the
+    * committed entries into (selected, untouched) by evaluating `pred`
+    * against each PARTITION's values, decoded from the Hive dir names
+    * and then CAST through the type the column's values infer — the
+    * same lattice partition discovery applies (long → double → date →
+    * string). r17 evaluated the raw strings, so `WHERE hour >= '10'`
+    * on an int-valued partition compared LEXICALLY ("9" >= "10" —
+    * hour=9 selected, wrong partitions rewritten, intended ones
+    * skipped, no error); on a time-partitioned table with numeric hour/
+    * day/shard values that is the FIRST range predicate an operator
+    * writes. A value that fails a cast the predicate demands (e.g.
+    * `hour >= 10` over a partition dir `hour=oops`) refuses loudly
+    * instead of silently dropping the partition from the scope. The
+    * REWRITE side is untouched: partition values still round-trip
+    * through the rewrite as verbatim strings. Evaluation is
+    * METADATA-scale:
     * one driver-local row per distinct partition, never a data scan. At
     * 100 TB this is what makes table maintenance schedulable — compact /
     * re-cluster yesterday's partition while the other 3 652 stay
@@ -452,6 +461,7 @@ object Optimize {
     val rootAbs = graft.sources.FileIO.tableRootAbs(spark, path)
     val subs = all.map(e => partitionSubPath(e.path, rootAbs)).distinct.sorted
     val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    val colVals = partCols.map(c => c -> scala.collection.mutable.TreeSet.empty[String]).toMap
     subs.foreach { sub =>
       val vals = sub.split('/').toSeq.map { seg =>
         val kv = seg.split("=", 2)
@@ -459,6 +469,7 @@ object Optimize {
         unescapePathName(kv(0)) ->
           (if (kv(1) == "__HIVE_DEFAULT_PARTITION__") null else unescapePathName(kv(1)))
       }.toMap
+      partCols.foreach(c => vals.get(c).flatMap(Option(_)).foreach(colVals(c) += _))
       rows.add(org.apache.spark.sql.Row.fromSeq(sub +: partCols.map(vals.getOrElse(_, null))))
     }
     val schema = org.apache.spark.sql.types.StructType(
@@ -466,13 +477,70 @@ object Optimize {
         "__graft_sub", org.apache.spark.sql.types.StringType) +:
         partCols.map(c =>
           org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
-    val selected = spark.createDataFrame(rows, schema)
-      .filter(pred)
+    val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      partCols.map(c => c -> inferPartValueType(colVals(c).toSeq)).toMap
+    val typed = spark.createDataFrame(rows, schema)
+      .select(col("__graft_sub") +: partCols.map(c => col(c).cast(colTypes(c)).as(c)): _*)
+    val filtered = typed.filter(pred)
+    // a STRING-typed partition column the ANALYZED predicate casts to a
+    // typed target (the user wrote `hour >= 10` over dirs holding a
+    // non-numeric value) must refuse per-value, not silently null-drop
+    // partitions (non-ANSI) or crash mid-filter (ANSI)
+    val strCols = partCols.filter(c =>
+      colTypes(c) == org.apache.spark.sql.types.StringType).toSet
+    filtered.queryExecution.analyzed
+      .collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .flatMap(_.collect { case c: org.apache.spark.sql.catalyst.expressions.Cast => c })
+      .foreach { c =>
+        c.child match {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if strCols.contains(a.name) &&
+                c.dataType != org.apache.spark.sql.types.StringType =>
+            val bad = colVals(a.name).toSeq.filter(v => castFails(v, c.dataType))
+            require(bad.isEmpty,
+              s"$op: scope predicate casts partition column ${a.name} to ${c.dataType.sql}, " +
+                s"but partition value(s) ${bad.take(3).mkString("'", "', '", "'")} do not " +
+                "cast — fix the predicate (compare as strings) or the partition layout")
+          case _ => ()
+        }
+      }
+    val selected = filtered
       .select(col("__graft_sub"))
       .collect()
       .map(_.getString(0))
       .toSet
     all.partition(e => selected.contains(partitionSubPath(e.path, rootAbs)))
+  }
+
+  /** Partition-value type inference (r18) — the discovery lattice over
+    * the column's distinct dir-name strings: all-long → LONG, all-double
+    * → DOUBLE, all-`yyyy-MM-dd` → DATE, else verbatim STRING. Inference
+    * feeds SCOPE EVALUATION only; dir names and rewrites keep the
+    * verbatim strings. */
+  private def inferPartValueType(vals: Seq[String]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def all(p: String => Boolean) = vals.nonEmpty && vals.forall(v => scala.util.Try(p(v)).getOrElse(false))
+    if (all(v => { v.toLong; true })) LongType
+    else if (all(v => { v.toDouble; true })) DoubleType
+    else if (all(v => { java.sql.Date.valueOf(v); true })) DateType
+    else StringType
+  }
+
+  private def castFails(v: String, dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        scala.util.Try(v.trim.toLong).isFailure
+      case FloatType | DoubleType           => scala.util.Try(v.trim.toDouble).isFailure
+      case _: DecimalType                   => scala.util.Try(BigDecimal(v.trim)).isFailure
+      case DateType                         => scala.util.Try(java.sql.Date.valueOf(v.trim)).isFailure
+      case TimestampType | TimestampNTZType =>
+        scala.util.Try(java.sql.Timestamp.valueOf(v.trim)).isFailure
+      case BooleanType =>
+        !Set("true", "false", "t", "f", "yes", "no", "y", "n", "0", "1")
+          .contains(v.trim.toLowerCase)
+      case _ => false
+    }
   }
 
   /** Guard + open: stop-the-writer, no leftover stage/backup, log opened,

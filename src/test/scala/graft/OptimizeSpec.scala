@@ -1041,6 +1041,73 @@ class OptimizeSpec extends AnyFunSuite {
     assert(entries("click") == clickStable, "repair lost the untouched partition's entries")
   }
 
+  test("partition scope predicates evaluate TYPED: '9' is not >= '10', un-castable values refuse") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("opt_scope_typed_out")
+    val ckpt = freshDir("opt_scope_typed_ckpt")
+    val stream = MemoryStream[Ev]
+    // int-valued partition dirs (etype=9 / 10 / 23) — the
+    // time-partitioned-warehouse shape where hour/day/shard values are
+    // numeric strings in the dir names; two batches per partition so
+    // compaction has small files everywhere
+    for (round <- 0 to 1; hour <- Seq("9", "10", "23")) {
+      val base = round * 100 + hour.toLong * 4
+      runBatch(stream, out, ckpt, (base to base + 3).map(i => ev(i, hour)))
+    }
+    val before = spark.read.parquet(out).select("id", "etype", "value").collect().toSet
+    def entries(part: String): Set[String] =
+      StreamSinks.committedFiles(spark, out, "parquet").filter(_.contains(s"etype=$part")).toSet
+    val nineBefore = entries("9")
+    val inScopeBefore = entries("10").size + entries("23").size
+
+    // the r17 lexical trap, pinned: a STRING-literal range scope over
+    // int-valued partitions compared dir strings lexically ("9" >=
+    // "10"), so hour=9 rewrote and the boundary partition semantics
+    // were garbage. Typed inference (all values parse as longs) makes
+    // this a numeric comparison: 9 stays out, 10 and 23 are in.
+    val rep = Optimize.optimizeSink(
+      spark, out, "parquet", smallFileBytes = 1024 * 1024,
+      partitionWhere = Some(col("etype") >= "10"))
+    assert(rep.compactedFiles == inScopeBefore,
+      s"typed scope must cover exactly partitions 10 and 23 (${rep.compactedFiles} of $inScopeBefore)")
+    assert(entries("9") == nineBefore,
+      "partition 9 was rewritten by a >= '10' scope — lexical string comparison")
+    assert(entries("10").forall(_.contains("graft-compact-")) &&
+      entries("23").forall(_.contains("graft-compact-")),
+      "an in-scope partition did not rewrite")
+    assert(spark.read.parquet(out).select("id", "etype", "value").collect().toSet == before)
+
+    // the int-literal spelling selects the same typed scope (SORT BY to
+    // force a full in-scope rewrite of the now-compacted files)
+    val inScopeAfter = entries("10").size + entries("23").size
+    val rep2 = Optimize.optimizeSink(
+      spark, out, "parquet", targetFileBytes = 2048,
+      sortDims = Seq("id"),
+      partitionWhere = Some(org.apache.spark.sql.functions.expr("etype >= 10")))
+    assert(rep2.compactedFiles == inScopeAfter)
+    assert(entries("9") == nineBefore, "int-literal scope touched partition 9")
+    assert(spark.read.parquet(out).select("id", "etype", "value").collect().toSet == before)
+
+    // UN-CASTABLE refusal: add a non-numeric partition value; the
+    // column now infers STRING, and a numeric scope predicate would
+    // either null-drop partitions (non-ANSI) or crash mid-filter (ANSI)
+    // — instead the offending value is named loudly
+    runBatch(stream, out, ckpt, Seq(ev(990L, "oops")))
+    val exCast = intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out, "parquet",
+        partitionWhere = Some(org.apache.spark.sql.functions.expr("etype >= 10")))
+    }
+    assert(exCast.getMessage.contains("do not cast") && exCast.getMessage.contains("oops"),
+      exCast.getMessage)
+    // exact STRING predicates still work on the mixed-value table
+    val rep3 = Optimize.optimizeSink(spark, out, "parquet", smallFileBytes = 1024 * 1024,
+      partitionWhere = Some(col("etype") === "oops"))
+    assert(rep3.compactedFiles == 0 || rep3.keptFiles > 0) // single file: nothing to repack
+    assert(entries("9") == nineBefore)
+  }
+
   test("_PROTECTED snapshot serves vacuum protection in ONE read; retention auto-expires") {
     val (out, _) = buildIdTable("prot", Seq(0L, 100L))
     Optimize.deleteWhere(spark, out, col("id") < 10L) // archives v1
