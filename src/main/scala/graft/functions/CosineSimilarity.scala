@@ -528,7 +528,12 @@ object GraftExtensions {
     * graft_table_version('<path>', n[, '<format>']) reads the rows of
     * archived version n ([[graft.streaming.Optimize.readVersion]]) —
     * no swap, no mutation, loud refusal once `GRAFT EXPIRE HISTORY` +
-    * vacuum released the version's files. Pairs with `GRAFT HISTORY`
+    * vacuum released the version's files. TIMESTAMP AS OF (r18): the
+    * second argument may instead be a timestamp — a TIMESTAMP literal,
+    * or a string 'yyyy-MM-dd[ HH:mm:ss[.f]]' — mapped to the latest
+    * version archived at or before it
+    * ([[graft.streaming.Optimize.versionAsOf]]; before-first-version
+    * and clock-skew both refuse loudly). Pairs with `GRAFT HISTORY`
     * (list) and `GRAFT RESTORE` (swap back). */
   private[graft] val tableVersionTvf = (
     FunctionIdentifier("graft_table_version"),
@@ -537,18 +542,38 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(
         children.length == 2 || children.length == 3,
-        s"graft_table_version expects (path, version[, format]), got ${children.length}")
+        s"graft_table_version expects (path, version-or-timestamp[, format]), " +
+          s"got ${children.length}")
       val str = tvfStr("graft_table_version") _
       val spark = SparkSession.active
+      val path = str(children.head, "path")
+      import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
+      def asOf(ms: Long): Long = graft.streaming.Optimize.versionAsOf(spark, path, ms)
       val version = children(1) match {
-        case Literal(v: Int, _)  => v.toLong
-        case Literal(v: Long, _) => v
+        case Literal(us: Long, TimestampType)    => asOf(us / 1000L)
+        case Literal(us: Long, TimestampNTZType) => asOf(us / 1000L)
+        case Literal(v: Int, _)                  => v.toLong
+        case Literal(v: Long, _)                 => v
+        case Literal(_, StringType) =>
+          val s = str(children(1), "timestamp")
+          val ms =
+            try java.sql.Timestamp.valueOf(s).getTime
+            catch {
+              case _: IllegalArgumentException =>
+                try java.sql.Date.valueOf(s).getTime
+                catch {
+                  case _: IllegalArgumentException => throw new IllegalArgumentException(
+                    s"graft_table_version: '$s' is neither a version id, a " +
+                      "'yyyy-MM-dd HH:mm:ss[.f]' timestamp, nor a 'yyyy-MM-dd' date")
+                }
+            }
+          asOf(ms)
         case other => throw new IllegalArgumentException(
-          s"graft_table_version: version must be an integer literal, got $other")
+          s"graft_table_version: version must be an integer or timestamp literal, got $other")
       }
       val fmt = if (children.length == 3) str(children(2), "format") else "parquet"
       graft.streaming.Optimize
-        .readVersion(spark, str(children.head, "path"), version, fmt)
+        .readVersion(spark, path, version, fmt)
         .queryExecution.analyzed
     }
   )

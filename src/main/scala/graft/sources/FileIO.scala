@@ -2034,6 +2034,50 @@ object FileIO {
            |ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // TIMESTAMP AS OF gate (r18): same table shape and oracle contract
+    // as `sql_time_travel`, but the version is addressed by TIME — a
+    // timestamp strictly after the archive instant maps to the latest
+    // archived version (the pre-delete generation), so the hashed
+    // result proves the mtime→version mapping picks the same manifest
+    // the version-id spelling does. Rerun-idempotent: the second pass's
+    // delete matches nothing (no new version), and "now" keeps mapping
+    // to the same latest version.
+    "sql_time_travel_ts" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val base = Tables.gateScratchDir(spark, dir, "time_travel_ts")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.sql(s"GRAFT DELETE FROM '$tbl' WHERE pmod(o_orderkey, 10) < 3").collect(): Unit
+      val asOf = new java.sql.Timestamp(System.currentTimeMillis() + 1000L)
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+           |FROM graft_table_version('$tbl', '$asOf')
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // SMALL-FILE COMPACTION gate (r15 — upgrades [[compact]] from
     // spec-measured to oracle-gated): 64 micro-batch-sized files repack
     // through the shuffle-free coalesce path, and the aggregate is read
@@ -2178,6 +2222,7 @@ object FileIO {
     // of the pre-delete version shares the contract BY REFERENCE
     "table_restore" -> fullOrdersAggOracle,
     "sql_time_travel" -> fullOrdersAggOracle,
+    "sql_time_travel_ts" -> fullOrdersAggOracle,
     "table_delete_cow" -> deleteCowOracle,
     "sql_delete_cow" -> deleteCowOracle,
     "sql_delete_by_name" -> deleteCowOracle,

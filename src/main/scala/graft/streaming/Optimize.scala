@@ -1366,6 +1366,36 @@ object Optimize {
     }
   }
 
+  /** TIMESTAMP AS OF → version id (r18): the latest version whose
+    * ARCHIVE instant (the mtime [[archiveToHistory]] stamps at the
+    * swap) is at or before `tsMillis` — the spelling every lakehouse
+    * user reaches for first ("the table as of yesterday 9am"), mapped
+    * onto the version-id machinery RESTORE and the TVF already serve.
+    * Refusals are loud in both failure directions: a timestamp before
+    * the first archive has no answer, and NON-MONOTONIC archive
+    * instants (clock skew across maintenance runs — wall clocks, not a
+    * logical sequence, stamp the dirs) make "as of" ambiguous, so the
+    * mapping refuses and points at explicit version ids rather than
+    * guessing. */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val fs = fsFor(spark, path)
+    val vs = versionDirs(fs, path)
+    require(vs.nonEmpty, s"versionAsOf($path): no archived history versions")
+    val skew = vs.sliding(2).collectFirst {
+      case Seq((v1, _, t1), (v2, _, t2)) if t2 < t1 => (v1, v2)
+    }
+    require(skew.isEmpty,
+      s"versionAsOf($path): archive instants are non-monotonic (v${skew.map(_._2).getOrElse(0L)} " +
+        s"stamped before v${skew.map(_._1).getOrElse(0L)}) — clock skew across maintenance " +
+        "runs makes AS OF ambiguous; travel by explicit version id (GRAFT HISTORY lists them)")
+    val hit = vs.filter(_._3 <= tsMillis)
+    require(hit.nonEmpty,
+      s"versionAsOf($path): no version archived at or before " +
+        s"${new java.sql.Timestamp(tsMillis)} — earliest is v${vs.head._1} at " +
+        s"${new java.sql.Timestamp(vs.head._3)}")
+    hit.last._1
+  }
+
   /** TIME-TRAVEL read of an archived version: the historical manifest's
     * file list, loaded directly (no swap, no mutation). Works only while
     * the version's files survive — i.e. until [[expireHistory]] releases

@@ -1156,6 +1156,44 @@ class OptimizeSpec extends AnyFunSuite {
     assert(Optimize.listVersions(spark, out).map(_.version) == Seq(3L))
   }
 
+  test("TIMESTAMP AS OF maps to the latest version archived at or before; refusals are loud") {
+    val (out, _) = buildIdTable("asof", Seq(0L, 100L))
+    Optimize.deleteWhere(spark, out, col("id") < 10L) // archives v1
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    Optimize.updateWhere(spark, out, col("id") === 20L, Map("v" -> lit(0.0))) // archives v2
+    assert(Optimize.versionAsOf(spark, out, System.currentTimeMillis() + 1000L) == 2L,
+      "a future timestamp must map to the latest archived version")
+    assert(Optimize.versionAsOf(spark, out, mid) == 1L,
+      "a timestamp between the archives must map to the earlier version")
+
+    // the TVF timestamp spelling reads the same manifest the id one does
+    graft.functions.GraftExtensions.register(spark)
+    val tsStr = new java.sql.Timestamp(mid).toString
+    val viaTs = spark.sql(s"SELECT COUNT(*) AS n FROM graft_table_version('$out', '$tsStr')")
+      .collect()(0).getLong(0)
+    assert(viaTs == Optimize.readVersion(spark, out, 1L).count(),
+      "TVF timestamp travel read a different version than the id spelling")
+
+    // BEFORE-FIRST refusal: nothing was archived yet at that instant
+    val earliest = Optimize.listVersions(spark, out).head.modifiedMs
+    val exEarly = intercept[IllegalArgumentException] {
+      Optimize.versionAsOf(spark, out, earliest - 60000L)
+    }
+    assert(exEarly.getMessage.contains("no version archived at or before"), exEarly.getMessage)
+
+    // CLOCK-SKEW refusal: stamp v1's archive instant AFTER v2's — the
+    // mapping is ambiguous and must refuse, not guess
+    val v1 = Paths.get(out, "_graft_history", "v1")
+    Files.setLastModifiedTime(v1, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 3600 * 1000L))
+    val exSkew = intercept[IllegalArgumentException] {
+      Optimize.versionAsOf(spark, out, System.currentTimeMillis())
+    }
+    assert(exSkew.getMessage.contains("non-monotonic"), exSkew.getMessage)
+  }
+
   test("history version ids are never reused across expiry epochs") {
     val (out, _) = buildIdTable("vmax", Seq(0L, 100L))
     Optimize.deleteWhere(spark, out, col("id") === 0L)
