@@ -135,6 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.phraseSearchIdxTvf)
     ext.injectTableFunction(GraftExtensions.bm25Tvf)
     ext.injectTableFunction(GraftExtensions.tableVersionTvf)
+    ext.injectTableFunction(GraftExtensions.tableChangesTvf)
     ext.injectTableFunction(GraftExtensions.bpeTokenizeTvf)
     ext.injectOptimizerRule(_ => graft.plans.ExpandSimilarityJoin)
     // SQL DML/maintenance statements (GRAFT OPTIMIZE / DELETE / UPDATE /
@@ -574,6 +575,46 @@ object GraftExtensions {
       val fmt = if (children.length == 3) str(children(2), "format") else "parquet"
       graft.streaming.Optimize
         .readVersion(spark, path, version, fmt)
+        .queryExecution.analyzed
+    }
+  )
+
+  /** SQL surface for the CHANGE FEED (r18 — CDC out):
+    * graft_table_changes('<path>', v_from[, v_to][, '<format>']) returns
+    * the rows inserted/deleted between two committed states
+    * ([[graft.streaming.Optimize.tableChanges]] — manifest-diff file
+    * sets, one exceptAll reconciliation over only the CHANGED files;
+    * `v_to` omitted means the LIVE table). `_change_type` is
+    * 'insert' | 'delete'; an update is delete(old)+insert(new);
+    * copied-but-unchanged rows are never reported. Expired versions and
+    * vacuumed spans refuse loudly. */
+  private[graft] val tableChangesTvf = (
+    FunctionIdentifier("graft_table_changes"),
+    new ExpressionInfo(
+      graft.streaming.Optimize.getClass.getName, "graft_table_changes"),
+    (children: Seq[Expression]) => {
+      require(
+        children.length >= 2 && children.length <= 4,
+        s"graft_table_changes expects (path, v_from[, v_to][, format]), " +
+          s"got ${children.length}")
+      val str = tvfStr("graft_table_changes") _
+      val spark = SparkSession.active
+      def intLit(e: Expression, what: String): Long = e match {
+        case Literal(v: Int, _)  => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_table_changes: $what must be an integer literal, got $other")
+      }
+      val vFrom = intLit(children(1), "v_from")
+      import org.apache.spark.sql.types.StringType
+      val (vTo, fmt) = children.drop(2) match {
+        case Seq()                               => (None, "parquet")
+        case Seq(Literal(_, StringType))         => (None, str(children(2), "format"))
+        case Seq(v)                              => (Some(intLit(v, "v_to")), "parquet")
+        case Seq(v, f)                           => (Some(intLit(v, "v_to")), str(f, "format"))
+      }
+      graft.streaming.Optimize
+        .tableChanges(spark, str(children.head, "path"), vFrom, vTo, fmt)
         .queryExecution.analyzed
     }
   )

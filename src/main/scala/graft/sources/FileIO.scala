@@ -1914,6 +1914,70 @@ object FileIO {
         .orderBy(col("o_orderkey"))
     },
 
+    // CHANGE-FEED gate (r18 — `graft_table_changes` TVF, CDC out): a
+    // DELETE archives v1 and a MERGE (updates + inserts) archives v2,
+    // then the feed is read over BOTH spans — v1→v2 must be exactly the
+    // deleted rows, v2→live must be delete(old)+insert(new) per updated
+    // key plus the merged-in inserts, and NOTHING else: rows the COW
+    // rewrites merely copied cancel in the reconciliation. The oracle
+    // recomputes both row diffs from the raw orders table. Rerun-
+    // idempotent: the feed addresses VERSION IDS, so the mutations run
+    // only while history is still short of two versions — replays skip
+    // them and re-read the same archived spans.
+    "sql_table_changes" -> { (spark, dir) =>
+      graft.functions.GraftExtensions.register(spark)
+      val base = Tables.gateScratchDir(spark, dir, "table_changes")
+      val src = s"$base/src"; val tbl = s"$base/table"; val ckpt = s"$base/ckpt"
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderstatus"))
+      if (!new java.io.File(src).exists()) {
+        o.repartition(4).write.mode(SaveMode.Overwrite).parquet(src)
+      }
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (graft.streaming.Optimize.listVersions(spark, tbl).size < 2) {
+        spark.sql(s"GRAFT DELETE FROM '$tbl' WHERE pmod(o_orderkey, 10) < 3").collect(): Unit
+        // MERGE source: update every key ≡ 5 (mod 10) to cents+7, insert
+        // the same keys shifted out of the key domain — both images are
+        // deterministic functions of the fixture, so DuckDB can replay them
+        val merged = o.filter(pmod(col("o_orderkey"), lit(10L)) === 5L)
+        val mergeSrc = merged
+          .select(col("o_orderkey"), (col("cents") + lit(7L)).as("cents"), col("o_orderstatus"))
+          .unionByName(merged.select(
+            (col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            col("cents"), col("o_orderstatus")))
+        graft.streaming.Optimize.mergeInto(
+          spark, tbl, mergeSrc, Seq("o_orderkey"),
+          matchedSet = Some(Map("cents" -> col("s.cents")))): Unit
+      }
+      val vs = graft.streaming.Optimize.listVersions(spark, tbl).map(_.version)
+      val v1 = vs.min
+      val v2 = vs.max
+      spark.sql(
+        s"""SELECT * FROM (
+           |  SELECT o_orderkey, cents, o_orderstatus, _change_type, 1 AS span
+           |  FROM graft_table_changes('$tbl', $v1, $v2)
+           |  UNION ALL
+           |  SELECT o_orderkey, cents, o_orderstatus, _change_type, 2 AS span
+           |  FROM graft_table_changes('$tbl', $v2)
+           |)
+           |ORDER BY span, o_orderkey, _change_type""".stripMargin)
+    },
+
     // TYPED partition-scope RANGE gate (r18): the same scoped-rewrite
     // contract as `table_optimize_part`, but over an INT-valued
     // partition column (`hour` in {8,9,10,11}) with a RANGE scope
@@ -2223,6 +2287,27 @@ object FileIO {
     "table_restore" -> fullOrdersAggOracle,
     "sql_time_travel" -> fullOrdersAggOracle,
     "sql_time_travel_ts" -> fullOrdersAggOracle,
+    "sql_table_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderstatus
+        |  FROM orders
+        |)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, cents, o_orderstatus, 'delete' AS _change_type, 1 AS span
+        |  FROM base WHERE o_orderkey % 10 < 3
+        |  UNION ALL
+        |  SELECT o_orderkey, cents, o_orderstatus, 'delete' AS _change_type, 2 AS span
+        |  FROM base WHERE o_orderkey % 10 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, cents + 7, o_orderstatus, 'insert' AS _change_type, 2 AS span
+        |  FROM base WHERE o_orderkey % 10 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, cents, o_orderstatus, 'insert' AS _change_type, 2 AS span
+        |  FROM base WHERE o_orderkey % 10 = 5
+        |)
+        |ORDER BY span, o_orderkey, _change_type""".stripMargin,
     "table_delete_cow" -> deleteCowOracle,
     "sql_delete_cow" -> deleteCowOracle,
     "sql_delete_by_name" -> deleteCowOracle,

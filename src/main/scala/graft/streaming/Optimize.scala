@@ -1417,6 +1417,88 @@ object Optimize {
     spark.read.format(format).option("basePath", path).load(paths: _*)
   }
 
+  /** CHANGE FEED between two committed states (r18 — CDC *out*): the
+    * rows inserted and deleted between version `vFrom` and `vTo` (an
+    * archived version id, or the LIVE table when `None`), served from
+    * the manifest diff that is already on disk. An update under
+    * copy-on-write appears as delete(old image) + insert(new image);
+    * rows a rewrite merely COPIED (survivors riding a COW file swap)
+    * cancel in the row reconciliation and are never reported.
+    *
+    * Scale shape: the file-set diff is METADATA (driver, manifest
+    * entries only); the row work reads ONLY the changed files and
+    * reconciles with one `exceptAll` shuffle over them — O(churn),
+    * never O(table). This is what lets a downstream consumer follow a
+    * 100 TB table incrementally instead of re-snapshotting it.
+    *
+    * Refusals: unknown/expired `vFrom`/`vTo` (the diff needs both
+    * manifests), and changed files already released by vacuum (the
+    * span is no longer reconstructable). Add-only schema evolution
+    * between the versions is aligned by name — columns missing on the
+    * older side read as NULL on its images. */
+  def tableChanges(
+      spark: SparkSession,
+      path: String,
+      vFrom: Long,
+      vTo: Option[Long] = None,
+      format: String = "parquet"
+  ): DataFrame = {
+    val fs = fsFor(spark, path)
+    vTo.foreach(t => require(vFrom <= t, s"tableChanges($path): v_from $vFrom > v_to $t"))
+    def archPaths(v: Long): Set[String] = {
+      val dir = versionDirs(fs, path).collectFirst { case (vv, d, _) if vv == v => d }
+        .getOrElse(throw new IllegalArgumentException(
+          s"tableChanges($path): no history version $v (archived: " +
+            s"${versionDirs(fs, path).map(_._1).mkString(",")}) — an expired version " +
+            "cannot serve a change feed"))
+      versionEntries(spark, dir)
+        .getOrElse(throw new IllegalStateException(
+          s"tableChanges($path): v$v is unreadable archived debris, not a manifest"))
+        .map(_.sparkPath.toPath.toString).toSet
+    }
+    val fromPaths = archPaths(vFrom)
+    val toPaths = vTo match {
+      case Some(t) => archPaths(t)
+      case None =>
+        sinkLog(spark, metaDir(path).toString).allFiles().toSeq
+          .map(_.sparkPath.toPath.toString).toSet
+    }
+    val removed = (fromPaths -- toPaths).toSeq.sorted
+    val added = (toPaths -- fromPaths).toSeq.sorted
+    val missing = (removed ++ added).filterNot(p => fs.exists(new Path(p)))
+    require(missing.isEmpty,
+      s"tableChanges($path): ${missing.size} changed file(s) already vacuumed " +
+        s"(first: ${missing.headOption.getOrElse("")}) — the span is no longer " +
+        "reconstructable; expire less history or consume the feed sooner")
+    def side(paths: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(spark.read.format(format).option("basePath", path).load(paths: _*))
+    val delOpt = side(removed)
+    val insOpt = side(added)
+    // align by NAME to the newer side's schema plus any older-only
+    // columns (add-only evolution: the newer side is the superset; the
+    // general spelling also tolerates a column dropped in between)
+    val target: org.apache.spark.sql.types.StructType = (delOpt, insOpt) match {
+      case (Some(d), Some(i)) =>
+        org.apache.spark.sql.types.StructType(
+          i.schema.fields ++ d.schema.fields.filterNot(f => i.columns.contains(f.name)))
+      case (Some(d), None) => d.schema
+      case (None, Some(i)) => i.schema
+      case (None, None)    => spark.read.format(format).load(path).schema
+    }
+    def aligned(o: Option[DataFrame]): DataFrame = o match {
+      case Some(df) => df.select(target.fields.toSeq.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      case None =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), target)
+    }
+    val del = aligned(delOpt)
+    val ins = aligned(insOpt)
+    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+  }
+
   final case class RestoreReport(
       restoredVersion: Long,
       restoredFiles: Int,

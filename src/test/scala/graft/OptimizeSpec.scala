@@ -1156,6 +1156,55 @@ class OptimizeSpec extends AnyFunSuite {
     assert(Optimize.listVersions(spark, out).map(_.version) == Seq(3L))
   }
 
+  test("tableChanges: deletes/updates/inserts as a row feed, copied rows cancel, expired spans refuse") {
+    val (out, _) = buildIdTable("chfeed", Seq(0L, 100L)) // ids 0..199
+    Optimize.deleteWhere(spark, out, col("id") < 10L) // v1 = full table
+    Optimize.updateWhere(spark, out, col("id") === 50L, Map("v" -> lit(-1.0))) // v2 = post-delete
+    Optimize.mergeInto(spark, out,
+      spark.range(200, 210).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+      Seq("id")): Unit // v3 = pre-merge
+
+    def feed(vFrom: Long, vTo: Option[Long]): Map[(Long, String), Double] =
+      Optimize.tableChanges(spark, out, vFrom, vTo)
+        .select("id", "_change_type", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    // span v1→v2: exactly the 10 deleted rows — the survivors COW-copied
+    // into rewritten files must cancel, never appear as churn
+    val d = feed(1L, Some(2L))
+    assert(d.size == 10 && d.keySet == (0L until 10L).map(i => (i, "delete")).toSet, d.toString)
+
+    // span v2→v3: one update = delete(old image) + insert(new image)
+    val u = feed(2L, Some(3L))
+    assert(u == Map((50L, "delete") -> 50.0, (50L, "insert") -> -1.0), u.toString)
+
+    // span v3→LIVE (vTo omitted): the merged-in inserts only
+    val i = feed(3L, None)
+    assert(i.size == 10 && i.keySet == (200L until 210L).map(k => (k, "insert")).toSet, i.toString)
+
+    // full span v1→live composes all three mutations
+    val full = feed(1L, None)
+    assert(full((50L, "insert")) == -1.0 && full.contains((0L, "delete")) &&
+      full.contains((205L, "insert")) && !full.contains((60L, "insert")),
+      s"unexpected full-span feed: $full")
+
+    // refusals: unknown/expired version; vacuumed span
+    val exV = intercept[IllegalArgumentException] { Optimize.tableChanges(spark, out, 99L) }
+    assert(exV.getMessage.contains("no history version"), exV.getMessage)
+    Optimize.expireHistory(spark, out, keep = 2) // expires v1
+    val exExp = intercept[IllegalArgumentException] { Optimize.tableChanges(spark, out, 1L) }
+    assert(exExp.getMessage.contains("no history version"), exExp.getMessage)
+    StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L): Unit
+    // v2 survives expiry but its unique files were just released only if
+    // unreferenced; force the vacuumed-span refusal by expiring the rest
+    // and sweeping, then asking for a feed that needs the gone files
+    Optimize.expireHistory(spark, out, keep = 0)
+    StreamSinks.vacuum(spark, out, "parquet", dryRun = false, graceMs = 0L): Unit
+    val exGone = intercept[Exception] { Optimize.tableChanges(spark, out, 2L) }
+    assert(exGone.getMessage.contains("no history version") ||
+      exGone.getMessage.contains("vacuumed"), exGone.getMessage)
+  }
+
   test("TIMESTAMP AS OF maps to the latest version archived at or before; refusals are loud") {
     val (out, _) = buildIdTable("asof", Seq(0L, 100L))
     Optimize.deleteWhere(spark, out, col("id") < 10L) // archives v1
