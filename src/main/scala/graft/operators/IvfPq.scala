@@ -198,8 +198,14 @@ object IvfPq {
     * would make the vector unreachable forever — and the code lookup
     * would crash with a bare NoSuchElementException besides. The common
     * path (books contain cl) pays one map probe, nothing else;
-    * IvfPqLayoutSpec pins the re-homing. */
-  def encode(assigned: DataFrame, pq: PqModel): DataFrame = {
+    * IvfPqLayoutSpec pins the re-homing.
+    *
+    * `withAcd = true` (r18) adds an `acd` column — the row's distance
+    * `1 - cos(v, assigned centroid)` on the engine's 1e-6 lattice, the
+    * per-row drift statistic [[driftReport]] aggregates. The DELTA
+    * append path sets it (codes drop the raw vector, so the statistic
+    * must ride the row); the base index keeps the lean ~m-byte rows. */
+  def encode(assigned: DataFrame, pq: PqModel, withAcd: Boolean = false): DataFrame = {
     require(pq.books.nonEmpty,
       "PQ model has no codebooks at all — train() on a non-empty assigned corpus first")
     val spark = assigned.sparkSession
@@ -208,7 +214,7 @@ object IvfPq {
     val bcBooks = spark.sparkContext.broadcast(pq.books)
     val bookCls = pq.books.keySet.toArray.sorted
     val m = pq.m; val subDim = pq.subDim
-    assigned
+    val encoded = assigned
       .select(col("vec_id").cast("long"), col("v"), col("cl").cast("int"))
       .as[(Long, Seq[Double], Int)]
       .map { case (id, v, cl0) =>
@@ -244,9 +250,17 @@ object IvfPq {
           codes(sub) = best
           sub += 1
         }
-        (id, cl, codes.toSeq)
+        // drift statistic vs the ASSIGNED (nearest) centroid cl0, not a
+        // re-home target. Squared L2, not cosine: the residual books
+        // quantize v − centroid in L2 space, so L2 inertia is what
+        // predicts ADC failure — a magnitude shift that cosine
+        // normalizes away still explodes the residuals (and the recall
+        // collapse with them)
+        val acd = l2sq(v.toArray, bcCents.value(cl0))
+        (id, cl, codes.toSeq, acd)
       }
-      .toDF("vec_id", "cl", "codes")
+      .toDF("vec_id", "cl", "codes", "acd")
+    if (withAcd) encoded else encoded.drop("acd")
   }
 
   /** Driver-side probe plan: the nProbe nearest clusters per query and
@@ -297,12 +311,106 @@ object IvfPq {
     * nProbe directories of. The codes are ~m bytes a row; at 100 TB of
     * vectors this is the difference between sweeping a GB-scale code
     * table and scanning the corpus. */
-  def writeIndexedPq(assigned: DataFrame, pq: PqModel, path: String): Unit =
+  def writeIndexedPq(assigned: DataFrame, pq: PqModel, path: String): Unit = {
     encode(assigned, pq)
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cl")
       .parquet(path)
+    // the TRAINING value of the drift statistic (r18): mean SQUARED L2
+    // distance of the base corpus to its assigned centroids (k-means
+    // inertia — the space the residual books quantize in), persisted
+    // next to the codes so driftReport can compare appends against it
+    // without the base's raw vectors. One codegen aggregate over the
+    // corpus — the cheap tail of a build that just ran Lloyd over it.
+    if (pq.coarse.k <= IvfIndex.LiteralAssignMaxK) {
+      val spark = assigned.sparkSession
+      val r = assigned
+        .agg(
+          org.apache.spark.sql.functions.avg(acdExpr(pq.coarse, col("v"), col("cl"))),
+          org.apache.spark.sql.functions.count(lit(1)))
+        .collect()(0)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(driftBaseMarker(path), true)
+      try out.write(s"${r.getDouble(0)} ${r.getLong(1)}".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private def driftBaseMarker(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_drift_base")
+
+  /** Squared-L2 distance of `v` to its assigned centroid as a builtin
+    * expression chain (element_at over the centroid literal, zip_with
+    * diff-square, ordered aggregate sum) — term-for-term the arithmetic
+    * of [[encode]]'s per-row `acd`, so the persisted training value and
+    * the per-append rows are directly comparable. */
+  private def acdExpr(
+      coarse: IvfIndex.Model,
+      v: org.apache.spark.sql.Column,
+      cl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val centsLit = org.apache.spark.sql.functions.typedLit(coarse.centroids.map(_.toSeq))
+    val cvec = org.apache.spark.sql.functions.element_at(centsLit, cl.cast("int") + lit(1))
+    org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.zip_with(v, cvec, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** What the drift trigger reports: the base's training-time mean
+    * assigned-centroid distance, the delta's mean, their ratio, and
+    * whether the ratio crossed `bound`. */
+  final case class DriftReport(
+      baseMeanAcd: Double, deltaMeanAcd: Double, ratio: Double,
+      baseN: Long, deltaN: Long, bound: Double, flagged: Boolean)
+
+  /** The OPERATIONALIZED retrain trigger (r18 — SCALING.md r17 measured
+    * the recall curve, this wires the statistic in): compares the
+    * appended rows' mean SQUARED-L2 assigned-centroid distance (the
+    * per-row `acd` [[appendEncodedSink]] persists) against the base's
+    * training inertia (the `_graft_drift_base` sidecar
+    * [[writeIndexedPq]] writes). Measured link (tools/PqDriftProbe,
+    * SCALING.md r18): held-out STATIONARY appends sit at ~1.11–1.12 at
+    * every fraction out to a doubled corpus (k-means inertia on unseen
+    * data — never 1.0, never growing), while the +1.5/dim SHIFTED
+    * workload jumps to ~150× immediately — the statistic separates by
+    * two orders of magnitude before recall even crosses the gate bound.
+    * `bound` defaults to 1.5 (override per call or with
+    * `spark.graft.pq.driftRatioBound`): comfortably above any held-out
+    * inertia, far below any distribution break. An empty delta reports
+    * ratio 1.0. Cost: one aggregate over the DELTA codes only — never
+    * the corpus. */
+  def driftReport(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      deltaPath: String,
+      bound: Double = 1.5): DriftReport = {
+    val conf = spark.conf.getOption("spark.graft.pq.driftRatioBound").map(_.toDouble)
+    val b = conf.getOrElse(bound)
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = driftBaseMarker(basePath)
+    require(fs.exists(m),
+      s"driftReport($basePath): no _graft_drift_base sidecar — the base index predates " +
+        "drift tracking; rebuild with writeIndexedPq to record the training statistic")
+    val body = {
+      val in = fs.open(m)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+    val parts = body.split("\\s+")
+    val (baseMean, baseN) = (parts(0).toDouble, parts(1).toLong)
+    val delta = spark.read.parquet(deltaPath)
+    require(delta.columns.contains("acd"),
+      s"driftReport($deltaPath): delta rows carry no acd column — appended before drift " +
+        "tracking; fold the delta (retrain) or re-append through appendEncodedSink")
+    val r = delta.agg(
+      org.apache.spark.sql.functions.avg(col("acd")),
+      org.apache.spark.sql.functions.count(lit(1))).collect()(0)
+    val deltaN = r.getLong(1)
+    val deltaMean = if (deltaN == 0L) baseMean else r.getDouble(0)
+    val ratio = if (baseMean <= 0.0) 1.0 else deltaMean / baseMean
+    DriftReport(baseMean, deltaMean, ratio, baseN, deltaN, b, ratio > b)
+  }
 
   /** [[searchPq]] against a materialized code index: the probed cluster
     * ids (metadata-scale) become a planning-time partition filter, so
@@ -340,13 +448,28 @@ object IvfPq {
       nProbe: Int,
       topK: Int,
       shortlist: Int,
-      spilled: Boolean = false): DataFrame = {
+      spilled: Boolean = false,
+      driftBound: Option[Double] = None): DataFrame = {
     val spark = corpus.sparkSession
+    // serving-side retrain guard (r18): past the configured drift bound
+    // the frozen books no longer describe the appended region and the
+    // results are silently wrong (SCALING.md r17: recall collapses to
+    // 0.04) — refuse with the retrain prescription instead of serving
+    driftBound.foreach { b =>
+      val rep = driftReport(spark, basePath, deltaPath, b)
+      require(!rep.flagged,
+        s"searchIndexedPqWithDelta($deltaPath): appended drift ratio " +
+          f"${rep.ratio}%.3f exceeds bound ${rep.bound} (delta mean acd " +
+          f"${rep.deltaMeanAcd}%.4f vs base ${rep.baseMeanAcd}%.4f over ${rep.deltaN} " +
+          "appended rows) — the frozen codebooks no longer describe the appended " +
+          "region; retrain on base ∪ delta (StreamingIvfAppend.compact / IvfPq.train)")
+    }
     val (probedPairs, tables) = probePlan(probes, pq, nProbe)
     val probedClusters = probedPairs.map(_._2).distinct.toSeq
     val base = spark.read.parquet(basePath)
-    // schema pinned from the base so an initialized-but-empty delta
-    // (manifest present, zero committed files) still unions cleanly
+    // schema pinned from the base (codes layout) so an initialized-but-
+    // empty delta still unions cleanly; the delta's acd drift column is
+    // aggregate-side only and never rides the candidate scan
     val delta = spark.read.schema(base.schema).parquet(deltaPath)
     val encoded = base.unionByName(delta).filter(col("cl").isin(probedClusters: _*))
     scoreAndRerank(corpus, encoded, probes, probedPairs, tables, topK, shortlist, spilled)
@@ -508,7 +631,10 @@ object IvfPq {
     val assigned = stream
       .withColumn("cl", IvfIndex.assignExpr(pq.coarse, col(vCol)))
       .select(col("vec_id"), col(vCol).as("v"), col("cl"))
-    encode(assigned, pq)
+    // per-row drift statistic rides each appended code row (r18): the
+    // delta drops the raw vector, so the assigned-centroid distance must
+    // be computed here or never — driftReport aggregates it later
+    encode(assigned, pq, withAcd = true)
       .writeStream
       .format("parquet")
       .outputMode("append")

@@ -71,9 +71,13 @@ object PqDriftProbe {
         .select(col("vec_id"), transform(col("v"), x => x + lit(shift)).as("v"))
         .localCheckpoint()
       val corpus = base.unionByName(app).localCheckpoint()
-      // FROZEN books encode the delta — the production append path
+      // FROZEN books encode the delta — the production append path's
+      // layout (cl-partitioned codes WITH the per-row acd drift
+      // statistic appendEncodedSink persists)
       val deltaPath = Files.createTempDirectory(s"pqdrift_d_${shift}_$frac").toString
-      IvfPq.writeIndexedPq(IvfIndex.assignAuto(app, coarse), pq, deltaPath)
+      IvfPq.encode(IvfIndex.assignAuto(app, coarse), pq, withAcd = true)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cl").parquet(deltaPath)
       // probe where the drift hurts: shifted probes query the NEW region
       val probes = (if (shift == 0.0) base else app)
         .orderBy(col("vec_id")).limit(5)
@@ -82,7 +86,12 @@ object PqDriftProbe {
       val ann = IvfPq.searchIndexedPqWithDelta(
         basePath, deltaPath, corpus, probes, pq, nProbe, topK = 5, shortlist = 50)
       val kind = if (shift == 0.0) "stationary" else "shifted"
-      println(f"PQDRIFT kind=$kind frac=$frac recall@5=${recallAt5(corpus, probes, ann)}%.3f")
+      // the ENGINE statistic next to the recall it predicts (r18):
+      // driftReport's acd ratio over the same delta the search served
+      val drift = IvfPq.driftReport(spark, basePath, deltaPath)
+      println(f"PQDRIFT kind=$kind frac=$frac recall@5=${recallAt5(corpus, probes, ann)}%.3f " +
+        f"acdRatio=${drift.ratio}%.3f deltaMeanAcd=${drift.deltaMeanAcd}%.4f " +
+        f"baseMeanAcd=${drift.baseMeanAcd}%.4f")
 
       // the recovery row: retrain coarse + books on base∪delta at the
       // worst point, same probes — what the retrain threshold buys back

@@ -248,6 +248,70 @@ class IvfPqLayoutSpec extends AnyFunSuite {
       "replay duplicated delta code rows")
   }
 
+  test("drift trigger: stationary appends stay under the bound, shifted trip it, serving refuses") {
+    val s = spark
+    import s.implicits._
+    def tmp(n: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$n"); p.toFile.deleteOnExit(); p.toString
+    }
+    val basePath = tmp("pqd_base"); val deltaPath = tmp("pqd_delta"); val ckpt = tmp("pqd_ckpt")
+    val all = corpus().localCheckpoint()
+    val base = all.filter(col("vec_id") < 400)
+    val heldOut = all.filter(col("vec_id") >= 400)
+    val coarse = IvfIndex.train(base, k = 8, iters = 3)
+    val pq = IvfPq.train(IvfIndex.assignAuto(base, coarse), coarse, m = 8, nCodes = 16)
+    IvfPq.writeIndexedPq(IvfIndex.assignAuto(base, coarse), pq, basePath)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(basePath, "_graft_drift_base")),
+      "writeIndexedPq did not persist the training drift statistic")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val stream = ms.toDF().toDF("vec_id", "v")
+    def drain(): Unit = {
+      val q = IvfPq.appendEncodedSink(stream, pq, deltaPath, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    val heldRows = heldOut.select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    // STATIONARY appends: held-out inertia sits a little above 1.0 and
+    // stays under the bound — volume alone never forces a retrain
+    ms.addData(heldRows.toSeq); drain()
+    val repS = IvfPq.driftReport(spark, basePath, deltaPath)
+    assert(!repS.flagged && repS.ratio < 1.5 && repS.ratio > 0.5,
+      s"stationary appends tripped the drift bound: $repS")
+    val probes = all.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    assert(IvfPq.searchIndexedPqWithDelta(
+      basePath, deltaPath, all, probes, pq, nProbe = 3, topK = 5, shortlist = 25,
+      driftBound = Some(1.5)).count() > 0,
+      "serving refused under-bound stationary appends")
+
+    // SHIFTED appends (+1.5/dim): the frozen books' residuals explode —
+    // the L2 statistic jumps orders of magnitude and the bound trips
+    ms.addData(heldRows.map { case (id, v) => (id + 1000000L, v.map(_ + 1.5)) }.toSeq); drain()
+    val repD = IvfPq.driftReport(spark, basePath, deltaPath)
+    assert(repD.flagged && repD.ratio > 1.5, s"shifted appends did not trip the bound: $repD")
+    val shiftedAll = all.unionByName(
+      all.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x + lit(1.5)).as("v")))
+    val ex = intercept[IllegalArgumentException] {
+      IvfPq.searchIndexedPqWithDelta(
+        basePath, deltaPath, shiftedAll, probes, pq, nProbe = 3, topK = 5, shortlist = 25,
+        driftBound = Some(1.5))
+    }
+    assert(ex.getMessage.contains("retrain"), ex.getMessage)
+    // without the bound the operator can still serve (informed choice)
+    assert(IvfPq.searchIndexedPqWithDelta(
+      basePath, deltaPath, shiftedAll, probes, pq, nProbe = 3, topK = 5,
+      shortlist = 25).count() > 0)
+
+    // a base predating drift tracking refuses with rebuild guidance
+    val exNoStat = intercept[IllegalArgumentException] {
+      IvfPq.driftReport(spark, deltaPath, deltaPath)
+    }
+    assert(exNoStat.getMessage.contains("predates drift tracking"), exNoStat.getMessage)
+  }
+
   test("indexed PQ search ≡ in-memory searchPq, and the code scan prunes partitions") {
     val e = corpus()
     val coarse = IvfIndex.train(e, k = 10, iters = 3)
