@@ -107,6 +107,76 @@ object Optimize {
   private[streaming] def bakDir(path: String) = new Path(s"$path/_spark_metadata.bak")
   private[streaming] def stageMetaDir(path: String) = new Path(s"$path/_graft_optimize_stage_meta")
   private[streaming] def stageDataDir(path: String) = new Path(s"$path/_graft_optimize_data")
+
+  /** Per-operation stage dirs + scope lock (r18 — concurrent DISJOINT
+    * partition-scoped maintenance): a scoped OPTIMIZE stages under
+    * token-keyed names so two jobs on disjoint scopes never collide on
+    * the filesystem, and announces its scope in a `_graft_scope_<token>`
+    * lock file (the selected partition sub-paths, one per line) so an
+    * OVERLAPPING scope refuses loudly at acquire time. Only the manifest
+    * swap itself serializes (a per-table JVM lock around the one-rename
+    * commit point, with the replacement entries re-merged against the
+    * LIVE manifest under that lock — so the second committer keeps the
+    * first's work). All names are `_`-prefixed: invisible to readers,
+    * skipped by vacuum's orphan walk. */
+  private[streaming] def stageMetaDirT(path: String, token: String) =
+    new Path(s"$path/_graft_optimize_stage_meta_$token")
+  private[streaming] def stageDataDirT(path: String, token: String) =
+    new Path(s"$path/_graft_optimize_data_$token")
+  private val ScopePrefix = "_graft_scope_"
+  private[streaming] def scopeMarker(path: String, token: String) =
+    new Path(path, s"$ScopePrefix$token")
+
+  /** Per-table swap serialization (same-JVM: the local[...] regime; on a
+    * multi-driver deployment the scope locks still keep DATA disjoint
+    * and the manifest rename is the single commit point). */
+  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def swapLock(path: String): Object =
+    swapLocks.computeIfAbsent(
+      Path.getPathWithoutSchemeAndAuthority(new Path(path)).toString, _ => new Object)
+
+  /** Write-then-check scope acquisition: create our lock, then re-list
+    * every `_graft_scope_*` and back off (delete our lock, refuse) when
+    * an overlapping one is OLDER (mtime, ties by token) — the younger
+    * claimant always yields, so two racing acquires never both proceed
+    * on a shared partition. Returns the token. */
+  private def acquireScope(
+      fs: FileSystem, path: String, subs: Set[String], op: String): String = {
+    require(
+      !fs.exists(bakDir(path)) && !fs.exists(stageMetaDir(path)) && !fs.exists(stageDataDir(path)),
+      s"$op($path): whole-table stage/backup dirs present (an unscoped maintenance op is " +
+        "in flight or died) — run repairOptimize first")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val m = scopeMarker(path, token)
+    val out = fs.create(m, false)
+    try out.write(subs.toSeq.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val mine = fs.getFileStatus(m)
+    fs.listStatus(new Path(path))
+      .filter(st => st.getPath.getName.startsWith(ScopePrefix) && st.getPath.getName != m.getName)
+      .foreach { st =>
+        val theirs = {
+          val in = fs.open(st.getPath)
+          val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          body.split("\n").map(_.trim).filter(_.nonEmpty).toSet
+        }
+        val overlap = theirs.intersect(subs)
+        if (overlap.nonEmpty) {
+          val iWin = mine.getModificationTime < st.getModificationTime ||
+            (mine.getModificationTime == st.getModificationTime &&
+              m.getName < st.getPath.getName)
+          if (!iWin) {
+            fs.delete(m, false)
+            throw new IllegalArgumentException(
+              s"$op($path): partition scope overlaps in-flight scoped maintenance " +
+                s"(${st.getPath.getName}; shared: ${overlap.toSeq.sorted.take(3).mkString(", ")})" +
+                " — disjoint scopes run concurrently; rerun after it completes, or " +
+                s"repairOptimize(path, \"${st.getPath.getName.stripPrefix(ScopePrefix)}\") " +
+                "if it died")
+          }
+        }
+      }
+    token
+  }
   private def marker(stage: Path) = new Path(stage, "_COMMITTED")
   private def historyDir(path: String) = new Path(s"$path/_graft_history")
   private[streaming] def maintMarker(path: String) = new Path(s"$path/_graft_last_maintenance")
@@ -444,7 +514,7 @@ object Optimize {
       partCols: Seq[String],
       pred: Column,
       op: String
-  ): (Seq[SinkFileStatus], Seq[SinkFileStatus]) = {
+  ): (Seq[SinkFileStatus], Seq[SinkFileStatus], Set[String]) = {
     require(partCols.nonEmpty,
       s"$op($path): WHERE partition scope needs a Hive-partitioned table — " +
         "this table has no partition dirs")
@@ -509,7 +579,9 @@ object Optimize {
       .collect()
       .map(_.getString(0))
       .toSet
-    all.partition(e => selected.contains(partitionSubPath(e.path, rootAbs)))
+    val (inScope, outScope) =
+      all.partition(e => selected.contains(partitionSubPath(e.path, rootAbs)))
+    (inScope, outScope, selected)
   }
 
   /** Partition-value type inference (r18) — the discovery lattice over
@@ -550,9 +622,32 @@ object Optimize {
   ): (FileSystem, Long, Seq[SinkFileStatus]) = {
     StreamSinks.requireNoActiveWriter(spark, path, op)
     val fs = fsFor(spark, path)
-    require(
-      !fs.exists(bakDir(path)) && !fs.exists(stageMetaDir(path)) && !fs.exists(stageDataDir(path)),
-      s"$op($path): leftover stage/backup dirs from an interrupted run — run repairOptimize first")
+    // whole-table mutation: refuse on ANY maintenance debris — the
+    // global protocol dirs, a token'd scoped op's stage dirs, or a
+    // scope lock (a disjoint-scoped OPTIMIZE may be live right now; a
+    // whole-table rewrite cannot merge around it)
+    val debris = fs.listStatus(new Path(path)).map(_.getPath.getName).filter(n =>
+      n.startsWith("_graft_optimize_stage_meta") || n.startsWith("_graft_optimize_data") ||
+        n.startsWith(ScopePrefix) || n == "_spark_metadata.bak")
+    require(debris.isEmpty,
+      s"$op($path): maintenance dirs/locks present (${debris.sorted.take(3).mkString(", ")}) — " +
+        "a scoped operation is in flight, or an interrupted run needs repairOptimize " +
+        "(scoped debris: repairOptimize(path, token))")
+    val log = sinkLog(spark, metaDir(path).toString)
+    val latest: Long = log.getLatestBatchId().getOrElse(
+      throw new IllegalStateException(s"$op($path): no committed batches"))
+    (fs, latest, log.allFiles().toSeq)
+  }
+
+  /** Open for a SCOPED op: stop-the-writer + live log read, but no
+    * debris refusal here — scoped ops coexist with other scoped ops;
+    * [[acquireScope]] arbitrates overlap and refuses whole-table
+    * debris. */
+  private def openForScope(
+      spark: SparkSession, path: String, op: String
+  ): (FileSystem, Long, Seq[SinkFileStatus]) = {
+    StreamSinks.requireNoActiveWriter(spark, path, op)
+    val fs = fsFor(spark, path)
     val log = sinkLog(spark, metaDir(path).toString)
     val latest: Long = log.getLatestBatchId().getOrElse(
       throw new IllegalStateException(s"$op($path): no committed batches"))
@@ -570,7 +665,8 @@ object Optimize {
       path: String,
       format: String,
       srcPaths: Seq[String],
-      namePrefix: String
+      namePrefix: String,
+      stageDataOverride: Option[Path] = None
   )(write: (DataFrame, Seq[String], String) => Unit): Seq[Path] = {
     val rootAbs = graft.sources.FileIO.tableRootAbs(spark, path)
     val partCols: Seq[String] = srcPaths
@@ -579,7 +675,7 @@ object Optimize {
       .headOption
       .map(_.split('/').toSeq.map(_.split("=", 2)(0)))
       .getOrElse(Nil)
-    val stageData = stageDataDir(path)
+    val stageData = stageDataOverride.getOrElse(stageDataDir(path))
     // partition values must round-trip VERBATIM into the rewritten dirs —
     // string-typed inference, restored afterwards
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -621,9 +717,10 @@ object Optimize {
       path: String,
       latestId: Long,
       newEntries: Array[SinkFileStatus],
-      op: String
+      op: String,
+      stageMetaOverride: Option[Path] = None
   ): Unit = {
-    val stageMeta = stageMetaDir(path)
+    val stageMeta = stageMetaOverride.getOrElse(stageMetaDir(path))
     val stageLog = sinkLog(spark, stageMeta.toString)
     val interval = spark.conf
       .getOption("spark.sql.streaming.fileSink.log.compactInterval").map(_.toInt).getOrElse(10)
@@ -651,6 +748,39 @@ object Optimize {
     fs.delete(marker(metaDir(path)), false)
     archiveToHistory(spark, fs, path, bakDir(path)): Unit
     touchMaintMarker(fs, path)
+  }
+
+  /** The SCOPED commit (r18): re-reads the LIVE manifest under the
+    * per-table swap lock and merges — entries outside the replaced set
+    * ride through from whatever is committed NOW (including a disjoint
+    * scoped op that landed after this op's open), the replaced in-scope
+    * entries must all still be present (the scope lock guarantees it;
+    * their absence means an external writer broke the contract — loud
+    * refusal, no swap), and the rewrite's files append. Only this
+    * read-merge-rename is serialized; the expensive stage writes ran
+    * fully concurrently. */
+  private def swapManifestScoped(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      replacedKeys: Set[String],
+      added: Seq[SinkFileStatus],
+      token: String,
+      op: String
+  ): Unit = swapLock(path).synchronized {
+    val log = sinkLog(spark, metaDir(path).toString)
+    val latest: Long = log.getLatestBatchId().getOrElse(
+      throw new IllegalStateException(s"$op($path): no committed batches at swap time"))
+    val now = log.allFiles().toSeq
+    val nowKeys = now.map(e => normKey(e.path)).toSet
+    val vanished = replacedKeys -- nowKeys
+    require(vanished.isEmpty,
+      s"$op($path): ${vanished.size} in-scope file(s) vanished from the live manifest " +
+        s"mid-operation (first: ${vanished.headOption.getOrElse("")}) — an external " +
+        "writer touched the scope; refusing the swap")
+    val kept = now.filterNot(e => replacedKeys.contains(normKey(e.path)))
+    swapManifest(spark, fs, path, latest, (kept ++ added).toArray, op,
+      stageMetaOverride = Some(stageMetaDirT(path, token)))
   }
 
   /** @param zOrderDims when set, the rewrite is a RE-CLUSTERING, not a
@@ -705,18 +835,41 @@ object Optimize {
     require(zDims.isEmpty || sortDims.isEmpty,
       "optimizeSink: ZORDER BY and SORT BY are mutually exclusive re-clusterings")
     val recluster = zDims.nonEmpty || sortDims.nonEmpty
-    val (fs, latestId, all) = guardAndOpen(spark, path, "optimizeSink")
+    // SCOPED ops take a scope lock and coexist with disjoint scoped ops
+    // (r18); whole-table ops take the exclusive debris guard
+    val (fs, latestId, all) = partitionWhere match {
+      case None    => guardAndOpen(spark, path, "optimizeSink")
+      case Some(_) => openForScope(spark, path, "optimizeSink")
+    }
     val tPartCols = tablePartCols(spark, path, all)
     // partition scope: out-of-scope entries ride through the swap
     // verbatim, exactly like a copy-on-write DML's untouched files
-    val (scope, outOfScope) = partitionWhere match {
-      case None       => (all, Seq.empty[SinkFileStatus])
+    val (scope0, _, scopeSubs) = partitionWhere match {
+      case None       => (all, Seq.empty[SinkFileStatus], Set.empty[String])
       case Some(pred) => selectPartitionScope(spark, path, all, tPartCols, pred, "optimizeSink")
     }
-    // re-clustering keys must never BE partition columns — a partition
-    // column is a directory, clustered by construction
+    // every pre-stage refusal must fire BEFORE the scope lock exists —
+    // an in-JVM refusal is not a crash and must not leave a lock that
+    // blocks the next attempt behind a repair
     (zDims ++ sortDims).foreach(d => require(!tPartCols.contains(d),
       s"optimizeSink: re-clustering key $d is a partition column — already a directory level"))
+    require(!recluster || tPartCols.isEmpty || partitionWhere.nonEmpty,
+      s"optimizeSink($path): whole-table re-clustering applies to unpartitioned tables " +
+        s"(this table partitions on ${tPartCols.mkString(",")}) — scope it with a " +
+        "partition predicate (GRAFT OPTIMIZE ... WHERE <partition predicate>)")
+    val scopeToken: Option[String] =
+      partitionWhere.map(_ => acquireScope(fs, path, scopeSubs, "optimizeSink"))
+    // with the lock held, re-read the live entries: a DISJOINT scoped op
+    // may have committed between our open and our acquire — its swap
+    // must ride through ours untouched, so our in/out split must come
+    // from the manifest as of NOW
+    val rootAbs = graft.sources.FileIO.tableRootAbs(spark, path)
+    val (scope, outOfScope) = scopeToken match {
+      case None => (scope0, Seq.empty[SinkFileStatus])
+      case Some(_) =>
+        sinkLog(spark, metaDir(path).toString).allFiles().toSeq
+          .partition(e => scopeSubs.contains(partitionSubPath(e.path, rootAbs)))
+    }
     // a re-clustering (ZORDER/SORT BY) means "rewrite the scope": every
     // in-scope file participates; plain OPTIMIZE repacks only files
     // below the small-file threshold
@@ -725,18 +878,21 @@ object Optimize {
       else scope.partition(_.size < smallFileBytes)
     val kept = keptInScope ++ outOfScope
     if (small.size < (if (recluster) 1 else 2)) {
+      scopeToken.foreach(t => fs.delete(scopeMarker(path, t), false))
       return OptimizeReport(0, 0, all.size, latestId, Nil)
     }
     val totalSmall = small.map(_.size).sum
     val nOut = math.max(1L, (totalSmall + targetFileBytes - 1) / targetFileBytes).toInt
     val smallPaths = small.map(_.sparkPath.toPath.toString)
 
-    val moved = stageRewrite(spark, fs, path, format, smallPaths, "graft-compact") {
+    def cleanupScope(t: String): Unit = {
+      fs.delete(stageDataDirT(path, t), true)
+      fs.delete(stageMetaDirT(path, t), true)
+      fs.delete(scopeMarker(path, t), false): Unit
+    }
+    val moved = try stageRewrite(spark, fs, path, format, smallPaths, "graft-compact",
+      stageDataOverride = scopeToken.map(t => stageDataDirT(path, t))) {
       (df, partCols, stageDir) =>
-        require(!recluster || partCols.isEmpty || partitionWhere.nonEmpty,
-          s"optimizeSink($path): whole-table re-clustering applies to unpartitioned tables " +
-            s"(this table partitions on ${partCols.mkString(",")}) — scope it with a " +
-            "partition predicate (GRAFT OPTIMIZE ... WHERE <partition predicate>)")
         val clusterKeys = if (zDims.nonEmpty) zDims else sortDims
         val writer =
           if (recluster && partCols.isEmpty)
@@ -757,10 +913,23 @@ object Optimize {
           else if (partCols.isEmpty) df.coalesce(nOut).write
           else df.repartition(nOut, partCols.map(col): _*).write.partitionBy(partCols: _*)
         writer.mode(org.apache.spark.sql.SaveMode.Overwrite).format(format).save(stageDir)
+    } catch {
+      // an in-JVM stage failure ends the operation — its token debris
+      // would only block the scope behind a needless repair (moved-but-
+      // unreferenced files, if any, stay invisible and fall to vacuum)
+      case e: Throwable => scopeToken.foreach(cleanupScope); throw e
     }
 
-    swapManifest(spark, fs, path, latestId,
-      kept.toArray ++ moved.map(p => SinkFileStatus(fs.getFileStatus(p))), "optimizeSink")
+    scopeToken match {
+      case None =>
+        swapManifest(spark, fs, path, latestId,
+          kept.toArray ++ moved.map(p => SinkFileStatus(fs.getFileStatus(p))), "optimizeSink")
+      case Some(t) =>
+        swapManifestScoped(spark, fs, path,
+          small.map(e => normKey(e.path)).toSet,
+          moved.map(p => SinkFileStatus(fs.getFileStatus(p))), t, "optimizeSink")
+        fs.delete(scopeMarker(path, t), false): Unit
+    }
     OptimizeReport(small.size, moved.size, kept.size, latestId, smallPaths)
   }
 
@@ -1353,6 +1522,55 @@ object Optimize {
     } else {
       throw new IllegalStateException(
         s"repairOptimize($path): no manifest, no committed stage, no backup — not a sink table")
+    }
+  }
+
+  /** TOKEN-targeted repair (r18): heal ONE crashed scoped operation's
+    * debris without touching any other scoped op's stage dirs or lock —
+    * the whole point of per-operation staging is that compacting
+    * yesterday's partition dying must not force a repair that destroys
+    * the re-cluster of last week's still in flight. Semantics mirror
+    * the global repair: live manifest present ⇒ the token's swap never
+    * happened (or fully completed) — its stage dirs and lock are
+    * debris, rolled back (any moved-but-unreferenced data files stay
+    * invisible and fall to vacuum); live manifest ABSENT with this
+    * token's COMMITTED stage ⇒ finish the promotion; else restore the
+    * backup. Call only after confirming the token's op is dead — a
+    * LIVE op's token heals out from under it otherwise. */
+  def repairOptimize(spark: SparkSession, path: String, token: String): String = {
+    val fs = fsFor(spark, path)
+    val meta = metaDir(path)
+    val bak = bakDir(path)
+    val stage = stageMetaDirT(path, token)
+    val data = stageDataDirT(path, token)
+    val lock = scopeMarker(path, token)
+    if (!fs.exists(new Path(path))) {
+      throw new IllegalStateException(
+        s"repairOptimize($path): path does not exist — not a sink table")
+    }
+    require(fs.exists(stage) || fs.exists(data) || fs.exists(lock),
+      s"repairOptimize($path, $token): no stage dirs or scope lock for this token")
+    if (fs.exists(data)) fs.delete(data, true)
+    if (fs.exists(meta)) {
+      val sweptStage = fs.exists(stage)
+      if (sweptStage) fs.delete(stage, true): Unit
+      fs.delete(lock, false)
+      if (sweptStage) s"rolled-back: swept $stage" else "rolled-back: released scope lock"
+    } else if (fs.exists(stage) && fs.exists(marker(stage))) {
+      require(fs.rename(stage, meta), s"repairOptimize: promote $stage failed")
+      fs.delete(marker(meta), false)
+      if (fs.exists(bak)) archiveToHistory(spark, fs, path, bak): Unit
+      touchMaintMarker(fs, path)
+      fs.delete(lock, false)
+      "rolled-forward"
+    } else if (fs.exists(bak)) {
+      if (fs.exists(stage)) fs.delete(stage, true)
+      require(fs.rename(bak, meta), s"repairOptimize: restore $bak failed")
+      fs.delete(lock, false)
+      "restored-backup"
+    } else {
+      throw new IllegalStateException(
+        s"repairOptimize($path, $token): no manifest, no committed stage, no backup")
     }
   }
 

@@ -1041,6 +1041,87 @@ class OptimizeSpec extends AnyFunSuite {
     assert(entries("click") == clickStable, "repair lost the untouched partition's entries")
   }
 
+  test("disjoint-scope maintenance runs concurrently; overlap refuses; token repair is surgical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("opt_scope_conc_out")
+    val ckpt = freshDir("opt_scope_conc_ckpt")
+    val stream = MemoryStream[Ev]
+    for (round <- 0 to 1; part <- Seq("a", "b", "c")) {
+      val base = round * 100 + part(0).toInt * 4
+      runBatch(stream, out, ckpt, (base.toLong to base + 3L).map(i => ev(i, part)))
+    }
+    val before = spark.read.parquet(out).select("id", "etype", "value").collect().toSet
+    def entries(part: String): Set[String] =
+      StreamSinks.committedFiles(spark, out, "parquet").filter(_.contains(s"etype=$part")).toSet
+    val cBefore = entries("c")
+    val vBefore = Optimize.listVersions(spark, out).size
+
+    // 1. CONCURRENT DISJOINT scopes: two scoped compactions racing on
+    // different partitions must BOTH commit (per-op stage dirs; the
+    // merged swap keeps the first committer's work when the second
+    // lands) — r17's global stage dirs made the second refuse
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Optimize.optimizeSink(spark, out, "parquet",
+      smallFileBytes = 1024 * 1024, partitionWhere = Some(col("etype") === "a")))
+    val fb = Future(Optimize.optimizeSink(spark, out, "parquet",
+      smallFileBytes = 1024 * 1024, partitionWhere = Some(col("etype") === "b")))
+    val (ra, rb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(ra.compactedFiles >= 2 && rb.compactedFiles >= 2,
+      s"both scoped compactions must do real work ($ra / $rb)")
+    assert(entries("a").forall(_.contains("graft-compact-")) &&
+      entries("b").forall(_.contains("graft-compact-")),
+      "a concurrently-committed scope lost its rewrite in the other's swap")
+    assert(entries("c") == cBefore, "an untouched partition changed under concurrent scopes")
+    assert(spark.read.parquet(out).select("id", "etype", "value").collect().toSet == before)
+    assert(Optimize.listVersions(spark, out).size == vBefore + 2,
+      "each scoped swap must archive its own version")
+
+    // 2. OVERLAP refusal against an in-flight/dead scope lock
+    val deadLock = Paths.get(out, "_graft_scope_deadbeef")
+    Files.writeString(deadLock, "etype=c")
+    val exOverlap = intercept[IllegalArgumentException] {
+      Optimize.optimizeSink(spark, out, "parquet", smallFileBytes = 1024 * 1024,
+        partitionWhere = Some(col("etype") === "c"))
+    }
+    assert(exOverlap.getMessage.contains("overlaps"), exOverlap.getMessage)
+    // a DISJOINT scope proceeds right past the foreign lock
+    val rd = Optimize.optimizeSink(spark, out, "parquet", targetFileBytes = 2048,
+      sortDims = Seq("id"), partitionWhere = Some(col("etype") === "a"))
+    assert(rd.compactedFiles > 0, "disjoint scope refused because of an unrelated lock")
+    // whole-table maintenance refuses while scoped debris/locks exist
+    val exWhole = intercept[IllegalArgumentException] {
+      Optimize.deleteWhere(spark, out, col("value") < 0.0)
+    }
+    assert(exWhole.getMessage.contains("maintenance dirs/locks"), exWhole.getMessage)
+
+    // 3. TOKEN repair heals ONE crashed op without touching another's
+    // stage: deadbeef left its lock + uncommitted stage dirs; cafe0001
+    // (still alive, mid-stage) has a data dir
+    Files.createDirectory(Paths.get(out, "_graft_optimize_stage_meta_deadbeef"))
+    Files.createDirectory(Paths.get(out, "_graft_optimize_data_deadbeef"))
+    val aliveData = Paths.get(out, "_graft_optimize_data_cafe0001")
+    Files.createDirectory(aliveData)
+    Files.writeString(aliveData.resolve("live-stage.parquet"), "in-flight bytes")
+    val healed = Optimize.repairOptimize(spark, out, "deadbeef")
+    assert(healed.startsWith("rolled-back"), healed)
+    assert(!Files.exists(deadLock) &&
+      !Files.exists(Paths.get(out, "_graft_optimize_stage_meta_deadbeef")) &&
+      !Files.exists(Paths.get(out, "_graft_optimize_data_deadbeef")),
+      "token repair left the dead op's debris")
+    assert(Files.exists(aliveData.resolve("live-stage.parquet")),
+      "token repair touched ANOTHER op's in-flight stage")
+    // with the dead lock healed, the c scope now optimizes
+    val rc = Optimize.optimizeSink(spark, out, "parquet", smallFileBytes = 1024 * 1024,
+      partitionWhere = Some(col("etype") === "c"))
+    assert(rc.compactedFiles == cBefore.size)
+    Optimize.repairOptimize(spark, out, "cafe0001"): Unit // release the simulated live op
+    assert(spark.read.parquet(out).select("id", "etype", "value").collect().toSet == before)
+  }
+
   test("partition scope predicates evaluate TYPED: '9' is not >= '10', un-castable values refuse") {
     val s = spark
     import s.implicits._
