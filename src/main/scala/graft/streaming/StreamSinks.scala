@@ -512,6 +512,15 @@ object StreamSinks {
     * `reclaimOnCompact = false` WITHOUT index hooks and run graced
     * vacuum + expiry on the operator cadence.
     *
+    * `retainMs` (r18) is the middle road: `reclaimOnCompact = false`
+    * plus a retention WINDOW — auto-compaction expires and sweeps only
+    * history older than the window, so the table stays time-travelable
+    * (RESTORE, `graft_table_version`, `graft_table_changes`) across the
+    * window while storage stays bounded at live + window-churn. Index
+    * hooks still refuse (retained retired files would re-enter the
+    * raw-listing sidecars as duplicate rows); serve search from the
+    * manifest-masked paths instead.
+    *
     * LIMITATION (shared with [[Optimize.upsertSink]]): inside
     * foreachBatch the stop-the-writer guard sees the cloned micro-batch
     * session — run at most one writer per table path. */
@@ -525,12 +534,24 @@ object StreamSinks {
       reclaimOnCompact: Boolean = true,
       bloomKeys: Seq[String] = Nil,
       postingsCols: Option[(String, String)] = None,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      retainMs: Option[Long] = None
   ): StreamingQuery = {
     require(maxSmallFiles >= 1, s"compactingParquetSink: maxSmallFiles=$maxSmallFiles")
-    require(reclaimOnCompact || (bloomKeys.isEmpty && postingsCols.isEmpty),
-      "compactingParquetSink: index hooks need reclaimOnCompact — retired files left on " +
-        "disk would re-enter the raw-listing sidecars and serve duplicates silently")
+    // RETENTION-WINDOW mode (r18): instead of reclaim's all-or-nothing
+    // trade, keep history INSIDE retainMs time-travelable (RESTORE /
+    // graft_table_version / graft_table_changes all serve) while
+    // auto-compaction expires + sweeps everything beyond it — storage
+    // stays bounded at live + window-churn instead of growing forever
+    // or being reclaimed to zero history.
+    require(retainMs.isEmpty || !reclaimOnCompact,
+      "compactingParquetSink: pass retainMs (bounded time-travel window) OR the default " +
+        "reclaimOnCompact=true (full reclaim), not both")
+    require(retainMs.forall(_ > 0), s"compactingParquetSink: retainMs=${retainMs.get}")
+    require((reclaimOnCompact && retainMs.isEmpty) || (bloomKeys.isEmpty && postingsCols.isEmpty),
+      "compactingParquetSink: index hooks need full reclaimOnCompact — retired files " +
+        "retained inside a time-travel window (or left on disk) would re-enter the " +
+        "raw-listing sidecars and serve duplicate rows silently")
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -570,6 +591,16 @@ object StreamSinks {
           if (reclaimOnCompact) {
             Optimize.expireHistory(spark, path, keep = 0): Unit
             vacuum(spark, path, "parquet", dryRun = false, graceMs = 0L): Unit
+          } else retainMs.foreach { w =>
+            // the window rides the existing default-retention machinery:
+            // vacuum's auto-expiry with the sink's window as the policy
+            // (versions younger than w stay restore targets, older ones
+            // expire and their unique files sweep)
+            val key = "spark.graft.history.retainMs"
+            val was = spark.conf.getOption(key)
+            spark.conf.set(key, w.toString)
+            try vacuum(spark, path, "parquet", dryRun = false, graceMs = 0L): Unit
+            finally was.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
           }
         }
         refreshIndexes(spark, path, bloomKeys, postingsCols)

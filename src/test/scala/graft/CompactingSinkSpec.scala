@@ -96,4 +96,78 @@ class CompactingSinkSpec extends AnyFunSuite {
         reclaimOnCompact = false, bloomKeys = Seq("id"))
     }
   }
+
+  test("retention-window sink: time-travelable inside the window, bounded beyond it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = freshDir("csink_win_out")
+    val ckpt = freshDir("csink_win_ckpt")
+    val stream = MemoryStream[(Long, Double)]
+    val window = 2000L
+
+    def drive(rows: Seq[(Long, Double)]): Unit = {
+      stream.addData(rows: _*)
+      val q = StreamSinks.compactingParquetSink(
+        stream.toDF().toDF("id", "v"), out, ckpt,
+        maxSmallFiles = 3, smallFileBytes = 1024 * 1024,
+        targetFileBytes = 64L * 1024 * 1024,
+        reclaimOnCompact = false, retainMs = Some(window))
+      q.processAllAvailable(); q.stop()
+    }
+
+    (0 until 6).foreach(b => drive((b * 10L until b * 10L + 10).map(i => (i, i * 1.0))))
+    // compactions archived versions and the window RETAINED them — the
+    // reclaim sink's documented no-time-travel trade is gone
+    val vs = Optimize.listVersions(spark, out)
+    assert(vs.nonEmpty, "window sink retained no history after compactions")
+
+    // RESTORE MID-SOAK: roll back to the newest archived generation —
+    // batches appended after that compaction roll back with it (that is
+    // what RESTORE is for), and the checkpointed writer resumes
+    // exactly-once on top of the restored manifest
+    val vLast = vs.last.version
+    val verRows = Optimize.readVersion(spark, out, vLast).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    Optimize.restoreTable(spark, out, vLast): Unit
+    assert(spark.read.parquet(out).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == verRows,
+      "restore did not serve the archived generation byte-faithfully")
+    (6 until 9).foreach(b => drive((b * 10L until b * 10L + 10).map(i => (i, i * 1.0))))
+    val afterResume = spark.read.parquet(out)
+    assert(afterResume.count() == verRows.size + 30 &&
+      afterResume.select("id").distinct().count() == verRows.size + 30,
+      "restore mid-soak broke exactly-once")
+
+    // BOUNDED BEYOND THE WINDOW: let the window lapse, then drive
+    // enough batches to trigger another compaction sweep — expired
+    // versions release their files and the disk saw-tooths back down
+    // instead of accumulating every generation forever
+    Thread.sleep(window + 200)
+    (9 until 12).foreach(b => drive((b * 10L until b * 10L + 10).map(i => (i, i * 1.0))))
+    val committed = StreamSinks.committedFiles(spark, out, "parquet").size
+    val disk = diskDataFiles(out)
+    assert(spark.read.parquet(out).count() == verRows.size + 60,
+      "window soak lost or duplicated rows")
+    assert(disk <= committed + 14,
+      s"on-disk files $disk vs $committed committed — beyond-window generations never swept")
+    assert(disk < 30, s"on-disk file count $disk grew unbounded across 12 batches + restore")
+    // ... while history INSIDE the window is still pinned and listable
+    assert(Optimize.listVersions(spark, out)
+      .forall(_.modifiedMs >= System.currentTimeMillis() - 4 * window),
+      "a beyond-window version survived the sweep")
+
+    // refusals: hooks with a retention window (retained retirees would
+    // serve duplicate sidecar rows), and both reclaim modes at once
+    val exHooks = intercept[IllegalArgumentException] {
+      StreamSinks.compactingParquetSink(
+        stream.toDF().toDF("id", "v"), out, ckpt,
+        reclaimOnCompact = false, retainMs = Some(window), bloomKeys = Seq("id"))
+    }
+    assert(exHooks.getMessage.contains("duplicate"), exHooks.getMessage)
+    intercept[IllegalArgumentException] {
+      StreamSinks.compactingParquetSink(
+        stream.toDF().toDF("id", "v"), out, ckpt, retainMs = Some(window))
+    }
+  }
 }
