@@ -150,14 +150,51 @@ object TextIndex {
     * output file covers a tight term range, so a term filter prunes
     * whole files via parquet min/max stats — the writeSorted recipe
     * applied to the posting list; `bucketBy(term)` is the catalog-table
-    * upgrade on the same layout). */
-  private def writePostingsVersion(postings: org.apache.spark.sql.DataFrame, stage: String): Unit =
+    * upgrade on the same layout), plus the version's per-term BOUND
+    * statistics under [[TermStatsDir]]. */
+  private def writePostingsVersion(
+      postings: org.apache.spark.sql.DataFrame, stage: String): Unit = {
     postings
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(stage)
+    writeTermStats(postings.sparkSession, stage)
+  }
+
+  /** Underscore-prefixed INSIDE each version dir, so postings scans
+    * never see it (the `_spark_metadata` listing convention). */
+  private[graft] val TermStatsDir = "_termstats"
+
+  /** Per-(term, src_file) BM25 BOUND statistics, written at every
+    * build/refresh/compact from the version's just-written posting rows
+    * (r18 — the max-score stats the verdict calls "computable at
+    * build/compact time"): df, max tf, and min doc length of the docs
+    * CONTAINING the term. Per-FILE keying is what makes maintenance
+    * O(changed files): a file's stats are immutable alongside its
+    * postings, deltas add rows for new files only, the read side masks
+    * by the same fingerprint semi-join as the postings, and the merge
+    * across files is sum/max/min — exact under the one-doc-one-file
+    * assumption the N/avgdl doclen rows already make. Serving BM25
+    * pruning from these rows means a stop-word-ish query term's df/idf
+    * and score upper bound cost a stats-row read, never an O(df)
+    * posting-row aggregation. */
+  private def writeTermStats(spark: SparkSession, stage: String): Unit =
+    spark.read.parquet(stage)
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col("src_file"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .groupBy(col("term"), col("src_file"))
+      .agg(
+        count(lit(1)).as("df"),
+        max(col("tf")).as("max_tf"),
+        min(col("dl")).cast("int").as("min_dl"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stage/$TermStatsDir")
 
   /** Default sidecar root for a table's postings index: underscore-
     * prefixed INSIDE the table dir (hidden from scans — the
@@ -197,7 +234,12 @@ object TextIndex {
     val snapshot = FileIO.dataFileIds(spark, docsPath)
     val (v, stage) = Sidecar.nextStage(spark, indexDir)
     if (snapshot.nonEmpty) scanAndWrite(spark, docsPath, snapshot, idCol, textCol, stage)
-    else emptyPostings(spark).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    else {
+      emptyPostings(spark).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+      // empty stats too: an empty base must not disable the sidecar-
+      // stats path for every delta that follows it
+      writeTermStats(spark, stage)
+    }
     Sidecar.commit(spark, indexDir, v, snapshot.map(_.identity).toSet)
     snapshot.size
   }
@@ -361,6 +403,19 @@ object TextIndex {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val (_, live, nDocs, avgdl) = bm25Prep(spark, docsPath, indexDir, query, k)
+    bm25ScoreAll(live, nDocs, avgdl, query.distinct, k, k1, b)
+  }
+
+  /** Freshness + coverage guards and the corpus statistics — shared by
+    * the full and the max-score-pruned BM25 paths. Returns the committed
+    * sidecar state, the masked live postings, N, and avgdl. */
+  private def bm25Prep(
+      spark: SparkSession,
+      docsPath: String,
+      indexDir: String,
+      query: Seq[String],
+      k: Int): (graft.sources.Sidecar.Current, DataFrame, Long, Double) = {
     require(query.nonEmpty, "bm25Search needs at least one term")
     require(k > 0, s"bm25Search: k=$k")
     val cur = requireFreshIndex(spark, docsPath, indexDir)
@@ -406,33 +461,40 @@ object TextIndex {
     // doc lengths are integer-valued doubles: their sum and this division
     // are exact/deterministic across engines
     val avgdl = dlByFile.map(_.getDouble(2)).sum / nDocs
-    val terms = query.distinct
-    // tf leg: term-pruned scan; the per-doc length rides each posting
-    // row, so the normalization needs NO join against an
-    // un-term-filtered postings leg (the r16 corpus-wide exchange)
-    val tf = live
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).cast("double").as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // idf quantized at 1e-6 immediately after ln; contribution quantized
-    // to integer 1e-6 units; score = exact integer sum (order-free)
-    val idfQ = floor(
-      log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-        lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    val contrib = floor(
-      col("idf_q") * (col("tf") * lit(k1 + 1) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))) *
-        lit(1000000.0) + lit(0.5)).cast("long")
-    val scored = tf
-      .join(broadcast(df.withColumn("idf_q", idfQ).select(col("term"), col("idf_q"))), Seq("term"))
-      .withColumn("c", contrib)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("s"))
-    // top-k WITHOUT a global window (the fleet-wide scale rule): sort +
-    // limit plans TakeOrderedAndProject (per-partition heaps, never a
-    // single-task funnel), then rank assignment is a k×k broadcast
-    // nested-loop count over the k survivors — bounded by k, not data
+    (cur, live, nDocs, avgdl)
+  }
+
+  /** Per-(term, doc) tf leg: term-pruned scan; the per-doc length rides
+    * each posting row, so the normalization needs NO join against an
+    * un-term-filtered postings leg (the r16 corpus-wide exchange). */
+  private def bm25TfLeg(live: DataFrame, terms: Seq[String]): DataFrame = live
+    .filter(col("term").isin(terms: _*))
+    .groupBy(col("term"), col("doc_id"))
+    .agg(count(lit(1)).as("tf"), max(col("dl")).cast("double").as("dl"))
+
+  /** idf quantized at 1e-6 immediately after ln — the cross-engine
+    * determinism lattice. */
+  private def bm25IdfQ(nDocs: Long): org.apache.spark.sql.Column = floor(
+    log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** The un-idf'd tf-normalization term of BM25 — monotone in tf,
+    * shared by scoring (per row) and the max-score bound (per-term
+    * max). */
+  private def bm25Tfn(k1: Double, b: Double, avgdl: Double): org.apache.spark.sql.Column =
+    col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
+  /** Integer-quantized per-(term, doc) contribution; score = exact
+    * integer sum (order-free). */
+  private def bm25Contrib(k1: Double, b: Double, avgdl: Double): org.apache.spark.sql.Column =
+    floor(col("idf_q") * bm25Tfn(k1, b, avgdl) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** top-k WITHOUT a global window (the fleet-wide scale rule): sort +
+    * limit plans TakeOrderedAndProject (per-partition heaps, never a
+    * single-task funnel), then rank assignment is a k×k broadcast
+    * nested-loop count over the k survivors — bounded by k, not data. */
+  private def bm25RankTopK(scored: DataFrame, k: Int): DataFrame = {
     val top = scored.orderBy(col("s").desc, col("doc_id").asc).limit(k)
     val before = top.select(col("doc_id").as("b_id"), col("s").as("b_s"))
     top
@@ -444,6 +506,222 @@ object TextIndex {
       .agg((count(col("b_id")) + lit(1)).cast("long").as("rnk"))
       .select(col("rnk"), col("doc_id"), (col("s") / lit(1000000.0)).as("score"))
   }
+
+  private def bm25ScoreAll(
+      live: DataFrame, nDocs: Long, avgdl: Double,
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    val tf = bm25TfLeg(live, terms)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df.withColumn("idf_q", bm25IdfQ(nDocs))
+        .select(col("term"), col("idf_q"))), Seq("term"))
+      .withColumn("c", bm25Contrib(k1, b, avgdl))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("s"))
+    bm25RankTopK(scored, k)
+  }
+
+  /** The fingerprint-masked LIVE per-term bound statistics, merged
+    * across files and generations (df = sum, max_tf = max, min_dl =
+    * min — all exact: a doc file's stats live in exactly one live
+    * generation, like its postings). None when ANY live dir predates
+    * the [[TermStatsDir]] sidecar (pre-r18 index) — callers fall back
+    * to query-time statistics; pruning is an optimization, never a
+    * requirement. */
+  private def liveTermStats(
+      spark: SparkSession,
+      indexDir: String,
+      cur: graft.sources.Sidecar.Current,
+      terms: Seq[String]): Option[Map[String, (Long, Long, Int)]] = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirs = cur.liveDirs(indexDir).map(d => s"$d/$TermStatsDir")
+    val allPresent = dirs.forall { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hconf).exists(p)
+    }
+    if (!allPresent) None
+    else {
+      val fp = cur.fingerprint.toSeq.toDF("src_file")
+      Some(spark.read.parquet(dirs: _*)
+        .filter(col("term").isin(terms: _*))
+        .join(broadcast(fp), Seq("src_file"), "left_semi")
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"),
+          min(col("min_dl")).as("min_dl"))
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+        .toMap)
+    }
+  }
+
+  /** MAX-SCORE pruned BM25 (r18 — the WAND family adapted to a batch
+    * columnar engine): identical results to [[bm25Search]], but when
+    * the query mixes SELECTIVE terms with COMMON (stop-word-ish) ones,
+    * the common terms' df/idf and score UPPER BOUNDS come from the
+    * build-time [[TermStatsDir]] sidecar (never an O(df) posting
+    * aggregation), the per-doc scoring runs over only the docs that
+    * contain at least one selective term, and when the common bounds'
+    * sum is strictly below the k-th candidate score, no common-only doc
+    * can enter the top-k — the whole common-only population skips the
+    * (term, doc) aggregation, the score shuffle, and the sort. Exact,
+    * never approximate: if the bound does NOT clear the threshold (or
+    * every term is common, or fewer than k candidates exist), the path
+    * falls back to full scoring, and a pre-r18 index without the stats
+    * sidecar falls back to computing the same statistics at query time.
+    *
+    * What is and is not saved, honestly: the candidates' exact scores
+    * still need their common-term tf rows, so the common terms'
+    * posting FILES are still scanned once (filtered by the candidate
+    * semi-join before any aggregation — a columnar scan has no
+    * doc-ordered skip pointers); the savings are the common-side stats
+    * aggregation (now a build-time artifact) and the corpus-wide
+    * (term, doc) + per-doc score shuffles (now candidate-only).
+    * tools/Bm25PruneProbe measures both paths; SCALING.md records the
+    * table either way. */
+  def bm25SearchPruned(
+      spark: SparkSession,
+      docsPath: String,
+      indexDir: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      commonDfFrac: Double = 0.05): DataFrame = {
+    val (cur, live, nDocs, avgdl) = bm25Prep(spark, docsPath, indexDir, query, k)
+    val terms = query.distinct
+    lastPruneFired = false
+    lastStatsFromSidecar = false
+
+    liveTermStats(spark, indexDir, cur, terms) match {
+      case Some(stats) =>
+        lastStatsFromSidecar = true
+        // driver-side twins of bm25IdfQ/bm25Tfn over the sidecar stats —
+        // IDENTICAL literal structure (same IEEE ops in the same order),
+        // so the idf fed into scoring is the value the expression would
+        // compute, on the same 1e-6 lattice
+        def idfQ(df: Long): Double =
+          math.floor(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) /
+            1000000.0
+        def tfnD(tf: Double, dl: Double): Double =
+          tf * (k1 + 1) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        // +1: one 1e-6 score unit of slack so the bound stays valid even
+        // if a row's contrib lands an ulp above the driver's extreme-
+        // point evaluation — pruning fires a hair less often, never wrong
+        def ub(t: String): Long = stats.get(t).map { case (df, maxTf, minDl) =>
+          math.floor(idfQ(df) * tfnD(maxTf.toDouble, minDl.toDouble) * 1000000.0 + 0.5)
+            .toLong + 1L
+        }.getOrElse(0L)
+        val idfFrame = {
+          val s2 = spark
+          import s2.implicits._
+          broadcast(terms.flatMap(t => stats.get(t).map(s => (t, idfQ(s._1))))
+            .toDF("term", "idf_q"))
+        }
+        def scoreOf(frame: DataFrame): DataFrame = frame
+          .join(idfFrame, Seq("term"))
+          .withColumn("c", bm25Contrib(k1, b, avgdl))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("s"))
+        val commonCut = math.max(1L, (nDocs * commonDfFrac).toLong)
+        val selective = terms.filter(t => stats.get(t).exists(_._1 < commonCut))
+        val common = terms.filterNot(selective.contains)
+        if (selective.isEmpty || common.isEmpty) {
+          bm25RankTopK(scoreOf(bm25TfLeg(live, terms)), k)
+        } else {
+          // candidates: docs holding >= 1 selective term, scored FULLY —
+          // the semi-join filters the common terms' rows BELOW the
+          // (term, doc) aggregation, so no corpus-wide agg ever runs
+          val candDocs = live.filter(col("term").isin(selective: _*))
+            .select(col("doc_id")).distinct()
+          val candTf = live.filter(col("term").isin(terms: _*))
+            .join(candDocs, Seq("doc_id"), "left_semi")
+            .groupBy(col("term"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"), max(col("dl")).cast("double").as("dl"))
+          val candScored = scoreOf(candTf).localCheckpoint()
+          val topCand = candScored.orderBy(col("s").desc, col("doc_id").asc).limit(k)
+            .collect()
+          val theta = if (topCand.length < k) Long.MinValue else topCand.last.getLong(1)
+          if (topCand.length >= k && common.map(ub).sum < theta) {
+            // no common-only doc can reach theta: the candidate top-k IS
+            // the global top-k — the common-only population never
+            // aggregates, shuffles, or sorts
+            lastPruneFired = true
+            bm25RankTopK(candScored, k)
+          } else {
+            bm25RankTopK(scoreOf(bm25TfLeg(live, terms)), k)
+          }
+        }
+
+      case None =>
+        bm25PrunedQueryTimeStats(spark, live, nDocs, avgdl, terms, k, k1, b, commonDfFrac)
+    }
+  }
+
+  /** The pre-r18-index fallback of [[bm25SearchPruned]]: same split /
+    * bound / threshold protocol, statistics computed at query time from
+    * one materialized term-pruned tf leg (the shape the sidecar stats
+    * replace — kept so legacy indexes still serve, just without the
+    * common-side scan savings). */
+  private def bm25PrunedQueryTimeStats(
+      spark: SparkSession, live: DataFrame, nDocs: Long, avgdl: Double,
+      terms: Seq[String], k: Int, k1: Double, b: Double, commonDfFrac: Double): DataFrame = {
+    // one materialization of the term-pruned tf leg — reused by stats,
+    // candidate scoring, and any fallback without re-scanning the index
+    val tf = bm25TfLeg(live, terms).localCheckpoint()
+    val stats = tf
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(bm25Tfn(k1, b, avgdl)).as("maxtfn"))
+      .withColumn("idf_q", bm25IdfQ(nDocs))
+      .withColumn("ub",
+        floor(col("idf_q") * col("maxtfn") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("term"), col("df"), col("idf_q"), col("ub"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val idfFrame = {
+      val s2 = spark
+      import s2.implicits._
+      broadcast(stats.toSeq.map { case (t, (_, idf, _)) => (t, idf) }.toDF("term", "idf_q"))
+    }
+    def scoreOf(frame: DataFrame): DataFrame = frame
+      .join(idfFrame, Seq("term"))
+      .withColumn("c", bm25Contrib(k1, b, avgdl))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("s"))
+    val commonCut = math.max(1L, (nDocs * commonDfFrac).toLong)
+    val selective = terms.filter(t => stats.get(t).exists(_._1 < commonCut))
+    val common = terms.filterNot(selective.contains)
+    val ubCommonSum = common.map(t => stats.get(t).map(_._3).getOrElse(0L)).sum
+    if (selective.isEmpty || common.isEmpty) {
+      bm25RankTopK(scoreOf(tf), k)
+    } else {
+      // candidates: docs holding >= 1 selective term, scored FULLY
+      // (their common-term rows ride in via the doc-id semi-join)
+      val candDocs = tf.filter(col("term").isin(selective: _*))
+        .select(col("doc_id")).distinct()
+      val candScored = scoreOf(tf.join(candDocs, Seq("doc_id"), "left_semi"))
+      val topCand = candScored.orderBy(col("s").desc, col("doc_id").asc).limit(k)
+        .collect()
+      val theta = if (topCand.length < k) Long.MinValue else topCand.last.getLong(1)
+      if (topCand.length >= k && ubCommonSum < theta) {
+        // no common-only doc can reach theta: the candidate top-k IS the
+        // global top-k — the common-only population never shuffles
+        lastPruneFired = true
+        bm25RankTopK(candScored, k)
+      } else {
+        bm25RankTopK(scoreOf(tf), k)
+      }
+    }
+  }
+
+  /** Observability hooks for [[bm25SearchPruned]]: whether the LAST call
+    * on this JVM actually took the pruned branch (vs falling back to
+    * full scoring), and whether its statistics came from the build-time
+    * sidecar (vs the query-time legacy fallback). Spec/probe-side only —
+    * results are identical either way. */
+  @volatile private[graft] var lastPruneFired: Boolean = false
+  @volatile private[graft] var lastStatsFromSidecar: Boolean = false
 
   /** Exact consecutive-phrase occurrence counts through the postings:
     * (doc_id, n_hits) for every doc containing the phrase at least
@@ -466,6 +744,15 @@ object TextIndex {
     * scale (measured via DuckDB over sf0.001/0.01/0.1), so the gate is
     * non-vacuous everywhere the driver runs it. */
   private[graft] val FixturePhrase = Seq("small", "query", "line")
+
+  /** The prune-fixture query: 'dup' sits at exactly 5% df at EVERY
+    * fixture scale (25/500, 25/500, 250/5000 — measured via DuckDB)
+    * while every other vocabulary term is ~77% dense, so with
+    * commonDfFrac just above 0.05 the query mixes one SELECTIVE term
+    * with two COMMON ones and the max-score prune branch fires at all
+    * three SFs (25 ≥ k=20 candidates, common upper bounds idf-tiny vs
+    * the dup-bearing candidate scores). */
+  private[graft] val PrunedFixtureQuery = Seq("dup", "query", "line")
 
   val queries: Map[String, Q] = Map(
     // Phrase search through the positional inverted index: build
@@ -526,6 +813,21 @@ object TextIndex {
         .orderBy(col("rnk"))
     },
 
+    // MAX-SCORE pruned BM25 (r18): the SAME ranked-retrieval contract
+    // scored through bm25SearchPruned on a mixed selective+common query
+    // (PrunedFixtureQuery — the prune branch actually fires at every
+    // fixture SF, pinned in TextIndexSpec/PlanAuditSpec). The oracle
+    // recomputes the FULL un-pruned formula in DuckDB, so a green hash
+    // proves pruning is an optimization, never an approximation.
+    "text_bm25_pruned" -> { (spark, dir) =>
+      val docsPath = s"$dir/documents.parquet"
+      val idx = Tables.gateScratchDir(spark, dir, "postings_bm25_pruned")
+      buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+      bm25SearchPruned(spark, docsPath, idx, PrunedFixtureQuery, 20,
+        commonDfFrac = 0.06)
+        .orderBy(col("rnk"))
+    },
+
     // The SQL spelling: one graft_bm25 TABLE FUNCTION call — same oracle
     // BY REFERENCE, so a SQL-only user gets ranked retrieval too.
     "sql_bm25" -> { (spark, dir) =>
@@ -571,14 +873,14 @@ object TextIndex {
     * CTE chain ending in `bm_rank(rnk, doc_id, s)` so compositions
     * (the RRF fusion gate) reuse ONE formula text — two copies could
     * drift. */
-  private[graft] def bm25RankedCte(k: Int): String =
+  private[graft] def bm25RankedCte(k: Int, terms: Seq[String] = FixturePhrase): String =
     s"""bm_t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |bm_dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM bm_t),
        |bm_st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS total FROM bm_dl),
        |bm_tf AS (
        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id, unnest(ts) AS term FROM bm_t) q
-       |  WHERE term IN (${FixturePhrase.map(t => s"'$t'").mkString(", ")})
+       |  WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})
        |  GROUP BY doc_id, term),
        |bm_dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM bm_tf GROUP BY term),
        |bm_idf AS (
@@ -617,6 +919,13 @@ object TextIndex {
     "sql_phrase_search_idx" -> phraseOracle,
     "sql_phrase_search" -> phraseOracle,
     "text_bm25" -> bm25Oracle,
-    "sql_bm25" -> bm25Oracle
+    "sql_bm25" -> bm25Oracle,
+    // the UN-pruned formula over the pruned gate's term set: a green
+    // hash proves max-score pruning returns the exact global top-k
+    "text_bm25_pruned" ->
+      s"""WITH ${bm25RankedCte(20, PrunedFixtureQuery)}
+         |SELECT rnk, doc_id, s / 1000000.0 AS score
+         |FROM bm_rank
+         |ORDER BY rnk""".stripMargin
   )
 }

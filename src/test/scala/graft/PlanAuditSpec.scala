@@ -283,6 +283,72 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the corpus-stats read lost its IsNull pushdown: ${side.synchronized(side.toSeq)}")
   }
 
+  test("text_bm25_pruned: the prune branch fires and EVERY serving read stays term- or IsNull-pruned") {
+    // The max-score path's scale contract (r18): pruning saves the
+    // common-side statistics aggregation (build-time sidecar) and the
+    // corpus-wide score shuffle, but it may NOT buy that with an
+    // un-pruned index read anywhere on the SERVING path — the sidecar
+    // stats read, the candidate discovery, the candidate tf/scoring
+    // legs, the threshold round-trip, and the corpus-stats side
+    // aggregates must all scan the index with either the query-term
+    // pushdown or the NULL-term (doclen rows) pushdown. The candidate
+    // checkpoint means the FINAL plan holds no index scan at all. The
+    // index is built FIRST, outside the capture: the build legitimately
+    // reads its own just-written postings un-filtered (once, to derive
+    // the per-term stats) — the pin is about queries, not builds.
+    val docsPath = s"$sf/documents.parquet"
+    val idx = java.nio.file.Files.createTempDirectory("pin_bm25_pruned").toString +
+      "/postings_bm25_pruned"
+    graft.operators.TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    val side = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = side.synchronized {
+        collectAll(qe.executedPlan) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("postings_bm25_pruned")) =>
+            side += f.metadata.getOrElse("PushedFilters", "[]"): Unit
+        }: Unit
+      }
+      override def onFailure(
+          funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val finalScans =
+      try {
+        val served = graft.operators.TextIndex.bm25SearchPruned(
+          spark, docsPath, idx, graft.operators.TextIndex.PrunedFixtureQuery, 20,
+          commonDfFrac = 0.06)
+        val p = collectAll(served.queryExecution.executedPlan) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("postings_bm25_pruned")) =>
+            f.metadata.getOrElse("PushedFilters", "[]")
+        }
+        assert(served.count() === 20L)
+        // drain the async listener bus: wait until the capture is quiet
+        var last = -1
+        var cur = side.synchronized(side.size)
+        val deadline = System.currentTimeMillis() + 15000
+        while (cur != last && System.currentTimeMillis() < deadline) {
+          last = cur; Thread.sleep(300); cur = side.synchronized(side.size)
+        }
+        p
+      } finally spark.listenerManager.unregister(listener)
+    assert(graft.operators.TextIndex.lastPruneFired,
+      "the prune branch did not fire on the fixture query — the audited plan is the fallback")
+    assert(graft.operators.TextIndex.lastStatsFromSidecar,
+      "a fresh r18 build did not serve its statistics from the _termstats sidecar")
+    assert(finalScans.isEmpty,
+      s"the pruned final plan re-read the postings index past the checkpoint: $finalScans")
+    val captured = side.synchronized(side.toSeq)
+    assert(captured.nonEmpty, "no postings-index scan captured across the serving side actions")
+    assert(captured.forall(s =>
+      s.contains("In(term") || s.contains("EqualTo(term") || s.contains("IsNull(term")),
+      s"an un-pruned postings read hid inside the pruned serving path: $captured")
+  }
+
   test("sim_ann_ivfpq_idx prunes the code scan to the probed cl= partitions") {
     // the persisted PQ layout's whole point: the candidate stage reads
     // nProbe cluster directories of ~10 B/vec codes, never the corpus —

@@ -197,6 +197,107 @@ class TextIndexSpec extends AnyFunSuite {
     assert(after.forall(t => t._3 > 0.0 && !t._3.isNaN))
   }
 
+  test("bm25SearchPruned ≡ bm25Search on every query shape; the prune branch actually fires") {
+    val (docsPath, idx) = freshDirs()
+    // 100 docs: 'stop' in every doc (df=100 ⇒ common at the 5% cut),
+    // 'rare' in 4 (df=4 < cut=5 ⇒ selective), filler terms per doc
+    val rows = (1L to 100L).map { i =>
+      val rare = if (i <= 4) " rare" else ""
+      (i, s"stop filler$i word${i % 7}$rare")
+    }
+    docs(rows: _*).coalesce(2).write.parquet(docsPath)
+    TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+
+    def both(q: Seq[String], k: Int): (Seq[(Long, Long, Double)], Seq[(Long, Long, Double)]) = {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      (rows(TextIndex.bm25Search(spark, docsPath, idx, q, k)),
+        rows(TextIndex.bm25SearchPruned(spark, docsPath, idx, q, k)))
+    }
+
+    // mixed selective + common with enough candidates: the prune branch
+    // fires (the stop word's upper bound is idf-tiny vs the rare term's
+    // candidate scores) and the results are identical
+    val (fullMixed, prunedMixed) = both(Seq("rare", "stop"), 3)
+    assert(TextIndex.lastPruneFired, "prune branch did not fire on the designed mixed query")
+    assert(TextIndex.lastStatsFromSidecar,
+      "a fresh r18 build must serve bound statistics from the _termstats sidecar")
+    assert(prunedMixed == fullMixed, s"pruned diverged: $prunedMixed vs $fullMixed")
+    assert(prunedMixed.map(_._2).forall(id => id <= 4),
+      "top-k under a rare+stop query must be rare-bearing docs")
+
+    // common-only: no selective terms — full-scoring fallback, identical
+    val (fullC, prunedC) = both(Seq("stop"), 5)
+    assert(!TextIndex.lastPruneFired)
+    assert(prunedC == fullC)
+
+    // selective-only: nothing to prune — identical
+    val (fullS, prunedS) = both(Seq("rare"), 5)
+    assert(!TextIndex.lastPruneFired)
+    assert(prunedS == fullS)
+
+    // fewer candidates than k: bound cannot clear — fallback, identical
+    val (fullF, prunedF) = both(Seq("rare", "stop"), 50)
+    assert(!TextIndex.lastPruneFired, "prune fired with fewer candidates than k")
+    assert(prunedF == fullF)
+  }
+
+  test("pruned BM25 stats survive delta refresh + deletion mask; a pre-r18 index falls back") {
+    val (docsPath, idx) = freshDirs()
+    val rows = (1L to 200L).map { i =>
+      // rare df=2 stays under the 5% cut at EVERY corpus size this test
+      // passes through (150 docs → cut 7; 200 → 10; 150 after the
+      // delta-file deletion → 7), so 'rare' is always selective and
+      // 'stop' (every doc) always common
+      (i, s"stop filler$i word${i % 5}${if (i <= 2) " rare" else ""}")
+    }
+    docs(rows.take(150): _*).coalesce(2).write.parquet(docsPath)
+    TextIndex.buildPostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    // DELTA refresh: the appended files' stats rows ride the delta
+    // version dir — merged (sum df / max tf / min dl) with the base's
+    // at read time, so the pruned path stays exact and sidecar-served
+    docs(rows.drop(150): _*).coalesce(1).write.mode("append").parquet(docsPath)
+    TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    def bothRows(q: Seq[String], k: Int) = {
+      def r(df: org.apache.spark.sql.DataFrame) = df.orderBy("rnk").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+      (r(TextIndex.bm25Search(spark, docsPath, idx, q, k)),
+        r(TextIndex.bm25SearchPruned(spark, docsPath, idx, q, k)))
+    }
+    val (fullD, prunedD) = bothRows(Seq("rare", "stop"), 2)
+    assert(prunedD == fullD)
+    assert(TextIndex.lastPruneFired && TextIndex.lastStatsFromSidecar,
+      "delta-refreshed index must still prune from sidecar stats")
+    // PURE-DELETION refresh: a vanished doc file narrows the fingerprint
+    // without rewriting — its stats rows must leave the merge with it
+    // (the same src_file mask as the postings). Delete the DELTA file
+    // (the one holding doc 180) so the rare docs survive and the
+    // post-deletion classification stays mixed.
+    val victimUri = spark.read.parquet(docsPath)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 180L)
+      .select(org.apache.spark.sql.functions.input_file_name()).head().getString(0)
+    assert(new java.io.File(new java.net.URI(victimUri).getPath).delete())
+    TextIndex.updatePostingsIndex(spark, docsPath, "doc_id", "text", idx)
+    val (fullDel, prunedDel) = bothRows(Seq("rare", "stop"), 2)
+    assert(prunedDel == fullDel, "masked stats diverged after a doc-file deletion")
+    assert(TextIndex.lastPruneFired && TextIndex.lastStatsFromSidecar)
+    // PRE-r18 index: strip the _termstats sidecars — serving falls back
+    // to query-time statistics, identical results, flag reports it
+    def rmStats(d: java.io.File): Unit = d.listFiles.foreach { f =>
+      if (f.getName == "_termstats") { rmTree(f) }
+      else if (f.isDirectory) rmStats(f)
+    }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmTree)
+      assert(f.delete())
+    }
+    rmStats(new java.io.File(idx))
+    val (fullL, prunedL) = bothRows(Seq("rare", "stop"), 2)
+    assert(prunedL == fullL, "legacy fallback diverged")
+    assert(TextIndex.lastPruneFired && !TextIndex.lastStatsFromSidecar,
+      "a stats-less index must fall back to query-time statistics (and still prune)")
+  }
+
   test("bm25 refuses PARTIAL doclen coverage and pre-dl indexes loudly; delta rows carry dl") {
     val (docsPath, idx) = freshDirs()
     docs(1L -> "apple banana", 2L -> "apple apple apple").coalesce(1).write.parquet(docsPath)
