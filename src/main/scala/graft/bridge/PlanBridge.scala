@@ -27,6 +27,38 @@ object PlanBridge {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Drop the PRESERVED origin statistics from a checkpointed frame's
+    * LogicalRDD, keeping its partitioning/ordering and the checkpointed
+    * RDD itself. Spark 4's `Dataset.(local)checkpoint` carries the
+    * source plan's estimated `Statistics` across the checkpoint
+    * (`LogicalRDD.rewriteStatsAndConstraints`); in an ITERATIVE operator
+    * that checkpoints every round, the next round's size estimate is a
+    * PRODUCT over the previous round's preserved estimate — join
+    * estimation multiplies child sizeInBytes — so the BigInt's bit
+    * length compounds geometrically with the round number, and by round
+    * ~10 the driver spends SECONDS PER ROUND in BigInteger
+    * multiplication inside the stats visitor (measured r18: an
+    * 81 s dedup_semantic_incr whose jobs totalled 4 s — the stack was
+    * Toom-Cook-3 multiplies under SizeInBytesOnlyStatsPlanVisitor).
+    * Resetting to None makes the LogicalRDD report the conservative
+    * `defaultSizeInBytes` like a pre-stats-preservation checkpoint, so
+    * every round starts from a constant-size estimate. Loop ONLY — a
+    * one-shot checkpoint keeps its preserved stats, which are better. */
+  def dropOriginStats(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        ofRows(
+          df.sparkSession,
+          new LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering, l.isStreaming, l.stream)(
+            df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            None,
+            None))
+      case _ => df
+    }
+  }
+
   /** FULLY-CONVERTED catalyst tree of a Column. [[expression]] can return
     * an opaque `ColumnNodeExpression` leaf wrapping the Spark-4 column-
     * node tree (so catalyst traversals see nothing inside); this runs the

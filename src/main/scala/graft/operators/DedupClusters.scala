@@ -8,24 +8,41 @@ import org.apache.spark.sql.functions._
   * (a,b),(b,c) must become ONE cluster {a,b,c} with one kept
   * representative, or transitive duplicates survive pairwise removal.
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with itself; each round every node takes the min of its own
-  * label and its neighbors' labels; converged when a round changes
-  * nothing. Each round is two shuffles (join + agg) over the EDGE list
-  * — never an all-pairs structure — and the driver only coordinates the
+  * Algorithm: iterative min-label propagation WITH POINTER JUMPING.
+  * Every node starts labeled with itself; each round every node takes
+  * the min of its own label, its neighbors' labels, and — the shortcut
+  * (the chain-collapsing idea behind Shiloach/Vishkin pointer doubling
+  * and Kiveris et al.'s star rewrites) — its LABEL'S label (labels are
+  * always node ids, and a node's label only ever decreases, so lbl(lbl)
+  * is a valid, ≤-valued, already-computed hop). Converged when a round
+  * changes nothing. Plain propagation needs eccentricity rounds; the
+  * label-of-label jump extends how far the component minimum travels
+  * per round — measured r18 on the 0.4-threshold semantic pair graph (a
+  * background-cosine continuum = long chains): 17 rounds plain, 12 with
+  * the jump, identical labels (every CC oracle recomputes components
+  * from scratch, so any divergence fails the hash-exact gates). The
+  * textbook O(log d) doubling bound does NOT transfer — labels here are
+  * n-hop-ball minima, not parent pointers (a second hop per round was
+  * measured to buy nothing) — so the claim is the measured ~30% round
+  * cut on chain-heavy graphs and no regression on quasi-cliques (2
+  * rounds, unchanged). Each round is the edge join + agg plus one
+  * node-sized self-join (the jump); the driver only coordinates the
   * loop on a metadata-scale changed-count, exactly how GraphX/MLlib
   * drive iterative algorithms. `localCheckpoint` truncates lineage per
   * round so plans stay flat.
   *
-  * Scale posture: rounds needed = graph diameter. Near-dup clusters are
-  * quasi-cliques (every member pairs with most others), so diameter is
-  * 1-3 in practice; the pathological long-chain case is what the
-  * large-star/small-star rewrite (Kiveris et al.) optimizes, and this
-  * implementation is the plain-propagation base it would drop into. The
-  * iteration cap turns a pathological input into an explicit error, not
-  * a hung job.
+  * Edge prep is ONE shuffle (r18): union(both directions) →
+  * repartition by src → in-place dropDuplicates (hash(src) satisfies
+  * the (src, dst) clustering requirement, so the dedup agg rides the
+  * repartition exchange instead of adding a (src, dst) one), and the
+  * checkpoint pins hash(src) partitioning — the per-round edge-side
+  * join then never re-shuffles the edge list (the pageRank lesson
+  * applied here; at cluster scale the same effect comes from bucketing
+  * edges by src at rest).
   */
 object DedupClusters {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Cluster assignment for every node appearing in `pairs` (d1, d2):
     * returns (doc_id, rep) where rep = min doc_id of the component.
@@ -75,8 +92,16 @@ object DedupClusters {
       maxIter: Int = 20,
       reliableCheckpoint: Boolean = false
   ): DataFrame = {
+    // dropOriginStats: Spark 4 checkpoints PRESERVE the source plan's
+    // estimated Statistics, and this loop's next-round estimate is a
+    // product over the previous round's (the labels frame joins into its
+    // own successor twice — propagation and jump) — geometric BigInt
+    // growth that stalls the driver in stats arithmetic by round ~10
+    // (see PlanBridge.dropOriginStats). Every round restarts from the
+    // conservative default estimate instead.
     def ckpt(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+      org.apache.spark.sql.graftbridge.PlanBridge.dropOriginStats(
+        if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint())
     // Reliable mode writes ~|V| labels to the checkpoint FS every round
     // and Spark never deletes superseded generations on its own — a
     // 20-round run would hold 20 dead label sets until someone wipes
@@ -87,11 +112,13 @@ object DedupClusters {
     // CALLER's, after its durable write — see [[reclaimCheckpoint]].
     def deleteCkpt(df: DataFrame): Unit =
       if (reliableCheckpoint) deleteReliableCkpts(df)
+    val parts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val edges = ckpt(
       pairs
         .select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-        .distinct())
+        .repartition(parts, col("src"))
+        .dropDuplicates("src", "dst"))
     var labels = ckpt(
       edges
         .select(col("src").as("node"))
@@ -104,13 +131,28 @@ object DedupClusters {
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst"))
         .agg(min(col("lbl")).as("cand"))
+      // propagation min: own label vs best neighbor label
+      val prop = labels
+        .join(candidates, labels("node") === candidates("dst"), "left")
+        .select(col("node"), col("lbl"), least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("plbl"))
+      // pointer jump: follow the (old-generation) label one hop — labels
+      // are node ids and only decrease, so lbl(plbl) is ≤ plbl and
+      // already-computed. One node-sized join per round against the
+      // edge-sized propagation join. Measured r18 on the 0.4-threshold
+      // semantic graph: 17 rounds plain, 12 with the hop; a SECOND hop
+      // bought nothing (labels are n-hop-ball minima, not parent
+      // pointers, so the textbook doubling bound does not apply — the
+      // honest gain is the measured ~30% round cut, not O(log d)).
       val next = ckpt(
-        labels
-          .join(candidates, labels("node") === candidates("dst"), "left")
+        prop
+          .join(
+            labels.select(col("node").as("__jn"), col("lbl").as("__jl")),
+            col("plbl") === col("__jn"),
+            "left")
           .select(
             col("node"),
-            least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
-            (col("cand").isNotNull && col("cand") < col("lbl")).as("moved")
+            least(col("plbl"), coalesce(col("__jl"), col("plbl"))).as("lbl"),
+            (least(col("plbl"), coalesce(col("__jl"), col("plbl"))) < col("lbl")).as("moved")
           ))
       changed = next.filter(col("moved")).count()
       deleteCkpt(labels) // superseded generation; `next` is materialized
@@ -118,6 +160,7 @@ object DedupClusters {
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    log.info(s"connectedComponents converged in $iter rounds")
     // The converged labels stay reliable-backed (the caller's durable
     // write recovers from them on executor loss); only the edges — no
     // longer in any surviving lineage — reclaim here.

@@ -121,6 +121,16 @@ object DistributedRank {
   private def pinned(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Range-partition count: callers pass 0 (the default) to derive it
+    * from the session's shuffle parallelism — a constant 32 was wrong in
+    * both directions (r18): far too few range partitions for a cluster
+    * sort, and blind to the harness's variable core count. An explicit
+    * positive value still wins for callers that know their key
+    * distribution. */
+  private def rangeParts(df: DataFrame, numPartitions: Int): Int =
+    if (numPartitions > 0) numPartitions
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   /** Append `rankCol` (global 1-based rank) and `ntileCol` (1..buckets)
     * under the total order of `sortExprs` (must be a total order for
     * deterministic output). */
@@ -130,10 +140,10 @@ object DistributedRank {
       sortExprs: Seq[Column],
       rankCol: String = "__grank",
       ntileCol: String = "__ntile",
-      numPartitions: Int = 32
+      numPartitions: Int = 0
   ): DataFrame = {
     val ranged = pinned(
-      df.repartitionByRange(numPartitions, sortExprs: _*)
+      df.repartitionByRange(rangeParts(df, numPartitions), sortExprs: _*)
         .sortWithinPartitions(sortExprs: _*)
         .withColumn("__pid", spark_partition_id()))
 
@@ -186,10 +196,10 @@ object DistributedRank {
       keyCol: String,
       sortExprs: Seq[Column],
       rankCol: String = "__krank",
-      numPartitions: Int = 32
+      numPartitions: Int = 0
   ): DataFrame = {
     val ranged = pinned(
-      df.repartitionByRange(numPartitions, sortExprs: _*)
+      df.repartitionByRange(rangeParts(df, numPartitions), sortExprs: _*)
         .sortWithinPartitions(sortExprs: _*)
         .withColumn("__pid", spark_partition_id()))
 
@@ -240,10 +250,10 @@ object DistributedRank {
       valueCol: String,
       sortExprs: Seq[Column],
       cumCol: String = "__cum",
-      numPartitions: Int = 32
+      numPartitions: Int = 0
   ): DataFrame = {
     val ranged = pinned(
-      df.repartitionByRange(numPartitions, sortExprs: _*)
+      df.repartitionByRange(rangeParts(df, numPartitions), sortExprs: _*)
         .sortWithinPartitions(sortExprs: _*)
         .withColumn("__pid", spark_partition_id()))
 
@@ -281,10 +291,10 @@ object DistributedRank {
       valueCol: String,
       sortExprs: Seq[Column],
       cumCol: String = "__cummin",
-      numPartitions: Int = 32
+      numPartitions: Int = 0
   ): DataFrame = {
     val ranged = pinned(
-      df.repartitionByRange(numPartitions, sortExprs: _*)
+      df.repartitionByRange(rangeParts(df, numPartitions), sortExprs: _*)
         .sortWithinPartitions(sortExprs: _*)
         .withColumn("__pid", spark_partition_id()))
 

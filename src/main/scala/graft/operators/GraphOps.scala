@@ -47,8 +47,12 @@ object GraphOps {
     *   durably writing them, call [[DedupClusters.reclaimCheckpoint]] on
     *   the result, or repeated runs accumulate one score set each. */
   def pageRank(edges: DataFrame, iters: Int, reliableCheckpoint: Boolean = false): DataFrame = {
+    // dropOriginStats: same loop-stats guard as DedupClusters — Spark 4
+    // checkpoints preserve estimated Statistics, and per-round estimates
+    // compound across rounds (see PlanBridge.dropOriginStats).
     def ckpt(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+      org.apache.spark.sql.graftbridge.PlanBridge.dropOriginStats(
+        if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint())
     def deleteCkpt(df: DataFrame): Unit =
       if (reliableCheckpoint) DedupClusters.reclaimCheckpoint(df)
     // Materialize the edge list ONCE, already hash-partitioned on the
@@ -126,8 +130,10 @@ object GraphOps {
       maxDepth: Int,
       reliableCheckpoint: Boolean = false
   ): DataFrame = {
+    // dropOriginStats: same loop-stats guard as DedupClusters/pageRank
     def ckpt(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+      org.apache.spark.sql.graftbridge.PlanBridge.dropOriginStats(
+        if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint())
     def deleteCkpt(df: DataFrame): Unit =
       if (reliableCheckpoint) DedupClusters.reclaimCheckpoint(df)
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -185,11 +191,31 @@ object GraphOps {
     * one wedge self-join shuffled on the oriented source, one closing
     * equi-join on (b, c), then an explode + hash agg for per-node
     * counts. No iteration, no driver-side state.
+    *
+    * The edge list is localCheckpoint'ed once (r18): it feeds the degree
+    * aggregation, both degree-attach joins, and the closing-edge side —
+    * four consumers that would otherwise each re-execute the caller's
+    * (usually expensive) pair-generation subtree. The materialized count
+    * is then free, and it gates the closing join's strategy: the wedge
+    * stream is O(m^1.5) rows — the dominant bytes of the whole operator
+    * — and a shuffled closing join moves ALL of it over the exchange
+    * just to meet the m-row edge side (measured r18 at sf0.1: 475 MB of
+    * wedge shuffle write, the single largest exchange in the bench).
+    * When the oriented edge list fits a broadcast (≤ the session's
+    * 64 MB broadcast posture ≈ 4M edges at 16 B/row), the closing join
+    * broadcasts the EDGE side instead and the wedge stream is probed
+    * where it is generated — zero wedge bytes cross the network. Past
+    * that size the shuffled-hash fallback is the only scale-safe
+    * spelling (wedges stream-probe a per-partition edge hash table;
+    * sort-merge would SORT the wedge stream, measured 100 s of task CPU
+    * at sf0.1).
     */
   def triangleCounts(und: DataFrame): DataFrame = {
-    val deg = und
+    val undM = und.select(col("a"), col("b")).localCheckpoint()
+    val edgeCount = undM.count()
+    val deg = undM
       .select(col("a").as("id"))
-      .union(und.select(col("b").as("id")))
+      .union(undM.select(col("b").as("id")))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("deg"))
     // Attach both endpoint degrees, then orient low → high. The a < b
@@ -197,7 +223,7 @@ object GraphOps {
     // is deterministic and every edge appears exactly once. Degrees are
     // node-sized → broadcast; at graphs where nodes outgrow executors
     // this becomes two shuffle joins on the edge key, still linear.
-    val withDeg = und
+    val withDeg = undM
       .join(broadcast(deg.select(col("id").as("a"), col("deg").as("da"))), "a")
       .join(broadcast(deg.select(col("id").as("b"), col("deg").as("db"))), "b")
     val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
@@ -218,8 +244,14 @@ object GraphOps {
     val wedges = e1
       .join(e2.hint("shuffle_hash"), Seq("src"))
       .filter(col("bdeg") < col("cdeg") || (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    // closing-edge side: broadcast when the edge list fits the session's
+    // broadcast posture (64 MB / ~16 B per (b, c) row), else shuffled
+    // hash — never sort-merge (see scaladoc).
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val closingSide =
+      if (edgeCount <= 4L * 1000 * 1000) broadcast(closing) else closing.hint("shuffle_hash")
     val tri = wedges
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")).hint("shuffle_hash"), Seq("b", "c"))
+      .join(closingSide, Seq("b", "c"))
       .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
     tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))

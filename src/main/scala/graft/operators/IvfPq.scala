@@ -312,7 +312,16 @@ object IvfPq {
     * vectors this is the difference between sweeping a GB-scale code
     * table and scanning the corpus. */
   def writeIndexedPq(assigned: DataFrame, pq: PqModel, path: String): Unit = {
+    // Cluster the write by its partition key (guide §6's
+    // distribution-mode=hash): without this, every write task holds rows
+    // of ~every cluster and the layout lands as tasks × k tiny files —
+    // the many-small-files trap both for this write and for every probe
+    // that later opens the `cl=` dirs. One code-sized shuffle (the codes
+    // are ~m bytes a row) buys ≤ one file per cluster per non-empty
+    // task.
+    val parts = assigned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     encode(assigned, pq)
+      .repartition(parts, col("cl"))
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cl")

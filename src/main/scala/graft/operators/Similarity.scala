@@ -1191,10 +1191,18 @@ object Similarity {
     // shortlist can't recover. The pinned 0.70 bound (raised from 0.60)
     // is ~80% of the measured minimum, so a regression fails the gate.
     "sim_ann_ivfpq" -> { (spark, dir) =>
-      val e = corpus(spark, dir)
+      // A single-row-group fixture parquet scans as ONE task, and the
+      // assigned frame feeds several consumers (PQ train's residual
+      // pass, encode, search) — repartition by id for layout-independent
+      // parallelism (the lshKeyed rationale) and localCheckpoint the
+      // assignment so the k-literal scoring expression runs ONCE, not
+      // once per consumer (r18; in production the assignment is
+      // materialized as the index layout anyway).
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val e = corpus(spark, dir).repartition(parts, col("vec_id"))
       val (k, nProbe) = IvfIndex.autoParams(e.count(), targetScanFrac = 0.45)
       val coarse = IvfIndex.train(e, k = k, iters = 3)
-      val assigned = IvfIndex.assignSpilled(e, coarse, spillMargin = 0.1)
+      val assigned = IvfIndex.assignSpilled(e, coarse, spillMargin = 0.1).localCheckpoint()
       val pq = IvfPq.train(assigned, coarse, m = 8, nCodes = 64)
       val encoded = IvfPq.encode(assigned, pq)
       val probes = e
@@ -1229,10 +1237,15 @@ object Similarity {
     // loses nothing vs the in-memory codes (IvfPqLayoutSpec pins
     // row-for-row equality separately).
     "sim_ann_ivfpq_idx" -> { (spark, dir) =>
-      val e = corpus(spark, dir)
+      // same repartition + one-materialization shape as sim_ann_ivfpq
+      // (r18): the assigned frame feeds PQ train, the indexed write's
+      // encode, and the drift-base aggregate — three consumers of a
+      // single-task subtree without it.
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val e = corpus(spark, dir).repartition(parts, col("vec_id"))
       val (k, nProbe) = IvfIndex.autoParams(e.count(), targetScanFrac = 0.45)
       val coarse = IvfIndex.train(e, k = k, iters = 3)
-      val assigned = IvfIndex.assignSpilled(e, coarse, spillMargin = 0.1)
+      val assigned = IvfIndex.assignSpilled(e, coarse, spillMargin = 0.1).localCheckpoint()
       val pq = IvfPq.train(assigned, coarse, m = 8, nCodes = 64)
       // applicationId-scoped scratch (Tables.gateScratchDir): a
       // concurrent suite + bench on one machine must not overwrite each

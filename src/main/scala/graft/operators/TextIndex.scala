@@ -232,6 +232,27 @@ object TextIndex {
       indexDir: String): Int = {
     import graft.sources.{FileIO, Sidecar}
     val snapshot = FileIO.dataFileIds(spark, docsPath)
+    // IDEMPOTENT build (r18): the postings are a pure, deterministic
+    // function of the doc files the sidecar fingerprint pins, so when a
+    // committed index already matches the CURRENT listing — same
+    // generation identities, not just paths — re-scanning and re-writing
+    // it would produce byte-equivalent rows for pure I/O cost (measured:
+    // ~1.2 s per call at sf0.1, paid by every serving query that calls
+    // build-then-search). Skip instead, exactly like updatePostingsIndex
+    // returns (0, 0) on a no-change refresh. Guard: every live dir must
+    // carry the TermStatsDir sidecar (the current-format marker) — an
+    // index written by a pre-stats builder rebuilds rather than serving
+    // the old layout forever.
+    Sidecar.current(spark, indexDir).foreach { cur =>
+      if (cur.fingerprint == snapshot.map(_.identity).toSet) {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val statsPresent = cur.liveDirs(indexDir).forall { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$d/$TermStatsDir")
+          p.getFileSystem(hconf).exists(p)
+        }
+        if (statsPresent) return snapshot.size
+      }
+    }
     val (v, stage) = Sidecar.nextStage(spark, indexDir)
     if (snapshot.nonEmpty) scanAndWrite(spark, docsPath, snapshot, idCol, textCol, stage)
     else {

@@ -836,8 +836,16 @@ object FileIO {
     // partition pruning on the re-read.
     "orc_sink_roundtrip" -> { (spark, dir) =>
       val p = out(dir, "lineitem_orc")
+      // The fixture parquet is one row group → one scan task, so without
+      // a repartition the whole zlib-compressed write runs single-task
+      // (measured r18: ~1.5 s serial). Hash on (partition col, order key)
+      // spreads the write across the session's parallelism while keeping
+      // each (flag, key) group in one task — the standard clustered-write
+      // trade (files ≈ tasks × live partition values per task).
+      val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       Tables
         .lineitem(spark, dir)
+        .repartition(parts, col("l_returnflag"), col("l_orderkey"))
         .write
         .mode(SaveMode.Overwrite)
         .option("compression", "zlib") // the reference's ORC default codec (orc-core CompressionKind.ZLIB)
