@@ -431,6 +431,12 @@ object Bpe {
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private[graft] def clearMergeCacheForTest(): Unit = mergeCache.clear()
+  /** documents repartitioned by id — tokenize parallelism independent of
+    * the (single-row-group) fixture file layout; see text_bpe_tokens. */
+  private def docsParallel(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
+
   private[graft] def fixtureMerges(spark: SparkSession, dir: String): Seq[String] =
     mergeCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}:$dir",
@@ -473,8 +479,14 @@ object Bpe {
     // recurrence flips the hash, so the gate pins the ENTIRE (train,
     // apply) pipeline against DuckDB's sequential recomputation.
     "text_bpe_tokens" -> { (spark, dir) =>
+      // the 30-merge replace chain is real per-row work over a
+      // single-row-group fixture scan (one task without this) —
+      // repartition by id for layout-independent parallelism (r18; the
+      // lshKeyed rationale). At cluster scale the scan is already
+      // parallel and the gates' repartition is a no-op-sized id+text
+      // shuffle relative to the tokenize cost.
       Bpe
-        .tokenize(Tables.documents(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
+        .tokenize(docsParallel(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
         .select(col("doc_id"), col("n_bpe_tokens"), col("tokens_md5"))
         .orderBy(col("doc_id"))
     },
@@ -497,7 +509,7 @@ object Bpe {
     "select_token_budget_bpe" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
       val counts = Bpe
-        .tokenize(docs, "doc_id", "text", fixtureMerges(spark, dir))
+        .tokenize(docsParallel(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
         .select(col("doc_id"), col("n_bpe_tokens").as("nt"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
@@ -525,7 +537,7 @@ object Bpe {
       Chunking
         .packChunksCounted(
           Bpe
-            .tokenize(Tables.documents(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
+            .tokenize(docsParallel(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
             .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
           2048)
         .orderBy(col("doc_id"))

@@ -196,19 +196,23 @@ object GraphOps {
     * aggregation, both degree-attach joins, and the closing-edge side —
     * four consumers that would otherwise each re-execute the caller's
     * (usually expensive) pair-generation subtree. The materialized count
-    * is then free, and it gates the closing join's strategy: the wedge
-    * stream is O(m^1.5) rows — the dominant bytes of the whole operator
-    * — and a shuffled closing join moves ALL of it over the exchange
-    * just to meet the m-row edge side (measured r18 at sf0.1: 475 MB of
-    * wedge shuffle write, the single largest exchange in the bench).
-    * When the oriented edge list fits a broadcast (≤ the session's
-    * 64 MB broadcast posture ≈ 4M edges at 16 B/row), the closing join
-    * broadcasts the EDGE side instead and the wedge stream is probed
-    * where it is generated — zero wedge bytes cross the network. Past
-    * that size the shuffled-hash fallback is the only scale-safe
-    * spelling (wedges stream-probe a per-partition edge hash table;
-    * sort-merge would SORT the wedge stream, measured 100 s of task CPU
-    * at sf0.1).
+    * is then free, and it can gate the closing join's strategy: the
+    * wedge stream is O(m^1.5) rows — the dominant bytes of the whole
+    * operator — and the shuffled closing join moves ALL of it over the
+    * exchange just to meet the m-row edge side (measured r18 at sf0.1:
+    * 475 MB of wedge shuffle write, the single largest exchange in the
+    * bench). Broadcasting the EDGE side instead probes wedges where
+    * they are generated — zero wedge bytes cross the exchange — but the
+    * A/B at sf0.1 measured it SLOWER (7.3–8.0 s vs 5.0–5.6 s walls,
+    * paired runs): on one box the compressed loop-back exchange costs
+    * less than tens of millions of hash probes against an 880k-row
+    * two-long-key relation, so broadcast is an honest local NEGATIVE.
+    * On a network-bound cluster the O(m^1.5) exchange bytes dominate
+    * instead; GRAFT_TRI_BCAST_MAX (max edge count to broadcast, default
+    * 0 = off, matching the local measurement) flips the strategy there.
+    * Either way the fallback is shuffled-hash, never sort-merge (which
+    * would SORT the wedge stream — measured 100 s of task CPU at
+    * sf0.1).
     */
   def triangleCounts(und: DataFrame): DataFrame = {
     val undM = und.select(col("a"), col("b")).localCheckpoint()
@@ -244,12 +248,13 @@ object GraphOps {
     val wedges = e1
       .join(e2.hint("shuffle_hash"), Seq("src"))
       .filter(col("bdeg") < col("cdeg") || (col("bdeg") === col("cdeg") && col("b") < col("c")))
-    // closing-edge side: broadcast when the edge list fits the session's
-    // broadcast posture (64 MB / ~16 B per (b, c) row), else shuffled
-    // hash — never sort-merge (see scaladoc).
+    // closing-edge side: shuffled-hash by default (measured faster on
+    // one box — see scaladoc), broadcast when the deployment opts in AND
+    // the edge list fits; never sort-merge.
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
     val closingSide =
-      if (edgeCount <= 4L * 1000 * 1000) broadcast(closing) else closing.hint("shuffle_hash")
+      if (edgeCount <= sys.env.getOrElse("GRAFT_TRI_BCAST_MAX", "0").toLong) broadcast(closing)
+      else closing.hint("shuffle_hash")
     val tri = wedges
       .join(closingSide, Seq("b", "c"))
       .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))

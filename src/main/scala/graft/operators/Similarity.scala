@@ -1004,8 +1004,15 @@ object Similarity {
     // bitsPerBand.
     "sim_mutual_knn" -> { (spark, dir) =>
       graft.functions.GraftExtensions.register(spark)
+      // localCheckpoint: the verified pair list feeds the symmetrize
+      // union (2 branches) and the mutual self-join (2 more) — without
+      // materialization the banded join + cosine verify re-executes per
+      // branch (r18: measured ~2× the pair-generation cost). The pair
+      // list is near-dup-sized (≪ corpus), so the materialization is
+      // cheap at any scale.
       val pairs =
         embedNearDupLsh(corpus(spark, dir), threshold = 0.4, bitsPerBand = 4, bands = 64)
+          .localCheckpoint()
       val sym = pairs
         .select(col("v1").as("a"), col("v2").as("b"), col("cos"))
         .unionAll(pairs.select(col("v2").as("a"), col("v1").as("b"), col("cos")))

@@ -1164,6 +1164,11 @@ object TextOps {
           (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
           (lit(8) + pmod(col("doc_id"), lit(17))).cast("int").as("h"),
           (pmod(col("doc_id"), lit(5)) === 0).as("gray"))
+        // real codec work per row over a single-row-group fixture scan
+        // runs ONE task without this; the shuffled rows are four ints
+        // (the payload is GENERATED per row), so the repartition is
+        // near-free at any scale (r18)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
         .as[(Long, Int, Int, Boolean)]
         .mapPartitions { it =>
           it.map { case (id, w, h, gray) =>
@@ -1196,6 +1201,11 @@ object TextOps {
           (lit(8000) + lit(100) * pmod(col("doc_id"), lit(40))).cast("int").as("rate"),
           (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
           (lit(50) + pmod(col("doc_id"), lit(100))).cast("int").as("fr"))
+        // real codec work per row over a single-row-group fixture scan
+        // runs ONE task without this; the shuffled rows are four ints
+        // (the payload is GENERATED per row), so the repartition is
+        // near-free at any scale (r18)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
         .as[(Long, Int, Int, Int)]
         .mapPartitions { it =>
           it.map { case (id, rate, ch, fr) =>
@@ -1230,6 +1240,11 @@ object TextOps {
           (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
           (lit(8) + pmod(col("doc_id"), lit(17))).cast("int").as("h"),
           (lit(2) + pmod(col("doc_id"), lit(4))).cast("int").as("fr"))
+        // real codec work per row over a single-row-group fixture scan
+        // runs ONE task without this; the shuffled rows are four ints
+        // (the payload is GENERATED per row), so the repartition is
+        // near-free at any scale (r18)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
         .as[(Long, Int, Int, Int)]
         .mapPartitions { it =>
           it.map { case (id, w, h, fr) =>

@@ -252,13 +252,29 @@ object TimeWindows {
           col("user_id"),
           datediff(to_date(col("amax")), to_date(col("umax"))).cast("long").as("recency_days"),
           col("freq"), col("mon_q"))
+      // The three quintiles are INDEPENDENT global rankings of the same
+      // per-user table — computed from one materialized base and joined
+      // back on user_id (r18), instead of chaining each ntile on the
+      // previous one's output: chained, the three range exchanges and
+      // their sampling passes serialize AND each re-executes the whole
+      // upstream (the events aggregate ran three times); independent,
+      // they schedule as parallel stage chains off the checkpointed base
+      // and the base aggregates once.
+      val base = perUser.localCheckpoint()
       val r = DistributedRank.withGlobalNtile(
-        perUser, 5, Seq(col("recency_days").asc, col("user_id").asc), "rr", "r_score")
+        base, 5, Seq(col("recency_days").asc, col("user_id").asc), "rr", "r_score")
+        .select(col("user_id"), col("r_score"))
       val f = DistributedRank.withGlobalNtile(
-        r, 5, Seq(col("freq").asc, col("user_id").asc), "fr", "f_score")
+        base, 5, Seq(col("freq").asc, col("user_id").asc), "fr", "f_score")
+        .select(col("user_id"), col("f_score"))
       val m = DistributedRank.withGlobalNtile(
-        f, 5, Seq(col("mon_q").asc, col("user_id").asc), "mr", "m_score")
-      m.groupBy(col("r_score"), col("f_score"), col("m_score"))
+        base, 5, Seq(col("mon_q").asc, col("user_id").asc), "mr", "m_score")
+        .select(col("user_id"), col("m_score"))
+      base
+        .join(r, Seq("user_id"))
+        .join(f, Seq("user_id"))
+        .join(m, Seq("user_id"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_users"), sum(col("mon_q")).as("sum_mon_q"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     },

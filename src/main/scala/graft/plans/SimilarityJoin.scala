@@ -206,22 +206,19 @@ object ExpandSimilarityJoin extends Rule[LogicalPlan] {
       m(p.output.find(_.name == n).get.exprId)
     val (lB, lbId) = aliasedCopy(lCapped)
     val (rB, rbId) = aliasedCopy(rCapped)
-    // Self-join band sides are identical-sized by construction, so a
-    // broadcast plan is never right (at scale it would broadcast the
-    // whole exploded corpus — the static planner's post-aggregate size
-    // estimate underestimates it). Forcing a shuffle join makes both
-    // sides shuffle on the band keys; SHUFFLE_HASH rather than
-    // SHUFFLE_MERGE because band keys are few-valued (2^bitsPerBand per
-    // band) and massively duplicated — sort-merge degenerates to a
-    // per-key-group nested loop PLUS two sorts, while hash build+probe
-    // skips the sorts entirely (measured ~2× reduce-stage CPU at sf0.1).
-    // Asymmetric (non-self) joins keep JoinHint.NONE: a genuinely tiny
-    // probe side SHOULD broadcast, and the planner sees real estimates.
-    val bandHint =
-      if (sj.selfJoin) {
-        val h = Some(HintInfo(strategy = Some(SHUFFLE_HASH)))
-        JoinHint(h, h)
-      } else JoinHint.NONE
+    // NO strategy hint (r18) — the lowered node must land the SAME plan
+    // as the hand-built lshCandidates path, which leaves the band join
+    // unhinted: with AQE (the session posture) the runtime sizes decide
+    // — a fixture-scale banded side broadcasts (measured: the forced
+    // SHUFFLE_HASH of the r17 lowering kept the band join shuffled, and
+    // the distinct's pair exchange then carried 57 MB of pre-distinct
+    // candidates that the broadcast plan never exchanges — 2.0 s vs
+    // 1.5 s walls vs the DataFrame twin), while an exploded-corpus-sized
+    // side exceeds the adaptive broadcast threshold and stays a shuffle
+    // join. If a deployment runs AQE-off, the static fallback is
+    // whatever lshCandidates would get — by construction the twins
+    // cannot diverge.
+    val bandHint = JoinHint.NONE
     val lCk = lbId(sj.leftKey.exprId)
     val rCk = rbId(rKeyBase.exprId)
     // A pushed key-pair predicate joins the band condition, rewritten to
