@@ -479,14 +479,13 @@ object Bpe {
     // recurrence flips the hash, so the gate pins the ENTIRE (train,
     // apply) pipeline against DuckDB's sequential recomputation.
     "text_bpe_tokens" -> { (spark, dir) =>
-      // the 30-merge replace chain is real per-row work over a
-      // single-row-group fixture scan (one task without this) —
-      // repartition by id for layout-independent parallelism (r18; the
-      // lshKeyed rationale). At cluster scale the scan is already
-      // parallel and the gates' repartition is a no-op-sized id+text
-      // shuffle relative to the tokenize cost.
+      // deliberately NOT repartitioned like its two sibling gates: this
+      // gate's single tokenize pass is cheap enough (0.13 s median) that
+      // the extra shuffle measured as a net loss (r18 A/B: 0.13 s plain
+      // vs 0.19 s repartitioned); the siblings' multi-consumer plans
+      // amortize the shuffle and keep docsParallel.
       Bpe
-        .tokenize(docsParallel(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
+        .tokenize(Tables.documents(spark, dir), "doc_id", "text", fixtureMerges(spark, dir))
         .select(col("doc_id"), col("n_bpe_tokens"), col("tokens_md5"))
         .orderBy(col("doc_id"))
     },

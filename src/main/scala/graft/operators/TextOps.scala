@@ -1201,11 +1201,10 @@ object TextOps {
           (lit(8000) + lit(100) * pmod(col("doc_id"), lit(40))).cast("int").as("rate"),
           (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
           (lit(50) + pmod(col("doc_id"), lit(100))).cast("int").as("fr"))
-        // real codec work per row over a single-row-group fixture scan
-        // runs ONE task without this; the shuffled rows are four ints
-        // (the payload is GENERATED per row), so the repartition is
-        // near-free at any scale (r18)
-        .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
+        // deliberately NOT repartitioned like its image/video siblings:
+        // WAV encode/parse is cheap enough per row that the extra
+        // shuffle + 32x javax.sound service-loader inits measured SLOWER
+        // than the single-task pass (0.63 s -> 1.36 s bench median, r18)
         .as[(Long, Int, Int, Int)]
         .mapPartitions { it =>
           it.map { case (id, rate, ch, fr) =>
