@@ -90,20 +90,24 @@ object Dedup {
     * dedup_minhash_lsh query and the `graft_minhash_pairs` SQL table
     * function. */
   def minhashPairs(d: DataFrame, threshold: Double): DataFrame = {
-    val hr = hashRows(d)
+    // hr feeds the 64-way signature aggregate AND the verification
+    // arrays; the exploded band rows feed the hot-key counts, the
+    // anti-join input, and both self-join sides. Materialize each once
+    // (r19) — without it the shingle flatMap ran twice and the 64-min
+    // aggregate three times per query (measured via JobProbe at sf0.1).
+    // At scale the signature table is exactly what an LSH pipeline
+    // persists between stages.
+    val hr = hashRows(d).localCheckpoint()
     val minCols = (0 until NumHashes).map(i => min(mix(col("h"), i)).as(s"m$i"))
     val sig = hr.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
     }
-    val bands = SkewTools.dropHotKeys(
-      sig.select(
-        col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key"))
-      ),
-      Seq("band_idx", "band_key"),
-      BucketCap
-    )
+    val bandRows = sig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key"))
+    ).localCheckpoint()
+    val bands = SkewTools.dropHotKeys(bandRows, Seq("band_idx", "band_key"), BucketCap)
     val cands = bands
       .as("x")
       .join(
@@ -261,7 +265,9 @@ object Dedup {
     // exact-Jaccard verify at 0.9 removes block-collision false
     // positives.
     "dedup_simhash" -> { (spark, dir) =>
-      val hr = hashRows(Tables.documents(spark, dir))
+      // hr feeds the bit-tally aggregate AND the verification arrays —
+      // materialize once (the minhashPairs fix, r19)
+      val hr = hashRows(Tables.documents(spark, dir)).localCheckpoint()
       // bit_j = majority of bit j across shingle hashes — 64 codegen'd
       // sum-aggregates over the hash rows (same shape rationale as
       // dedup_minhash_lsh: no HOFs in the per-shingle path).
@@ -281,14 +287,18 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b))
           .as("sim")
       )
+      // exploded block rows feed the hot-key counts, the anti-join input,
+      // and both self-join sides — materialize once (r19) so the 64-sum
+      // tally aggregate upstream runs a single time
+      val blockRows = packed.select(
+        col("doc_id"),
+        col("sim"),
+        posexplode(array((0 until 13).map(b =>
+          shiftrightunsigned(col("sim"), b * 5).bitwiseAND(lit(31L))): _*))
+          .as(Seq("blk_idx", "blk_key"))
+      ).localCheckpoint()
       val blocks = SkewTools.dropHotKeys(
-        packed.select(
-          col("doc_id"),
-          col("sim"),
-          posexplode(array((0 until 13).map(b =>
-            shiftrightunsigned(col("sim"), b * 5).bitwiseAND(lit(31L))): _*))
-            .as(Seq("blk_idx", "blk_key"))
-        ),
+        blockRows,
         Seq("blk_idx", "blk_key"),
         BucketCap * 4 // 5-bit blocks: only 32 key values per block index
       )

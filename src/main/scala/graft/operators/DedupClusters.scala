@@ -143,18 +143,30 @@ object DedupClusters {
       // bought nothing (labels are n-hop-ball minima, not parent
       // pointers, so the textbook doubling bound does not apply — the
       // honest gain is the measured ~30% round cut, not O(log d)).
-      val next = ckpt(
-        prop
-          .join(
-            labels.select(col("node").as("__jn"), col("lbl").as("__jl")),
-            col("plbl") === col("__jn"),
-            "left")
-          .select(
-            col("node"),
-            least(col("plbl"), coalesce(col("__jl"), col("plbl"))).as("lbl"),
-            (least(col("plbl"), coalesce(col("__jl"), col("plbl"))) < col("lbl")).as("moved")
-          ))
-      changed = next.filter(col("moved")).count()
+      // The changed-count rides the checkpoint's own materialization as
+      // an observed metric (r19): the former `next.filter(moved).count()`
+      // was one extra driver job PER ROUND across the whole CC-composed
+      // family — the scaling block's anti-scaling constant. CollectMetrics
+      // accumulators fill while the checkpoint action executes the plan,
+      // so queryExecution.observedMetrics is available without any
+      // further job (and without the blocking Observation listener).
+      val withMoved = prop
+        .join(
+          labels.select(col("node").as("__jn"), col("lbl").as("__jl")),
+          col("plbl") === col("__jn"),
+          "left")
+        .select(
+          col("node"),
+          least(col("plbl"), coalesce(col("__jl"), col("plbl"))).as("lbl"),
+          (least(col("plbl"), coalesce(col("__jl"), col("plbl"))) < col("lbl")).as("moved")
+        )
+        .observe(
+          s"cc_changed_$iter",
+          coalesce(sum(when(col("moved"), 1L).otherwise(0L)), lit(0L)).as("changed"))
+      val next = ckpt(withMoved)
+      changed = withMoved.queryExecution.observedMetrics
+        .get(s"cc_changed_$iter").map(_.getLong(0))
+        .getOrElse(next.filter(col("moved")).count()) // defensive fallback
       deleteCkpt(labels) // superseded generation; `next` is materialized
       labels = next.drop("moved")
       iter += 1

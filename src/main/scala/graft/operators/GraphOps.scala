@@ -28,6 +28,13 @@ import graft.Tables
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Max edge count to broadcast the triangle closing side (0 = off —
+    * the locally-measured default; network-bound clusters opt in).
+    * Parsed ONCE and leniently (r19, ADVICE): a malformed value falls
+    * back to 0 instead of throwing NumberFormatException per query. */
+  private lazy val triBcastMax: Long =
+    sys.env.get("GRAFT_TRI_BCAST_MAX").flatMap(_.toLongOption).getOrElse(0L)
+
   /** Integer-grid PageRank. `edges` = directed (src: long, dst: long),
     * every node assumed to have ≥1 out-edge (true for the bidirectional
     * graphs this engine builds; dangling-node mass redistribution is out
@@ -145,13 +152,21 @@ object GraphOps {
     while (d <= maxDepth && !done) {
       val prevFrontier = frontier
       val prevVisited = visited
-      frontier = ckpt(e
+      // frontier size rides the checkpoint materialization as an observed
+      // metric (r19, the DedupClusters recipe) — the former `isEmpty` was
+      // one extra driver job per round
+      val nextFrontier = e
         .join(frontier.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id"))
         .distinct()
         .join(visited, Seq("id"), "left_anti")
-        .withColumn("depth", lit(d.toLong)))
-      if (frontier.isEmpty) {
+        .withColumn("depth", lit(d.toLong))
+        .observe(s"bfs_frontier_$d", count(lit(1)).as("n"))
+      frontier = ckpt(nextFrontier)
+      val frontierEmpty = nextFrontier.queryExecution.observedMetrics
+        .get(s"bfs_frontier_$d").map(_.getLong(0) == 0L)
+        .getOrElse(frontier.isEmpty) // defensive fallback
+      if (frontierEmpty) {
         done = true
         // the dead-end frontier's files; visited stays prevVisited
         deleteCkpt(frontier)
@@ -252,10 +267,27 @@ object GraphOps {
     // one box — see scaladoc), broadcast when the deployment opts in AND
     // the edge list fits; never sort-merge.
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    // Bloom pre-filter of the wedge stream (r19, guide §3.2): the wedge
+    // rows are O(m^1.5) — the dominant bytes of the operator — and only
+    // the ones whose (b, c) IS an oriented edge can close a triangle.
+    // A bloom over the m edge keys (~1.2 MB per million at 1% fpp — task-
+    // binary scale at any graph size where the edge LIST itself is
+    // manageable) drops the non-closing mass BEFORE the closing
+    // exchange, on both the shuffled-hash default and the broadcast
+    // opt-in; false positives are removed by the exact join, false
+    // negatives cannot occur. Probe and build hash the same
+    // xxhash64(b, c) key expression.
+    val bcKey = xxhash64(col("b"), col("c"))
+    val bloom = closing.select(bcKey.as("bc")).stat
+      .bloomFilter("bc", math.max(1L, edgeCount), 0.01)
+    val bridge = org.apache.spark.sql.graftbridge.PlanBridge
+    val wedgesPruned = wedges.filter(
+      bridge.column(
+        graft.functions.BloomMightContain(bridge.expression(bcKey), bloom)))
     val closingSide =
-      if (edgeCount <= sys.env.getOrElse("GRAFT_TRI_BCAST_MAX", "0").toLong) broadcast(closing)
+      if (edgeCount <= GraphOps.triBcastMax) broadcast(closing)
       else closing.hint("shuffle_hash")
-    val tri = wedges
+    val tri = wedgesPruned
       .join(closingSide, Seq("b", "c"))
       .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
     tri

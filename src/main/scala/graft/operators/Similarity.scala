@@ -665,10 +665,14 @@ object Similarity {
       val rerank = maxSimScores(docToks.join(candDocs, Seq("m_doc"), "left_semi"), q)
         .orderBy(col("maxsim").desc, col("m_doc").asc)
         .limit(10)
-      // quality bound vs the exact full-corpus MaxSim top-10
+      // quality bound vs the exact full-corpus MaxSim top-10 — a 10-row
+      // frame consumed TWICE (the count and the hit join); materialize it
+      // once (r19) or the full-corpus scoring subtree re-executes per
+      // consumer (the sim_mutual_knn pattern)
       val exact = maxSimScores(docToks, q)
         .orderBy(col("maxsim").desc, col("m_doc").asc)
         .limit(10)
+        .localCheckpoint()
       val nExact = exact.select(count(lit(1)).as("n_exact"))
       val nHits = rerank
         .select(col("m_doc"))

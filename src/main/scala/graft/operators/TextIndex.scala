@@ -243,16 +243,25 @@ object TextIndex {
     // carry the TermStatsDir sidecar (the current-format marker) — an
     // index written by a pre-stats builder rebuilds rather than serving
     // the old layout forever.
-    Sidecar.current(spark, indexDir).foreach { cur =>
-      if (cur.fingerprint == snapshot.map(_.identity).toSet) {
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val statsPresent = cur.liveDirs(indexDir).forall { d =>
-          val p = new org.apache.hadoop.fs.Path(s"$d/$TermStatsDir")
-          p.getFileSystem(hconf).exists(p)
+    // The skip additionally requires the root colspec marker to match
+    // (r19, ADVICE): the sidecar fingerprint pins the doc FILES but not
+    // the indexed COLUMNS, so a caller rebuilding an explicit indexDir
+    // from different columns must get a rebuild (the pre-r18 'build
+    // always rewrites' repair semantics), not silently-mismatched
+    // postings. Pre-colspec indexes rebuild once and gain the marker.
+    // Plain boolean instead of a return-from-closure
+    // (NonLocalReturnControl is fragile under catch-Throwable).
+    val skippable = Sidecar.current(spark, indexDir).exists { cur =>
+      cur.fingerprint == snapshot.map(_.identity).toSet &&
+        colspecMatches(spark, indexDir, idCol, textCol) && {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          cur.liveDirs(indexDir).forall { d =>
+            val p = new org.apache.hadoop.fs.Path(s"$d/$TermStatsDir")
+            p.getFileSystem(hconf).exists(p)
+          }
         }
-        if (statsPresent) return snapshot.size
-      }
     }
+    if (skippable) return snapshot.size
     val (v, stage) = Sidecar.nextStage(spark, indexDir)
     if (snapshot.nonEmpty) scanAndWrite(spark, docsPath, snapshot, idCol, textCol, stage)
     else {
@@ -262,7 +271,47 @@ object TextIndex {
       writeTermStats(spark, stage)
     }
     Sidecar.commit(spark, indexDir, v, snapshot.map(_.identity).toSet)
+    writeColspec(spark, indexDir, idCol, textCol)
     snapshot.size
+  }
+
+  /** Root-level marker recording which (idCol, textCol) an index was
+    * built from — the idempotent-build skip's column guard (r19,
+    * ADVICE). Written AFTER the pointer commit: a crash between the two
+    * leaves the marker stale/absent, which only disables the skip (the
+    * next build rewrites — the safe direction). Lives at the root, not
+    * in version dirs, so the delta/refresh layout and the fingerprint
+    * diff logic are untouched. */
+  private val ColspecFile = "_colspec"
+
+  private def colspecPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/$ColspecFile")
+
+  private def writeColspec(
+      spark: SparkSession, indexDir: String, idCol: String, textCol: String): Unit = {
+    val p = colspecPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.$ColspecFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$idCol\t$textCol".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not commit colspec marker at $p")
+  }
+
+  private def colspecMatches(
+      spark: SparkSession, indexDir: String, idCol: String, textCol: String): Boolean = {
+    val p = colspecPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = in.read(bytes)
+        n > 0 && new String(bytes, 0, n, "UTF-8") == s"$idCol\t$textCol"
+      } finally in.close()
+    }
   }
 
   private def emptyPostings(spark: SparkSession) =

@@ -48,46 +48,29 @@ object TextOps {
     array_distinct(transform(idx, i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o + 1)): _*)))
   }
 
-  /** Exploded DISTINCT (doc_id, s) k-gram shingle rows via a typed
-    * flatMap — imperative per-doc shingling with an in-row HashSet for
-    * the per-doc distinct. This is the deliberate `mapPartitions`-class
-    * exception the build rules allow: shingling is genuinely per-row
-    * imperative work, and the two declarative forms both lose — HOF
-    * lambdas evaluate interpreted per element (round-2 measurement, see
-    * [[shingles]]), and the round-3 lead()-window form shuffled one row
-    * per TOKEN (posexplode before the window) plus a second
-    * dropDuplicates shuffle per side. Here the only pre-join shuffle
-    * carries one row per DOC (explicit-count repartition — the fixture
-    * parquet is one row group, so without it the whole corpus shingles
-    * on one task), and emitted shingles flow straight into the
-    * inverted-index join. Round-4 measurement: dedup_cascade total CPU
-    * dropped ~2× vs the window form at sf0.1.
+  /** Exploded DISTINCT (doc_id, s) k-gram shingle rows via the native
+    * [[graft.functions.ShingleArray]] expression + a codegen'd explode
+    * (r19 — previously a typed flatMap; the closure's semantics are
+    * pinned byte-for-byte in ShingleArraySpec). Why not the two
+    * declarative forms: HOF lambdas evaluate interpreted per element
+    * (round-2 measurement, see [[shingles]]), and the round-3
+    * lead()-window form shuffled one row per TOKEN plus a second
+    * dropDuplicates shuffle per side. The typed flatMap fixed that but
+    * put a full row (de)serialization boundary around every shingle row
+    * and broke whole-stage codegen through the hottest per-byte path —
+    * the r18 verdict's top remaining §4 item. The native expression
+    * keeps the imperative per-doc loop (one JIT-compiled static call)
+    * while the stage stays codegen end to end: scan → repartition (one
+    * row per DOC — the fixture parquet is one row group, so without it
+    * the whole corpus shingles on one task) → explode → consumers.
     */
   private[operators] def shingleRows(d: DataFrame, k: Int): DataFrame = {
-    val spark = d.sparkSession
-    import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     d.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .repartition(parts, col("doc_id"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else {
-          val ws = text.split(' ')
-          if (ws.length < k) Iterator.empty
-          else {
-            val seen = new scala.collection.mutable.HashSet[String]
-            Iterator.range(0, ws.length - k + 1).flatMap { i =>
-              val sb = new java.lang.StringBuilder(ws(i))
-              var j = 1
-              while (j < k) { sb.append(' ').append(ws(i + j)); j += 1 }
-              val s = sb.toString
-              if (seen.add(s)) Iterator.single((id, s)) else Iterator.empty
-            }
-          }
-        }
-      }
-      .toDF("doc_id", "s")
+      .select(
+        col("doc_id"),
+        explode(graft.functions.ShingleArray.column(col("text"), k)).as("s"))
   }
 
   /** Exact n-gram Jaccard pairs (d1 < d2, jaccard ≥ threshold) over any
@@ -115,7 +98,15 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
 
   private[graft] def ngramJaccardPairs(d: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(d, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    // The hashed shingle rows feed FOUR consumers (per-doc sizes, the
+    // hot-key counts, the anti-join input, and both self-join sides) —
+    // without materialization the shingle flatMap re-executes per
+    // consumer (r19: measured 3 evaluations at sf0.1; the split/incr
+    // siblings already checkpoint for the same reason). At real scale
+    // these rows ARE the inverted-index table kept on disk.
+    val sh = shingleRows(d, k)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500)
     val counts = idx
@@ -204,7 +195,11 @@ object TextOps {
       k: Int,
       threshold: Double
   ): DataFrame = {
-    val sh = shingleRows(all, k).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    // same multi-consumer materialization as ngramJaccardPairs (sizes +
+    // hot-key counts + anti-join + both restricted-join sides)
+    val sh = shingleRows(all, k)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val idx = SkewTools.dropHotKeys(sh, Seq("s"), 500).withColumn("nw", isNew)
     incrPairsFromFlaggedIdx(idx, sz, threshold)
@@ -572,12 +567,13 @@ object TextOps {
     // and to shuffle-join than a 32-char digest; the oracle joins the raw
     // window strings, which is the same equivalence relation.
     "dedup_fingerprint" -> { (spark, dir) =>
-      val fp = SkewTools.dropHotKeys(
-        shingleRows(Tables.documents(spark, dir), 8)
-          .select(col("doc_id"), xxhash64(col("s")).as("fp")),
-        Seq("fp"),
-        500
-      )
+      // fingerprint rows feed the hot-key counts, the anti-join input,
+      // and BOTH self-join sides — materialize once or the window-hash
+      // flatMap re-executes per consumer (the ngramJaccardPairs fix, r19)
+      val fpRows = shingleRows(Tables.documents(spark, dir), 8)
+        .select(col("doc_id"), xxhash64(col("s")).as("fp"))
+        .localCheckpoint()
+      val fp = SkewTools.dropHotKeys(fpRows, Seq("fp"), 500)
       fp.as("a")
         .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -874,6 +870,10 @@ object TextOps {
     "decontaminate_ngram" -> { (spark, dir) =>
       val d = Tables.documents(spark, dir)
       val bench = shingleRows(d.filter(col("doc_id") < 20), 3).select(col("s")).distinct()
+      // NOT checkpointed (r19 A/B): the corpus shingle rows carry the
+      // STRING shingles the membership probe joins on — materializing
+      // that wide frame measured slower (0.70 → 0.86 s) than letting the
+      // codegen'd shingle pass run once per consumer.
       val corpus = shingleRows(d.filter(col("doc_id") >= 20), 3)
       val sz = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))
       corpus
@@ -1089,6 +1089,13 @@ object TextOps {
       val d = Tables.documents(spark, dir)
       val bigram = expr(
         "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))")
+      // NO added materialization (r19, A/B-measured at sf0.1): db and
+      // uni ARE multi-consumer, but their shared shuffles already dedup
+      // via ReusedExchange (identical canonical subplans), so the
+      // "re-execution" a checkpoint would save does not happen here.
+      // Checkpointing db measured 1.9 → 2.7 s and the byPair/uni pair
+      // 2.0 → 3.2 s JobProbe-normalized — both reverted; the lesson is
+      // to check for ReusedExchange in the plan BEFORE materializing.
       val db = d
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), col("lang"), explode(bigram).as("b"))

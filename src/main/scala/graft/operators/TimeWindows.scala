@@ -252,28 +252,50 @@ object TimeWindows {
           col("user_id"),
           datediff(to_date(col("amax")), to_date(col("umax"))).cast("long").as("recency_days"),
           col("freq"), col("mon_q"))
-      // The three quintiles are INDEPENDENT global rankings of the same
-      // per-user table — computed from one materialized base and joined
-      // back on user_id (r18), instead of chaining each ntile on the
-      // previous one's output: chained, the three range exchanges and
-      // their sampling passes serialize AND each re-executes the whole
-      // upstream (the events aggregate ran three times); independent,
-      // they schedule as parallel stage chains off the checkpointed base
-      // and the base aggregates once.
+      // ONE ranged pass for all three quintiles (r19 — r18 ran three
+      // independent withGlobalNtile calls off the checkpointed base;
+      // each paid its own range-boundary SAMPLING job, range exchange,
+      // offsets window, and user_id join-back — the VERDICT's "evt_rfm
+      // samples three times" item). Stacking the metrics as (metric,
+      // value) rows turns the three global rankings into ONE per-key
+      // ranking range-partitioned on (metric, value, user_id): same
+      // total order per metric, one sampling pass, one exchange of 3N
+      // skinny rows, then the SQL-NTILE piecewise sizing applied to the
+      // per-metric rank (T = user count — the checkpointed base makes
+      // the count metadata-cheap) and a single pivot + join-back.
       val base = perUser.localCheckpoint()
-      val r = DistributedRank.withGlobalNtile(
-        base, 5, Seq(col("recency_days").asc, col("user_id").asc), "rr", "r_score")
-        .select(col("user_id"), col("r_score"))
-      val f = DistributedRank.withGlobalNtile(
-        base, 5, Seq(col("freq").asc, col("user_id").asc), "fr", "f_score")
-        .select(col("user_id"), col("f_score"))
-      val m = DistributedRank.withGlobalNtile(
-        base, 5, Seq(col("mon_q").asc, col("user_id").asc), "mr", "m_score")
-        .select(col("user_id"), col("m_score"))
+      val nUsers = base.count()
+      val stacked = base.select(
+        col("user_id"),
+        explode(array(
+          struct(lit("r").as("metric"), col("recency_days").as("value")),
+          struct(lit("f").as("metric"), col("freq").as("value")),
+          struct(lit("m").as("metric"), col("mon_q").as("value"))
+        )).as("mv"))
+        .select(col("user_id"), col("mv.metric").as("metric"), col("mv.value").as("value"))
+      val ranked = DistributedRank.withPerKeyRank(
+        stacked, "metric",
+        Seq(col("metric").asc, col("value").asc, col("user_id").asc), "__rk")
+      // SQL NTILE sizing (withGlobalNtile's piecewise formula verbatim,
+      // with the shared total inlined — every user has all three metrics)
+      val q = nUsers / 5
+      val rr = nUsers % 5
+      // integer `div` (Column./ is double division); CASE short-circuits
+      // the q = 0 branch exactly as in withGlobalNtile
+      val score = expr(
+        s"""CAST(CASE WHEN __rk <= $rr * ($q + 1)
+           |  THEN (__rk - 1) div ($q + 1) + 1
+           |  ELSE $rr + (__rk - 1 - $rr * ($q + 1)) div $q + 1
+           |END AS BIGINT)""".stripMargin)
+      val scores = ranked
+        .select(col("user_id"), col("metric"), score.as("score"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("metric") === "r", col("score"))).as("r_score"),
+          max(when(col("metric") === "f", col("score"))).as("f_score"),
+          max(when(col("metric") === "m", col("score"))).as("m_score"))
       base
-        .join(r, Seq("user_id"))
-        .join(f, Seq("user_id"))
-        .join(m, Seq("user_id"))
+        .join(scores, Seq("user_id"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_users"), sum(col("mon_q")).as("sum_mon_q"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))

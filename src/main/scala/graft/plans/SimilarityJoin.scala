@@ -215,10 +215,18 @@ object ExpandSimilarityJoin extends Rule[LogicalPlan] {
     // candidates that the broadcast plan never exchanges — 2.0 s vs
     // 1.5 s walls vs the DataFrame twin), while an exploded-corpus-sized
     // side exceeds the adaptive broadcast threshold and stays a shuffle
-    // join. If a deployment runs AQE-off, the static fallback is
-    // whatever lshCandidates would get — by construction the twins
-    // cannot diverge.
-    val bandHint = JoinHint.NONE
+    // join. If a deployment runs AQE-OFF, though, the static planner's
+    // post-aggregate underestimate could broadcast an exploded-corpus-
+    // sized band side (the r17-documented driver-OOM hazard), so the
+    // unhinted plan is GATED on adaptive execution (r19, ADVICE):
+    // AQE-off sessions keep the scale-safe forced SHUFFLE_HASH; AQE
+    // sessions get the measured-faster unhinted plan, same as the
+    // hand-built twin under the shipped session.
+    val bandHint =
+      if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean) JoinHint.NONE
+      else JoinHint(
+        Some(HintInfo(strategy = Some(SHUFFLE_HASH))),
+        Some(HintInfo(strategy = Some(SHUFFLE_HASH))))
     val lCk = lbId(sj.leftKey.exprId)
     val rCk = rbId(rKeyBase.exprId)
     // A pushed key-pair predicate joins the band condition, rewritten to

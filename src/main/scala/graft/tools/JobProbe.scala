@@ -24,18 +24,23 @@ object JobProbe {
         var tasks: Int = 0, var shufWrite: Long = 0L, var shufRead: Long = 0L,
         var taskRunMs: Long = 0L)
     val jobs = mutable.LinkedHashMap[Int, Job]()
+    val stageToJob = mutable.HashMap[Int, Int]()
     @volatile var collecting = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
-        if (collecting) jobs.synchronized { jobs(e.jobId) = Job(e.jobId, e.time) }
+        if (collecting) jobs.synchronized {
+          jobs(e.jobId) = Job(e.jobId, e.time)
+          // exact stage→job attribution (r19, ADVICE): AQE and
+          // checkpoint-spawned jobs overlap, so "most recent open job"
+          // misattributed stages under concurrency
+          e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
+        }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         if (collecting) jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (collecting) jobs.synchronized {
           val si = e.stageInfo
-          // attribute the stage to the most recent open job (good enough
-          // for a serial driver loop)
-          jobs.values.lastOption.foreach { j =>
+          stageToJob.get(si.stageId).flatMap(jobs.get).orElse(jobs.values.lastOption).foreach { j =>
             j.stages += 1
             j.tasks += si.numTasks
             j.shufWrite += si.taskMetrics.shuffleWriteMetrics.bytesWritten
@@ -48,7 +53,7 @@ object JobProbe {
     for (name <- args.tail) {
       val q = SparkEntry.queries(name)
       q(spark, dir).count() // warmup (JIT, codegen, FS cache) — bench parity
-      jobs.synchronized(jobs.clear())
+      jobs.synchronized { jobs.clear(); stageToJob.clear() }
       collecting = true
       val t0 = System.nanoTime()
       val n = q(spark, dir).count()
