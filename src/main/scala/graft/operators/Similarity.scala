@@ -665,14 +665,15 @@ object Similarity {
       val rerank = maxSimScores(docToks.join(candDocs, Seq("m_doc"), "left_semi"), q)
         .orderBy(col("maxsim").desc, col("m_doc").asc)
         .limit(10)
-      // quality bound vs the exact full-corpus MaxSim top-10 — a 10-row
-      // frame consumed TWICE (the count and the hit join); materialize it
-      // once (r19) or the full-corpus scoring subtree re-executes per
-      // consumer (the sim_mutual_knn pattern)
+      // quality bound vs the exact full-corpus MaxSim top-10. The 10-row
+      // frame is consumed twice (the count and the hit join) but its
+      // shared aggregation exchanges dedup via AQE exchange reuse, so a
+      // localCheckpoint here was A/B-measured a small NEGATIVE (r19:
+      // 1.06–1.15× control-normalized on two instruments) — the
+      // text_lm_bigram lesson; left lazy.
       val exact = maxSimScores(docToks, q)
         .orderBy(col("maxsim").desc, col("m_doc").asc)
         .limit(10)
-        .localCheckpoint()
       val nExact = exact.select(count(lit(1)).as("n_exact"))
       val nHits = rerank
         .select(col("m_doc"))

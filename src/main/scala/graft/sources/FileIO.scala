@@ -366,6 +366,47 @@ object FileIO {
   private[graft] def dataFilePaths(spark: SparkSession, path: String): Map[String, String] =
     dataFileIds(spark, path).map(id => id.rel -> id.full).toMap
 
+  /** URI path → byte length of every data file under `path` in ONE
+    * recursive listing — replaces per-file driver getFileStatus loops
+    * (r19: one listing call per directory instead of one RPC per FILE;
+    * on an object store the per-file form is O(files) round trips).
+    * Callers sum over their OWN file set (e.g. a read's `inputFiles`,
+    * which a _spark_metadata manifest may restrict below the listing),
+    * so the sized byte total is unchanged vs the per-file form. Same
+    * hidden-skip rule as [[dataFileIds]]. */
+  private[graft] def dataFileLenByPath(spark: SparkSession, path: String): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[(String, Long)] =
+      fs.listStatus(p).iterator.flatMap { s =>
+        if (hidden(s.getPath.getName)) Iterator.empty
+        else if (s.isDirectory) walk(s.getPath)
+        else Iterator.single((s.getPath.toUri.getPath, s.getLen))
+      }
+    walk(root).toMap
+  }
+
+  /** Total bytes of `df.inputFiles` restricted to `within`, via one
+    * recursive listing (see [[dataFileLenByPath]]). `filter` applies to
+    * the URI-decoded path — the raw on-disk form, so Hive-escaped
+    * partition segments compare in one space. */
+  private[graft] def inputFileBytes(
+      spark: SparkSession,
+      df: DataFrame,
+      within: String,
+      filter: String => Boolean = _ => true): Long = {
+    val lens = dataFileLenByPath(spark, within)
+    df.inputFiles.iterator
+      .map(f => new java.net.URI(f).getPath)
+      .filter(filter)
+      .map(p => lens.getOrElse(p,
+        new org.apache.hadoop.fs.Path(within).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen))
+      .sum
+  }
+
   /** INCREMENTAL sidecar maintenance — O(changed files), not O(table):
     * files that vanished since the last (re)build drop out of the
     * sidecar, files that APPEARED are scanned and sketched, and every
@@ -704,8 +745,17 @@ object FileIO {
     require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
     require(updates.columns.contains(partitionCol),
       s"updates must carry the partition column '$partitionCol'")
-    val nUpd = updates.count()
-    require(updates.select(keyCols.map(col): _*).distinct().count() == nUpd,
+    // Row count + per-key uniqueness in ONE pass (r19 — was count() plus
+    // distinct().count(), two full evaluations of the updates subtree):
+    // group by key, then a metadata-scale rollup gives the total (sum)
+    // and the duplicate flag (max > 1). groupBy groups NULL keys exactly
+    // like distinct() did, so the check's semantics are unchanged.
+    val sizeRow = updates
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("n"), max(col("__c")).as("mx"))
+      .collect()(0)
+    val nUpd = if (sizeRow.isNullAt(0)) 0L else sizeRow.getLong(0)
+    require(sizeRow.isNullAt(1) || sizeRow.getLong(1) <= 1L,
       "updates must be unique per key — collapse them (e.g. keep-latest) before the upsert")
     val partVals = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
     moveGuardKey.foreach { kc =>
@@ -1814,11 +1864,9 @@ object FileIO {
         .start()
       q.awaitTermination()
       // target ~8 output files at every SF so the pruning evidence is
-      // non-vacuous (the SQL spelling is exercised in GraftSqlSpec)
-      val hfs = new org.apache.hadoop.fs.Path(tbl)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tblBytes = spark.read.parquet(tbl).inputFiles
-        .map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      // non-vacuous (the SQL spelling is exercised in GraftSqlSpec);
+      // byte sizing via ONE recursive listing, not per-file status RPCs
+      val tblBytes = inputFileBytes(spark, spark.read.parquet(tbl), tbl)
       graft.streaming.Optimize.optimizeSink(
         spark, tbl, "parquet",
         targetFileBytes = math.max(4L * 1024, tblBytes / 8),
@@ -1886,14 +1934,10 @@ object FileIO {
         .filterNot(_.rel.startsWith("o_orderstatus=F/")).map(_.identity).toSet
       val beforeOutside = outsideIds
       // size the scoped rewrite to several output files at every SF so
-      // the pruning evidence is non-vacuous
-      val hfs = new org.apache.hadoop.fs.Path(tbl)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val fBytes = spark.read.parquet(tbl).inputFiles
-        .filter(_.contains("/o_orderstatus=F/"))
-        .map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(
-          new java.net.URI(f))).getLen)
-        .sum
+      // the pruning evidence is non-vacuous; byte sizing via ONE
+      // recursive listing, not per-file status RPCs
+      val fBytes = inputFileBytes(
+        spark, spark.read.parquet(tbl), tbl, _.contains("/o_orderstatus=F/"))
       graft.streaming.Optimize.optimizeSink(
         spark, tbl, "parquet",
         targetFileBytes = math.max(2048L, fBytes / 6),
@@ -2026,13 +2070,10 @@ object FileIO {
         .filter(f => f.rel.split('/').head.stripPrefix("hour=").toLong < 10L)
         .map(_.identity).toSet
       val beforeOutside = outsideIds
-      val hfs = new org.apache.hadoop.fs.Path(tbl)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val fBytes = spark.read.parquet(tbl).inputFiles
-        .filter(f => f.contains("/hour=10/") || f.contains("/hour=11/"))
-        .map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(
-          new java.net.URI(f))).getLen)
-        .sum
+      // byte sizing via ONE recursive listing, not per-file status RPCs
+      val fBytes = inputFileBytes(
+        spark, spark.read.parquet(tbl), tbl,
+        p => p.contains("/hour=10/") || p.contains("/hour=11/"))
       graft.streaming.Optimize.optimizeSink(
         spark, tbl, "parquet",
         targetFileBytes = math.max(2048L, fBytes / 6),

@@ -6,8 +6,8 @@ Usage:
 
 Compares the per-query medians of two `graft.Bench` full dumps (the
 committed `bench/r{NN}.json` files; BASELINE.md's standing table is
-bench/r14.json — 199 queries recorded at r14 HEAD, same-era as r13:
-raw 1.01x on the 190 shared queries). Because the two runs may have
+bench/r19.json — 237 queries recorded at r19 HEAD). Because the two
+runs may have
 executed on different
 ambient machine load, each query is compared SAME-RUN-NORMALIZED: its
 share of the run's total over the queries both runs share. A normalized
@@ -34,11 +34,12 @@ def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
     cur_path = sys.argv[1]
-    # Default baseline: the round-14 standing table (recorded at r14
-    # HEAD because bench/DRIFT_r12.md proved the r08 table is ~1.49x
-    # stale vs today's ambient; r08 remains available as an explicit arg
-    # for cross-era comparisons, which then need drift normalization).
-    base_path = sys.argv[2] if len(sys.argv) > 2 else "bench/r14.json"
+    # Default baseline: the round-19 standing table (re-recorded at r19
+    # HEAD per BASELINE.md's own rule after r18 moved the suite ~0.8x
+    # past the r14 table; r14/r08 remain available as explicit args for
+    # cross-era comparisons, which then need drift normalization — the
+    # r19 box runs ~1.26x the r18 driver box on identical code).
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "bench/r19.json"
     cur_d, cur = load(cur_path)
     base_d, base = load(base_path)
 
